@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage beyond the reference's single join/agg (SURVEY.md
+  * §2.8): multi-way joins, sort/limit top-k, analytic window functions,
+  * distinct aggregation. The reference has none of these; a Spark engine
+  * gets them from Catalyst — these entries pin the semantics under the
+  * DuckDB oracle and serve as the bench headliners on `lineitem`.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary — the volume-table bench headline.
+    * Scans only the 7 needed columns (ColumnPruning reaches the parquet
+    * scan); one hash aggregation with map-side partials over a low-NDV key,
+    * so shuffle traffic is O(#groups × #partitions), not O(rows).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** Three-deep dimension join: orders ⋈ customer ⋈ nation ⋈ region →
+    * revenue per (region, nation). customer/nation/region are all far below
+    * the broadcast threshold, so the plan is a chain of broadcast hash joins
+    * with zero fact-table shuffles until the final small aggregation.
+    */
+  def regionRevenue(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+
+  /** Top-k by aggregate with deterministic tie-break — sort + limit after a
+    * hash agg; Spark plans a TakeOrderedAndProject, so only k rows per
+    * partition ever reach the driver-side final ordering.
+    */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
+  /** Analytic window functions (rank within partition + lag-based deltas):
+    * per-customer order sequencing. One shuffle on the partition key; the
+    * sort inside each partition is the window operator's own.
+    */
+  def orderSequence(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        round(col("o_totalprice") -
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+          .as("price_delta")
+      )
+      .filter(col("order_seq") <= 3)
+  }
+
+  /** Distinct + conditional aggregation per user over the event stream:
+    * event counts, distinct active days, value quantiles by event class.
+    */
+  def userActivity(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0))
+          .as("purchase_value"),
+        max(col("ts")).as("last_seen")
+      )
+      .withColumn("purchase_value", round(col("purchase_value"), 2))
+
+  /** Set operation coverage (§2.8: absent in the reference, free in Spark):
+    * users seen in purchases but never in errors — expressed as a
+    * distinct-union-free EXCEPT, which Catalyst plans as a left-anti join.
+    */
+  def purchasersWithoutErrors(events: DataFrame): DataFrame = {
+    val purchasers = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val erroring = events.filter(col("event_type") === "error")
+      .select(col("user_id")).distinct()
+    purchasers.except(erroring).orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's core ETL re-expressed Spark-first (SURVEY.md §2.2-§2.5).
+  *
+  * The reference pipeline (reference/src/com/bigdata/consumer/KafkaConsumer.kt:40-62):
+  * JSON trip stream → per-record linear-scan lookup against an in-memory
+  * station list (J1) → denormalized 17-col TripStation (P5) → stateful
+  * per-(station, day) aggregate with started/ended counts + running average
+  * temperature + last-update time (A1-A5, CustomTransformer.kt:22-46).
+  *
+  * Here the same semantics are one declarative plan: broadcast hash join +
+  * hash aggregation with map-side partial aggregation — Catalyst plans
+  * BroadcastHashJoinExec (the dimension is tiny) and partial+final
+  * HashAggregateExec, so at 100 TB the fact table never shuffles for the join
+  * and only pre-aggregated partials shuffle for the group-by.
+  *
+  * Column mapping onto the driver's synthetic tables (FIXTURES.md §2):
+  * events.event_type == "purchase" plays the role of Trip.type == 1
+  * ("started", CustomTransformer.kt:33-35 — behavior, not the inverted
+  * comment at Trip.kt:8); anything else is "ended". `pmod(user_id, 10)` is
+  * the station foreign key into supplier (the 10-row static dimension), and
+  * `value` is the temperature.
+  */
+object TripEtl {
+
+  /** Station FK of an event row (FIXTURES.md: user_id % N ↔ stationId). */
+  def stationId(userId: Column): Column = pmod(userId, lit(10L))
+
+  /** Trip.type == 1 ⇒ started (CustomTransformer.kt:33-35). */
+  def isStarted(eventType: Column): Column = eventType === lit("purchase")
+
+  /** J1 + P5: stream–static equi join against the broadcast dimension and
+    * projection to the denormalized TripStation shape
+    * (reference/src/com/bigdata/model/TripStation.kt:6-43). Inner semantics:
+    * the reference throws on a dangling FK (KafkaConsumer.kt:45-46); the
+    * strict variant is [[danglingStationFks]] + an assertion in tests.
+    */
+  def enrichTrips(events: DataFrame, stations: DataFrame): DataFrame = {
+    val trips = events.select(
+      col("event_id").as("trip_id"),
+      col("ts").as("trip_time"),
+      col("event_type").as("trip_type"),
+      stationId(col("user_id")).as("station_id"),
+      col("value").as("temperature"),
+      // P2/T1: parse the JSON payload once at the boundary
+      // (vs the reference's per-stage Jackson round-trips, SURVEY.md §1.2)
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k")
+    )
+    trips.join(
+      broadcast(stations.select(
+        col("s_suppkey").as("station_key"),
+        col("s_name").as("station_name"),
+        col("s_nationkey").as("station_nation"),
+        col("s_acctbal").as("station_acctbal")
+      )),
+      trips("station_id") === col("station_key"),
+      "inner"
+    ).drop("station_key")
+  }
+
+  /** Strict-join audit (J1 strict mode, KafkaConsumer.kt:45-46): events whose
+    * station FK has no match in the dimension — a left-anti join, the
+    * distributed analog of the reference's thrown exception. Events with
+    * user_id >= 10 joined on the RAW user_id are the planted dangling keys.
+    */
+  def danglingStationFks(events: DataFrame, stations: DataFrame): DataFrame =
+    events
+      .join(broadcast(stations), events("user_id") === stations("s_suppkey"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_dangling"))
+
+  /** A1-A5: the flagship per-(station, day) aggregate
+    * (CustomTransformer.kt:22-46). One shuffle, partial aggregation
+    * map-side; `avg` replaces the reference's incremental mean (A3 — exactly
+    * the arithmetic mean, SURVEY.md §2.4) and `max(trip_time)` replaces
+    * last-processed-update-time (A4 — equivalent under in-order arrival).
+    */
+  def stationDayAgg(enriched: DataFrame): DataFrame =
+    enriched
+      .groupBy(
+        col("station_name"),
+        to_date(col("trip_time")).as("event_day")
+      )
+      .agg(
+        sum(when(isStarted(col("trip_type")), 1L).otherwise(0L)).as("started_trips"),
+        sum(when(isStarted(col("trip_type")), 0L).otherwise(1L)).as("ended_trips"),
+        round(avg(col("temperature")), 4).as("avg_temperature"),
+        max(col("trip_time")).as("update_time")
+      )
+
+  /** A6/T5: windowed per-station count accumulator
+    * (reference/src/com/bigdata/model/anomalyDetection/TripStationCount.kt:7-17,
+    * declared but unwired in the reference — wired here). Tumbling
+    * event-time windows of `windowMinutes`; `total_docks` is the station's
+    * dock capacity analog (station_nation + 1, always > 0 so the A7 ratio is
+    * defined). `event_times` is the reference's dateTimeList, sorted for
+    * determinism.
+    */
+  def windowCounts(enriched: DataFrame, windowMinutes: Int): DataFrame =
+    enriched
+      .groupBy(
+        window(col("trip_time"), s"$windowMinutes minutes"),
+        col("station_name"),
+        col("station_nation")
+      )
+      .agg(
+        sum(when(isStarted(col("trip_type")), 1L).otherwise(0L)).as("started"),
+        sum(when(isStarted(col("trip_type")), 0L).otherwise(1L)).as("ended"),
+        sort_array(collect_list(col("trip_time"))).as("event_times")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("station_name"),
+        (col("station_nation").cast("long") + 1L).as("total_docks"),
+        col("started"),
+        col("ended"),
+        col("event_times")
+      )
+
+  /** A7: window summary / anomaly score
+    * (TripStationSummaryInfo.kt:17-25): one-sided overflow counts and the
+    * |ended-started| / totalDocks ratio; anomaly flag is the intended
+    * `ratio > P/100` threshold filter (KafkaConsumer.kt:21-22, P defaults 50).
+    */
+  def windowAnomalies(enriched: DataFrame, windowMinutes: Int, pPercent: Int): DataFrame =
+    windowCounts(enriched, windowMinutes)
+      .select(
+        col("window_start"),
+        col("station_name"),
+        greatest(lit(0L), col("ended") - col("started")).as("returned_over_rented"),
+        greatest(lit(0L), col("started") - col("ended")).as("rented_over_returned"),
+        col("total_docks"),
+        round(abs(col("ended") - col("started")).cast("double") / col("total_docks"), 4)
+          .as("n_to_docks_ratio"),
+        (abs(col("ended") - col("started")).cast("double") / col("total_docks") >
+          lit(pPercent / 100.0)).as("is_anomaly")
+      )
+}

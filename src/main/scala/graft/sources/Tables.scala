@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for the driver's synthetic parquet tables (TESTDATA.md) plus the
+  * explicit schemas the engine declares for them (SURVEY.md §1.3: schemas are
+  * always code-declared, never inferred — mirrors the reference's fixed data
+  * classes under reference/src/com/bigdata/model/).
+  *
+  * Every reader takes the scale-factor directory so the same plan runs at any
+  * scale; column pruning and filter pushdown happen in Catalyst because these
+  * return plain lazy scans.
+  */
+object Tables {
+
+  /** events — the trip-stream analog (FIXTURES.md §2):
+    * event_type ↔ start/stop flag, ts ↔ Trip.dateTime, user_id % 10 ↔
+    * stationId, value ↔ temperature, props ↔ extra JSON payload.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** supplier — the static Station dimension analog
+    * (reference/src/com/bigdata/model/Station.kt:3-12). */
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)
+  ))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** CSV ingestion (reference S2/S3/S5, KafkaProducer.kt:37-57,
+    * KafkaConsumer.kt:79-95): explicit schema, header handled by the reader
+    * option instead of the reference's substring filter (S4). Exercised by
+    * unit tests against generated CSV fixtures.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

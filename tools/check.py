@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool, not engine code).
+
+Runs DuckDB on each SparkEntry.oracleSql entry over the sf tables and
+compares against the parquet that `graft.Verify` dumped: sort columns by
+name, sort rows, compare values. Usage:
+
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # lists/arrays -> tuples so they sort/compare
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     getattr(v, "ndim", 0) == 1 and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                              if v is not None and not isinstance(v, (str, float, int)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = norm(con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+            exp = norm(con.sql(sql).df())
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: load error {e}")
+            n_fail += 1
+            continue
+        status = []
+        if list(got.columns) != list(exp.columns):
+            status.append(f"cols spark={list(got.columns)} duck={list(exp.columns)}")
+        elif len(got) != len(exp):
+            status.append(f"rows spark={len(got)} duck={len(exp)}")
+        else:
+            for c in got.columns:
+                a, b = got[c], exp[c]
+                try:
+                    eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+                except Exception:  # noqa: BLE001
+                    eq = a.astype(str).values == b.astype(str).values
+                bad = (~eq).nonzero()[0] if hasattr(eq, "nonzero") else []
+                if len(bad) > 0:
+                    i = bad[0]
+                    status.append(
+                        f"col {c}: {len(bad)}/{len(a)} differ, first@{i}: "
+                        f"spark={a.iloc[i]!r} duck={b.iloc[i]!r}")
+        if status:
+            print(f"FAIL {name}: " + "; ".join(status[:4]))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
