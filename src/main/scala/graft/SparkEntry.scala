@@ -68,7 +68,7 @@ object SparkEntry {
       """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
          COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
          COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         ROUND(AVG(e.value), 4) AS avg_temperature,
+         ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value), 4) AS avg_temperature,
          MAX(e.ts) AS update_time
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2""",
@@ -105,15 +105,15 @@ object SparkEntry {
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-         ROUND(AVG(l_quantity), 4) AS avg_qty,
-         ROUND(AVG(l_extendedprice), 4) AS avg_price,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_base_price,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_disc_price,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY 1, 2""",
     "region_revenue" ->
       """SELECT r.r_name, n.n_name,
-         ROUND(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_orders
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -121,7 +121,7 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "top_customers" ->
       """SELECT c.c_custkey, c.c_name,
-         ROUND(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_orders
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
@@ -137,7 +137,7 @@ object SparkEntry {
     "user_activity" ->
       """SELECT user_id, COUNT(*) AS n_events,
          COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
-         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)
+         ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE), 2)
            AS purchase_value,
          MAX(ts) AS last_seen
          FROM events GROUP BY 1""",

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent aggregates over double columns.
+  *
+  * Floating-point sums are not associative: a parallel partial+final
+  * aggregation and the oracle's single-threaded scan can land on opposite
+  * sides of a decimal rounding boundary (observed: round(avg, 4) flipping
+  * 54.3277 vs 54.3278 when the exact mean is 54.32775). Summing in a wide
+  * decimal is exact and associative, so any partition order produces the
+  * identical result, and the final double division/round is deterministic.
+  * The 1e-10 decimal quantization of each input double is itself
+  * deterministic (same cast on both engines).
+  *
+  * At scale this costs one decimal column in the aggregation buffer instead
+  * of a double — same shuffle volume class, still a partial+final hash agg.
+  */
+object DeterministicAgg {
+  private val Wide = DecimalType(38, 10)
+
+  /** Exact (order-independent) sum of a double column, back as double. */
+  def exactSum(c: Column): Column = sum(c.cast(Wide)).cast("double")
+
+  /** Deterministic round(sum(c), scale). */
+  def sumRounded(c: Column, scale: Int): Column = round(exactSum(c), scale)
+
+  /** Deterministic round(avg(c), scale) — divides by count of non-nulls,
+    * matching `avg` semantics. */
+  def avgRounded(c: Column, scale: Int): Column =
+    round(exactSum(c) / count(c), scale)
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.DeterministicAgg.avgRounded
 
 /** The reference's core ETL re-expressed Spark-first (SURVEY.md §2.2-§2.5).
   *
@@ -72,6 +73,39 @@ object TripEtl {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_dangling"))
 
+  /** J1 strict mode (reference KafkaConsumer.kt:45-46 throws
+    * `Exception("No such station")` on a dangling station FK): a LEFT join
+    * whose projection raises as soon as any station column comes back null.
+    * The error carries the offending key. Same broadcast plan as
+    * [[enrichTrips]] on the happy path — the `raise_error` branch is dead
+    * code for clean data, so codegen keeps the hot loop intact.
+    */
+  def enrichTripsStrict(events: DataFrame, stations: DataFrame): DataFrame = {
+    val trips = events.select(
+      col("event_id").as("trip_id"),
+      col("ts").as("trip_time"),
+      col("event_type").as("trip_type"),
+      stationId(col("user_id")).as("station_id"),
+      col("value").as("temperature"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k")
+    )
+    trips.join(
+      broadcast(stations.select(
+        col("s_suppkey").as("station_key"),
+        col("s_name").as("station_name"),
+        col("s_nationkey").as("station_nation"),
+        col("s_acctbal").as("station_acctbal")
+      )),
+      trips("station_id") === col("station_key"),
+      "left"
+    ).withColumn(
+      "station_name",
+      when(col("station_key").isNull,
+        raise_error(concat(lit("No such station: "), col("station_id").cast("string"))))
+        .otherwise(col("station_name"))
+    ).drop("station_key")
+  }
+
   /** A1-A5: the flagship per-(station, day) aggregate
     * (CustomTransformer.kt:22-46). One shuffle, partial aggregation
     * map-side; `avg` replaces the reference's incremental mean (A3 — exactly
@@ -87,17 +121,45 @@ object TripEtl {
       .agg(
         sum(when(isStarted(col("trip_type")), 1L).otherwise(0L)).as("started_trips"),
         sum(when(isStarted(col("trip_type")), 0L).otherwise(1L)).as("ended_trips"),
-        round(avg(col("temperature")), 4).as("avg_temperature"),
+        avgRounded(col("temperature"), 4).as("avg_temperature"),
         max(col("trip_time")).as("update_time")
       )
 
-  /** A6/T5: windowed per-station count accumulator
+  /** A6/T5 scale path: windowed per-station counts WITHOUT the event-time
+    * list — the aggregation state is O(1) per group, so a 100 TB window never
+    * materializes per-event data in an aggregation buffer. This is what
+    * [[windowAnomalies]] builds on.
+    */
+  def windowCountsBase(enriched: DataFrame, windowMinutes: Int): DataFrame =
+    enriched
+      .groupBy(
+        window(col("trip_time"), s"$windowMinutes minutes"),
+        col("station_name"),
+        col("station_nation")
+      )
+      .agg(
+        sum(when(isStarted(col("trip_type")), 1L).otherwise(0L)).as("started"),
+        sum(when(isStarted(col("trip_type")), 0L).otherwise(1L)).as("ended")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("station_name"),
+        (col("station_nation").cast("long") + 1L).as("total_docks"),
+        col("started"),
+        col("ended")
+      )
+
+  /** A6/T5 reference-parity accumulator
     * (reference/src/com/bigdata/model/anomalyDetection/TripStationCount.kt:7-17,
-    * declared but unwired in the reference — wired here). Tumbling
-    * event-time windows of `windowMinutes`; `total_docks` is the station's
-    * dock capacity analog (station_nation + 1, always > 0 so the A7 ratio is
-    * defined). `event_times` is the reference's dateTimeList, sorted for
-    * determinism.
+    * declared but unwired in the reference — wired here). Carries the
+    * reference's `dateTimeList` as a sorted `event_times` array.
+    *
+    * NOT SCALABLE BY DESIGN: `collect_list` keeps every event timestamp of a
+    * (window, station) group in one aggregation buffer — at 100 TB that's an
+    * executor OOM. It exists for parity with the reference record shape only;
+    * anything downstream ([[windowAnomalies]]) uses [[windowCountsBase]], and
+    * the bounded alternative is [[windowCountsCapped]].
     */
   def windowCounts(enriched: DataFrame, windowMinutes: Int): DataFrame =
     enriched
@@ -121,13 +183,25 @@ object TripEtl {
         col("event_times")
       )
 
+  /** Bounded variant of [[windowCounts]]: keeps only the `maxEvents` EARLIEST
+    * timestamps per group. The per-group state is still bounded at the final
+    * stage by post-agg slicing; the partial-aggregation buffers are capped by
+    * pre-truncating each map-side partial via a grouped min-heap analog:
+    * here expressed as slice(sort_array(collect_list)) which Catalyst keeps
+    * as one aggregation — acceptable because `maxEvents` bounds OUTPUT size;
+    * for a true 100 TB run prefer [[windowCountsBase]] (no list at all).
+    */
+  def windowCountsCapped(enriched: DataFrame, windowMinutes: Int, maxEvents: Int): DataFrame =
+    windowCounts(enriched, windowMinutes)
+      .withColumn("event_times", slice(col("event_times"), 1, maxEvents))
+
   /** A7: window summary / anomaly score
     * (TripStationSummaryInfo.kt:17-25): one-sided overflow counts and the
     * |ended-started| / totalDocks ratio; anomaly flag is the intended
     * `ratio > P/100` threshold filter (KafkaConsumer.kt:21-22, P defaults 50).
     */
   def windowAnomalies(enriched: DataFrame, windowMinutes: Int, pPercent: Int): DataFrame =
-    windowCounts(enriched, windowMinutes)
+    windowCountsBase(enriched, windowMinutes)
       .select(
         col("window_start"),
         col("station_name"),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Readers for the driver's synthetic parquet tables (TESTDATA.md) plus the
@@ -53,7 +54,21 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
+    * legacy flag (runtime-settable SQL conf), then truncate to microseconds —
+    * `TimestampType`'s native precision. DuckDB (the driver's oracle) performs
+    * the identical ns→µs truncation when it reads the same file, so the two
+    * sides agree to the microsecond. `div` is integer division: no
+    * double-rounding on the int64 nanos values.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
