@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TripEtl}
+import graft.operators.{Relational, TextOps, TripEtl}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,7 +50,22 @@ object SparkEntry {
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
     "user_activity" -> ((s, dir) => Relational.userActivity(Tables.events(s, dir))),
     "purchasers_without_errors" -> ((s, dir) =>
-      Relational.purchasersWithoutErrors(Tables.events(s, dir)))
+      Relational.purchasersWithoutErrors(Tables.events(s, dir))),
+
+    // --- LLM-pipeline: dedup + text analysis over `documents` ---
+    "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
+    "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
+    "doc_near_dup_pairs" -> ((s, dir) =>
+      TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
+    "doc_minhash_pairs" -> ((s, dir) =>
+      TextOps.minhashPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
+    "doc_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
+    "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
+    "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
+    "doc_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(Tables.documents(s, dir)).select("doc_id", "n_fingerprints"))
   )
 
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
@@ -68,7 +83,7 @@ object SparkEntry {
       """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
          COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
          COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         ROUND(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value), 4) AS avg_temperature,
+         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
          MAX(e.ts) AS update_time
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2""",
@@ -92,7 +107,7 @@ object SparkEntry {
          GREATEST(0, ended - started) AS returned_over_rented,
          GREATEST(0, started - ended) AS rented_over_returned,
          total_docks,
-         ROUND(ABS(ended - started) / CAST(total_docks AS DOUBLE), 4) AS n_to_docks_ratio,
+         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
          (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > 0.5 AS is_anomaly
          FROM (
            SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
@@ -105,15 +120,15 @@ object SparkEntry {
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
-         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_base_price,
-         ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_disc_price,
-         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
-         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+         floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+         floor((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+         floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+         floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY 1, 2""",
     "region_revenue" ->
       """SELECT r.r_name, n.n_name,
-         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_orders
+         floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS revenue, COUNT(*) AS n_orders
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -121,7 +136,7 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "top_customers" ->
       """SELECT c.c_custkey, c.c_name,
-         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_orders
+         floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS revenue, COUNT(*) AS n_orders
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
@@ -129,15 +144,14 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_orderdate, order_seq, price_delta FROM (
            SELECT o_custkey, o_orderkey, o_orderdate,
              ROW_NUMBER() OVER w AS order_seq,
-             ROUND(o_totalprice -
-               COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 2) AS price_delta
+             floor((o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER w, 0.0)) * 1e2 + 0.5) / 1e2 AS price_delta
            FROM orders
            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
          WHERE order_seq <= 3""",
     "user_activity" ->
       """SELECT user_id, COUNT(*) AS n_events,
          COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
-         ROUND(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE), 2)
+         floor((CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
            AS purchase_value,
          MAX(ts) AS last_seen
          FROM events GROUP BY 1""",
@@ -145,6 +159,97 @@ object SparkEntry {
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "doc_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
+         count(*) AS n_copies FROM documents GROUP BY 1""",
+    "doc_dedup_docs" ->
+      """SELECT d.* FROM documents d
+         WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",
+    "doc_near_dup_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+           FROM toks)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.4""",
+    "doc_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+           FROM toks)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+               AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.4""",
+    "doc_language_id" ->
+      """SELECT doc_id, lang,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_es > 0 THEN 'es'
+                WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS lang_guess,
+           (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_es > 0 THEN 'es'
+                WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_zh > 0 THEN 'zh'
+                ELSE 'und' END) = lang AS lang_match
+         FROM (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of'))) AS INT) AS s_en,
+             CAST(len(list_filter(toks, x -> x IN ('der','die','und'))) AS INT) AS s_de,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','et'))) AS INT) AS s_fr,
+             CAST(len(list_filter(toks, x -> x IN ('el','los','y'))) AS INT) AS s_es,
+             CAST(len(list_filter(toks, x -> x IN ('de','shi','le'))) AS INT) AS s_zh
+           FROM (SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             FROM documents))""",
+    "doc_quality" ->
+      """SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+           floor((CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+           floor((CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS diversity,
+           floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+             AS quality_score
+         FROM (
+           SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
+           FROM (SELECT doc_id, n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             FROM documents))""",
+    "doc_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           floor((CAST(sum(n_tokens) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens
+         FROM (
+           SELECT lang, source, n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+               AS n_tokens
+           FROM documents)
+         GROUP BY 1, 2"""
   )
 }

@@ -21,14 +21,26 @@ import org.apache.spark.sql.types.DecimalType
 object DeterministicAgg {
   private val Wide = DecimalType(38, 10)
 
+  /** Engine-portable decimal rounding: floor(x·10^s + 0.5)/10^s computed in
+    * plain double arithmetic. Spark's `round` goes through the double's
+    * SHORTEST DECIMAL STRING (BigDecimal.valueOf) while DuckDB rounds the
+    * binary value — at a half boundary (x = …0.53374999…, printed "0.53375")
+    * they disagree. This formula is the same three IEEE ops on both engines,
+    * so identical inputs give bit-identical outputs everywhere.
+    */
+  def roundFixed(c: Column, scale: Int): Column = {
+    val p = lit(math.pow(10, scale))
+    floor(c * p + lit(0.5)) / p
+  }
+
   /** Exact (order-independent) sum of a double column, back as double. */
   def exactSum(c: Column): Column = sum(c.cast(Wide)).cast("double")
 
   /** Deterministic round(sum(c), scale). */
-  def sumRounded(c: Column, scale: Int): Column = round(exactSum(c), scale)
+  def sumRounded(c: Column, scale: Int): Column = roundFixed(exactSum(c), scale)
 
   /** Deterministic round(avg(c), scale) — divides by count of non-nulls,
     * matching `avg` semantics. */
   def avgRounded(c: Column, scale: Int): Column =
-    round(exactSum(c) / count(c), scale)
+    roundFixed(exactSum(c) / count(c), scale)
 }

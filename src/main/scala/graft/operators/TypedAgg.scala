@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import graft.model.{AggregatedInfo, TripStation}
+
+/** Typed Dataset API surface (SURVEY.md §2.7): the reference's stateful
+  * Transformer (reference/src/com/bigdata/consumer/CustomTransformer.kt:22-46)
+  * as an `Aggregator[TripStation, Buf, AggregatedInfo]`.
+  *
+  * The reference maintains the running mean incrementally
+  * (`(n·avg + x)/(n+1)`, CustomTransformer.kt:38-39); an Aggregator must be
+  * mergeable across partitions, so the buffer carries (sum, count) instead —
+  * mathematically the same arithmetic mean, but associative, which is what
+  * makes it distributable (partial aggregation map-side, merge at the
+  * reducer). `updateTime` is max(tripTime) — equivalent to the reference's
+  * last-processed-time under in-order arrival (SURVEY.md §2.4 A4).
+  */
+object TypedAgg {
+
+  final case class Buf(
+      started: Long,
+      ended: Long,
+      tempSum: Double,
+      tempCount: Long,
+      maxTime: Long)
+
+  /** Aggregates one (station, day) group of TripStation rows. Keyed use:
+    * `ds.groupByKey(t => (t.stationName, day(t.tripTime))).agg(agg.toColumn)`.
+    */
+  final class StationDayAggregator
+      extends Aggregator[TripStation, Buf, AggregatedInfo] {
+
+    override def zero: Buf = Buf(0L, 0L, 0.0, 0L, Long.MinValue)
+
+    override def reduce(b: Buf, t: TripStation): Buf = Buf(
+      b.started + (if (t.tripType == "purchase") 1L else 0L),
+      b.ended + (if (t.tripType == "purchase") 0L else 1L),
+      b.tempSum + t.temperature,
+      b.tempCount + 1L,
+      math.max(b.maxTime, t.tripTime.getTime)
+    )
+
+    override def merge(a: Buf, b: Buf): Buf = Buf(
+      a.started + b.started,
+      a.ended + b.ended,
+      a.tempSum + b.tempSum,
+      a.tempCount + b.tempCount,
+      math.max(a.maxTime, b.maxTime)
+    )
+
+    override def finish(b: Buf): AggregatedInfo = AggregatedInfo(
+      stationName = null, // filled by the caller from the group key
+      eventDay = null,
+      startedTrips = b.started,
+      endedTrips = b.ended,
+      avgTemperature = if (b.tempCount == 0) 0.0 else b.tempSum / b.tempCount,
+      updateTime = new java.sql.Timestamp(b.maxTime)
+    )
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[AggregatedInfo] =
+      Encoders.product[AggregatedInfo]
+  }
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.DeterministicAgg.avgRounded
+import graft.model.{AggregatedInfo, TripStation}
+import graft.operators.TypedAgg
+import graft.sources.Tables
+
+/** Structured Streaming form of the reference's flagship topology
+  * (reference/src/com/bigdata/consumer/KafkaConsumer.kt:40-76): stream
+  * source → enrich against the static broadcast dimension → stateful
+  * per-(station, day) aggregation with periodic emission and state eviction.
+  *
+  * Two implementations of the stateful stage, per SURVEY.md §7.4(1):
+  *  - [[stationDayAggStreaming]] — declarative watermark + update-mode agg.
+  *    Emits changed groups every microbatch (a superset of the reference
+  *    punctuator's information content); the 1-day watermark is the idiomatic
+  *    analog of the reference's keep-only-latest-day eviction
+  *    (CustomTransformer.kt:70-80).
+  *  - [[punctuatedStationDayAgg]] — flatMapGroupsWithState with an
+  *    event-time timer: explicit per-group state, timer-driven snapshot
+  *    emission (the reference's punctuate, CustomTransformer.kt:56-69) and
+  *    explicit `state.remove()` eviction once the watermark closes the day.
+  *
+  * Both agree with the batch [[graft.operators.TripEtl.stationDayAgg]] on
+  * final aggregates — asserted in StreamingEtlSpec.
+  */
+object StreamingEtl {
+
+  /** S1 streaming source analog: a file-stream over events-shaped parquet.
+    * File sources need a directory; the schema is declared, never inferred
+    * (streaming requires it anyway). `ts` arrives as raw nanos (LongType)
+    * under the same legacy flag as the batch reader and is truncated to µs.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = org.apache.spark.sql.types.StructType(
+      Tables.eventsSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    spark.readStream.schema(nanosSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** T2/T3 declarative path: 1-day tumbling window + watermark, update mode.
+    * The window (not a bare to_date) is what lets the streaming planner tie
+    * state rows to event time and drop them once the watermark passes —
+    * bounded state at any scale.
+    */
+  def stationDayAggStreaming(enriched: DataFrame, watermark: String = "1 day"): DataFrame =
+    enriched
+      .withWatermark("trip_time", watermark)
+      .groupBy(
+        window(col("trip_time"), "1 day"),
+        col("station_name")
+      )
+      .agg(
+        sum(when(col("trip_type") === "purchase", 1L).otherwise(0L)).as("started_trips"),
+        sum(when(col("trip_type") === "purchase", 0L).otherwise(1L)).as("ended_trips"),
+        avgRounded(col("temperature"), 4).as("avg_temperature"),
+        max(col("trip_time")).as("update_time")
+      )
+      .select(
+        col("station_name"),
+        to_date(col("window.start")).as("event_day"),
+        col("started_trips"),
+        col("ended_trips"),
+        col("avg_temperature"),
+        col("update_time")
+      )
+
+  /** T2 exact-punctuation / T3 explicit-eviction path
+    * (CustomTransformer.kt:56-82): per-group state via
+    * flatMapGroupsWithState with EventTimeTimeout.
+    *
+    * Per microbatch a changed group re-emits its current aggregate (update
+    * semantics); additionally every group arms an event-time timer
+    * `emitEveryMs` past the current watermark — when stream time passes it
+    * with no new data, the group emits one final snapshot (the reference
+    * punctuator's `forward`) and its state is removed (the reference's
+    * eviction of days older than the newest). State per group is O(1); the
+    * shuffle is on the group key, so 1000 executors each hold a disjoint
+    * key range in their state stores.
+    */
+  def punctuatedStationDayAgg(
+      trips: Dataset[TripStation],
+      emitEveryMs: Long = 300000L): Dataset[AggregatedInfo] = {
+    import trips.sparkSession.implicits._
+    val agg = new TypedAgg.StationDayAggregator
+
+    trips
+      .withWatermark("tripTime", "1 day")
+      .groupByKey(t => (t.stationName, new java.sql.Date(
+        t.tripTime.getTime - Math.floorMod(t.tripTime.getTime, 86400000L))))
+      .flatMapGroupsWithState[TypedAgg.Buf, AggregatedInfo](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((station, day), rows, state: GroupState[TypedAgg.Buf]) =>
+          def result(b: TypedAgg.Buf): AggregatedInfo =
+            agg.finish(b).copy(stationName = station, eventDay = day)
+
+          if (state.hasTimedOut) {
+            // punctuate: final snapshot forward, then evict (the day is
+            // closed — watermark has passed its timer)
+            val out = state.getOption.map(result).iterator
+            state.remove()
+            out
+          } else {
+            val buf = rows.foldLeft(state.getOption.getOrElse(agg.zero))(agg.reduce)
+            state.update(buf)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(wm + emitEveryMs)
+            Iterator(result(buf))
+          }
+      }
+  }
+
+  /** S6/S8: Kafka-record-shaped sink projection — key/value JSON strings,
+    * the shape `writeStream.format("kafka")` requires
+    * (reference/src/com/bigdata/producer/KafkaProducer.kt:59-65 serializes
+    * per record with Jackson; here one codegen'd to_json at the boundary).
+    * Works identically for batch and streaming frames.
+    */
+  def toKafkaShape(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val valueCols = df.columns.map(col).toIndexedSeq
+    df.select(
+      to_json(struct(keyCols.map(col): _*)).as("key"),
+      to_json(struct(valueCols: _*)).as("value")
+    )
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TripStation
+import graft.operators.TripEtl
+import graft.streaming.StreamingEtl
+
+/** Streaming semantics (SURVEY.md §2.5 T2/T3/T4, round-1 verdict #4):
+  * update-mode emissions, equivalence with the batch aggregate, timer-driven
+  * punctuation + eviction, and the Kafka-shaped sink. */
+class StreamingEtlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def enrichedDf(rows: Seq[TripStation]) = {
+    import spark.implicits._
+    rows.toDF().withColumnRenamed("tripTime", "trip_time")
+      .withColumnRenamed("stationName", "station_name")
+      .withColumnRenamed("tripType", "trip_type")
+  }
+
+  test("update-mode streaming aggregation converges to the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TripStation]
+    val streamDf = input.toDF()
+      .withColumnRenamed("tripTime", "trip_time")
+      .withColumnRenamed("stationName", "station_name")
+      .withColumnRenamed("tripType", "trip_type")
+    val q = StreamingEtl.stationDayAggStreaming(streamDf)
+      .writeStream.format("memory").queryName("sda").outputMode("update").start()
+    try {
+      val batch1 = Seq(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("A", ts("2024-01-01 11:00:00"), "view", 30.0))
+      val batch2 = Seq(
+        TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 20.0),
+        TripStation("B", ts("2024-01-01 12:30:00"), "view", 5.0))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val after1 = spark.table("sda").collect()
+      assert(after1.length == 1) // one changed group emitted
+      assert(after1.head.getAs[Long]("started_trips") == 1L)
+
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+
+      // last emission per key == batch aggregate over all data
+      val emissions = spark.table("sda").collect()
+      val lastPerKey = emissions.groupBy(r => (r.getAs[String]("station_name")))
+        .map { case (k, rs) => k -> rs.last }
+      val batchResult = TripEtl.stationDayAgg(enrichedDf(batch1 ++ batch2))
+        .collect().map(r => r.getAs[String]("station_name") -> r).toMap
+      assert(lastPerKey.keySet == batchResult.keySet)
+      lastPerKey.foreach { case (k, got) =>
+        val want = batchResult(k)
+        assert(got.getAs[Long]("started_trips") == want.getAs[Long]("started_trips"), k)
+        assert(got.getAs[Long]("ended_trips") == want.getAs[Long]("ended_trips"), k)
+        assert(got.getAs[Double]("avg_temperature") == want.getAs[Double]("avg_temperature"), k)
+        assert(got.getAs[Timestamp]("update_time") == want.getAs[Timestamp]("update_time"), k)
+      }
+    } finally q.stop()
+  }
+
+  test("punctuated aggregation emits updates, then a timer snapshot with eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TripStation]
+    val q = StreamingEtl.punctuatedStationDayAgg(input.toDS(), emitEveryMs = 300000L)
+      .writeStream.format("memory").queryName("punct").outputMode("update").start()
+    try {
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("A", ts("2024-01-01 11:00:00"), "purchase", 30.0))
+      q.processAllAvailable()
+      // First trigger runs at watermark 0, so the group's event-time timer
+      // (wm + 5min) is already in the past for the follow-up batch: we see
+      // the update emission AND the punctuate snapshot, identical content —
+      // the reference's punctuator forwards unchanged aggregates too.
+      val first = spark.table("punct").collect()
+      assert(first.nonEmpty)
+      assert(first.forall(_.getAs[Long]("startedTrips") == 2L))
+      assert(first.forall(_.getAs[Double]("avgTemperature") == 20.0))
+      val emissionsAfterDay1 = first.length
+
+      // Advance event time far past day 1 + watermark(1d): group A's state
+      // was evicted at punctuation; a late day-1 event is now dropped by the
+      // watermark (documented divergence from the reference, which would
+      // restart the group from zero — SURVEY.md §7.4(2)).
+      input.addData(TripStation("B", ts("2024-01-04 00:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 99.0))
+      q.processAllAvailable()
+
+      val all = spark.table("punct").collect()
+      val aRows = all.filter(r => r.getAs[String]("stationName") == "A")
+      // no A emission gained a third trip: the late event never reached state
+      assert(aRows.length >= emissionsAfterDay1)
+      assert(aRows.forall(_.getAs[Long]("startedTrips") == 2L))
+      val bRows = all.filter(r => r.getAs[String]("stationName") == "B")
+      assert(bRows.nonEmpty)
+      assert(bRows.forall(_.getAs[Long]("endedTrips") == 1L))
+    } finally q.stop()
+  }
+
+  test("toKafkaShape produces key/value JSON strings that round-trip") {
+    import spark.implicits._
+    val df = Seq(("A", 2L, 20.0)).toDF("station_name", "started", "avg_temp")
+    val rec = StreamingEtl.toKafkaShape(df, Seq("station_name")).collect().head
+    assert(rec.getAs[String]("key") == """{"station_name":"A"}""")
+    val parsed = Seq(rec.getAs[String]("value")).toDF("value")
+      .select(from_json(col("value"), df.schema).as("v")).select("v.*").collect().head
+    assert(parsed.getAs[Long]("started") == 2L)
+    assert(parsed.getAs[Double]("avg_temp") == 20.0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** S2-S5 CSV ingestion against generated fixtures, plus the declared-schema
+  * conformance of the parquet readers (wires the schemas the round-1 verdict
+  * flagged as dead). */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("readCsv applies the declared schema and skips the header row (S2-S5)") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "stations.csv")
+    Files.writeString(f.toPath,
+      """s_suppkey,s_name,s_nationkey,s_acctbal
+        |1,Station One,3,10.5
+        |2,Station Two,4,20.25
+        |""".stripMargin)
+    val out = Tables.readCsv(spark, dir.getAbsolutePath, Tables.supplierSchema)
+      .orderBy("s_suppkey").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("s_suppkey") == 1L)
+    assert(out.head.getAs[String]("s_name") == "Station One")
+    assert(out(1).getAs[Double]("s_acctbal") == 20.25)
+  }
+
+  test("events reader produces the declared schema (nanos converted to timestamp)") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = Tables.eventsSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(got == want)
+    // ts round-trips as a real timestamp in 2024 (not 1970 — a wrong unit
+    // divisor would land there)
+    val t = df.selectExpr("min(ts)").collect().head.getTimestamp(0)
+    assert(t.toString.startsWith("2024-"))
+  }
+
+  test("documents and embeddings readers match their declared schemas") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(d.schema.fieldNames.toSeq ==
+      Tables.documentsSchema.fieldNames.toSeq)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(e.schema.fieldNames.toSeq ==
+      Tables.embeddingsSchema.fieldNames.toSeq)
+  }
+}
