@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TextOps, TripEtl}
+import graft.operators.{Relational, Similarity, TextOps, TripEtl}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,7 +65,23 @@ object SparkEntry {
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
-      TextOps.fingerprints(Tables.documents(s, dir)).select("doc_id", "n_fingerprints"))
+      TextOps.fingerprints(Tables.documents(s, dir)).select("doc_id", "n_fingerprints")),
+
+    // --- LLM-pipeline: similarity search over `embeddings` ---
+    "emb_knn" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    "emb_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    "emb_lsh_pairs" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+    "emb_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    "emb_vector_stats" -> ((s, dir) =>
+      Similarity.vectorStats(Tables.embeddings(s, dir))),
+
+    // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
+    "mm_feature_stats" -> ((s, dir) =>
+      operators.Multimodal.mediaFeatureStats(Tables.documents(s, dir)))
   )
 
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
@@ -250,6 +266,53 @@ object SparkEntry {
              len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
                AS n_tokens
            FROM documents)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "emb_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * e.v[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * q.vq[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+                 i -> e.v[i] * e.v[i]), (x, y) -> x + y))) AS c
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id,
+           floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
+         FROM ranked WHERE rank <= 5""",
+    "emb_label_centroids" ->
+      """SELECT label, dim,
+           floor((CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)) * 1e6 + 0.5) / 1e6
+             AS centroid_val,
+           count(*) AS n_vectors
+         FROM (
+           SELECT label,
+             unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings)
+         GROUP BY 1, 2""",
+    "emb_vector_stats" ->
+      """SELECT vec_id, label,
+           floor(sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+             i -> v[i] * v[i]), (x, y) -> x + y)) * 1e4 + 0.5) / 1e4 AS l2_norm,
+           floor((list_reduce(v, (x, y) -> x + y) / len(v)) * 1e4 + 0.5) / 1e4
+             AS mean_val
+         FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""",
+    "mm_feature_stats" ->
+      """SELECT doc_id,
+           CAST(n_chars % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           CAST(n_chars + 8 AS BIGINT) AS payload_bytes,
+           floor((list_reduce(list_transform(string_split(text, ''),
+             x -> CAST(ord(x) AS DOUBLE)), (a, b) -> a + b) / n_chars) * 1e4 + 0.5) / 1e4
+             AS mean_byte
+         FROM documents"""
   )
 }

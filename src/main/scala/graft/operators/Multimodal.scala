@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads + typed
+  * metadata, with decode / feature-extraction / resize / frame-sample stages.
+  *
+  * The decode step is a clearly-marked STUB — this container has no
+  * image/audio codecs, so [[Multimodal.decodeFeatures]] runs a deterministic
+  * fake (header parse + byte histogram) in place of a real pixel decode. The
+  * Spark-side plumbing is real and tested: binary column construction,
+  * metadata struct schema, `mapPartitions` batch shape (the Scala analog of
+  * mapInPandas: one iterator per partition, no per-row setup cost), and
+  * narrow (shuffle-free) execution.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + structured metadata. */
+  final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
+  final case class MediaFile(docId: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      docId: Long, width: Int, height: Int, payloadBytes: Long,
+      histogram: Seq[Long], meanByte: Double)
+  final case class Frame(docId: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Synthesize a deterministic media table from `documents`: the payload is
+    * an 8-byte big-endian (width, height) header followed by the UTF-8 text
+    * bytes — a stand-in with the exact schema a real ingest would produce
+    * (doc_id, payload binary, meta struct). Pure column ops; at 100 TB this
+    * is a narrow map over the scan.
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame = {
+    val width = (col("n_chars") % 64 + 16).cast("int")
+    val height = (col("doc_id") % 48 + 16).cast("int")
+    val payload = concat(
+      unhex(lpad(hex(width), 8, "0")),
+      unhex(lpad(hex(height), 8, "0")),
+      encode(col("text"), "UTF-8"))
+    documents.select(
+      col("doc_id").as("docId"),
+      payload.as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        width.as("width"),
+        height.as("height"),
+        length(payload).cast("long").as("nBytes")).as("meta"))
+  }
+
+  /** STUB DECODE — deterministic fake in place of a real image decode (no
+    * codecs in this environment). Parses the 8-byte header and computes a
+    * 16-bin byte histogram + mean byte over the body, standing in for
+    * pixel-level features. `mapPartitions` processes a whole partition per
+    * call — the batch shape a vectorized decoder needs (amortized model /
+    * codec init), and a narrow op: no shuffle, partitioning preserved.
+    */
+  def decodeFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec handles, model weights, ...)
+      rows.map { m =>
+        val bb = java.nio.ByteBuffer.wrap(m.payload)
+        val width = bb.getInt(0)
+        val height = bb.getInt(4)
+        val body = m.payload.drop(8)
+        val hist = new Array[Long](16)
+        var sum = 0L
+        body.foreach { b =>
+          val u = b & 0xff
+          hist(u / 16) += 1
+          sum += u
+        }
+        MediaFeatures(
+          m.docId, width, height, m.payload.length.toLong,
+          hist.toSeq,
+          if (body.isEmpty) 0.0 else sum.toDouble / body.length)
+      }
+    }
+  }
+
+  /** Resize: a metadata-only transform (a real implementation would also
+    * re-encode the payload) — demonstrates struct-column surgery without
+    * breaking the schema contract. */
+  def resizeMeta(media: DataFrame, factor: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.format").as("format"),
+      (col("meta.width") / factor).cast("int").as("width"),
+      (col("meta.height") / factor).cast("int").as("height"),
+      col("meta.nBytes").as("nBytes")))
+
+  /** Frame sampling: split the payload body into fixed-size frames and keep
+    * every `stride`-th — the video-ingest access pattern (decode only the
+    * sampled frames downstream). One row per kept frame; narrow op.
+    */
+  def sampleFrames(media: Dataset[MediaFile], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val body = m.payload.drop(8)
+      body.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % stride == 0 => Frame(m.docId, idx, frame)
+      }
+    }
+  }
+
+  /** The media table as a typed Dataset (encoder boundary for the stages). */
+  def asMediaDataset(media: DataFrame): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    media.as[MediaFile]
+  }
+
+  /** Feature table for the driver contract: decode-stub features in
+    * DataFrame form (histogram kept as count; full array in the typed API).
+    */
+  def mediaFeatureStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(mediaFromDocuments(documents))
+    decodeFeatures(media).toDF()
+      .select(
+        col("docId").as("doc_id"),
+        col("width"), col("height"),
+        col("payloadBytes").as("payload_bytes"),
+        graft.functions.DeterministicAgg.roundFixed(col("meanByte"), 4).as("mean_byte"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DeterministicAgg.{avgRounded, roundFixed}
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label) — the ANN/vector side of the LLM-pipeline
+  * extensions.
+  *
+  * All vector math is `functions.aggregate`/`zip_with` over the array cast
+  * to double — sequential fold, so the result is deterministic and
+  * reproducible in the DuckDB oracle with the identical index-order formula.
+  * No UDFs; everything stays in codegen.
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]] — exact top-k for a (small) query set: broadcast
+  *    the queries against a single scan of the corpus. At 100 TB this IS the
+  *    right plan for interactive query sets (one pass, no shuffle of the
+  *    corpus, per-row O(q·d) work); it is also the correctness oracle.
+  *  - [[ivfTopK]] — IVF: corpus pre-partitioned by nearest anchor
+  *    (deterministic anchor set), queries probe only the `nprobe` nearest
+  *    partitions — the classic recall/cost dial for repeated large-scale
+  *    search.
+  *  - [[lshNearDupPairs]] — random-hyperplane LSH bucketing for pairwise
+  *    near-duplicate detection without an all-pairs join.
+  */
+object Similarity {
+
+  /** embedding column cast to double for deterministic arithmetic. */
+  private def vec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity, computed as dot/(sqrt(aa)·sqrt(bb)) — the exact
+    * operation order the oracle replicates. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact cosine top-k neighbors for queries `vec_id < numQueries`.
+    * The query set is broadcast; the corpus is scanned once; per-query
+    * ranking is a TakeOrdered-style window over k·|queries| rows.
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q"))
+
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic anchor set: the embeddings of the first `c` vec_ids.
+    * (A production system would use k-means centroids; anchors only need to
+    * be FIXED for the partitioning to be consistent.) */
+  private def anchors(embeddings: DataFrame, c: Int): DataFrame =
+    embeddings.filter(col("vec_id") < c)
+      .select(col("vec_id").as("anchor_id"), vec(col("embedding")).as("v_a"))
+
+  /** IVF (inverted-file) ANN top-k: every corpus vector is assigned to its
+    * nearest anchor once (broadcast join + argmax — a cheap O(c·d) per row);
+    * a query probes only its `nprobe` nearest anchors' partitions. Cost per
+    * query drops from O(N·d) to O(N·d·nprobe/c) at a recall cost measured in
+    * SimilaritySpec. At 100 TB the assignment is a one-off pre-partitioning
+    * (write bucketed by anchor_id) and probes prune whole partitions.
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+              c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val anc = anchors(embeddings, c)
+
+    // nearest anchor per corpus vector
+    def assign(df: DataFrame, idCol: String, vCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("a_cos").desc, col("anchor_id").asc)
+      df.join(broadcast(anc), col(idCol) =!= lit(-1L))
+        .withColumn("a_cos", cosine(col(vCol), col("v_a")))
+        .withColumn("a_rank", row_number().over(w))
+        .filter(col("a_rank") <= keep)
+        .drop("v_a", "a_cos", "a_rank")
+    }
+
+    val corpus = assign(
+      embeddings.select(col("vec_id").as("neighbor_id"),
+        vec(col("embedding")).as("v_n")),
+      "neighbor_id", "v_n", keep = 1)
+    val queries = assign(
+      embeddings.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q")),
+      "query_id", "v_q", keep = nprobe)
+
+    val scored = corpus.join(broadcast(queries), Seq("anchor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Fixed random hyperplanes (seeded, compile-time deterministic). */
+  private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(0x5eed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket of a vector under a table's hyperplanes. */
+  private def bucketOf(v: Column, tablePlanes: Seq[Seq[Double]]): Column =
+    tablePlanes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, _)) =>
+      val plane = array(p.map(lit): _*)
+      shiftleft(acc, 1) + when(dot(v, plane) >= 0.0, 1L).otherwise(0L)
+    }
+
+  /** Random-hyperplane LSH near-duplicate pairs: `numTables` independent
+    * bucketings of `bitsPerTable` sign bits; vectors sharing a bucket in ANY
+    * table become candidates (equi-join on (table, bucket) — never a cross
+    * join), then exact cosine verification ≥ threshold. Collision
+    * probability per bit is 1 − θ/π, so recall follows the standard s-curve
+    * in (numTables, bitsPerTable) — measured in SimilaritySpec.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                      numTables: Int = 16, bitsPerTable: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    val all = planes(numTables * bitsPerTable, dim)
+    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+    val tableCols = (0 until numTables).map { t =>
+      val tp = all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      struct(lit(t).as("t"), bucketOf(col("v"), tp).as("b"))
+    }
+    val banded = e
+      .select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("v_a"), col("y.v").as("v_b"))
+      .distinct()
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), roundFixed(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Per-label centroids in long format (label, dim, centroid_val): one
+    * posexplode + one hash agg on (label, dim) — fully shuffle-parallel,
+    * no array-typed aggregation buffer. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(vec(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      // decimal-backed mean: the partial-aggregation order must not be able
+      // to move the rounded centroid (same rule as every other double agg)
+      .agg(avgRounded(col("x"), 6).as("centroid_val"),
+        count(lit(1)).as("n_vectors"))
+
+  /** Per-vector stats: L2 norm, mean component — `aggregate` showcase. */
+  def vectorStats(embeddings: DataFrame): DataFrame = {
+    val v = vec(col("embedding"))
+    embeddings.select(
+      col("vec_id"),
+      col("label"),
+      roundFixed(sqrt(dot(v, v)), 4).as("l2_norm"),
+      roundFixed(
+        aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4)
+        .as("mean_val"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing: binary payload construction, header round-trip
+  * through the stubbed decoder, batch shape, and narrow execution. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val media = Multimodal.mediaFromDocuments(docs)
+
+  test("media schema: binary payload + typed metadata struct") {
+    val f = media.schema("payload")
+    assert(f.dataType.typeName == "binary")
+    val meta = media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("format", "width", "height", "nBytes"))
+  }
+
+  test("decode stub round-trips the header and histograms the body") {
+    val feats = Multimodal.decodeFeatures(Multimodal.asMediaDataset(media))
+    val joined = feats.toDF().join(docs, col("docId") === docs("doc_id"))
+      .select("docId", "width", "height", "payloadBytes", "histogram", "n_chars")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nChars = r.getAs[Long]("n_chars")
+      val docId = r.getAs[Long]("docId")
+      assert(r.getAs[Int]("width") == (nChars % 64 + 16).toInt)
+      assert(r.getAs[Int]("height") == (docId % 48 + 16).toInt)
+      // histogram covers exactly the body bytes (ASCII text: 1 byte/char)
+      val hist = r.getSeq[Long](r.fieldIndex("histogram"))
+      assert(hist.sum == r.getAs[Long]("payloadBytes") - 8)
+    }
+  }
+
+  test("decode is a narrow op: partitioning is preserved, no shuffle") {
+    val ds = Multimodal.asMediaDataset(media.repartition(7))
+    val out = Multimodal.decodeFeatures(ds)
+    assert(out.rdd.getNumPartitions == 7)
+    // exactly ONE Exchange: the explicit repartition above; the decode
+    // stage itself must not add any
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    val one = Multimodal.asMediaDataset(media.filter(col("docId") === 0))
+    val total = one.collect().head.payload.length - 8
+    val frames = Multimodal.sampleFrames(one, frameBytes = 32, stride = 2).collect()
+    val nFrames = (total + 31) / 32
+    val expected = (nFrames + 1) / 2
+    assert(frames.length == expected)
+    assert(frames.forall(_.frameIdx % 2 == 0))
+    assert(frames.filter(_.frameIdx < nFrames - 1).forall(_.frame.length == 32))
+  }
+
+  test("resizeMeta halves dimensions without touching the payload") {
+    val r = Multimodal.resizeMeta(media, 2)
+      .select(col("meta.width").as("w2"), col("payload")).collect().head
+    val orig = media.select(col("meta.width"), col("payload")).collect().head
+    assert(r.getAs[Int]("w2") == orig.getAs[Int]("width") / 2)
+    assert(java.util.Arrays.equals(
+      r.getAs[Array[Byte]]("payload"), orig.getAs[Array[Byte]]("payload")))
+  }
+}
