@@ -142,17 +142,23 @@ object Similarity {
       val tp = all.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
       struct(lit(t).as("t"), bucketOf(col("v"), tp).as("b"))
     }
+    // bucket table carries IDs only: the distinct() below must never
+    // shuffle/compare the 64-dim arrays (measured: 86 s with arrays,
+    // sub-second without)
     val banded = e
-      .select(col("vec_id"), col("v"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
 
-    banded.as("x")
+    val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("v_a"), col("y.v").as("v_b"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
+
+    candidates
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), Seq("vec_b"))
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), roundFixed(col("cosine"), 4).as("cosine"))

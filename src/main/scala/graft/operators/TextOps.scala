@@ -23,13 +23,24 @@ object TextOps {
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles (space-joined), deduplicated. Documents shorter
-    * than `n` tokens get an empty shingle set. 1-based `slice`. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
+    * than `n` tokens get an empty shingle set.
+    *
+    * Built by zipping `n` shifted slices of the token array instead of
+    * indexed slicing inside a lambda: an outer expression referenced in a
+    * lambda body is re-evaluated PER ELEMENT, so the naive
+    * `transform(seq, i -> slice(toks, i, n))` re-tokenizes the document for
+    * every shingle position (O(len²)); the zip form evaluates `toks` ~2n
+    * times per row total, and the lambda touches only its own struct fields.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - (n - 1)
+    val shifted = (0 until n).map(i => slice(toks, lit(i + 1), cnt))
+    when(cnt >= 1,
       array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+        arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
 
   // ------------------------------------------------------------ exact dedup
 
@@ -72,7 +83,8 @@ object TextOps {
     * boilerplate) or the MinHash path [[minhashPairs]], whose candidate
     * count is governed by the band/row s-curve instead of df.
     */
-  def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4): DataFrame = {
+  def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
+                   maxShingleDf: Int = 1000): DataFrame = {
     val sh = documents.select(
       col("doc_id"),
       shingles(tokens(col("text")), n).as("sh"))
@@ -81,8 +93,19 @@ object TextOps {
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
 
-    val candidates = inverted.as("a")
-      .join(inverted.as("b"),
+    // df-cap: a shingle present in > maxShingleDf docs is boilerplate — it
+    // contributes O(df²) candidate pairs and ~nothing to recall (a true
+    // pair at threshold t shares ~t·|shingles| shingles; losing the hot
+    // ones is harmless). This is the skew guard that keeps the self-join
+    // bounded at 100 TB; at test scale no shingle comes near the cap.
+    val pruned = inverted
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shk"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+
+    val candidates = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -111,10 +134,14 @@ object TextOps {
       col("doc_id"),
       shingles(tokens(col("text")), n).as("sh"))
 
+    // pre-hash each shingle string to ONE long: the 64 seeded hashes then
+    // run over 8-byte keys (not ~25-char strings), and the groupBy shuffle
+    // carries longs
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
     // 64 seeded hash mins in ONE partial+final aggregation
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("shk"))).as(s"h$i"))
     val sigs = exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
     val numBands = numHashes / bandRows
@@ -162,11 +189,13 @@ object TextOps {
   def simhash(text: Column): Column = {
     val toks = tokens(text)
     // per token: 64-entry array of ±1 from its hash bits; accumulate sums
+    // pre-hash: the lambda variable h is a plain slot read, so the 64 bit
+    // extractions below cost 64 shifts — NOT 64 re-evaluations of xxhash64
+    // (an expression subtree inside a lambda is re-evaluated per reference)
     val sums = aggregate(
-      toks,
+      transform(toks, t => xxhash64(t)),
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, t) => {
-        val h = xxhash64(t)
+      (acc, h) => {
         val contribs = array((0 until 64).map(i =>
           when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
         zip_with(acc, contribs, (a, b) => a + b)
@@ -199,15 +228,18 @@ object TextOps {
       .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.idx").as("idx"), col("ch.v").as("v"))
 
+    // the hamming bound lives IN the join condition: on a clustered corpus
+    // chunk collisions are dense (millions of candidate rows at sf0.1), and
+    // filtering before the distinct shrinks its input by ~1000×
     banded.as("a")
       .join(banded.as("b"),
         col("a.idx") === col("b.idx") && col("a.v") === col("b.v") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------------ text analysis
@@ -295,21 +327,45 @@ object TextOps {
   /** Winnowing document fingerprints (Schleimer et al., MOSS): hash word
     * k-grams, then keep the minimum hash of every sliding window of `w`
     * consecutive k-gram hashes. Guarantees any shared run of ≥ w+k-1 tokens
-    * yields a shared fingerprint. Higher-order functions only.
+    * yields a shared fingerprint.
+    *
+    * Shaped as posexplode → SQL window min → re-aggregate rather than a
+    * nested array-lambda: an expression inside a higher-order-function
+    * lambda is re-evaluated PER ELEMENT, so the natural
+    * `transform(seq, i -> array_min(slice(hashes, i, w)))` recomputes the
+    * whole tokenize→shingle→hash chain for every window position — O(n²)
+    * per document (measured: 277 s for 5000 docs). Here every stage is
+    * evaluated once; the only shuffle is on doc_id, which scales
+    * horizontally (documents are independent).
     */
   def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
-    val grams = shingles(toks, k)
-    val hashes = transform(grams, g => xxhash64(g))
-    val fps = when(size(hashes) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(hashes) - (w - 1)),
-        i => array_min(slice(hashes, i, lit(w))))))
-      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<bigint>")))
-    documents.select(
+    import org.apache.spark.sql.expressions.Window
+
+    val hashed = documents.select(
       col("doc_id"),
-      fps.as("fingerprints"))
+      posexplode(transform(shingles(tokens(col("text")), k), g => xxhash64(g)))
+        .as(Seq("pos", "h")))
+
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+
+    val fps = hashed
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("h")).over(winMin))
+      .withColumn("all_min", min(col("h")).over(byDoc))
+      // windows that fit entirely: pos ∈ [0, n-w]; short docs keep min-of-all
+      .withColumn("fp",
+        when(col("n") >= w, when(col("pos") <= col("n") - w, col("wmin")))
+          .otherwise(col("all_min")))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("fp"))).as("fingerprints"))
+
+    // docs with zero k-grams (shorter than k tokens) keep an empty set
+    documents.select(col("doc_id"))
+      .join(fps, Seq("doc_id"), "left")
+      .withColumn("fingerprints",
+        coalesce(col("fingerprints"), array().cast("array<bigint>")))
       .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
   }
 }
