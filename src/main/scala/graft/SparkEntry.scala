@@ -39,6 +39,9 @@ object SparkEntry {
     "window_anomalies" -> ((s, dir) =>
       TripEtl.windowAnomalies(
         TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)), 360, 50)),
+    "window_counts_capped" -> ((s, dir) =>
+      TripEtl.windowCountsCapped(
+        TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)), 360, 5)),
 
     // --- relational coverage (SURVEY.md §2.8) / bench headliners ---
     "pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
@@ -51,6 +54,9 @@ object SparkEntry {
     "user_activity" -> ((s, dir) => Relational.userActivity(Tables.events(s, dir))),
     "purchasers_without_errors" -> ((s, dir) =>
       Relational.purchasersWithoutErrors(Tables.events(s, dir))),
+    "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(Tables.lineitem(s, dir))),
+    "event_type_approx_users" -> ((s, dir) =>
+      Relational.eventTypeApproxUsers(Tables.events(s, dir))),
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
@@ -133,6 +139,16 @@ object SparkEntry {
              COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
            FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
            GROUP BY 1, 2, 3)""",
+    "window_counts_capped" ->
+      """SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
+         time_bucket(INTERVAL '360 minutes', e.ts) + INTERVAL '360 minutes' AS window_end,
+         s.s_name AS station_name,
+         CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
+         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
+         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended,
+         list_sort(list(e.ts))[1:5] AS event_times
+         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+         GROUP BY 1, 2, 3, 4""",
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
@@ -176,6 +192,14 @@ object SparkEntry {
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
          ORDER BY user_id""",
+    "pricing_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n_items,
+         SUM(l_quantity) AS sum_qty,
+         floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
+           AS sum_price
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "doc_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
          count(*) AS n_copies FROM documents GROUP BY 1""",

@@ -95,6 +95,34 @@ object Relational {
         max(col("ts")).as("last_seen")
       )
 
+  /** Hierarchical subtotals (ROLLUP — §2.8 coverage): per (returnflag,
+    * linestatus), per returnflag, and grand total in one pass. Catalyst
+    * expands the grouping sets into a single Expand + hash agg — one
+    * shuffle regardless of the number of levels.
+    */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sumRounded(col("l_extendedprice"), 2).as("sum_price")
+      )
+
+  /** Sketch-based distinct counting (approx_count_distinct = HyperLogLog++):
+    * O(1) state per group instead of a distinct-shuffle — the 100 TB way to
+    * count uniques. Not oracle-comparable (sketch implementations differ
+    * across engines); RelationalSpec bounds its error against the exact
+    * count instead.
+    */
+  def eventTypeApproxUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events")
+      )
+
   /** Set operation coverage (§2.8: absent in the reference, free in Spark):
     * users seen in purchases but never in errors. Semantically an EXCEPT over
     * two distincts, but planned as ONE hash aggregation over user_id with

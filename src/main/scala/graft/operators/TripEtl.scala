@@ -208,16 +208,38 @@ object TripEtl {
       )
 
   /** Bounded variant of [[windowCounts]]: keeps only the `maxEvents` EARLIEST
-    * timestamps per group. The per-group state is still bounded at the final
-    * stage by post-agg slicing; the partial-aggregation buffers are capped by
-    * pre-truncating each map-side partial via a grouped min-heap analog:
-    * here expressed as slice(sort_array(collect_list)) which Catalyst keeps
-    * as one aggregation — acceptable because `maxEvents` bounds OUTPUT size;
-    * for a true 100 TB run prefer [[windowCountsBase]] (no list at all).
+    * timestamps per group via [[graft.functions.BoundedEarliest]] — a custom
+    * Aggregator whose buffer is capped at `maxEvents` entries at EVERY stage
+    * (map-side partials included), unlike slice-after-collect_list which
+    * bounds only the output while the aggregation buffer still holds every
+    * event. This is the aggregation-state fix for the reference's unbounded
+    * dateTimeList at 100 TB; [[windowCountsBase]] remains the list-free path.
     */
-  def windowCountsCapped(enriched: DataFrame, windowMinutes: Int, maxEvents: Int): DataFrame =
-    windowCounts(enriched, windowMinutes)
-      .withColumn("event_times", slice(col("event_times"), 1, maxEvents))
+  def windowCountsCapped(enriched: DataFrame, windowMinutes: Int, maxEvents: Int): DataFrame = {
+    val boundedEarliest = udaf(
+      new graft.functions.BoundedEarliest(maxEvents),
+      org.apache.spark.sql.Encoders.TIMESTAMP)
+    enriched
+      .groupBy(
+        window(col("trip_time"), s"$windowMinutes minutes"),
+        col("station_name"),
+        col("station_nation")
+      )
+      .agg(
+        sum(when(isStarted(col("trip_type")), 1L).otherwise(0L)).as("started"),
+        sum(when(isStarted(col("trip_type")), 0L).otherwise(1L)).as("ended"),
+        boundedEarliest(col("trip_time")).as("event_times")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("station_name"),
+        (col("station_nation").cast("long") + 1L).as("total_docks"),
+        col("started"),
+        col("ended"),
+        col("event_times")
+      )
+  }
 
   /** A7: window summary / anomaly score
     * (TripStationSummaryInfo.kt:17-25): one-sided overflow counts and the

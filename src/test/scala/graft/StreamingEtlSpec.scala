@@ -109,6 +109,58 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed query restarts from its checkpoint without reprocessing (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+    // memory sink is not fault-tolerant; foreachBatch is the standard
+    // checkpoint-recoverable sink
+    val emissions = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      emissions.synchronized {
+        emissions ++= df.collect().map(r =>
+          (r.getAs[String]("station_name"), r.getAs[Long]("started_trips")))
+      }
+    def start(input: MemoryStream[TripStation]) =
+      StreamingEtl.stationDayAggStreaming(
+        input.toDF()
+          .withColumnRenamed("tripTime", "trip_time")
+          .withColumnRenamed("stationName", "station_name")
+          .withColumnRenamed("tripType", "trip_type"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink _)
+        .start()
+
+    val input1 = MemoryStream[TripStation]
+    val q1 = start(input1)
+    input1.addData(TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0))
+    q1.processAllAvailable()
+    assert(emissions.synchronized(emissions.contains(("A", 1L))))
+    q1.stop()
+
+    // restart against the SAME checkpoint with a fresh source: committed
+    // state survives the restart — the next event lands on top of the old
+    // count. (MemoryStream offsets are positional, so data is added only
+    // AFTER the restart; a pre-start batch would alias committed offsets.)
+    val input2 = MemoryStream[TripStation]
+    // this batch aliases the already-committed offset 1 → it must be
+    // SKIPPED on recovery (exactly-once, no reprocessing): the sentinel
+    // station "SKIPPED" must never reach the sink
+    input2.addData(TripStation("SKIPPED", ts("2024-01-01 10:30:00"), "purchase", 1.0))
+    val q2 = start(input2)
+    input2.addData(TripStation("A", ts("2024-01-01 11:00:00"), "purchase", 30.0))
+    q2.processAllAvailable()
+    q2.stop()
+    emissions.synchronized {
+      // state restored: count includes the pre-restart event (2, not 1)
+      assert(emissions.contains(("A", 2L)), emissions)
+      // committed offset range was not re-read
+      assert(!emissions.exists(_._1 == "SKIPPED"), emissions)
+    }
+  }
+
   test("toKafkaShape produces key/value JSON strings that round-trip") {
     import spark.implicits._
     val df = Seq(("A", 2L, 20.0)).toDF("station_name", "started", "avg_temp")
