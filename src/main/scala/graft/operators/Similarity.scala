@@ -46,14 +46,20 @@ object Similarity {
     * ranking is a TakeOrdered-style window over k·|queries| rows.
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    // norms once per VECTOR, not per pair: cosine over a pair then costs one
+    // dot product; sqrt(dot(v,v)) per vector is the identical double either
+    // way, so results are bit-equal to the naive form
     val corpus = embeddings.select(
       col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
+      .withColumn("nrm_n", sqrt(dot(col("v_n"), col("v_n"))))
     val queries = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
 
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("v_q"), col("v_n")))
+      .withColumn("cosine",
+        dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -156,10 +162,14 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
 
+    val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     candidates
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("v_a")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("v_b")), Seq("vec_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .withColumn("cosine",
+        dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), roundFixed(col("cosine"), 4).as("cosine"))
   }
