@@ -72,6 +72,7 @@ object SparkEntry {
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).select("doc_id", "n_fingerprints")),
+    "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -291,6 +292,43 @@ object SparkEntry {
                AS n_tokens
            FROM documents)
          GROUP BY 1, 2""",
+    "doc_curation" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, n_chars, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         q AS (
+           SELECT doc_id, lang, n_chars, text, t FROM (
+             SELECT doc_id, lang, n_chars, text, t,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+               len(list_filter(t, x -> x IN ('the','a','of'))) AS stop_cnt
+             FROM toks)
+           WHERE floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0)
+               + 0.3 * (CAST(n_distinct AS DOUBLE) / nullif(n_tokens, 0))
+               + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+             >= 0.4),
+         exact_survivors AS (
+           SELECT * FROM q
+           WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY sha256(text))),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+           FROM q),
+         losers AS (
+           SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+             >= 0.4)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc_id
+         FROM exact_survivors
+         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         GROUP BY 1""",
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),

@@ -322,6 +322,38 @@ object TextOps {
           .as("avg_tokens")
       )
 
+  /** End-to-end curation pipeline — the composite the other operators
+    * exist for: quality-gate → exact dedup (keep canonical doc) → near-dup
+    * removal (drop the higher doc_id of each verified pair) → per-language
+    * corpus stats of the surviving set.
+    *
+    * Composition of the individually-oracled stages; each stage is a narrow
+    * filter or an equi-join on ids, so the whole pipeline inherits the
+    * per-stage scale properties (no new shuffles beyond the stages' own).
+    */
+  def curationPipeline(documents: DataFrame, minQuality: Double = 0.4,
+                       nearDupThreshold: Double = 0.4): DataFrame = {
+    val quality = qualityScore(documents)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id"))
+    val qualified = documents.join(quality, Seq("doc_id"), "left_semi")
+
+    val exactSurvivors = dedupedDocs(qualified)
+
+    // drop the non-canonical side of every verified near-dup pair
+    val dupLosers = nearDupPairs(qualified, n = 5, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val clean = exactSurvivors.join(dupLosers, Seq("doc_id"), "left_anti")
+
+    clean
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc_id")
+      )
+  }
+
   // ------------------------------------------------------------ fingerprints
 
   /** Winnowing document fingerprints (Schleimer et al., MOSS): hash word
