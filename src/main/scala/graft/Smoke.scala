@@ -11,11 +11,23 @@ object Smoke {
       .master("local[4]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // the declarative activation path for the engine's SQL functions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = SparkEntry.entry(spark).count()
     println(s"SMOKE_ROWS=$n")
+
+    // SQL surface: functions injected by GraftExtensions (config above),
+    // exercised over real data
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("documents")
+    val sqlRows = spark.sql(
+      """SELECT lang, count(DISTINCT graft_simhash(text)) AS n_hashes,
+         graft_round_fixed4(avg(size(graft_tokens(text)))) AS avg_tokens
+         FROM documents GROUP BY lang""").collect()
+    println(s"SMOKE_SQL_ROWS=${sqlRows.length}")
     spark.stop()
-    if (n <= 0) sys.exit(1)
+    if (n <= 0 || sqlRows.isEmpty) sys.exit(1)
   }
 }

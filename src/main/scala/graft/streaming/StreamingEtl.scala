@@ -117,6 +117,26 @@ object StreamingEtl {
       }
   }
 
+  /** S1 proper: the Kafka source wiring the reference consumes
+    * (reference/src/com/bigdata/consumer/KafkaConsumer.kt:40-41 reads
+    * `input-topic` with string serdes). Returns the parsed trip stream:
+    * value bytes → string → one `from_json` → invalid-time drop, exactly
+    * [[graft.operators.TripEtl.parseTrips]]. NOT exercisable in this
+    * environment (no broker — tests use MemoryStream/file sources, which
+    * share every operator downstream of the source boundary); the options
+    * mirror a production deployment.
+    */
+  def readTripsKafka(spark: SparkSession, bootstrap: String,
+                     topic: String = "input-topic"): DataFrame =
+    graft.operators.TripEtl.parseTrips(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
+
   /** S6/S8: Kafka-record-shaped sink projection — key/value JSON strings,
     * the shape `writeStream.format("kafka")` requires
     * (reference/src/com/bigdata/producer/KafkaProducer.kt:59-65 serializes

@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnConversions, ExpressionUtils}
+
+/** Column ⇄ Expression bridge. Spark 4 made the conversion helpers
+  * `private[sql]` (the Connect refactor hid `Column.expr`); injecting our
+  * operators as catalog functions needs exactly this conversion, so the
+  * bridge lives in an `org.apache.spark.sql` subpackage — the established
+  * pattern for Spark extension libraries. No internals are reimplemented;
+  * these delegate to Spark's own ExpressionUtils.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** EAGER conversion (ColumnConversions.expression runs the column-node →
+    * expression converter immediately): the lazy wrapper from
+    * ExpressionUtils.expression is a leaf the analyzer will not descend
+    * into when returned from a function-registry builder — it reaches
+    * codegen unresolved. The eager tree's UnresolvedFunctions resolve in
+    * the analyzer's normal fixed-point. */
+  def expression(c: Column): Expression = ColumnConversions.expression(c)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: engine operators callable from spark.sql, expanding to
+  * the same expression trees as the DataFrame API (no UDF boundary). */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("graft_simhash and graft_tokens are SQL-callable and agree with the API") {
+    import spark.implicits._
+    Seq(("a b c", 1L)).toDF("text", "id").createOrReplaceTempView("t_ext")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(text) AS h, size(graft_tokens(text)) AS n FROM t_ext")
+      .collect().head
+    val viaApi = Seq(("a b c", 1L)).toDF("text", "id")
+      .select(graft.operators.TextOps.simhash(org.apache.spark.sql.functions.col("text")))
+      .collect().head.getLong(0)
+    assert(viaSql.getAs[Long]("h") == viaApi)
+    assert(viaSql.getAs[Int]("n") == 3)
+  }
+
+  test("graft_cosine in SQL matches the exact value") {
+    val c = spark.sql(
+      "SELECT graft_round_fixed4(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))) AS c")
+      .collect().head.getDouble(0)
+    assert(c == 1.0)
+    val ortho = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(ortho == 0.0)
+  }
+
+  test("wrong arity yields a clear error naming the function") {
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0d))").collect())
+    assert(e.getMessage.contains("graft_cosine"))
+  }
+}
