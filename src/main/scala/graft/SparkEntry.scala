@@ -67,6 +67,8 @@ object SparkEntry {
       TextOps.minhashPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     "doc_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
+    "doc_simhash_sorted" -> ((s, dir) =>
+      TextOps.simhashPairsSorted(Tables.documents(s, dir), maxHamming = 5)),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),

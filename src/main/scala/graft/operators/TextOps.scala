@@ -242,6 +242,62 @@ object TextOps {
       .distinct()
   }
 
+  /** Sorted-neighborhood SimHash pairs (the multi-rotation scheme from
+    * Manku et al.'s web-dedup paper): for each of `rotations` bit-rotations
+    * of the hash, sort by the rotated value and compare each doc only with
+    * its next `windowSize` neighbors. Near hashes share long prefixes under
+    * some rotation, so they sort adjacently.
+    *
+    * Candidate volume is EXACTLY N·rotations·windowSize — independent of how
+    * clustered the corpus is, unlike [[simhashPairs]] whose chunk-collision
+    * join degrades to O(Σ bucket²) on homogeneous data (measured ~10 s vs
+    * ~2 s at sf0.1). The trade is probabilistic recall, measured in
+    * TextOpsSpec against the exhaustive banded variant. Scale note: the
+    * per-rotation sort is a window over the rotation key; at 100 TB replace
+    * with repartitionByRange + sortWithinPartitions and accept the
+    * ~windowSize boundary loss per partition.
+    */
+  def simhashPairsSorted(documents: DataFrame, maxHamming: Int = 5,
+                         rotations: Int = 4, windowSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val hashed = simhashDocs(documents)
+    val rotCols = (0 until rotations).map { r =>
+      val s = r * (64 / rotations)
+      val key =
+        if (s == 0) col("simhash")
+        else shiftleft(col("simhash"), s)
+          .bitwiseOR(shiftrightunsigned(col("simhash"), 64 - s))
+      struct(lit(r).as("r"), key.as("key"))
+    }
+    val rotated = hashed
+      .select(col("doc_id"), col("simhash"), explode(array(rotCols: _*)).as("rk"))
+      .select(col("doc_id"), col("simhash"),
+        col("rk.r").as("r"), col("rk.key").as("key"))
+
+    // window functions are not allowed inside a generator: evaluate the
+    // leads into plain columns first, then explode the assembled array
+    val w = Window.partitionBy(col("r")).orderBy(col("key"), col("doc_id"))
+    val withLeads = rotated.select(
+      col("doc_id") +: col("simhash") +:
+        (1 to windowSize).flatMap(i => Seq(
+          lead(col("doc_id"), i).over(w).as(s"nid$i"),
+          lead(col("simhash"), i).over(w).as(s"nh$i"))): _*)
+    val neighborCols = (1 to windowSize).map(i =>
+      struct(col(s"nid$i").as("nid"), col(s"nh$i").as("nh")))
+
+    withLeads
+      .select(col("doc_id"), col("simhash"),
+        explode(array(neighborCols: _*)).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+      .select(
+        least(col("doc_id"), col("nb.nid")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.nid")).as("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("nb.nh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ------------------------------------------------------------ text analysis
 
   private def countIn(toks: Column, words: Seq[String]): Column =

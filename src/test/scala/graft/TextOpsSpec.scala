@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Dedup-operator properties on real testdata. */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("identical texts get identical simhash; distinct texts differ") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val h = TextOps.simhashDocs(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("sorted-neighborhood simhash recall vs exhaustive banding") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exhaustive = pairs(TextOps.simhashPairs(docs, maxHamming = 3))
+    val sorted = pairs(TextOps.simhashPairsSorted(docs, maxHamming = 3))
+    assert(sorted.subsetOf(exhaustive)) // no false positives (exact verify)
+    val recall =
+      if (exhaustive.isEmpty) 1.0
+      else (exhaustive & sorted).size.toDouble / exhaustive.size
+    assert(recall >= 0.5, s"recall $recall over ${exhaustive.size} pairs")
+  }
+
+  test("minhash and inverted-index near-dup agree on real data") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val a = pairs(TextOps.nearDupPairs(docs, n = 5, threshold = 0.4))
+    val b = pairs(TextOps.minhashPairs(docs, n = 5, threshold = 0.4))
+    assert(a == b)
+    assert(a.nonEmpty) // sf0.001 has planted near-dups
+  }
+
+  test("exact dedup keeps the minimum doc_id as canonical") {
+    import spark.implicits._
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val out = TextOps.exactDedup(df).collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(2L -> 2L, 9L -> 1L))
+  }
+}
