@@ -50,7 +50,25 @@ object StreamSmoke {
       TripEtl.enrichTrips(Tables.events(spark, dir), stations))
     val diff = last.exceptAll(batch).count() + batch.exceptAll(last).count()
     println(s"STREAM_ROWS=${last.count()} BATCH_ROWS=${batch.count()} STREAM_OK=${diff == 0}")
+
+    // anomaly topology (anomalies-topic path) over the same staged stream
+    val stream2 = StreamingEtl.readEventsStream(spark, staged.toString)
+    val q2 = StreamingEtl
+      .windowAnomaliesStreaming(TripEtl.enrichTrips(stream2, stations), 360, 50)
+      .writeStream.format("memory").queryName("stream_anom")
+      .outputMode("update").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val anomLast = spark.table("stream_anom")
+      .groupBy("window_start", "station_name")
+      .agg(max_by(col("is_anomaly"), col("returned_over_rented") +
+        col("rented_over_returned")).as("is_anomaly"))
+    val anomBatch = TripEtl.windowAnomalies(
+      TripEtl.enrichTrips(Tables.events(spark, dir), stations), 360, 50)
+    val nStream = anomLast.count()
+    val nBatch = anomBatch.count()
+    println(s"ANOM_STREAM_GROUPS=$nStream ANOM_BATCH_GROUPS=$nBatch ANOM_OK=${nStream == nBatch}")
     spark.stop()
-    if (diff != 0) sys.exit(1)
+    if (diff != 0 || nStream != nBatch) sys.exit(1)
   }
 }

@@ -117,6 +117,41 @@ object StreamingEtl {
       }
   }
 
+  /** The anomaly topology in streaming form — the reference's intended
+    * second output stream (`anomalies-topic`,
+    * reference/src/com/bigdata/scripts/prepareAndRun.sh:13 +
+    * consumer.sh:7; the batch analog is
+    * [[graft.operators.TripEtl.windowAnomalies]]). Tumbling event-time
+    * windows with a watermark for state cleanup; update mode emits a
+    * window's current score as it accumulates. The aggregate is list-free
+    * (O(1) state per (window, station)) and the anomaly projection runs
+    * per emitted row.
+    */
+  def windowAnomaliesStreaming(enriched: DataFrame, windowMinutes: Int,
+                               pPercent: Int,
+                               watermark: String = "1 day"): DataFrame =
+    enriched
+      .withWatermark("trip_time", watermark)
+      .groupBy(
+        window(col("trip_time"), s"$windowMinutes minutes"),
+        col("station_name"),
+        col("station_nation")
+      )
+      .agg(
+        sum(when(col("trip_type") === "purchase", 1L).otherwise(0L)).as("started"),
+        sum(when(col("trip_type") === "purchase", 0L).otherwise(1L)).as("ended")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("station_name"),
+        greatest(lit(0L), col("ended") - col("started")).as("returned_over_rented"),
+        greatest(lit(0L), col("started") - col("ended")).as("rented_over_returned"),
+        (col("station_nation").cast("long") + 1L).as("total_docks"),
+        (abs(col("ended") - col("started")).cast("double") /
+          (col("station_nation").cast("long") + 1L) > lit(pPercent / 100.0))
+          .as("is_anomaly")
+      )
+
   /** S1 proper: the Kafka source wiring the reference consumes
     * (reference/src/com/bigdata/consumer/KafkaConsumer.kt:40-41 reads
     * `input-topic` with string serdes). Returns the parsed trip stream:

@@ -109,6 +109,41 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming window anomalies emit scored windows (anomalies-topic path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TripStation]
+    val enriched = input.toDF()
+      .withColumnRenamed("tripTime", "trip_time")
+      .withColumnRenamed("stationName", "station_name")
+      .withColumnRenamed("tripType", "trip_type")
+      .withColumn("station_nation", lit(4)) // total_docks = 5
+    val q = StreamingEtl.windowAnomaliesStreaming(enriched, 360, 50)
+      .writeStream.format("memory").queryName("anom").outputMode("update").start()
+    try {
+      // 3 returns, 0 rentals in one window at docks=5 -> ratio 0.6 > 0.5
+      input.addData(
+        TripStation("A", ts("2024-01-01 00:10:00"), "view", 1.0),
+        TripStation("A", ts("2024-01-01 00:20:00"), "view", 1.0),
+        TripStation("A", ts("2024-01-01 00:30:00"), "view", 1.0),
+        TripStation("B", ts("2024-01-01 00:10:00"), "purchase", 1.0),
+        TripStation("B", ts("2024-01-01 00:20:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+        .map(r => r.getAs[String]("station_name") -> r).toMap
+      assert(rows("A").getAs[Long]("returned_over_rented") == 3L)
+      assert(rows("A").getAs[Boolean]("is_anomaly"))
+      assert(rows("B").getAs[Long]("returned_over_rented") == 0L)
+      assert(!rows("B").getAs[Boolean]("is_anomaly"))
+
+      // Kafka-shaped sink projection of the anomaly stream round-trips
+      val rec = StreamingEtl.toKafkaShape(
+        spark.table("anom"), Seq("station_name", "window_start")).collect()
+      assert(rec.nonEmpty)
+      assert(rec.forall(_.getAs[String]("value").contains("is_anomaly")))
+    } finally q.stop()
+  }
+
   test("checkpointed query restarts from its checkpoint without reprocessing (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
