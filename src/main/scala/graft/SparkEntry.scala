@@ -55,6 +55,8 @@ object SparkEntry {
     "purchasers_without_errors" -> ((s, dir) =>
       Relational.purchasersWithoutErrors(Tables.events(s, dir))),
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(Tables.lineitem(s, dir))),
+    "asof_last_error" -> ((s, dir) =>
+      Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
     "event_type_approx_users" -> ((s, dir) =>
       Relational.eventTypeApproxUsers(Tables.events(s, dir))),
 
@@ -195,6 +197,11 @@ object SparkEntry {
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
          ORDER BY user_id""",
+    "asof_last_error" ->
+      """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id AND p.ts >= e.ts""",
     "pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_items,

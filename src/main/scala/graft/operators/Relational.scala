@@ -95,6 +95,32 @@ object Relational {
         max(col("ts")).as("last_seen")
       )
 
+  /** AS-OF JOIN, Spark-first: for every purchase, the most recent error of
+    * the same user at-or-before the purchase time.
+    *
+    * Spark has no asof operator; rather than a range-join (O(n·m) worst
+    * case) this is the single-pass formulation: tag both event classes,
+    * sort each user's timeline once, and carry the last error timestamp
+    * forward with `last(_, ignoreNulls)` over an unbounded-preceding
+    * window. ONE shuffle on user_id, no join at all — and because state is
+    * "last value seen", the same shape runs incrementally under streaming.
+    * Ties (error at the identical instant) count as preceding — the
+    * secondary sort key puts errors first — matching DuckDB's
+    * `ASOF JOIN ... ON p.ts >= e.ts`, which the oracle uses.
+    */
+  def lastErrorBeforePurchase(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_error").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("purchase", "error"))
+      .withColumn("is_error", (col("event_type") === "error").cast("int"))
+      .withColumn("last_error_ts",
+        last(when(col("is_error") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_error_ts"))
+  }
+
   /** Hierarchical subtotals (ROLLUP — §2.8 coverage): per (returnflag,
     * linestatus), per returnflag, and grand total in one pass. Catalyst
     * expands the grouping sets into a single Expand + hash agg — one
