@@ -35,6 +35,45 @@ class RelationalSpec extends AnyFunSuite {
       leaves.map(_.getAs[Long]("n_items")).sum)
   }
 
+  test("as-of join: later errors don't count, same-instant errors do, no-error is null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: error before purchase -> matched
+      (1L, ts("2024-01-01 09:00:00"), 1L, "error", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 1: error AFTER the purchase must not affect it
+      (3L, ts("2024-01-01 11:00:00"), 1L, "error", 0.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: error at the IDENTICAL instant counts as preceding
+      (5L, ts("2024-01-02 10:00:00"), 2L, "error", 0.0, "{}"),
+      (6L, ts("2024-01-02 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      // user 3: no error at all -> null
+      (7L, ts("2024-01-03 10:00:00"), 3L, "purchase", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.lastErrorBeforePurchase(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.sql.Timestamp]("last_error_ts"))).toMap
+    assert(out(2L).contains(ts("2024-01-01 09:00:00")))
+    assert(out(4L).contains(ts("2024-01-01 11:00:00"))) // the 11:00 error precedes 12:00
+    assert(out(6L).contains(ts("2024-01-02 10:00:00"))) // tie counts
+    assert(out(7L).isEmpty)
+  }
+
+  test("operators tolerate empty inputs") {
+    import spark.implicits._
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Relational.lastErrorBeforePurchase(emptyEvents).count() == 0)
+    assert(Relational.userActivity(emptyEvents).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.TextOps.nearDupPairs(emptyDocs).count() == 0)
+    assert(graft.operators.TextOps.curationPipeline(emptyDocs).count() == 0)
+    assert(graft.operators.TextOps.fingerprints(emptyDocs).count() == 0)
+  }
+
   test("purchasers_without_errors plans exactly one shuffle") {
     val plan = Relational.purchasersWithoutErrors(Tables.events(spark, dir))
       .queryExecution.executedPlan.toString
