@@ -57,6 +57,8 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(Tables.lineitem(s, dir))),
     "asof_last_error" -> ((s, dir) =>
       Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
+    "events_last_hour" -> ((s, dir) =>
+      Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     "event_type_approx_users" -> ((s, dir) =>
       Relational.eventTypeApproxUsers(Tables.events(s, dir))),
 
@@ -197,6 +199,12 @@ object SparkEntry {
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
          ORDER BY user_id""",
+    "events_last_hour" ->
+      """SELECT event_id, user_id, ts,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+           AS events_last_hour
+         FROM events""",
     "asof_last_error" ->
       """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

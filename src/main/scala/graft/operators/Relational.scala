@@ -121,6 +121,21 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"), col("last_error_ts"))
   }
 
+  /** RANGE-frame window (time-based sliding aggregation — §2.8 coverage,
+    * and the bounded formulation of a self range-join): per event, how many
+    * same-user events fall in the preceding hour (inclusive). One shuffle
+    * on user_id; the range frame advances a pointer over each sorted
+    * partition — O(n) per user, versus the O(n²) naive theta self-join.
+    */
+  def eventsInPrecedingHour(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      count(lit(1)).over(w).as("events_last_hour"))
+  }
+
   /** Hierarchical subtotals (ROLLUP — §2.8 coverage): per (returnflag,
     * linestatus), per returnflag, and grand total in one pass. Catalyst
     * expands the grouping sets into a single Expand + hash agg — one
