@@ -49,8 +49,12 @@ object Bench {
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = timed.values.sum
-    println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets wrapped in sbt [info] noise (BENCH_r0*.json had
+    // parsed:null both rounds) — the file is the machine-readable channel
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

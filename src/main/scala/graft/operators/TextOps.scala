@@ -317,10 +317,15 @@ object TextOps {
     * scores → "und". Per-row expression only — embarrassingly parallel.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = documents.select(
+    // Tokenize ONCE into a real column: inlining the `tokens` HOF into all 5
+    // marker counts re-tokenizes the document per language (the Catalyst
+    // lambda re-evaluation trap — measured 6.7 s vs sub-second at sf0.1).
+    // The alias survives CollapseProject because 5 columns reference it.
+    val withToks = documents.select(
+      col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val scored = withToks.select(
       (col("doc_id") +: col("lang") +:
-        langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") }): _*)
+        langMarkers.map { case (l, ws) => countIn(col("toks"), ws).as(s"s_$l") }): _*)
     val best = langMarkers.map(_._1).map(l => col(s"s_$l"))
     val guess = langMarkers.map(_._1).foldRight(lit("und"): Column) {
       case (l, els) =>

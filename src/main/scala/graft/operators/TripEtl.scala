@@ -241,6 +241,23 @@ object TripEtl {
       )
   }
 
+  /** Harness-canonical form of [[windowCounts]]/[[windowCountsCapped]]: the
+    * `event_times` array rendered as ONE comma-joined UTC string column.
+    *
+    * The typed `array<timestamp>` stays in the API surface (the methods
+    * above); this projection exists because hash-comparing engines (the
+    * driver's pandas gate, and any engine-portable dump) cannot sort/compare
+    * array cells — round-2 verdict item #1. Formatting is fixed-width
+    * microsecond precision on both sides: Spark `yyyy-MM-dd HH:mm:ss.SSSSSS`
+    * == DuckDB `%Y-%m-%d %H:%M:%S.%f` under a UTC session.
+    */
+  def canonicalizeEventTimes(df: DataFrame): DataFrame =
+    df.withColumn("event_times",
+      array_join(
+        transform(col("event_times"),
+          t => date_format(t, "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        ","))
+
   /** A7: window summary / anomaly score
     * (TripStationSummaryInfo.kt:17-25): one-sided overflow counts and the
     * |ended-started| / totalDocks ratio; anomaly flag is the intended

@@ -15,13 +15,17 @@ import pandas as pd
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # lists/arrays -> tuples so they sort/compare
+    # NO array handling on purpose: the DRIVER's gate raises "unhashable
+    # type: numpy.ndarray" on array cells (round-2 lesson — a local
+    # tuple-ize patch here masked two driver failures). An array-typed
+    # oracled column must fail loudly here too.
     for c in df.columns:
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
-                     getattr(v, "ndim", 0) == 1 and not isinstance(v, str)).any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
-                              if v is not None and not isinstance(v, (str, float, int)) else v)
+                     (getattr(v, "ndim", 0) == 1 and not isinstance(v, str))).any():
+            raise TypeError(
+                f"array-typed oracled column {c!r} — would err in the "
+                "driver gate; canonicalize to a string on both engines")
+    df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
