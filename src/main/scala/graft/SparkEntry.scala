@@ -71,9 +71,10 @@ object SparkEntry {
       TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     "doc_minhash_pairs" -> ((s, dir) =>
       TextOps.minhashPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
+    // the sorted-neighborhood variant is the quoted operator: candidates are
+    // exactly N·rotations·windowSize (scale-safe); the exhaustive banded
+    // variant lives on as the recall reference in TextOpsSpec only
     "doc_simhash_pairs" -> ((s, dir) =>
-      TextOps.simhashPairs(Tables.documents(s, dir), maxHamming = 5)),
-    "doc_simhash_sorted" -> ((s, dir) =>
       TextOps.simhashPairsSorted(Tables.documents(s, dir), maxHamming = 5)),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),

@@ -38,6 +38,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("IVF assignment is shuffle-free: only the final ranking exchanges/windows") {
+    val plan = Similarity.ivfTopK(emb, 10, 5).queryExecution.executedPlan.toString
+    // the old join+row_number assignment added 2 extra Windows and their
+    // Exchanges; now the ONLY window is the final top-k ranking and the only
+    // hash exchange is the one feeding it ("Window \[" does not match the
+    // WindowGroupLimit top-k pushdown nodes, which are welcome)
+    assert("Window \\[".r.findAllIn(plan).size == 1, s"extra Window in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"extra Exchange in:\n$plan")
+  }
+
+  test("LSH bucket cap bounds candidates on a pathologically clustered corpus") {
+    import spark.implicits._
+    // 100 identical vectors: every table puts them all in ONE bucket — an
+    // uncapped join would verify 4950 pairs; the rank-cap keeps cap members
+    // per bucket so at most cap*(cap-1)/2 pairs can ever emerge
+    val dim = 8
+    val v = Seq.tabulate(dim)(i => 0.1f * (i + 1))
+    val clustered = (0L until 100L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val cap = 16
+    val pairs = Similarity.lshNearDupPairs(clustered, threshold = 0.9,
+      numTables = 4, bitsPerTable = 4, dim = dim, bucketCap = cap).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.length <= cap * (cap - 1) / 2, s"${pairs.length} pairs exceed cap bound")
+  }
+
+  test("LSH auto-bits keeps recall on true near-duplicates") {
+    import spark.implicits._
+    // 40 random-ish base vectors plus 10 planted near-duplicates (tiny
+    // perturbation → cosine ~1): auto-bits bucketing must recover the
+    // planted pairs via some table
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val found = Similarity.lshNearDupPairs(df, threshold = 0.95, dim = dim)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val recall = (0L until 10L).count(i => found.contains((i, i + 1000L))) / 10.0
+    assert(recall >= 0.9, s"planted near-dup recall $recall, found=$found")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
