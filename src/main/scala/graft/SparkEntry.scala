@@ -69,8 +69,13 @@ object SparkEntry {
     "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
     "doc_near_dup_pairs" -> ((s, dir) =>
       TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
+    // quoted at threshold 0.7, NOT 0.4: the b=32/r=2 banding misses a pair
+    // at j=0.4 with p≈4e-3 (a legitimate, deterministic oracle mismatch on
+    // unlucky data) but at j≥0.7 with p≤4e-10 — negligible. The operator
+    // itself stays parameterized; the exact-recall inverted-index path
+    // (doc_near_dup_pairs) covers the low-threshold regime.
     "doc_minhash_pairs" -> ((s, dir) =>
-      TextOps.minhashPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
+      TextOps.minhashPairs(Tables.documents(s, dir), n = 5, threshold = 0.7)),
     // the sorted-neighborhood variant is the quoted operator: candidates are
     // exactly N·rotations·windowSize (scale-safe); the exhaustive banded
     // variant lives on as the recall reference in TextOpsSpec only
@@ -80,7 +85,7 @@ object SparkEntry {
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
-      TextOps.fingerprints(Tables.documents(s, dir)).select("doc_id", "n_fingerprints")),
+      TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
@@ -264,7 +269,7 @@ object SparkEntry {
              floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
                AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.4""",
+         WHERE jaccard >= 0.7""",
     "doc_language_id" ->
       """SELECT doc_id, lang,
            CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
@@ -351,6 +356,35 @@ object SparkEntry {
          FROM exact_survivors
          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          GROUP BY 1""",
+    "doc_fingerprints" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             list_reduce(list_transform(
+               string_split(substr(sha256(array_to_string(t[i:i+2], ' ')), 1, 15), ''),
+               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+           WHERE len(t) >= 3),
+         win AS (
+           SELECT doc_id, pos, h,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n
+           FROM grams),
+         fps AS (
+           SELECT doc_id,
+             CASE WHEN max(n) >= 4
+               THEN list_sort(list_distinct(list(wmin) FILTER (WHERE pos <= n - 4)))
+               ELSE [min(h)] END AS fp
+           FROM win GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(array_to_string(f.fp, ','), '') AS fingerprints,
+           CAST(coalesce(len(f.fp), 0) AS BIGINT) AS n_fingerprints
+         FROM documents d LEFT JOIN fps f ON d.doc_id = f.doc_id""",
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
@@ -393,10 +427,15 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(n_chars % 64 + 16 AS INT) AS width,
            CAST(doc_id % 48 + 16 AS INT) AS height,
-           CAST(n_chars + 8 AS BIGINT) AS payload_bytes,
-           floor((list_reduce(list_transform(string_split(text, ''),
-             x -> CAST(ord(x) AS DOUBLE)), (a, b) -> a + b) / n_chars) * 1e4 + 0.5) / 1e4
-             AS mean_byte
-         FROM documents"""
+           CAST(nb + 8 AS BIGINT) AS payload_bytes,
+           CASE WHEN nb = 0 THEN 0.0 ELSE
+             floor((list_reduce(list_transform(generate_series(1, nb),
+               i -> CAST((instr('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                 + instr('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS DOUBLE)),
+               (a, b) -> a + b) / nb) * 1e4 + 0.5) / 1e4 END AS mean_byte
+         FROM (
+           SELECT doc_id, n_chars,
+             octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
+           FROM documents)"""
   )
 }

@@ -22,8 +22,9 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
-  /** Word n-gram shingles (space-joined), deduplicated. Documents shorter
-    * than `n` tokens get an empty shingle set.
+  /** Positional word n-grams (space-joined), IN DOCUMENT ORDER with repeats
+    * kept — the winnowing input. Documents shorter than `n` tokens get an
+    * empty list.
     *
     * Built by zipping `n` shifted slices of the token array instead of
     * indexed slicing inside a lambda: an outer expression referenced in a
@@ -32,15 +33,28 @@ object TextOps {
     * every shingle position (O(len²)); the zip form evaluates `toks` ~2n
     * times per row total, and the lambda touches only its own struct fields.
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def positionalShingles(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     val shifted = (0 until n).map(i => slice(toks, lit(i + 1), cnt))
     when(cnt >= 1,
-      array_distinct(transform(
+      transform(
         arrays_zip(shifted: _*),
-        s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*))))
+        s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingle SET (deduplicated) — the Jaccard-path input. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(positionalShingles(toks, n))
+
+  /** Engine-portable 60-bit hash: the first 15 hex digits of sha2-256 as a
+    * (positive) bigint. DuckDB reproduces it digit-for-digit by folding the
+    * same sha256 prefix — unlike xxhash64, whose seed/finalization is Spark
+    * internal. Used where the ORACLE must recompute the hash (fingerprints);
+    * the pure-candidate-generation paths keep the cheaper xxhash64.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 
   // ------------------------------------------------------------ exact dedup
 
@@ -121,11 +135,14 @@ object TextOps {
     * become candidates (one explode + self-join on the band key), then exact
     * Jaccard verification as in [[nearDupPairs]].
     *
-    * With b=32, r=2 the s-curve gives recall ≈ 1 − (1 − j²)³² — above
-    * 0.999999 for j ≥ 0.7 — while candidate volume stays bounded by band
-    * collisions, independent of shingle document frequency. Verification
-    * makes the OUTPUT exact (same oracle as nearDupPairs); at extreme scale
-    * you would drop verification and accept the signature estimate.
+    * With b=32, r=2 the s-curve gives recall ≈ 1 − (1 − j²)³² — miss
+    * probability ≤ 4e-10 for j ≥ 0.7 but ~4e-3 at j = 0.4, so an EXACT
+    * oracle is only honest for thresholds ≥ ~0.7 (the driver query runs at
+    * 0.7; use [[nearDupPairs]] for guaranteed recall at lower thresholds).
+    * Candidate volume stays bounded by band collisions, independent of
+    * shingle document frequency. Verification makes the OUTPUT exact on the
+    * candidate set; at extreme scale you would drop verification and accept
+    * the signature estimate.
     */
   def minhashPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
@@ -434,25 +451,38 @@ object TextOps {
   def fingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
+    // POSITIONAL k-grams (repeats kept): winnowing's shared-run guarantee is
+    // over the document's gram SEQUENCE — deduplicating first would shift
+    // window positions (round-2 advisor finding). Gram hash is the portable
+    // sha2 prefix so the DuckDB oracle reproduces fingerprint values exactly.
     val hashed = documents.select(
       col("doc_id"),
-      posexplode(transform(shingles(tokens(col("text")), k), g => xxhash64(g)))
+      posexplode(transform(positionalShingles(tokens(col("text")), k),
+        g => portableHash64(g)))
         .as(Seq("pos", "h")))
 
-    val byDoc = Window.partitionBy(col("doc_id"))
+    // ONE window pass (the ordered sliding min); the per-doc count and
+    // min-of-all are plain aggregates in the groupBy below — the two extra
+    // unordered window passes over the exploded gram table were 2× avoidable
+    // exchange/sort cost (round-2 verdict #5)
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
 
     val fps = hashed
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("wmin", min(col("h")).over(winMin))
-      .withColumn("all_min", min(col("h")).over(byDoc))
-      // windows that fit entirely: pos ∈ [0, n-w]; short docs keep min-of-all
-      .withColumn("fp",
-        when(col("n") >= w, when(col("pos") <= col("n") - w, col("wmin")))
-          .otherwise(col("all_min")))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("fp"))).as("fingerprints"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("h")).as("all_min"),
+        collect_list(struct(col("pos"), col("wmin"))).as("pw"))
+      // windows that fit entirely: pos ∈ [0, n-w]; short docs keep min-of-all
+      .withColumn("fingerprints",
+        when(col("n") >= w,
+          array_sort(array_distinct(transform(
+            filter(col("pw"), s => s.getField("pos") <= col("n") - w),
+            s => s.getField("wmin")))))
+          .otherwise(array(col("all_min"))))
+      .select(col("doc_id"), col("fingerprints"))
 
     // docs with zero k-grams (shorter than k tokens) keep an empty set
     documents.select(col("doc_id"))
@@ -461,4 +491,13 @@ object TextOps {
         coalesce(col("fingerprints"), array().cast("array<bigint>")))
       .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
   }
+
+  /** Harness-canonical [[fingerprints]]: the fingerprint set rendered as a
+    * comma-joined string (array cells are unsortable in hash-comparing
+    * harnesses), values reproducible by the DuckDB oracle thanks to
+    * [[portableHash64]]. */
+  def fingerprintsCanonical(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    fingerprints(documents, k, w)
+      .withColumn("fingerprints",
+        array_join(transform(col("fingerprints"), x => x.cast("string")), ","))
 }

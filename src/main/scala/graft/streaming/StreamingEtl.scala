@@ -93,13 +93,21 @@ object StreamingEtl {
 
     trips
       .withWatermark("tripTime", "1 day")
-      .groupByKey(t => (t.stationName, new java.sql.Date(
-        t.tripTime.getTime - Math.floorMod(t.tripTime.getTime, 86400000L))))
+      // key on the UTC epoch-DAY number, not a java.sql.Date: Spark's Date
+      // encoder converts java.sql.Date through the JVM default time zone, so
+      // a Date built from UTC-floored millis shifts a day on a non-UTC JVM
+      // relative to the batch to_date path (round-2 advisor). The epoch-day
+      // Long is zone-free; Date.valueOf(LocalDate) at emission round-trips
+      // through the encoder to the same LocalDate on any JVM zone.
+      .groupByKey(t => (t.stationName,
+        Math.floorDiv(t.tripTime.getTime, 86400000L)))
       .flatMapGroupsWithState[TypedAgg.Buf, AggregatedInfo](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        case ((station, day), rows, state: GroupState[TypedAgg.Buf]) =>
+        case ((station, epochDay), rows, state: GroupState[TypedAgg.Buf]) =>
           def result(b: TypedAgg.Buf): AggregatedInfo =
-            agg.finish(b).copy(stationName = station, eventDay = day)
+            agg.finish(b).copy(stationName = station,
+              eventDay = java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(epochDay)))
 
           if (state.hasTimedOut) {
             // punctuate: final snapshot forward, then evict (the day is
