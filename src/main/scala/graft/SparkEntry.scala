@@ -33,6 +33,11 @@ object SparkEntry {
         TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)))),
     "dangling_station_fks" -> ((s, dir) =>
       TripEtl.danglingStationFks(Tables.events(s, dir), Tables.supplier(s, dir))),
+    // hot-key path: salted two-phase aggregation, oracled by the SAME SQL as
+    // station_day_agg — the driver hash-match IS the equivalence proof
+    "station_day_agg_salted" -> ((s, dir) =>
+      operators.Skew.saltedStationDayAgg(
+        TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)))),
     // event_times canonicalized to a string: the driver's checker cannot
     // sort array cells (round-2 verdict #1); typed array stays in the API
     "window_counts" -> ((s, dir) =>
@@ -117,6 +122,14 @@ object SparkEntry {
          s.s_acctbal AS station_acctbal
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey""",
     "station_day_agg" ->
+      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
+         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
+         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
+         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
+         MAX(e.ts) AS update_time
+         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+         GROUP BY 1, 2""",
+    "station_day_agg_salted" ->
       """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
          COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
          COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,

@@ -180,6 +180,51 @@ object StreamingEtl {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** Trip CSV schema for the replay path (field order = the reference's
+    * positional parse, narrowed to the consumed columns —
+    * reference/src/com/bigdata/producer/KafkaProducer.kt:50-55). Declared,
+    * never inferred. */
+  val tripCsvSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tripId", LongType),
+      StructField("tripTime", TimestampType),
+      StructField("tripType", StringType),
+      StructField("stationId", LongType),
+      StructField("temperature", DoubleType)))
+  }
+
+  /** Producer-replay topology (reference
+    * src/com/bigdata/producer/KafkaProducer.kt:35-66): walk a CSV directory,
+    * skip header rows, parse positional columns into trips, optionally keep
+    * one station, serialize each record to JSON and emit throttled into a
+    * Kafka-shaped sink.
+    *
+    * Spark-first mapping: the file-stream source does the directory walk and
+    * incremental discovery; `header` replaces the reference's
+    * contains("trip_id") line filter (S4); the declared schema replaces the
+    * positional `split(',')` parse (S5); one codegen'd `to_json` replaces
+    * per-record Jackson; and throttling is `maxFilesPerTrigger` per
+    * microbatch — a rate limit that still scales out, where the reference's
+    * per-record `Thread.sleep(1000)` is inherently single-threaded. Attach
+    * `.writeStream.format("kafka")` (or any sink) to the returned frame;
+    * the round-trip through [[graft.operators.TripEtl.parseTrips]] is
+    * asserted in StreamingEtlSpec.
+    */
+  def producerReplay(spark: SparkSession, csvDir: String,
+                     stationFilter: Option[Long] = None,
+                     maxFilesPerTrigger: Int = 1): DataFrame = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(tripCsvSchema)
+      .csv(csvDir)
+    // the reference keeps a single station to make the demo legible
+    // (KafkaProducer.kt:58); parameterized here
+    val kept = stationFilter.fold(raw)(id => raw.filter(col("stationId") === id))
+    toKafkaShape(kept, Seq("tripId"))
+  }
+
   /** S6/S8: Kafka-record-shaped sink projection — key/value JSON strings,
     * the shape `writeStream.format("kafka")` requires
     * (reference/src/com/bigdata/producer/KafkaProducer.kt:59-65 serializes
