@@ -86,6 +86,10 @@ object SparkEntry {
     // variant lives on as the recall reference in TextOpsSpec only
     "doc_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairsSorted(Tables.documents(s, dir), maxHamming = 5)),
+    // the portable-hash simhash VALUES are exactly oracle-checkable even
+    // though pair-finding recall is probabilistic
+    "doc_simhash" -> ((s, dir) =>
+      TextOps.simhashDocsPortable(Tables.documents(s, dir))),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -110,10 +114,26 @@ object SparkEntry {
       operators.Multimodal.mediaFeatureStats(Tables.documents(s, dir)))
   )
 
+  /** DuckDB replica of [[graft.operators.TextOps.simhashPortable]]: token
+    * hashes from the same sha256-prefix fold, then per-bit majority vote
+    * assembled into bit positions 59..0 — generated as 60 CASE terms. */
+  private val simhashOracle: String = {
+    val bitTerms = (0 until 60).map { i =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) - len(hs) > 0 THEN ${1L << (59 - i)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+        FROM (SELECT doc_id,
+          list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+            t -> list_reduce(list_transform(string_split(substr(sha256(t), 1, 15), ''),
+              c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS hs
+          FROM documents)"""
+  }
+
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
     * file name. Column aliases match the Spark side exactly.
     */
   def oracleSql: Map[String, String] = Map(
+    "doc_simhash" -> simhashOracle,
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

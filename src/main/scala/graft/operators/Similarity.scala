@@ -188,9 +188,10 @@ object Similarity {
       if (bitsPerTable > 0) bitsPerTable
       else {
         // one cheap count parameterizes the plan (parquet metadata scan) —
-        // the analog of AQE picking a plan from runtime statistics
+        // the analog of AQE picking a plan from runtime statistics;
+        // target occupancy ~16/bucket ⇒ candidates ≈ numTables·8·N
         val n = embeddings.count()
-        math.min(16, math.max(4, (math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).ceil.toInt))
+        math.min(16, math.max(4, (math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).ceil.toInt))
       }
     val all = planes(numTables * bits, dim)
     val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))

@@ -97,11 +97,21 @@ object TextOps {
     * boilerplate) or the MinHash path [[minhashPairs]], whose candidate
     * count is governed by the band/row s-curve instead of df.
     */
+  /** (doc_id, shingle set) with the tokenization materialized FIRST: the
+    * `shingles` expression references its token-array input ~2n+1 times
+    * (n shifted slices + their length bounds), so inlining `tokens(text)`
+    * re-splits the document that many times per row — the lambda
+    * re-evaluation trap again, one level up. Two selects make `toks` a real
+    * attribute; the multi-reference keeps CollapseProject from undoing it.
+    */
+  private def shingleSets(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+
   def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val sh = documents.select(
-      col("doc_id"),
-      shingles(tokens(col("text")), n).as("sh"))
+    val sh = shingleSets(documents, n)
 
     val inverted = sh
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -147,9 +157,7 @@ object TextOps {
   def minhashPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    numHashes: Int = 64, bandRows: Int = 2): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
-    val sh = documents.select(
-      col("doc_id"),
-      shingles(tokens(col("text")), n).as("sh"))
+    val sh = shingleSets(documents, n)
 
     // pre-hash each shingle string to ONE long: the 64 seeded hashes then
     // run over 8-byte keys (not ~25-char strings), and the groupBy shuffle
@@ -225,6 +233,31 @@ object TextOps {
   /** Per-document SimHash table. */
   def simhashDocs(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), simhash(col("text")).as("simhash"))
+
+  /** Engine-portable 60-bit SimHash: same construction as [[simhash]] but
+    * over [[portableHash64]] token hashes, assembled into bit positions
+    * 59..0 (kept out of the sign bit so the value is a plain nonnegative
+    * BIGINT on any engine). This is the ORACLED variant — DuckDB recomputes
+    * it bit-for-bit (sha256 prefix fold + per-bit majority); the xxhash64
+    * [[simhash]] stays the fast path for pair finding.
+    */
+  def simhashPortable(text: Column): Column = {
+    val toks = tokens(text)
+    val sums = aggregate(
+      transform(toks, t => portableHash64(t)),
+      transform(sequence(lit(0), lit(59)), _ => lit(0L)),
+      (acc, h) => {
+        val contribs = array((0 until 60).map(i =>
+          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+        zip_with(acc, contribs, (a, b) => a + b)
+      })
+    aggregate(sums, lit(0L),
+      (acc, s) => shiftleft(acc, 1) + when(s > 0L, 1L).otherwise(0L))
+  }
+
+  /** Oracled per-document portable-SimHash table (see [[simhashPortable]]). */
+  def simhashDocsPortable(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), simhashPortable(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found by
     * pigeonhole banding: split the 64-bit hash into (maxHamming+1) chunks —
@@ -455,11 +488,13 @@ object TextOps {
     // over the document's gram SEQUENCE — deduplicating first would shift
     // window positions (round-2 advisor finding). Gram hash is the portable
     // sha2 prefix so the DuckDB oracle reproduces fingerprint values exactly.
-    val hashed = documents.select(
-      col("doc_id"),
-      posexplode(transform(positionalShingles(tokens(col("text")), k),
-        g => portableHash64(g)))
-        .as(Seq("pos", "h")))
+    val hashed = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(transform(positionalShingles(col("toks"), k),
+          g => portableHash64(g)))
+          .as(Seq("pos", "h")))
 
     // ONE window pass (the ordered sliding min); the per-doc count and
     // min-of-all are plain aggregates in the groupBy below — the two extra
