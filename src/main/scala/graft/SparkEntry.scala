@@ -68,6 +68,9 @@ object SparkEntry {
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     "event_type_approx_users" -> ((s, dir) =>
       Relational.eventTypeApproxUsers(Tables.events(s, dir))),
+    "user_sessions" -> ((s, dir) =>
+      Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+    "pricing_cube" -> ((s, dir) => Relational.pricingCube(Tables.lineitem(s, dir))),
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
@@ -96,6 +99,7 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
+    "doc_bpe_stats" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -108,6 +112,8 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_vector_stats" -> ((s, dir) =>
       Similarity.vectorStats(Tables.embeddings(s, dir))),
+    "emb_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -253,6 +259,62 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
            ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    "user_sessions" ->
+      """WITH o AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM o)
+         SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         FROM s GROUP BY 1, 2""",
+    "pricing_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         count(*) AS n_items,
+         SUM(l_quantity) AS sum_qty,
+         floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
+           AS sum_price
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "doc_bpe_stats" ->
+      """SELECT doc_id,
+           CAST(len(rt) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(rt, t -> (ascii(t) BETWEEN 65 AND 90)
+             OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(rt, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT)
+             AS n_num,
+           CAST(len(list_filter(rt, t -> NOT ((ascii(t) BETWEEN 48 AND 57)
+             OR (ascii(t) BETWEEN 65 AND 90)
+             OR (ascii(t) BETWEEN 97 AND 122)))) AS BIGINT) AS n_punct
+         FROM (SELECT doc_id,
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS rt
+           FROM documents)""",
+    "emb_quantize" ->
+      """SELECT vec_id, label,
+           floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+           array_to_string(list_transform(v,
+             x -> CAST(floor(x * scale + 0.5) AS INT)), ',') AS q,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             floor((list_reduce(list_transform(v,
+               x -> abs(x - CAST(floor(x * scale + 0.5) AS INT) / scale)),
+               (a, b) -> a + b) / len(v)) * 1e6 + 0.5) / 1e6 END AS mean_abs_err
+         FROM (
+           SELECT vec_id, label, v,
+             CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS scale
+           FROM (
+             SELECT vec_id, label, v,
+               list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS am
+             FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)))""",
     "pricing_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_items,

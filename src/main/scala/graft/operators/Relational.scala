@@ -150,6 +150,50 @@ object Relational {
         sumRounded(col("l_extendedprice"), 2).as("sum_price")
       )
 
+  /** Gap-based sessionization — the canonical user-journey / training-data
+    * operator: consecutive same-user events closer than `gapMinutes` belong
+    * to one session. Classic two-window formulation: flag rows whose gap to
+    * the previous event exceeds the threshold, running-sum the flags into a
+    * session sequence number, aggregate per (user, session). ONE shuffle on
+    * user_id; each partition is processed in a single sorted pass, so the
+    * shape scales exactly like the as-of join. The streaming analog is
+    * [[graft.streaming.StreamingEtl.sessionizedStreaming]] (native
+    * session_window with mergeable state).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_us"))
+  }
+
+  /** Full CUBE with grouping ids (§2.8 breadth next to [[pricingRollup]]):
+    * all four grouping sets in one Expand + single hash aggregation; the
+    * grouping id disambiguates subtotal NULLs from data NULLs.
+    */
+  def pricingCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sumRounded(col("l_extendedprice"), 2).as("sum_price")
+      )
+
   /** Sketch-based distinct counting (approx_count_distinct = HyperLogLog++):
     * O(1) state per group instead of a distinct-shuffle — the 100 TB way to
     * count uniques. Not oracle-comparable (sketch implementations differ

@@ -241,6 +241,34 @@ object Similarity {
       .agg(avgRounded(col("x"), 6).as("centroid_val"),
         count(lit(1)).as("n_vectors"))
 
+  /** Symmetric per-vector int8 quantization — the storage/serving-side
+    * vector op (4× smaller than float32, 8× than the double math): scale =
+    * 127/max|x|, q_i = round-half-up(x_i·scale), plus the mean absolute
+    * reconstruction error. All per-row expressions (narrow, no shuffle);
+    * rounding is the engine-portable floor(x+0.5) form, and the quantized
+    * vector is emitted as a canonical comma-joined string (array cells are
+    * unsortable in the driver gate).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("absmax",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("scale",
+        when(col("absmax") > 0.0, lit(127.0) / col("absmax")).otherwise(lit(0.0)))
+      .withColumn("q", transform(col("v"),
+        x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .withColumn("mean_abs_err",
+        when(col("scale") === 0.0, lit(0.0)).otherwise(roundFixed(
+          aggregate(zip_with(col("v"), col("q"),
+            (x, q) => abs(x - q.cast("double") / col("scale"))),
+            lit(0.0), (a, x) => a + x) / size(col("v")), 6)))
+      .select(
+        col("vec_id"), col("label"),
+        roundFixed(col("scale"), 6).as("scale"),
+        array_join(transform(col("q"), q => q.cast("string")), ",").as("q"),
+        col("mean_abs_err"))
+
   /** Per-vector stats: L2 norm, mean component — `aggregate` showcase. */
   def vectorStats(embeddings: DataFrame): DataFrame = {
     val v = vec(col("embedding"))

@@ -416,6 +416,33 @@ object TextOps {
         "stop_ratio", "diversity", "quality_score")
   }
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
+    * core): maximal letter runs, digit runs, and single non-space symbols.
+    * Kept to ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree
+    * character-for-character. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting the way a tokenizer-training pipeline needs it: BPE-ish
+    * pre-token counts per class (letter runs / digit runs / symbols).
+    * Classification by first-character code point — engine-portable, no
+    * second regex pass. Per-row expressions only.
+    */
+  def bpeTokenStats(documents: DataFrame): DataFrame = {
+    def isAlpha(t: Column) =
+      (ascii(t) >= 65 && ascii(t) <= 90) || (ascii(t) >= 97 && ascii(t) <= 122)
+    def isNum(t: Column) = ascii(t) >= 48 && ascii(t) <= 57
+    documents
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(bpePattern), lit(0)).as("bpe"))
+      .select(
+        col("doc_id"),
+        size(col("bpe")).cast("long").as("n_bpe_tokens"),
+        size(filter(col("bpe"), t => isAlpha(t))).cast("long").as("n_alpha"),
+        size(filter(col("bpe"), t => isNum(t))).cast("long").as("n_num"),
+        size(filter(col("bpe"), t => !isAlpha(t) && !isNum(t))).cast("long")
+          .as("n_punct"))
+  }
+
   /** Corpus statistics per (lang, source): document/char/token counts. The
     * group key has tiny cardinality, so this is one partial+final hash agg
     * with negligible shuffle at any scale.

@@ -180,6 +180,31 @@ object StreamingEtl {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** Streaming gap-based sessionization: Spark's native `session_window`
+    * keeps MERGEABLE per-session state — two bursts that arrive separately
+    * but overlap within the gap fuse into one session row, and the
+    * watermark closes (and evicts) sessions whose gap has definitively
+    * passed. The batch analog with identical gap semantics is
+    * [[graft.operators.Relational.sessionize]] (window-function form; note
+    * `session_window.end` = last event + gap by definition, while the batch
+    * form reports last-event time — both carried so either convention is
+    * available downstream).
+    */
+  def sessionizedStreaming(enriched: DataFrame, gapMinutes: Int = 30,
+                           watermark: String = "1 day"): DataFrame =
+    enriched
+      .withWatermark("trip_time", watermark)
+      .groupBy(
+        session_window(col("trip_time"), s"$gapMinutes minutes"),
+        col("station_name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("trip_time")).as("last_event"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("station_name"), col("n_events"), col("last_event"))
+
   /** Trip CSV schema for the replay path (field order = the reference's
     * positional parse, narrowed to the consumed columns —
     * reference/src/com/bigdata/producer/KafkaProducer.kt:50-55). Declared,

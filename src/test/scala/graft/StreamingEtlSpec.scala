@@ -196,6 +196,37 @@ class StreamingEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session_window merges bursts within the gap, splits across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TripStation]
+    val enriched = input.toDF()
+      .withColumnRenamed("tripTime", "trip_time")
+      .withColumnRenamed("stationName", "station_name")
+      .withColumnRenamed("tripType", "trip_type")
+    val q = StreamingEtl.sessionizedStreaming(enriched, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      // burst 1 (10:00, 10:10) and a second batch event at 10:25 — all
+      // within the 30-min gap: MERGE into one session. 12:00 is > gap away:
+      // a separate session.
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 1.0),
+        TripStation("A", ts("2024-01-01 10:10:00"), "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:25:00"), "view", 1.0),
+        TripStation("A", ts("2024-01-01 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events")))
+        .sortBy(_._1.getTime)
+      assert(rows.length == 2, rows.mkString(","))
+      assert(rows.head == (ts("2024-01-01 10:00:00"), 3L)) // merged across batches
+      assert(rows.last == (ts("2024-01-01 12:00:00"), 1L))
+    } finally q.stop()
+  }
+
   test("producer replay: CSV directory -> JSON records -> parseTrips round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-replay")
