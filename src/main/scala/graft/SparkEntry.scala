@@ -117,7 +117,9 @@ object SparkEntry {
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
-      operators.Multimodal.mediaFeatureStats(Tables.documents(s, dir)))
+      operators.Multimodal.mediaFeatureStats(Tables.documents(s, dir))),
+    "mm_frame_sample" -> ((s, dir) =>
+      operators.Multimodal.frameSampleStats(Tables.documents(s, dir)))
   )
 
   /** DuckDB replica of [[graft.operators.TextOps.simhashPortable]]: token
@@ -531,6 +533,17 @@ object SparkEntry {
          FROM (
            SELECT doc_id, n_chars,
              octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
-           FROM documents)"""
+           FROM documents)""",
+    "mm_frame_sample" ->
+      """SELECT doc_id,
+           CAST(len(kept) AS BIGINT) AS n_kept_frames,
+           CAST(list_reduce(list_transform(kept, i -> least(256, nb - i * 256)),
+             (a, b) -> a + b) AS BIGINT) AS kept_bytes
+         FROM (
+           SELECT doc_id, nb,
+             list_filter(generate_series(0, CAST(ceil(nb / 256.0) AS BIGINT) - 1),
+               i -> i % 4 = 0) AS kept
+           FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+           WHERE nb > 0)"""
   )
 }

@@ -102,6 +102,22 @@ object Multimodal {
     }
   }
 
+  /** Driver-facing frame-sampling stats: every `stride`-th `frameBytes`
+    * frame of each payload body, counted and byte-summed — the query form
+    * of [[sampleFrames]] (the typed per-frame rows stay the API surface).
+    * Narrow flatMap + one hash agg on doc_id.
+    */
+  def frameSampleStats(documents: DataFrame, frameBytes: Int = 256,
+                       stride: Int = 4): DataFrame = {
+    val media = asMediaDataset(mediaFromDocuments(documents))
+    sampleFrames(media, frameBytes, stride)
+      .groupBy(col("docId"))
+      .agg(
+        count(lit(1)).as("n_kept_frames"),
+        sum(length(col("frame")).cast("long")).as("kept_bytes"))
+      .select(col("docId").as("doc_id"), col("n_kept_frames"), col("kept_bytes"))
+  }
+
   /** The media table as a typed Dataset (encoder boundary for the stages). */
   def asMediaDataset(media: DataFrame): Dataset[MediaFile] = {
     import media.sparkSession.implicits._

@@ -180,6 +180,34 @@ object StreamingEtl {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** Stream–stream interval join (the one join class the reference's
+    * framework does with windowed join stores): purchases matched to the
+    * same user's errors in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance in BOTH
+    * directions, so each side's join buffer holds only the last
+    * `windowMinutes` (+ watermark slack) of rows per key — bounded state at
+    * any scale, shuffled on user_id.
+    */
+  def purchasesWithRecentErrors(purchases: DataFrame, errors: DataFrame,
+                                windowMinutes: Int = 60,
+                                watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    p.join(e,
+      col("user_id") === col("e_user") &&
+        col("error_ts") <= col("purchase_ts") &&
+        col("error_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
   /** Streaming gap-based sessionization: Spark's native `session_window`
     * keeps MERGEABLE per-session state — two bursts that arrive separately
     * but overlap within the gap fuse into one session row, and the

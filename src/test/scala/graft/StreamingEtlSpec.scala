@@ -196,6 +196,32 @@ class StreamingEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches errors in the preceding hour only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, ts) rows fed as two independent streams
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumnRenamed("_1", "event_id")
+      .withColumnRenamed("_2", "user_id")
+      .withColumnRenamed("_3", "ts")
+    val q = StreamingEtl.purchasesWithRecentErrors(
+      shape(purchases.toDF()), shape(errors.toDF()), windowMinutes = 60)
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      errors.addData(
+        (100L, 1L, ts("2024-01-01 09:30:00")), // 30 min before -> matches
+        (101L, 1L, ts("2024-01-01 08:30:00")), // 90 min before -> outside window
+        (102L, 2L, ts("2024-01-01 09:45:00"))) // other user
+      purchases.addData((1L, 1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id")))
+      assert(rows.toSet == Set((1L, 100L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming session_window merges bursts within the gap, splits across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
