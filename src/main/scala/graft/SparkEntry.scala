@@ -100,6 +100,7 @@ object SparkEntry {
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
     "doc_bpe_stats" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
+    "doc_tfidf_top" -> ((s, dir) => TextOps.tfIdfTopTerms(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -416,6 +417,21 @@ object SparkEntry {
                AS n_tokens
            FROM documents)
          GROUP BY 1, 2""",
+    "doc_tfidf_top" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             floor((tf.tf * ln(CAST(n.n AS DOUBLE) / dft.df)) * 1e6 + 0.5) / 1e6 AS tfidf,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS BIGINT) AS rnk
+           FROM tf JOIN dft USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, tfidf, rnk FROM scored WHERE rnk <= 3""",
     "doc_curation" ->
       """WITH toks AS (
            SELECT doc_id, lang, n_chars, text,

@@ -460,6 +460,34 @@ object TextOps {
           .as("avg_tokens")
       )
 
+  /** TF-IDF top-`k` terms per document — the keyword/feature-extraction
+    * staple: tf = raw in-doc count, idf = ln(N/df). Two hash aggregations
+    * (term frequencies, document frequencies) and one equi-join on term;
+    * the vocabulary table scales with distinct terms, not corpus size, and
+    * nothing here broadcasts by force (AQE may choose to).
+    *
+    * Ranking is (tf desc, df asc, term asc) — the INTEGER order that
+    * realizes tf·idf descending (higher tf wins; equal tf → rarer term
+    * wins) without putting a float in the sort key, so the top-k set can
+    * never flip on a last-ulp ln() difference between engines. The oracle
+    * ranks by the identical integer key.
+    */
+  def tfIdfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus size: a metadata-only count, the scalar the idf formula needs
+    val n = documents.count()
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfT, Seq("term"))
+      .withColumn("tfidf", roundFixed(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
+  }
+
   /** End-to-end curation pipeline — the composite the other operators
     * exist for: quality-gate → exact dedup (keep canonical doc) → near-dup
     * removal (drop the higher doc_id of each verified pair) → per-language
