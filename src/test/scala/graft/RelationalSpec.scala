@@ -74,6 +74,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.fingerprints(emptyDocs).count() == 0)
   }
 
+  test("sessionize: boundary gap stays in-session, strict exceed splits, singleton has zero duration") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 10:00 → 10:30 is EXACTLY the 30-min gap (not >) → same
+      // session; 11:30 is 60 min after 10:30 → new session
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "view", 0.0, "{}"),
+      // user 2: singleton
+      (4L, ts("2024-01-02 09:00:00"), 2L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"))).toMap
+    assert(out((1L, 1L)) == ((2L, 1800000000L))) // 10:00+10:30 merged, 30 min span
+    assert(out((1L, 2L)) == ((1L, 0L)))
+    assert(out((2L, 1L)) == ((1L, 0L)))
+    assert(out.size == 3)
+  }
+
+  test("cube gid distinguishes subtotal NULLs; groups reconcile") {
+    val out = Relational.pricingCube(Tables.lineitem(spark, dir)).collect()
+    val byGid = out.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L)) // leaf, by-flag, by-status, grand
+    assert(byGid(3L).length == 1)
+    assert(byGid(3L).head.getAs[Long]("n_items") ==
+      byGid(0L).map(_.getAs[Long]("n_items")).sum)
+  }
+
   test("purchasers_without_errors plans exactly one shuffle") {
     val plan = Relational.purchasersWithoutErrors(Tables.events(spark, dir))
       .queryExecution.executedPlan.toString

@@ -83,6 +83,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted near-dup recall $recall, found=$found")
   }
 
+  test("int8 quantization: zero vector hits the scale=0 branch; round-trip error is small") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f), "z"),
+      (2L, Seq(1.0f, -0.5f, 0.25f, -1.0f), "v")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(1L).getAs[Double]("scale") == 0.0)
+    assert(out(1L).getAs[String]("q") == "0,0,0,0")
+    assert(out(1L).getAs[Double]("mean_abs_err") == 0.0)
+    // |x|max = 1.0 → scale 127; ±1 map to ±127 exactly
+    assert(out(2L).getAs[Double]("scale") == 127.0)
+    assert(out(2L).getAs[String]("q").split(",").head == "127")
+    assert(out(2L).getAs[Double]("mean_abs_err") <= 0.5 / 127.0 + 1e-9)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -42,6 +42,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty) // sf0.001 has planted near-dups
   }
 
+  test("bpe token stats classify letter runs, digit runs, and symbols") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world42 x-y!", "en", "s", 18L),
+      (2L, "", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bpeTokenStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // tokens: hello, world, 42, x, -, y, !
+    assert(out(1L).getAs[Long]("n_bpe_tokens") == 7L)
+    assert(out(1L).getAs[Long]("n_alpha") == 4L)
+    assert(out(1L).getAs[Long]("n_num") == 1L)
+    assert(out(1L).getAs[Long]("n_punct") == 2L)
+    assert(out(2L).getAs[Long]("n_bpe_tokens") == 0L)
+  }
+
+  test("tfidf: all-docs terms score zero; rarer term outranks at equal tf") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1 rare1", "en", "s", 0L),
+      (2L, "common rare2 rare2", "en", "s", 0L),
+      (3L, "common other other", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.tfIdfTopTerms(df, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    // tf=2 rare term first; the everywhere-term has idf ln(1)=0
+    assert(out((1L, 1L))._1 == "rare1")
+    assert(out((1L, 2L)) == (("common", 0.0)))
+    assert(out((1L, 1L))._2 > 0.0)
+  }
+
   test("exact dedup keeps the minimum doc_id as canonical") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
