@@ -113,9 +113,12 @@ object TextOps {
                    maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingleSets(documents, n)
 
+    // hash INSIDE the array, then explode longs: the generator then emits
+    // 8-byte rows instead of ~25-char shingle strings (less row-buffer
+    // traffic through the explode and the downstream shuffle)
     val inverted = sh
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+      .select(col("doc_id"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("shk"))
 
     // df-cap: a shingle present in > maxShingleDf docs is boilerplate — it
     // contributes O(df²) candidate pairs and ~nothing to recall (a true
@@ -145,6 +148,14 @@ object TextOps {
     * become candidates (one explode + self-join on the band key), then exact
     * Jaccard verification as in [[nearDupPairs]].
     *
+    * Deliberately NOT one-permutation hashing: OPH (bucket-route each
+    * shingle once, per-bucket min) was tried and is 1/64th the hashing cost,
+    * but without densification its empty-bucket alignment and 2-element
+    * bucket minima made band collisions between UNRELATED documents ~30×
+    * more likely on this corpus — candidate volume exploded (measured 270 s
+    * vs 4 s at sf0.1). The independent seeded hashes are what keep the
+    * collision probability at the textbook J^r per band.
+    *
     * With b=32, r=2 the s-curve gives recall ≈ 1 − (1 − j²)³² — miss
     * probability ≤ 4e-10 for j ≥ 0.7 but ~4e-3 at j = 0.4, so an EXACT
     * oracle is only honest for thresholds ≥ ~0.7 (the driver query runs at
@@ -159,11 +170,11 @@ object TextOps {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val sh = shingleSets(documents, n)
 
-    // pre-hash each shingle string to ONE long: the 64 seeded hashes then
-    // run over 8-byte keys (not ~25-char strings), and the groupBy shuffle
-    // carries longs
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shk"))
+    // pre-hash each shingle to ONE long inside the array (8-byte rows
+    // through the explode, not ~25-char strings); the 64 seeded hashes then
+    // run over longs and the groupBy shuffle carries longs
+    val exploded = sh
+      .select(col("doc_id"), explode(transform(col("sh"), s => xxhash64(s))).as("shk"))
     // 64 seeded hash mins in ONE partial+final aggregation
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shk"))).as(s"h$i"))
