@@ -70,6 +70,8 @@ object SparkEntry {
       Relational.eventTypeApproxUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+    "event_value_percentiles" -> ((s, dir) =>
+      Relational.valuePercentiles(Tables.events(s, dir))),
     "pricing_cube" -> ((s, dir) => Relational.pricingCube(Tables.lineitem(s, dir))),
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
@@ -280,6 +282,27 @@ object SparkEntry {
            count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
          FROM s GROUP BY 1, 2""",
+    "event_value_percentiles" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         braket AS (
+           SELECT event_type,
+             max(CASE WHEN rn = floor((n - 1) * 0.5) + 1 THEN value END) AS vlo0,
+             max(CASE WHEN rn = floor((n - 1) * 0.5) + 2 THEN value END) AS vhi0,
+             max(CASE WHEN rn = floor((n - 1) * 0.5) + 1
+               THEN (n - 1) * 0.5 - floor((n - 1) * 0.5) END) AS frac0,
+             max(CASE WHEN rn = floor((n - 1) * 0.9) + 1 THEN value END) AS vlo1,
+             max(CASE WHEN rn = floor((n - 1) * 0.9) + 2 THEN value END) AS vhi1,
+             max(CASE WHEN rn = floor((n - 1) * 0.9) + 1
+               THEN (n - 1) * 0.9 - floor((n - 1) * 0.9) END) AS frac1
+           FROM ranked GROUP BY 1)
+         SELECT event_type,
+           floor((vlo0 + frac0 * (coalesce(vhi0, vlo0) - vlo0)) * 1e6 + 0.5) / 1e6 AS p50,
+           floor((vlo1 + frac1 * (coalesce(vhi1, vlo1) - vlo1)) * 1e6 + 0.5) / 1e6 AS p90
+         FROM braket""",
     "pricing_cube" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -208,6 +208,46 @@ object Relational {
         count(lit(1)).as("n_events")
       )
 
+  /** Exact interpolated percentiles (percentile_cont semantics) per group
+    * WITHOUT collecting values into an aggregation buffer: rank each row in
+    * its group, compute the fractional target rank from the group size, and
+    * pick the two bracketing values with conditional aggregates. One
+    * shuffle + one sorted window pass per group — the group's values never
+    * sit in one buffer, so a billion-row group costs the same per-row work
+    * as a hundred-row group (Spark's builtin `percentile` buffers the
+    * group's values; this shape is the 100 TB-safe form). Interpolation is
+    * the same three IEEE ops on both engines, so the oracle matches
+    * bit-for-bit.
+    */
+  def valuePercentiles(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val grp = Window.partitionBy(col("event_type"))
+    // drop null values BEFORE ranking (percentile_cont semantics); also
+    // Spark orders nulls first while DuckDB orders them last — excluding
+    // them keeps the rank space engine-identical
+    val ranked = events.select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(grp))
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val idx = (col("n") - 1) * lit(p)
+      val lo = floor(idx) + 1
+      Seq(
+        max(when(col("rn") === lo, col("value"))).as(s"vlo$i"),
+        max(when(col("rn") === lo + 1, col("value"))).as(s"vhi$i"),
+        max(when(col("rn") === lo, idx - floor(idx))).as(s"frac$i"))
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type") +: ps.zipWithIndex.map { case (p, i) =>
+        roundFixed(
+          col(s"vlo$i") + col(s"frac$i") *
+            (coalesce(col(s"vhi$i"), col(s"vlo$i")) - col(s"vlo$i")), 6)
+          .as(s"p${(p * 100).toInt}")
+      }: _*)
+  }
+
   /** Set operation coverage (§2.8: absent in the reference, free in Spark):
     * users seen in purchases but never in errors. Semantically an EXCEPT over
     * two distincts, but planned as ONE hash aggregation over user_id with

@@ -105,6 +105,25 @@ class RelationalSpec extends AnyFunSuite {
       byGid(0L).map(_.getAs[Long]("n_items")).sum)
   }
 
+  test("window-rank percentiles match the builtin buffering percentile function") {
+    val events = Tables.events(spark, dir)
+    val ours = Relational.valuePercentiles(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val builtin = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(p50 - builtin(k)._1) < 1e-5, s"$k p50")
+      assert(math.abs(p90 - builtin(k)._2) < 1e-5, s"$k p90")
+    }
+  }
+
   test("purchasers_without_errors plans exactly one shuffle") {
     val plan = Relational.purchasersWithoutErrors(Tables.events(spark, dir))
       .queryExecution.executedPlan.toString
