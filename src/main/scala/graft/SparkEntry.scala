@@ -57,6 +57,8 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "top_customers" -> ((s, dir) =>
       Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir), 10)),
+    "customer_order_counts" -> ((s, dir) =>
+      Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
     "user_activity" -> ((s, dir) => Relational.userActivity(Tables.events(s, dir))),
     "purchasers_without_errors" -> ((s, dir) =>
@@ -233,6 +235,13 @@ object SparkEntry {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY 1, 2
          ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+    "customer_order_counts" ->
+      """SELECT c.c_custkey, c.c_name,
+         count(o.o_orderkey) AS n_orders,
+         floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
+           AS revenue
+         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY 1, 2""",
     "order_sequence" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, order_seq, price_delta FROM (
            SELECT o_custkey, o_orderkey, o_orderdate,

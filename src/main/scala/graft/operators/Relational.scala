@@ -150,6 +150,22 @@ object Relational {
         sumRounded(col("l_extendedprice"), 2).as("sum_price")
       )
 
+  /** OUTER join coverage (the one join class the query set lacked):
+    * per-customer order counts INCLUDING customers who never ordered —
+    * left join + aggregation. The join side is the fact table; Catalyst
+    * still broadcasts the smaller side and the aggregate runs
+    * partial+final. Zero-order customers surface with n_orders = 0 and
+    * null revenue — the null-vs-zero distinction is part of the contract
+    * (and of the oracle).
+    */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sumRounded(col("o_totalprice"), 2).as("revenue"))
+
   /** Gap-based sessionization — the canonical user-journey / training-data
     * operator: consecutive same-user events closer than `gapMinutes` belong
     * to one session. Classic two-window formulation: flag rows whose gap to

@@ -180,6 +180,21 @@ object StreamingEtl {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** Streaming exact deduplication — the ingestion-time form of the batch
+    * content-hash dedup (TextOps.exactDedup): keep the first record per
+    * content hash, drop replays arriving later. `dropDuplicatesWithinWatermark`
+    * keys the state store on the hash and the watermark bounds how long a
+    * hash is remembered — O(distinct-in-window) state, evicted as event
+    * time advances, where an unwatermarked dropDuplicates would grow state
+    * forever at 100 TB/day ingest.
+    */
+  def dedupedDocsStreaming(docs: DataFrame, tsCol: String = "ingest_ts",
+                           watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Stream–stream interval join (the one join class the reference's
     * framework does with windowed join stores): purchases matched to the
     * same user's errors in the preceding `windowMinutes`. Both sides carry

@@ -196,6 +196,30 @@ class StreamingEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops replayed content across microbatches, state bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF()
+      .withColumnRenamed("_1", "doc_id")
+      .withColumnRenamed("_2", "text")
+      .withColumnRenamed("_3", "ingest_ts")
+    val q = StreamingEtl.dedupedDocsStreaming(docs)
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // same content replayed in a LATER microbatch within the watermark →
+      // dropped; new content kept
+      input.addData(
+        (2L, "alpha", ts("2024-01-01 10:05:00")),
+        (3L, "beta", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L), kept.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches errors in the preceding hour only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

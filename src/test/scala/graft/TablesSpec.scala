@@ -39,6 +39,26 @@ class TablesSpec extends AnyFunSuite {
     assert(t.toString.startsWith("2024-"))
   }
 
+  test("day-partitioned write prunes partitions at scan time") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    // the 100 TB layout: facts written partitioned by event day, so a
+    // day-bounded query reads ONE directory, not the whole table
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_day", to_date(col("ts")))
+      .write.partitionBy("event_day").mode("overwrite").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(col("event_day") === "2024-01-03")
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // the day predicate must land in PartitionFilters (pruning), not in a
+    // post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_day".r.findFirstIn(scan).isDefined, scan)
+    assert(oneDay.count() ==
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(to_date(col("ts")) === "2024-01-03").count())
+  }
+
   test("documents and embeddings readers match their declared schemas") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     assert(d.schema.fieldNames.toSeq ==
