@@ -55,6 +55,21 @@ object GraftFunctions {
     colFn("graft_round_fixed4", 1,
       "engine-portable floor(x*1e4+0.5)/1e4 rounding") {
       case Seq(x) => DeterministicAgg.roundFixed(x, 4)
+    },
+    colFn("graft_portable_hash64", 1,
+      "engine-portable 60-bit hash (sha256 prefix as bigint)") {
+      case Seq(x) => TextOps.portableHash64(x)
+    },
+    colFn("graft_simhash_portable", 1,
+      "oracle-reproducible 60-bit SimHash of whitespace-tokenized text") {
+      case Seq(text) => TextOps.simhashPortable(text)
+    },
+    colFn("graft_bpe_tokens", 1,
+      "BPE-style pre-tokens: letter runs, digit runs, single symbols") {
+      case Seq(text) =>
+        org.apache.spark.sql.functions.regexp_extract_all(
+          text, org.apache.spark.sql.functions.lit(TextOps.bpePattern),
+          org.apache.spark.sql.functions.lit(0))
     }
   )
 

@@ -35,6 +35,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ortho == 0.0)
   }
 
+  test("portable hash/simhash/bpe functions are SQL-callable and agree with the API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq(("hello world42!", 1L)).toDF("text", "id").createOrReplaceTempView("t_ext2")
+    val viaSql = spark.sql(
+      """SELECT graft_portable_hash64(text) AS h,
+         graft_simhash_portable(text) AS sh,
+         size(graft_bpe_tokens(text)) AS nb FROM t_ext2""").collect().head
+    val api = Seq(("hello world42!", 1L)).toDF("text", "id")
+    assert(viaSql.getAs[Long]("h") ==
+      api.select(graft.operators.TextOps.portableHash64(col("text")))
+        .collect().head.getLong(0))
+    assert(viaSql.getAs[Long]("sh") ==
+      api.select(graft.operators.TextOps.simhashPortable(col("text")))
+        .collect().head.getLong(0))
+    assert(viaSql.getAs[Int]("nb") == 4) // hello, world, 42, !
+  }
+
   test("wrong arity yields a clear error naming the function") {
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0d))").collect())
     assert(e.getMessage.contains("graft_cosine"))
