@@ -105,6 +105,8 @@ object SparkEntry {
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
     "doc_bpe_stats" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     "doc_tfidf_top" -> ((s, dir) => TextOps.tfIdfTopTerms(Tables.documents(s, dir))),
+    "doc_dedup_clusters" -> ((s, dir) =>
+      TextOps.nearDupClusters(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -449,6 +451,34 @@ object SparkEntry {
                AS n_tokens
            FROM documents)
          GROUP BY 1, 2""",
+    "doc_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+           FROM toks),
+         pairs AS (
+           SELECT doc_a, doc_b FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+                 AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.4),
+         edges AS (
+           SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
     "doc_tfidf_top" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -499,6 +499,51 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * near-dup pair graph, labeling every clustered document with the
+    * minimum doc_id of its component — what a dedup pipeline actually needs
+    * when duplicates chain (A≈B≈C with A̸≈C must still collapse to one
+    * representative).
+    *
+    * Min-label propagation to a fixed point: each round every node takes
+    * the min of its own and its neighbors' labels; rounds = graph diameter
+    * (near-dup components are tiny and shallow — bounded by `maxIters`,
+    * with the driver-side fixed-point check being the standard shape for
+    * iterative distributed graph algorithms, same as GraphX/Pregel).
+    * `localCheckpoint` truncates the per-iteration lineage so the plan
+    * doesn't grow exponentially. Each round is one equi-join + one hash
+    * agg on node ids — no arrays, no cross join.
+    */
+  def nearDupClusters(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(documents, n, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("node"))
+        .groupBy(edges("doc_a").as("nb_node"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("nb_node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("node").as("node"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** End-to-end curation pipeline — the composite the other operators
     * exist for: quality-gate → exact dedup (keep canonical doc) → near-dup
     * removal (drop the higher doc_id of each verified pair) → per-language

@@ -74,6 +74,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out((1L, 1L))._2 > 0.0)
   }
 
+  test("near-dup clusters collapse CHAINED duplicates into one component") {
+    import spark.implicits._
+    // A≈B (J=0.6) and B≈C (J=0.6) but A̸≈C (J=0.33 < 0.4): pairwise dedup
+    // alone would keep A and C; the component labels all three with min id
+    val t = (1 to 12).map(i => s"t$i")
+    val a = (t.take(10) ++ Seq("u11", "u12")).mkString(" ")
+    val b = t.mkString(" ")
+    val c = (Seq("v1", "v2") ++ t.drop(2)).mkString(" ")
+    val docs = Seq(
+      (1L, a, "en", "s", 0L), (2L, b, "en", "s", 0L), (3L, c, "en", "s", 0L),
+      (4L, "totally unrelated words over here nothing shared at all", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // precondition: the A–C edge really is absent
+    val pairIds = TextOps.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairIds == Set((1L, 2L), (2L, 3L)), pairIds.mkString(","))
+    val clusters = TextOps.nearDupClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // doc 4 unclustered
+  }
+
   test("exact dedup keeps the minimum doc_id as canonical") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
