@@ -196,6 +196,37 @@ class StreamingEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming parquet file sink is exactly-once across restart (S7 streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-psink-ckpt").toString
+    def start(input: MemoryStream[TripStation]) =
+      input.toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val input1 = MemoryStream[TripStation]
+    val q1 = start(input1)
+    input1.addData(TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart on the same checkpoint: the batch aliasing the committed
+    // offset must be SKIPPED (file-sink manifest + offset log), only the
+    // post-restart batch lands
+    val input2 = MemoryStream[TripStation]
+    input2.addData(TripStation("SKIPPED", ts("2024-01-01 10:30:00"), "view", 1.0))
+    val q2 = start(input2)
+    input2.addData(TripStation("B", ts("2024-01-01 11:00:00"), "view", 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out).collect().map(_.getAs[String]("stationName"))
+    assert(rows.sorted.toSeq == Seq("A", "B"), rows.mkString(","))
+  }
+
   test("streaming dedup drops replayed content across microbatches, state bounded by watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
