@@ -32,9 +32,15 @@ object Similarity {
   /** embedding column cast to double for deterministic arithmetic. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Dot product of two double arrays — a native codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]): a tight primitive loop in
+    * whole-stage codegen, with EXACTLY the sequential-fold semantics of the
+    * `aggregate(zip_with(...))` form it replaced (same index order, same
+    * null propagation, zip-to-shorter) so every DuckDB oracle built on the
+    * fold formula keeps hash-matching bit-for-bit.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   /** Cosine similarity, computed as dot/(sqrt(aa)·sqrt(bb)) — the exact
     * operation order the oracle replicates. */

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExpressions.dotNative
+
+/** The native codegen'd DotProduct must be bit-identical to the
+  * higher-order-function fold it replaced — oracles were built on the fold. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("native dot equals the HOF fold bit-for-bit on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val both = e.select(
+      dotNative(col("v"), col("v")).as("native"),
+      hofDot(col("v"), col("v")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("null array, null element, and length mismatch match zip_with semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)), // 11
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null elem
+      (3L, null, Seq[java.lang.Double](3.0, 4.0)), // null array
+      (4L, Seq[java.lang.Double](1.0, 2.0, 5.0), Seq[java.lang.Double](3.0, 4.0)) // mismatch → null
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), dotNative(col("a"), col("b")).as("d"),
+      hofDot(col("a"), col("b")).as("h")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Double]("d")), Option(r.getAs[java.lang.Double]("h")))).toMap
+    assert(out(1L)._1.contains(11.0) && out(1L) == out(1L).swap.swap)
+    out.foreach { case (id, (native, hof)) => assert(native == hof, s"row $id") }
+    assert(out(2L)._1.isEmpty)
+    assert(out(3L)._1.isEmpty)
+    assert(out(4L)._1.isEmpty) // zip_with null-pads the shorter → null sum
+  }
+
+  test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(dotNative(col("v"), col("v")).as("d"))
+    // codegen stages print as "*(n) Operator" in this format: the Project
+    // evaluating dotproduct must be starred (inside whole-stage codegen)
+    val plan = e.queryExecution.executedPlan.toString
+    val dotLine = plan.linesIterator.find(_.contains("dotproduct")).get
+    assert(dotLine.trim.startsWith("*("), plan)
+  }
+}
