@@ -84,4 +84,75 @@ object VectorExpressions {
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column form of [[SimHash64]]. */
+  def simhash64Native(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** JVM kernel for [[SimHash64]] — called from generated code (the standard
+  * shape for loop-heavy expressions: one static call per row, tight
+  * primitive loops inside, no per-element expression interpretation). */
+object SimHashUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def simhash64(toks: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      // null token hashes to the seed — exactly what the HOF form's
+      // xxhash64(lambda t) does with a null element
+      val h =
+        if (toks.isNullAt(t)) 42L
+        else {
+          val s = toks.getUTF8String(t)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    // MSB-first assembly: hash-bit i lands at result bit 63-i, matching the
+    // fold `acc << 1 | (sum_i > 0)` over ascending i
+    var acc = 0L
+    var i = 0
+    while (i < 64) {
+      acc = (acc << 1) | (if (sums(i) > 0) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** 64-bit SimHash of a token array as a native codegen'd expression —
+  * replaces the nested HOF form (`aggregate(transform(toks, xxhash64), ...)`
+  * with a 64-entry zip per token), which paid interpreted eval for every
+  * token × bit step. Bit-identical by construction: same xxhash64 seed
+  * (42), same ±1 majority vote, same MSB-first assembly — asserted against
+  * the HOF form in VectorExpressionsSpec.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    SimHashUtil.simhash64(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -222,7 +222,15 @@ object TextOps {
     * higher-order array functions — no explode, no UDF, per-row O(tokens·64)
     * inside codegen.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.VectorExpressions.simhash64Native(tokens(text))
+
+  /** The declarative HOF formulation [[simhash]] replaced — kept
+    * private[graft] as the parity reference (VectorExpressionsSpec asserts
+    * native == HOF on real documents). Correct but CodegenFallback: every
+    * token × bit step pays interpreted eval.
+    */
+  private[graft] def simhashHof(text: Column): Column = {
     val toks = tokens(text)
     // per token: 64-entry array of ±1 from its hash bits; accumulate sums
     // pre-hash: the lambda variable h is a plain slot read, so the 64 bit
