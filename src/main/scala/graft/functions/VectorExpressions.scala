@@ -88,6 +88,10 @@ object VectorExpressions {
   /** Column form of [[SimHash64]]. */
   def simhash64Native(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Column form of the portable-hash variant of [[SimHash64]]. */
+  def simhashPortableNative(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), portable = true))
 }
 
 /** JVM kernel for [[SimHash64]] — called from generated code (the standard
@@ -126,6 +130,42 @@ object SimHashUtil {
     }
     acc
   }
+
+  /** Portable-hash variant: token hash = first 15 hex digits of sha256 as a
+    * bigint — identical to `portableHash64` (the 15 leading nibbles ARE the
+    * big-endian first 8 bytes shifted right by one nibble), 60-bit majority
+    * vote, bits assembled to positions 59..0. A null token contributes −1
+    * on every bit (the HOF form's `when(null) → otherwise(-1)` path). */
+  def simhashPortable60(toks: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sums = new Array[Int](60)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val h =
+        if (toks.isNullAt(t)) 0L
+        else {
+          val d = md.digest(toks.getUTF8String(t).getBytes)
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          v >>> 4
+        }
+      var i = 0
+      while (i < 60) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < 60) {
+      acc = (acc << 1) | (if (sums(i) > 0) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** 64-bit SimHash of a token array as a native codegen'd expression —
@@ -135,7 +175,7 @@ object SimHashUtil {
   * (42), same ±1 majority vote, same MSB-first assembly — asserted against
   * the HOF form in VectorExpressionsSpec.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -147,11 +187,14 @@ case class SimHash64(child: Expression)
       s"graft_simhash expects array<string>, got ${other.simpleString}")
   }
 
+  private def kernel = if (portable) "simhashPortable60" else "simhash64"
+
   override def nullSafeEval(toks: Any): Any =
-    SimHashUtil.simhash64(toks.asInstanceOf[ArrayData])
+    if (portable) SimHashUtil.simhashPortable60(toks.asInstanceOf[ArrayData])
+    else SimHashUtil.simhash64(toks.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.$kernel($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

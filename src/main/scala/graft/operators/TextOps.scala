@@ -260,7 +260,12 @@ object TextOps {
     * it bit-for-bit (sha256 prefix fold + per-bit majority); the xxhash64
     * [[simhash]] stays the fast path for pair finding.
     */
-  def simhashPortable(text: Column): Column = {
+  def simhashPortable(text: Column): Column =
+    graft.functions.VectorExpressions.simhashPortableNative(tokens(text))
+
+  /** HOF formulation of [[simhashPortable]] — parity reference only
+    * (VectorExpressionsSpec asserts native == HOF on real documents). */
+  private[graft] def simhashPortableHof(text: Column): Column = {
     val toks = tokens(text)
     val sums = aggregate(
       transform(toks, t => portableHash64(t)),

@@ -51,6 +51,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("native portable simhash equals the HOF formulation on real documents") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(
+      graft.operators.TextOps.simhashPortable(col("text")).as("native"),
+      graft.operators.TextOps.simhashPortableHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
