@@ -92,6 +92,14 @@ object VectorExpressions {
   /** Column form of the portable-hash variant of [[SimHash64]]. */
   def simhashPortableNative(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), portable = true))
+
+  /** Column form of [[WordGramHashes]] with the portable sha-prefix hash. */
+  def gramShaHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordGramHashes(ColumnBridge.expression(tokens), k, sha = true))
+
+  /** Column form of [[WordGramHashes]] with xxhash64. */
+  def gramXxHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WordGramHashes(ColumnBridge.expression(tokens), k, sha = false))
 }
 
 /** JVM kernel for [[SimHash64]] — called from generated code (the standard
@@ -166,6 +174,77 @@ object SimHashUtil {
     }
     acc
   }
+}
+
+object GramHashUtil {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Hashes of all positional word k-grams (space-joined, repeats kept) —
+    * the fused kernel for `transform(positionalShingles(toks, k), hash)`:
+    * per gram one UTF8String concat + one hash, no per-element expression
+    * interpretation. `sha` = portableHash64 semantics (sha256 leading 15
+    * nibbles); otherwise xxhash64 seed 42. Byte-identical to hashing the
+    * `concat_ws(" ", ...)` gram strings (concatWs skips null tokens the
+    * same way). */
+  def gramHashes(toks: ArrayData, k: Int, sha: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val cnt = n - (k - 1)
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = if (sha) java.security.MessageDigest.getInstance("SHA-256") else null
+    val parts = new Array[UTF8String](k)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < k) { parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(Space, parts: _*)
+      out(i) =
+        if (sha) {
+          val d = md.digest(gram.getBytes)
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          v >>> 4
+        } else {
+          XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Positional word-k-gram hashes as ONE native expression — fuses the gram
+  * construction (`positionalShingles`) with the per-gram hash, replacing a
+  * CodegenFallback HOF chain. Parity with the declarative form is asserted
+  * in VectorExpressionsSpec.
+  */
+case class WordGramHashes(child: Expression, k: Int, sha: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word gram hashes expect array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    GramHashUtil.gramHashes(toks.asInstanceOf[ArrayData], k, sha)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramHashUtil.gramHashes($c, $k, $sha)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of a token array as a native codegen'd expression —

@@ -612,12 +612,14 @@ object TextOps {
     // over the document's gram SEQUENCE — deduplicating first would shift
     // window positions (round-2 advisor finding). Gram hash is the portable
     // sha2 prefix so the DuckDB oracle reproduces fingerprint values exactly.
+    // fused native kernel: gram construction + portable hash in one
+    // expression (parity with transform(positionalShingles, portableHash64)
+    // asserted in VectorExpressionsSpec)
     val hashed = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        posexplode(transform(positionalShingles(col("toks"), k),
-          g => portableHash64(g)))
+        posexplode(graft.functions.VectorExpressions.gramShaHashes(col("toks"), k))
           .as(Seq("pos", "h")))
 
     // ONE window pass (the ordered sliding min); the per-doc count and

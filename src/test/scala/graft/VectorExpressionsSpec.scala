@@ -60,6 +60,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("fused gram hashes equal the declarative shingle+hash chain on real documents") {
+    import graft.functions.VectorExpressions.{gramShaHashes, gramXxHashes}
+    import graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      gramShaHashes(col("toks"), 3).as("sha_native"),
+      transform(TextOps.positionalShingles(col("toks"), 3),
+        g => TextOps.portableHash64(g)).as("sha_hof"),
+      gramXxHashes(col("toks"), 5).as("xx_native"),
+      transform(TextOps.positionalShingles(col("toks"), 5),
+        g => xxhash64(g)).as("xx_hof"))
+    assert(both.filter(
+      col("sha_native") =!= col("sha_hof") ||
+        col("xx_native") =!= col("xx_hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
