@@ -97,28 +97,29 @@ object TextOps {
     * boilerplate) or the MinHash path [[minhashPairs]], whose candidate
     * count is governed by the band/row s-curve instead of df.
     */
-  /** (doc_id, shingle set) with the tokenization materialized FIRST: the
-    * `shingles` expression references its token-array input ~2n+1 times
-    * (n shifted slices + their length bounds), so inlining `tokens(text)`
-    * re-splits the document that many times per row — the lambda
-    * re-evaluation trap again, one level up. Two selects make `toks` a real
-    * attribute; the multi-reference keeps CollapseProject from undoing it.
+  /** (doc_id, distinct shingle-HASH set): the Jaccard/candidate currency of
+    * both near-dup paths. Hash sets instead of gram-string sets — set
+    * intersections/unions over 8-byte longs, built by the fused
+    * [[graft.functions.WordGramHashes]] kernel; identical Jaccard values
+    * unless two distinct grams collide in 64 bits (probability ~1e-8 across
+    * the whole corpus — the oracle computes string-set Jaccard and has
+    * hash-matched on every run). Tokenization is materialized FIRST (the
+    * lambda re-evaluation trap, one level up).
     */
   private def shingleSets(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.VectorExpressions.gramXxHashes(col("toks"), n))
+          .as("sh"))
 
   def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingleSets(documents, n)
 
-    // hash INSIDE the array, then explode longs: the generator then emits
-    // 8-byte rows instead of ~25-char shingle strings (less row-buffer
-    // traffic through the explode and the downstream shuffle)
-    val inverted = sh
-      .select(col("doc_id"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("shk"))
+    // the shingle set already IS the hash set: explode longs directly —
+    // 8-byte rows through the generator and the downstream shuffle
+    val inverted = sh.select(col("doc_id"), explode(col("sh")).as("shk"))
 
     // df-cap: a shingle present in > maxShingleDf docs is boilerplate — it
     // contributes O(df²) candidate pairs and ~nothing to recall (a true
@@ -170,11 +171,9 @@ object TextOps {
     require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
     val sh = shingleSets(documents, n)
 
-    // pre-hash each shingle to ONE long inside the array (8-byte rows
-    // through the explode, not ~25-char strings); the 64 seeded hashes then
-    // run over longs and the groupBy shuffle carries longs
-    val exploded = sh
-      .select(col("doc_id"), explode(transform(col("sh"), s => xxhash64(s))).as("shk"))
+    // the shingle set already carries the 8-byte gram hashes; the 64 seeded
+    // hashes run over longs and the groupBy shuffle carries longs
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shk"))
     // 64 seeded hash mins in ONE partial+final aggregation
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shk"))).as(s"h$i"))
