@@ -10,10 +10,12 @@ import graft.functions.DeterministicAgg.{avgRounded, roundFixed}
   * array<float>, label) — the ANN/vector side of the LLM-pipeline
   * extensions.
   *
-  * All vector math is `functions.aggregate`/`zip_with` over the array cast
-  * to double — sequential fold, so the result is deterministic and
-  * reproducible in the DuckDB oracle with the identical index-order formula.
-  * No UDFs; everything stays in codegen.
+  * All vector math reduces sequentially in ascending index order — the dot
+  * product is a native codegen'd Catalyst expression
+  * ([[graft.functions.DotProduct]]) with exactly the sequential-fold
+  * semantics, so results are deterministic and reproducible in the DuckDB
+  * oracle with the identical index-order formula. No UDFs; everything stays
+  * in codegen.
   *
   * Three tiers:
   *  - [[bruteForceTopK]] — exact top-k for a (small) query set: broadcast

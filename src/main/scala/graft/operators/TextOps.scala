@@ -10,9 +10,11 @@ import graft.functions.DeterministicAgg.roundFixed
   * MinHash-LSH, SimHash), language ID, quality scoring, token counting and
   * fingerprinting.
   *
-  * Everything here is pure `org.apache.spark.sql.functions` — higher-order
-  * array functions instead of UDFs, so the hot path stays inside whole-stage
-  * codegen and the only shuffles are the explicit groupBy/join keys.
+  * Everything here is declarative `org.apache.spark.sql.functions` — no
+  * UDFs — with the few loop-heavy scalars (simhash, gram hashing) as native
+  * codegen'd Catalyst expressions (graft.functions.VectorExpressions), so
+  * the hot path stays inside whole-stage codegen and the only shuffles are
+  * the explicit groupBy/join keys.
   */
 object TextOps {
 
@@ -217,9 +219,9 @@ object TextOps {
   // ----------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document from whitespace-token hashes: per bit, the
-    * sign of the sum of ±1 contributions across tokens. One pass of
-    * higher-order array functions — no explode, no UDF, per-row O(tokens·64)
-    * inside codegen.
+    * sign of the sum of ±1 contributions across tokens. One native
+    * codegen'd expression ([[graft.functions.SimHash64]]) — no explode, no
+    * UDF, per-row O(tokens·64) in a primitive loop.
     */
   def simhash(text: Column): Column =
     graft.functions.VectorExpressions.simhash64Native(tokens(text))
