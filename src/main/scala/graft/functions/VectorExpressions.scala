@@ -102,6 +102,20 @@ object VectorExpressions {
     ColumnBridge.column(WordGramHashes(ColumnBridge.expression(tokens), k, sha = false))
 }
 
+/** Shared portable-hash primitive: the leading 15 hex nibbles of a sha256
+  * digest as a nonnegative long — the `portableHash64` contract every
+  * DuckDB oracle reproduces digit-for-digit. ONE implementation so the
+  * simhash and gram-hash kernels cannot drift apart. */
+private[functions] object ShaPrefix {
+  def of60Bits(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    v >>> 4
+  }
+}
+
 /** JVM kernel for [[SimHash64]] — called from generated code (the standard
   * shape for loop-heavy expressions: one static call per row, tight
   * primitive loops inside, no per-element expression interpretation). */
@@ -152,13 +166,7 @@ object SimHashUtil {
     while (t < n) {
       val h =
         if (toks.isNullAt(t)) 0L
-        else {
-          val d = md.digest(toks.getUTF8String(t).getBytes)
-          var v = 0L
-          var b = 0
-          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-          v >>> 4
-        }
+        else ShaPrefix.of60Bits(md, toks.getUTF8String(t).getBytes)
       var i = 0
       while (i < 60) {
         if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
@@ -203,15 +211,8 @@ object GramHashUtil {
       while (j < k) { parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j); j += 1 }
       val gram = UTF8String.concatWs(Space, parts: _*)
       out(i) =
-        if (sha) {
-          val d = md.digest(gram.getBytes)
-          var v = 0L
-          var b = 0
-          while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-          v >>> 4
-        } else {
-          XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
-        }
+        if (sha) ShaPrefix.of60Bits(md, gram.getBytes)
+        else XXH64.hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset, gram.numBytes, 42L)
       i += 1
     }
     new GenericArrayData(out)

@@ -124,6 +124,14 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
               c: Int = 16, nprobe: Int = 4): DataFrame = {
     val anc = anchors(embeddings, c)
+    // no anchors (empty corpus / c = 0): the literal-array argmax can't be
+    // built — degrade to an empty result like the old join form did
+    if (anc.isEmpty) {
+      return embeddings.select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(1).as("rank"))
+        .filter(lit(false))
+    }
 
     val corpus = embeddings
       .select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
@@ -178,10 +186,10 @@ object Similarity {
     * verdict #3 — the fixed-4-bit version was bucket-quadratic, 38% of the
     * whole bench):
     *  - `bitsPerTable = 0` (default) auto-scales the bucket count to the
-    *    corpus: bits = log2(N / 32), clamped to [4, 16], so expected bucket
-    *    occupancy stays ~32 and candidates ≈ numTables · N · 16 regardless
+    *    corpus: bits = log2(N / 16), clamped to [4, 16], so expected bucket
+    *    occupancy stays ~16 and candidates ≈ numTables · N · 8 regardless
     *    of N. The s-curve then concentrates recall on true near-duplicates
-    *    (cos ≥ 0.85: recall ≥ 0.99 at 16 tables × 8 bits); at larger N a
+    *    (cos ≥ 0.85: recall ≥ 0.95 at 16 tables × 9 bits); at larger N a
     *    production run raises `numTables` to hold recall while buckets keep
     *    shrinking.
     *  - `bucketCap` rank-caps every (table, bucket) to its first `cap`

@@ -555,6 +555,14 @@ object TextOps {
       labels = updated.select(col("node").as("node"), col("new_label").as("label"))
       iter += 1
     }
+    // a silent cut-off would emit labels that LOOK converged but differ
+    // from the true components (and from the oracle's transitive closure)
+    // — fail loudly instead; component diameter > maxIters means the
+    // caller should raise the bound
+    if (changed > 0) throw new IllegalStateException(
+      s"nearDupClusters did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters (component " +
+        "diameter exceeds the bound)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -624,27 +632,27 @@ object TextOps {
           .as(Seq("pos", "h")))
 
     // ONE window pass (the ordered sliding min); the per-doc count and
-    // min-of-all are plain aggregates in the groupBy below — the two extra
-    // unordered window passes over the exploded gram table were 2× avoidable
-    // exchange/sort cost (round-2 verdict #5)
+    // min-of-all come from a plain aggregation joined back on doc_id — not
+    // extra window passes (round-2 verdict #5), and NOT a collect_list of
+    // every gram (an unbounded per-group buffer — a pathologically long
+    // document must not OOM an executor). The only per-group buffer left is
+    // collect_set(fp), bounded by the OUTPUT fingerprint count (~grams/w
+    // distinct minima — winnowing's own density), which is the result the
+    // operator has to materialize anyway.
     val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
+    val stats = hashed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("all_min"))
 
     val fps = hashed
       .withColumn("wmin", min(col("h")).over(winMin))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("h")).as("all_min"),
-        collect_list(struct(col("pos"), col("wmin"))).as("pw"))
+      .join(stats, Seq("doc_id"))
       // windows that fit entirely: pos ∈ [0, n-w]; short docs keep min-of-all
-      .withColumn("fingerprints",
-        when(col("n") >= w,
-          array_sort(array_distinct(transform(
-            filter(col("pw"), s => s.getField("pos") <= col("n") - w),
-            s => s.getField("wmin")))))
-          .otherwise(array(col("all_min"))))
-      .select(col("doc_id"), col("fingerprints"))
+      .withColumn("fp",
+        when(col("n") >= w, when(col("pos") <= col("n") - w, col("wmin")))
+          .otherwise(col("all_min")))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("fp"))).as("fingerprints"))
 
     // docs with zero k-grams (shorter than k tokens) keep an empty set
     documents.select(col("doc_id"))

@@ -19,7 +19,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val both = e.select(
       dotNative(col("v"), col("v")).as("native"),
       hofDot(col("v"), col("v")).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
     assert(both.count() > 0)
   }
 
@@ -47,7 +47,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val both = docs.select(
       graft.operators.TextOps.simhash(col("text")).as("native"),
       graft.operators.TextOps.simhashHof(col("text")).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
     assert(both.count() > 0)
   }
 
@@ -56,7 +56,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val both = docs.select(
       graft.operators.TextOps.simhashPortable(col("text")).as("native"),
       graft.operators.TextOps.simhashPortableHof(col("text")).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
     assert(both.count() > 0)
   }
 
@@ -73,8 +73,8 @@ class VectorExpressionsSpec extends AnyFunSuite {
       transform(TextOps.positionalShingles(col("toks"), 5),
         g => xxhash64(g)).as("xx_hof"))
     assert(both.filter(
-      col("sha_native") =!= col("sha_hof") ||
-        col("xx_native") =!= col("xx_hof")).count() == 0)
+      !(col("sha_native") <=> col("sha_hof")) ||
+        !(col("xx_native") <=> col("xx_hof"))).count() == 0)
     assert(both.count() > 0)
   }
 
