@@ -121,6 +121,8 @@ object SparkEntry {
       Similarity.vectorStats(Tables.embeddings(s, dir))),
     "emb_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(Tables.embeddings(s, dir), k = 8, iters = 3)),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -144,11 +146,55 @@ object SparkEntry {
           FROM documents)"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.kmeansCentroids]] with
+    * the iterations UNROLLED as generated CTEs: same first-k init, same
+    * cosine-argmax assignment (identical fold order), same exact-decimal
+    * centroid means — every intermediate double matches bit-for-bit, so the
+    * final centroid table hash-matches. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (
+            SELECT vec_id, v, vnrm, cluster_id FROM (
+              SELECT en.vec_id, en.v, en.vnrm, c.cluster_id,
+                row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                  (${dot("en.v", "c.cv")} / (en.vnrm * c.cnrm)) DESC,
+                  c.cluster_id ASC) AS rnk
+              FROM en, c${i - 1} c) WHERE rnk = 1),
+          cw$i AS (
+            SELECT cluster_id, unnest(generate_series(1, len(v))) - 1 AS dim,
+              unnest(v) AS x FROM a$i),
+          cm$i AS (
+            SELECT cluster_id, dim,
+              CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x) AS cval
+            FROM cw$i GROUP BY 1, 2),
+          c$i AS (
+            SELECT cluster_id, cv, ${nrm("cv")} AS cnrm FROM (
+              SELECT cluster_id, list(cval ORDER BY dim) AS cv
+              FROM cm$i GROUP BY 1))"""
+    }.mkString(",\n")
+    s"""WITH en AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS vnrm
+          FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS cluster_id, v AS cv, vnrm AS cnrm
+          FROM en WHERE vec_id < $k),
+        $iterCtes
+        SELECT cluster_id, dim,
+          floor(cval * 1e6 + 0.5) / 1e6 AS centroid_val
+        FROM cm$iters"""
+  }
+
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
     * file name. Column aliases match the Spark side exactly.
     */
   def oracleSql: Map[String, String] = Map(
     "doc_simhash" -> simhashOracle,
+    "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

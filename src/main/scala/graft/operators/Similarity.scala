@@ -162,6 +162,49 @@ object Similarity {
         roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Lloyd's k-means over the embedding corpus — deterministic enough to
+    * ORACLE: init = the first `k` vec_ids' vectors, assignment = cosine
+    * argmax via the same shuffle-free per-row expression as [[ivfTopK]],
+    * and the centroid update divides an EXACT decimal component sum by the
+    * member count (no rounding between iterations), so every intermediate
+    * double is bit-identical to DuckDB replaying the same unrolled
+    * iterations. Output is the centroid table after `iters` update steps in
+    * long format (cluster_id, dim, centroid_val).
+    *
+    * Per iteration: one narrow pass for assignment (N·k·d flops, no
+    * shuffle) + one posexplode/hash-agg (shuffle on (cluster, dim)) + a
+    * k·d-row collect — the codebook is metadata-scale by construction, the
+    * corpus never leaves its partitions. This is the coarse-quantizer
+    * trainer the IVF scaladoc promises ("a production system would use
+    * k-means centroids").
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    var codebook = anchors(embeddings, k)
+    require(codebook.nonEmpty, s"k-means needs at least one init vector (vec_id < $k)")
+    var cents: DataFrame = null
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("cluster_id",
+        nearestAnchors(col("v"), col("nrm"), codebook, keep = 1)
+          .getItem(0).getField("aid"))
+      cents = assigned
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg((sum(col("x").cast(DecimalType(38, 10))).cast("double") / count(col("x")))
+          .as("centroid_val"))
+      codebook = cents.collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rs) =>
+          val arr = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+          (cid, arr.toSeq, math.sqrt(arr.map(y => y * y).sum))
+        }
+    }
+    cents.select(col("cluster_id"), col("dim"),
+      roundFixed(col("centroid_val"), 6).as("centroid_val"))
+  }
+
   /** Fixed random hyperplanes (seeded, compile-time deterministic). */
   private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(0x5eed)

@@ -100,6 +100,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("mean_abs_err") <= 0.5 / 127.0 + 1e-9)
   }
 
+  test("kmeans: more Lloyd iterations do not worsen the clustering objective") {
+    def codebook(iters: Int): Map[Long, Array[Double]] =
+      Similarity.kmeansCentroids(emb, k = 8, iters = iters).collect()
+        .groupBy(_.getAs[Long]("cluster_id"))
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid_val"))
+        }
+    val vectors = emb.collect().map(
+      _.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def objective(cb: Map[Long, Array[Double]]): Double =
+      vectors.map(v => cb.values.map(c => cosDist(v, c)).min).sum
+    val sse1 = objective(codebook(1))
+    val sse3 = objective(codebook(3))
+    assert(sse3 <= sse1 + 1e-9, s"objective rose: iter1=$sse1 iter3=$sse3")
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
