@@ -100,6 +100,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("mean_abs_err") <= 0.5 / 127.0 + 1e-9)
   }
 
+  test("IVF with the k-means-trained codebook meets the recall bound") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val trained = topkSet(Similarity.ivfTopKTrained(emb, numQueries = 10, k = 5,
+      c = 8, iters = 3, nprobe = 4))
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.6, s"trained-IVF recall $recall")
+  }
+
   test("kmeans: more Lloyd iterations do not worsen the clustering objective") {
     def codebook(iters: Int): Map[Long, Array[Double]] =
       Similarity.kmeansCentroids(emb, k = 8, iters = iters).collect()
