@@ -150,7 +150,9 @@ object SparkEntry {
     * the iterations UNROLLED as generated CTEs: same first-k init, same
     * cosine-argmax assignment (identical fold order), same exact-decimal
     * centroid means — every intermediate double matches bit-for-bit, so the
-    * final centroid table hash-matches. */
+    * final centroid table hash-matches. The codebook CTE drops zero-norm
+    * centroids exactly like the engine (their cosine is NaN, and the two
+    * engines order NaN differently). */
   private def kmeansOracle(k: Int, iters: Int): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
@@ -172,9 +174,11 @@ object SparkEntry {
               CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x) AS cval
             FROM cw$i GROUP BY 1, 2),
           c$i AS (
-            SELECT cluster_id, cv, ${nrm("cv")} AS cnrm FROM (
-              SELECT cluster_id, list(cval ORDER BY dim) AS cv
-              FROM cm$i GROUP BY 1))"""
+            SELECT * FROM (
+              SELECT cluster_id, cv, ${nrm("cv")} AS cnrm FROM (
+                SELECT cluster_id, list(cval ORDER BY dim) AS cv
+                FROM cm$i GROUP BY 1))
+            WHERE cnrm > 0)"""
     }.mkString(",\n")
     s"""WITH en AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -128,13 +128,10 @@ object Similarity {
     * shuffle-free). */
   def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                      c: Int = 8, iters: Int = 3, nprobe: Int = 4): DataFrame = {
-    val cb = kmeansCentroids(embeddings, c, iters).collect()
-      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-      .map { case (cid, rs) =>
-        val arr = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
-        (cid, arr.toSeq, math.sqrt(arr.map(y => y * y).sum))
-      }
-    ivfWithCodebook(embeddings, cb, numQueries, k, nprobe)
+    val cb = reshapeCodebook(kmeansRows(embeddings, c, iters)).filter(_._3 > 0)
+    // same empty-input contract as ivfTopK: no codebook → empty result
+    if (cb.isEmpty) emptyTopK(embeddings)
+    else ivfWithCodebook(embeddings, cb, numQueries, k, nprobe)
   }
 
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
@@ -142,14 +139,16 @@ object Similarity {
     val anc = anchors(embeddings, c)
     // no anchors (empty corpus / c = 0): the literal-array argmax can't be
     // built — degrade to an empty result like the old join form did
-    if (anc.isEmpty) {
-      return embeddings.select(
-        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
-        lit(0.0).as("cosine"), lit(1).as("rank"))
-        .filter(lit(false))
-    }
-    ivfWithCodebook(embeddings, anc, numQueries, k, nprobe)
+    if (anc.isEmpty) emptyTopK(embeddings)
+    else ivfWithCodebook(embeddings, anc, numQueries, k, nprobe)
   }
+
+  /** Empty result with the top-k schema (empty-input degradation). */
+  private def emptyTopK(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+      lit(0.0).as("cosine"), lit(1).as("rank"))
+      .filter(lit(false))
 
   /** Shared IVF probe/rank pipeline over any codebook (raw-anchor or
     * k-means-trained). */
@@ -202,31 +201,57 @@ object Similarity {
     * k-means centroids").
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val rows = kmeansRows(embeddings, k, iters)
+    // the trainer already holds the k·d result rows — build a local
+    // relation instead of a lazy plan that would RE-RUN the last iteration
+    // (one full corpus pass) on evaluation
+    rows.map(r => (r._1, r._2, r._3))
+      .toDF("cluster_id", "dim", "centroid_val")
+      .select(col("cluster_id"), col("dim"),
+        roundFixed(col("centroid_val"), 6).as("centroid_val"))
+  }
+
+  /** The Lloyd loop itself: returns the final (cluster_id, dim,
+    * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
+  private def kmeansRows(embeddings: DataFrame, k: Int,
+                         iters: Int): Seq[(Long, Int, Double)] = {
     import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1, s"k-means needs at least one iteration, got $iters")
+    var codebook = anchors(embeddings, k)
+    if (codebook.isEmpty) return Nil
     val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    var codebook = anchors(embeddings, k)
-    require(codebook.nonEmpty, s"k-means needs at least one init vector (vec_id < $k)")
-    var cents: DataFrame = null
+    var lastRows: Seq[(Long, Int, Double)] = Nil
     for (_ <- 1 to iters) {
       val assigned = e.withColumn("cluster_id",
         nearestAnchors(col("v"), col("nrm"), codebook, keep = 1)
           .getItem(0).getField("aid"))
-      cents = assigned
+      val cents = assigned
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
         .agg((sum(col("x").cast(DecimalType(38, 10))).cast("double") / count(col("x")))
           .as("centroid_val"))
-      codebook = cents.collect()
-        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-        .map { case (cid, rs) =>
-          val arr = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
-          (cid, arr.toSeq, math.sqrt(arr.map(y => y * y).sum))
-        }
+      lastRows = cents.collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      // zero-norm centroids (a cluster whose members cancel exactly) make
+      // the next round's cosine NaN — and Spark and DuckDB ORDER NaN
+      // differently, so they must never reach an assignment; the oracle
+      // applies the identical cnrm > 0 filter to its codebook CTE
+      codebook = reshapeCodebook(lastRows).filter(_._3 > 0)
     }
-    cents.select(col("cluster_id"), col("dim"),
-      roundFixed(col("centroid_val"), 6).as("centroid_val"))
+    lastRows
   }
+
+  /** (cluster_id, dim, value) rows → codebook entries (id, vector, norm),
+    * id-ascending, dims in index order. ONE implementation shared by the
+    * trainer and [[ivfTopKTrained]]. */
+  private def reshapeCodebook(
+      rows: Seq[(Long, Int, Double)]): Seq[(Long, Seq[Double], Double)] =
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      val arr = rs.sortBy(_._2).map(_._3)
+      (cid, arr, math.sqrt(arr.map(y => y * y).sum))
+    }
 
   /** Fixed random hyperplanes (seeded, compile-time deterministic). */
   private def planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
