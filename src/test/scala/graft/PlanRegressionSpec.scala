@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the headline queries: the properties
+  * that make them 100 TB-safe (broadcast discipline, single-shuffle shapes,
+  * column pruning reaching the scan) are asserted here so a future refactor
+  * that silently degrades a plan fails in CI, not in the bench. */
+class PlanRegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("station_day_agg: one broadcast join, one partial+final agg exchange, no sort-merge") {
+    val p = plan("station_day_agg")
+    assert(count(p, "BroadcastHashJoin") == 1, p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("region_revenue: the three dimension joins all broadcast, zero fact shuffles before the agg") {
+    val p = plan("region_revenue")
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("pricing_summary: column pruning reaches the parquet scan (5 columns, not 16)") {
+    // the toString format elides ReadSchema; the scan's OUTPUT column list
+    // carries the same pruning evidence (the 2 group keys + 3 agg inputs)
+    val p = plan("pricing_summary")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1))
+      .getOrElse(fail(s"no FileScan in:\n$p"))
+    assert(scanCols.split(",").length == 5, scanCols)
+  }
+
+  test("asof_last_error: single window over a single exchange, no join operator at all") {
+    val p = plan("asof_last_error")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_last_hour: the range frame runs on one exchange, no self-join") {
+    val p = plan("events_last_hour")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("user_sessions: both windows and the session agg reuse ONE shuffle on user_id") {
+    val p = plan("user_sessions")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("window_anomalies: the list-free base — no collect_list in the plan") {
+    val p = plan("window_anomalies")
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("no pair-finder plans a cartesian product") {
+    Seq("doc_near_dup_pairs", "doc_minhash_pairs", "doc_simhash_pairs",
+      "emb_lsh_pairs").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+}
