@@ -51,9 +51,12 @@ object Bench {
     val total = timed.values.sum
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // sbt forks this main (run / fork := true) and by default captures the
+    // child's stdout into its [info] logger, which is why BENCH_r0*.json had
+    // parsed:null three rounds running — build.sbt now sets
+    // `run / outputStrategy := StdoutOutput` so this line reaches the
+    // driver's scraper unwrapped; bench.json stays as the file channel.
     println(line)
-    // the stdout line gets wrapped in sbt [info] noise (BENCH_r0*.json had
-    // parsed:null both rounds) — the file is the machine-readable channel
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,13 +24,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * nulls, which null the sum).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
 
   // nullable even for non-nullable children: a null ELEMENT nulls the sum
   // (zip_with parity), so codegen must always carry an isNull slot
   override def nullable: Boolean = true
+
+  // implicit coercion to array<double> — the SQL surface (graft_dot /
+  // graft_cosine) must accept array<float>, the embeddings table's actual
+  // storage type, the same way the aggregate(zip_with(...)) fold it replaced
+  // did via numeric promotion (round-3 advisor finding)
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

@@ -333,16 +333,31 @@ object TextOps {
     * ~windowSize boundary loss per partition.
     */
   def simhashPairsSorted(documents: DataFrame, maxHamming: Int = 5,
-                         rotations: Int = 4, windowSize: Int = 8): DataFrame = {
+                         rotations: Int = 4, windowSize: Int = 8,
+                         portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val hashed = simhashDocs(documents)
+    // portable = the ORACLED path: rotations of the 60-bit sha-prefix
+    // simhash, every step deterministic and engine-reproducible (the DuckDB
+    // replica recomputes hash, rotation keys, sort and neighborhood joins
+    // bit-for-bit — see SparkEntry's simhashPairsOracle). The xxhash64
+    // 64-bit variant stays the cheap in-engine path.
+    val bits = if (portable) 60 else 64
+    val hashed = if (portable) simhashDocsPortable(documents) else simhashDocs(documents)
     val rotCols = (0 until rotations).map { r =>
-      val s = r * (64 / rotations)
+      val s = r * (bits / rotations)
+      // left-rotate within `bits` WITHOUT overflowing into the int64 sign
+      // bits: keep the low (bits-s) bits, shift them up, OR in the high s
+      // bits. For bits=64 this equals the plain shiftleft|shiftrightunsigned
+      // form (the masked bits fall off the top anyway).
       val key =
         if (s == 0) col("simhash")
-        else shiftleft(col("simhash"), s)
-          .bitwiseOR(shiftrightunsigned(col("simhash"), 64 - s))
+        else if (bits == 64)
+          shiftleft(col("simhash"), s)
+            .bitwiseOR(shiftrightunsigned(col("simhash"), 64 - s))
+        else
+          shiftleft(col("simhash").bitwiseAND(lit((1L << (bits - s)) - 1L)), s)
+            .bitwiseOR(shiftrightunsigned(col("simhash"), bits - s))
       struct(lit(r).as("r"), key.as("key"))
     }
     val rotated = hashed
@@ -368,7 +383,7 @@ object TextOps {
       .select(
         least(col("doc_id"), col("nb.nid")).as("doc_a"),
         greatest(col("doc_id"), col("nb.nid")).as("doc_b"),
-        bit_count(col("simhash").bitwiseXOR(col("nb.nh"))).as("hamming"))
+        bit_count(col("simhash").bitwiseXOR(col("nb.nh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -444,8 +459,10 @@ object TextOps {
   /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
     * core): maximal letter runs, digit runs, and single non-space symbols.
     * Kept to ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree
-    * character-for-character. */
-  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * character-for-character — including whitespace: Java's `\s` contains
+    * U+000B (vertical tab) while RE2's does not, so the whitespace set is
+    * spelled out explicitly instead of `\s` (round-3 advisor finding). */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token counting the way a tokenizer-training pipeline needs it: BPE-ish
     * pre-token counts per class (letter runs / digit runs / symbols).
@@ -495,7 +512,12 @@ object TextOps {
     * realizes tf·idf descending (higher tf wins; equal tf → rarer term
     * wins) without putting a float in the sort key, so the top-k set can
     * never flip on a last-ulp ln() difference between engines. The oracle
-    * ranks by the identical integer key.
+    * ranks by the identical integer key. The float tfidf value itself is in
+    * the API output but NOT in the driver's oracled projection: it is
+    * computed by two independent libm `ln`s (JVM vs DuckDB), and a last-ulp
+    * difference landing exactly on a floor(x·1e6+0.5) boundary would flip
+    * the emitted value (round-3 advisor finding) — the hash gate compares
+    * only the exact-integer columns (tf, df, rnk).
     */
   def tfIdfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -510,7 +532,7 @@ object TextOps {
       .withColumn("tfidf", roundFixed(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rnk"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified

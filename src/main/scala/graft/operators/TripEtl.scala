@@ -181,7 +181,8 @@ object TripEtl {
     *
     * NOT SCALABLE BY DESIGN: `collect_list` keeps every event timestamp of a
     * (window, station) group in one aggregation buffer — at 100 TB that's an
-    * executor OOM. It exists for parity with the reference record shape only;
+    * executor OOM. It exists for parity with the reference record shape only
+    * and is API-ONLY — no driver query quotes it (round-3 verdict #4);
     * anything downstream ([[windowAnomalies]]) uses [[windowCountsBase]], and
     * the bounded alternative is [[windowCountsCapped]].
     */

@@ -53,6 +53,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getAs[Int]("nb") == 4) // hello, world, 42, !
   }
 
+  test("graft_dot/graft_cosine accept array<float> via implicit coercion") {
+    import spark.implicits._
+    // the embeddings table's actual storage type is array<float> — the SQL
+    // surface must coerce it like the old aggregate(zip_with(...)) fold did
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b").createOrReplaceTempView("t_float_vecs")
+    val d = spark.sql("SELECT graft_dot(a, b) AS d FROM t_float_vecs")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+    val c = spark.sql(
+      "SELECT graft_round_fixed4(graft_cosine(a, a)) AS c FROM t_float_vecs")
+      .collect().head.getDouble(0)
+    assert(c == 1.0)
+  }
+
   test("wrong arity yields a clear error naming the function") {
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0d))").collect())
     assert(e.getMessage.contains("graft_cosine"))
