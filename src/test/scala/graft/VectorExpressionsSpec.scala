@@ -78,6 +78,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("fused LSH buckets equal the chained dot+when fold on real embeddings") {
+    import graft.functions.VectorExpressions.lshBuckets
+    import graft.operators.Similarity
+    val numTables = 4
+    val bits = 5
+    val all = Similarity.planes(numTables * bits, 64)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val hofCols = (0 until numTables).map(t =>
+      Similarity.bucketOfHof(col("v"), all.slice(t * bits, (t + 1) * bits)))
+    val both = e.select(
+      lshBuckets(col("v"), all, numTables, bits).as("native"),
+      array(hofCols: _*).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("LSH buckets: length mismatch and null element give all-zero buckets (HOF parity)") {
+    import graft.functions.VectorExpressions.lshBuckets
+    import graft.operators.Similarity
+    import spark.implicits._
+    val all = Similarity.planes(4, 2)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)), // clean
+      (2L, Seq[java.lang.Double](1.0, null)), // null element → null dots → bits 0
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0)) // dim mismatch → null dots → bits 0
+    ).toDF("id", "v")
+    val hofCols = (0 until 2).map(t =>
+      Similarity.bucketOfHof(col("v"), all.slice(t * 2, (t + 1) * 2)))
+    val out = df.select(col("id"),
+      lshBuckets(col("v"), all, 2, 2).as("native"),
+      array(hofCols: _*).as("hof")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[scala.collection.Seq[Long]]("native").toList,
+          r.getAs[scala.collection.Seq[Long]]("hof").toList)).toMap
+    out.foreach { case (id, (native, hof)) => assert(native == hof, s"row $id") }
+    assert(out(2L)._1 == List(0L, 0L))
+    assert(out(3L)._1 == List(0L, 0L))
+  }
+
   test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
