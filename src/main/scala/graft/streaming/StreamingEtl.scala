@@ -125,6 +125,84 @@ object StreamingEtl {
       }
   }
 
+  /** State for [[punctuatedFullSnapshotAgg]]: the running aggregate plus the
+    * punctuation boundary this group is armed for — carrying the boundary in
+    * state is what lets a group that RECEIVES DATA in the boundary-crossing
+    * microbatch still emit its snapshot (Spark invokes data-carrying groups
+    * with hasTimedOut = false, so the timer alone cannot cover them). */
+  final case class SnapState(buf: TypedAgg.Buf, armedMs: Long)
+
+  /** T2 EXACT full-snapshot punctuation (reference
+    * CustomTransformer.kt:56-69): the reference punctuator iterates the
+    * ENTIRE store every 300 s of stream time and forwards EVERY group —
+    * changed or not. [[punctuatedStationDayAgg]] emits on each group's OWN
+    * timer; this variant arms every group's event-time timer at the same
+    * WATERMARK-ALIGNED boundary (the next multiple of `punctuateEveryMs`),
+    * so when the watermark crosses it, all live groups fire in the same
+    * microbatch — a distributed full-store sweep with no driver iteration:
+    * each executor's state store emits its own key range.
+    *
+    * Faithful to the reference's cadence, not the update-mode superset:
+    * nothing is forwarded between punctuations; at each boundary every live
+    * group emits its current aggregate (groups with data in the crossing
+    * batch emit through the data path via the stored `armedMs`, groups
+    * without through the timeout path). A microbatch that jumps several
+    * boundaries emits once, with the current value — the microbatch
+    * discretization of k identical forwards. Eviction is watermark-driven:
+    * a group whose day has closed (day end ≤ watermark) forwards its final
+    * snapshot and is removed, the same keep-only-open-days policy as the
+    * reference's newest-day check (CustomTransformer.kt:70-80).
+    */
+  def punctuatedFullSnapshotAgg(
+      trips: Dataset[TripStation],
+      punctuateEveryMs: Long = 300000L): Dataset[AggregatedInfo] = {
+    import trips.sparkSession.implicits._
+    val agg = new TypedAgg.StationDayAggregator
+
+    def nextBoundary(wm: Long): Long =
+      (Math.floorDiv(wm, punctuateEveryMs) + 1L) * punctuateEveryMs
+
+    trips
+      .withWatermark("tripTime", "1 day")
+      // epoch-day keys, not java.sql.Date — see punctuatedStationDayAgg
+      .groupByKey(t => (t.stationName,
+        Math.floorDiv(t.tripTime.getTime, 86400000L)))
+      .flatMapGroupsWithState[SnapState, AggregatedInfo](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((station, epochDay), rows, state: GroupState[SnapState]) =>
+          def result(s: SnapState): AggregatedInfo =
+            agg.finish(s.buf).copy(stationName = station,
+              eventDay = java.sql.Date.valueOf(
+                java.time.LocalDate.ofEpochDay(epochDay)))
+          val wm = state.getCurrentWatermarkMs()
+          val dayEndMs = (epochDay + 1L) * 86400000L
+
+          if (state.hasTimedOut) {
+            // boundary sweep, no data for this group: forward the snapshot;
+            // evict if the watermark closed the day, else re-arm for the
+            // next aligned boundary
+            val out = state.getOption.map(result).iterator
+            if (dayEndMs <= wm) state.remove()
+            else {
+              state.getOption.foreach(s =>
+                state.update(s.copy(armedMs = nextBoundary(wm))))
+              state.setTimeoutTimestamp(nextBoundary(wm))
+            }
+            out
+          } else {
+            val prev = state.getOption
+            val buf = rows.foldLeft(prev.map(_.buf).getOrElse(agg.zero))(agg.reduce)
+            // boundary crossed since this group last armed → this batch IS
+            // its punctuation: forward the (current) snapshot
+            val punctuating = prev.exists(_.armedMs <= wm)
+            val next = SnapState(buf, nextBoundary(wm))
+            state.update(next)
+            state.setTimeoutTimestamp(next.armedMs)
+            if (punctuating) Iterator(result(next)) else Iterator.empty
+          }
+      }
+  }
+
   /** The anomaly topology in streaming form — the reference's intended
     * second output stream (`anomalies-topic`,
     * reference/src/com/bigdata/scripts/prepareAndRun.sh:13 +

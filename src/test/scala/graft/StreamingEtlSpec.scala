@@ -109,6 +109,71 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-snapshot punctuation re-emits UNCHANGED groups at each boundary (exact T2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TripStation]
+    val q = StreamingEtl.punctuatedFullSnapshotAgg(input.toDS(), punctuateEveryMs = 300000L)
+      .writeStream.format("memory").queryName("snap").outputMode("update").start()
+    try {
+      // batch 1: two groups, same day. Data is processed at watermark 0 and
+      // forwards NOTHING (punctuation cadence, not update mode); the drain
+      // then advances the watermark past the first aligned boundary and the
+      // trailing timeout batch runs the first full-store sweep: BOTH groups
+      // forward exactly one snapshot.
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("B", ts("2024-01-01 10:30:00"), "view", 4.0))
+      q.processAllAvailable()
+      val after1 = spark.table("snap").collect()
+      assert(after1.count(_.getAs[String]("stationName") == "A") == 1)
+      assert(after1.count(_.getAs[String]("stationName") == "B") == 1)
+      assert(after1.filter(_.getAs[String]("stationName") == "A")
+        .forall(_.getAs[Long]("startedTrips") == 1L))
+
+      // batch 2: data for A only, then the watermark crosses the next
+      // boundary — the sweep must re-emit group B too, UNCHANGED: that is
+      // the reference punctuator's re-emit-all cadence, which the per-group
+      // -timer variant does not reproduce.
+      input.addData(TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 30.0))
+      q.processAllAvailable()
+      val after2 = spark.table("snap").collect()
+      val a2 = after2.filter(_.getAs[String]("stationName") == "A")
+      val b2 = after2.filter(_.getAs[String]("stationName") == "B")
+      assert(a2.length == 2, s"A emitted ${a2.length} times")
+      assert(a2.map(_.getAs[Long]("startedTrips")).toSet == Set(1L, 2L))
+      assert(b2.length == 2)
+      assert(b2.forall(_.getAs[Long]("endedTrips") == 1L)) // identical re-emits
+
+      // batch parity: the latest snapshot per group equals the batch aggregate
+      val batchResult = TripEtl.stationDayAgg(enrichedDf(Seq(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("B", ts("2024-01-01 10:30:00"), "view", 4.0),
+        TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 30.0))))
+        .collect().map(r => r.getAs[String]("station_name") -> r).toMap
+      Seq("A", "B").foreach { k =>
+        val got = after2.filter(_.getAs[String]("stationName") == k)
+          .maxBy(_.getAs[Timestamp]("updateTime").getTime)
+        val want = batchResult(k)
+        assert(got.getAs[Long]("startedTrips") == want.getAs[Long]("started_trips"), k)
+        assert(got.getAs[Long]("endedTrips") == want.getAs[Long]("ended_trips"), k)
+        assert(got.getAs[Timestamp]("updateTime") == want.getAs[Timestamp]("update_time"), k)
+      }
+
+      // day closes (watermark past 2024-01-02): day-1 groups forward a final
+      // snapshot and are EVICTED — no further emissions at later boundaries
+      input.addData(TripStation("D", ts("2024-01-03 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val closedA = spark.table("snap").collect()
+        .count(_.getAs[String]("stationName") == "A")
+      input.addData(TripStation("D", ts("2024-01-03 18:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val afterMore = spark.table("snap").collect()
+        .count(_.getAs[String]("stationName") == "A")
+      assert(afterMore == closedA, "evicted day-1 group re-emitted after close")
+    } finally q.stop()
+  }
+
   test("streaming window anomalies emit scored windows (anomalies-topic path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
