@@ -31,7 +31,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dev-only subsetting (e.g. the scale-slope tool benches just the
+    // documents/embeddings queries): comma-separated name prefixes; the
+    // driver leaves it unset and always benches everything
+    val prefixes = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.forall(_.exists(n.startsWith)))
     val timed = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>

@@ -128,7 +128,7 @@ object Similarity {
     * shuffle-free). */
   def ivfTopKTrained(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                      c: Int = 8, iters: Int = 3, nprobe: Int = 4): DataFrame = {
-    val cb = reshapeCodebook(kmeansRows(embeddings, c, iters)).filter(_._3 > 0)
+    val cb = trainedCodebook(embeddings, c, iters)
     // same empty-input contract as ivfTopK: no codebook → empty result
     if (cb.isEmpty) emptyTopK(embeddings)
     else ivfWithCodebook(embeddings, cb, numQueries, k, nprobe)
@@ -142,6 +142,31 @@ object Similarity {
     if (anc.isEmpty) emptyTopK(embeddings)
     else ivfWithCodebook(embeddings, anc, numQueries, k, nprobe)
   }
+
+  /** CAUTION — plan construction is EAGER for the codebook builders:
+    * [[ivfTopK]] collects its anchors, [[ivfTopKTrained]] runs the full
+    * Lloyd loop, and [[lshNearDupPairs]] with auto-bits runs a count() —
+    * all at BUILD time, so building the same DataFrame twice reruns those
+    * driver jobs (round-3 advisor). For repeated plan construction, train /
+    * collect ONCE and reuse through this entry point: pass a codebook from
+    * [[trainedCodebook]] (k-means) or any (id, vector, l2norm) metadata-
+    * scale table. Same plan shape as [[ivfTopK]] (shuffle-free per-row
+    * assignment over the literal codebook).
+    */
+  def ivfTopKPrecomputed(embeddings: DataFrame,
+                         codebook: Seq[(Long, Seq[Double], Double)],
+                         numQueries: Int = 10, k: Int = 5,
+                         nprobe: Int = 4): DataFrame =
+    if (codebook.isEmpty) emptyTopK(embeddings)
+    else ivfWithCodebook(embeddings, codebook.sortBy(_._1), numQueries, k, nprobe)
+
+  /** Train-once k-means codebook for [[ivfTopKPrecomputed]]: the k·d
+    * centroid table as (cluster_id, vector, l2norm), zero-norm centroids
+    * dropped (their cosine is NaN). One Lloyd run — cache this instead of
+    * rebuilding [[ivfTopKTrained]] plans. */
+  def trainedCodebook(embeddings: DataFrame, k: Int = 8,
+                      iters: Int = 3): Seq[(Long, Seq[Double], Double)] =
+    reshapeCodebook(kmeansRows(embeddings, k, iters)).filter(_._3 > 0)
 
   /** Empty result with the top-k schema (empty-input degradation). */
   private def emptyTopK(embeddings: DataFrame): DataFrame =

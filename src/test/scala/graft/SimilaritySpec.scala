@@ -140,6 +140,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"trained-IVF recall $recall")
   }
 
+  test("precomputed codebook reproduces the trained-IVF result without retraining") {
+    val cb = Similarity.trainedCodebook(emb, k = 8, iters = 3)
+    assert(cb.nonEmpty)
+    // building N plans from the cached codebook reruns NO Lloyd loop (the
+    // advisor's eager-construction point); results are identical
+    val fromCache = topkSet(Similarity.ivfTopKPrecomputed(emb, cb,
+      numQueries = 10, k = 5, nprobe = 4))
+    val trained = topkSet(Similarity.ivfTopKTrained(emb, numQueries = 10, k = 5,
+      c = 8, iters = 3, nprobe = 4))
+    assert(fromCache == trained)
+  }
+
   test("kmeans: more Lloyd iterations do not worsen the clustering objective") {
     def codebook(iters: Int): Map[Long, Array[Double]] =
       Similarity.kmeansCentroids(emb, k = 8, iters = iters).collect()

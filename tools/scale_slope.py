@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Scale-slope evidence (dev tool, not engine code — round-3 verdict #7).
+
+Builds a 10x documents/embeddings corpus from a base sf directory,
+benches the documents/embeddings queries at 1x and 10x, and writes the
+wall-time ratios to SCALE.md. A query whose plan is ~linear in corpus size
+should show a ratio well under ~15x for 10x data (superlinear candidate
+generation or an unbounded buffer would blow past it).
+
+The 10x corpus preserves WORKLOAD STRUCTURE instead of naively replicating
+rows (naive replication plants 10 exact copies of every document/vector,
+which multiplies true near-dup pairs ~100x and makes any pair-finder look
+superlinear through no fault of its plan):
+  - documents: copy k > 0 prefixes every token with "c<k>" — within-copy
+    Jaccard structure identical to the base corpus, zero cross-copy overlap.
+  - embeddings: copy k > 0 multiplies each vector elementwise by a seeded
+    random +-1 mask — norms and per-dim distributions identical, cross-copy
+    cosines ~0 (sign flips decorrelate).
+Other tables are symlinked from the base dir so graft.Bench runs unchanged.
+
+Usage: python3 tools/scale_slope.py [base_sf_dir] [work_dir]
+"""
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COPIES = 10
+ID_STRIDE = 1_000_000
+# the documents/embeddings queries whose slopes the verdict asks for
+PREFIXES = "doc_,emb_"
+
+
+def build_corpus(base: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(base):
+        if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+            dst = os.path.join(out, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(base, f), dst)
+
+    d = duckdb.sql(f"SELECT * FROM '{base}/documents.parquet'").df()
+    ids, texts, langs, sources, nchars = [], [], [], [], []
+    for k in range(COPIES):
+        for _, r in d.iterrows():
+            ids.append(int(r["doc_id"]) + ID_STRIDE * k)
+            texts.append(r["text"] if k == 0 else
+                         " ".join(f"c{k}{t}" for t in r["text"].split()))
+            langs.append(r["lang"])
+            sources.append(r["source"])
+            nchars.append(int(r["n_chars"]))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()), "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array(nchars, pa.int64())}),
+        os.path.join(out, "documents.parquet"))
+
+    e = duckdb.sql(f"SELECT * FROM '{base}/embeddings.parquet'").df()
+    vecs = np.array([np.array(v, dtype=np.float32) for v in e["embedding"]])
+    vids, embs, labels = [], [], []
+    for k in range(COPIES):
+        mask = (np.random.default_rng(k).integers(0, 2, vecs.shape[1]) * 2 - 1
+                ).astype(np.float32) if k else np.ones(vecs.shape[1], np.float32)
+        for i in range(len(e)):
+            vids.append(int(e["vec_id"][i]) + ID_STRIDE * k)
+            embs.append([float(x) for x in vecs[i] * mask])
+            labels.append(int(e["label"][i]))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(vids, pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}),
+        os.path.join(out, "embeddings.parquet"))
+
+
+def bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_QUERIES=PREFIXES)
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open("bench.json") as f:
+        return json.load(f)["queries"]
+
+
+def main(base: str, work: str) -> int:
+    out10 = os.path.join(work, "scale10")
+    build_corpus(base, out10)
+    t1 = bench(base)
+    t10 = bench(out10)
+    lines = [
+        "# Scale slope: 10x documents/embeddings corpus",
+        "",
+        f"Base `{base}` vs structure-preserving 10x replica (see "
+        "tools/scale_slope.py); wall-time ratios for 10x data on local[32]. "
+        "A ~linear plan stays well under ~15x; candidate-bounded pair "
+        "finders (df-cap / bands / auto-bits+rank-cap / N*R*W) are the "
+        "queries this evidences.",
+        "",
+        "| query | 1x sec | 10x sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    worst = 0.0
+    for q in sorted(t1):
+        if q in t10:
+            ratio = t10[q] / t1[q] if t1[q] > 0 else float("inf")
+            worst = max(worst, ratio)
+            lines.append(f"| {q} | {t1[q]:.2f} | {t10[q]:.2f} | {ratio:.1f}x |")
+    lines += ["", f"Worst ratio: {worst:.1f}x (bound: 15x)."]
+    with open("SCALE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return 0 if worst < 15 else 1
+
+
+if __name__ == "__main__":
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale"
+    sys.exit(main(base, work))
