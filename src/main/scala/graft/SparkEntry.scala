@@ -309,7 +309,10 @@ object SparkEntry {
     * pick `numTables·bits` planes after computing auto-bits from count(*) —
     * with the engine's own INTEGER auto-bits rule (smallest b with
     * 16·2^b ≥ n, clamped to [4,16]), immune to last-ulp log differences.
-    * Plane (t, j) is flat index t·bits + j, so t = idx // bits and
+    * The engine's honest-threshold recall clamp (bits ≤ the largest value
+    * whose s-curve recall at the quoted threshold is ≥ 0.9) rides in as a
+    * Scala-computed INTEGER literal — no cross-engine float math. Plane
+    * (t, j) is flat index t·bits + j, so t = idx // bits and
     * j = idx % bits. */
   private def lshOracle(threshold: Double, numTables: Int, dim: Int,
                         bucketCap: Int): String = {
@@ -317,6 +320,8 @@ object SparkEntry {
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
       s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val recallClamp =
+      graft.operators.Similarity.maxBitsForRecall(threshold, numTables)
     val maxBits = 16
     val planeRows = graft.operators.Similarity.planes(numTables * maxBits, dim)
       .zipWithIndex.map { case (p, i) =>
@@ -325,7 +330,8 @@ object SparkEntry {
       }.mkString(", ")
     s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
         bb AS (
-          SELECT least(16, greatest(4, coalesce(min(g.b), 16))) AS bits
+          SELECT least($recallClamp,
+            least(16, greatest(4, coalesce(min(g.b), 16)))) AS bits
           FROM generate_series(0, 16) AS g(b), nn
           WHERE (CAST(16 AS BIGINT) << g.b) >= nn.n),
         pl AS (SELECT * FROM (VALUES $planeRows) AS t(idx, p)),

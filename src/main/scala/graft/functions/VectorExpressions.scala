@@ -35,7 +35,11 @@ case class DotProduct(left: Expression, right: Expression)
   // implicit coercion to array<double> — the SQL surface (graft_dot /
   // graft_cosine) must accept array<float>, the embeddings table's actual
   // storage type, the same way the aggregate(zip_with(...)) fold it replaced
-  // did via numeric promotion (round-3 advisor finding)
+  // did via numeric promotion (round-3 advisor finding). This deliberately
+  // follows Spark's standard implicit-cast set, so array<string> also
+  // coerces (element-wise, unparseable -> null) — exactly what the HOF
+  // fold's Multiply coercion did; callers wanting strictness check types
+  // upstream.
   // (return type inferred: AbstractDataType itself is private[sql])
   override def inputTypes: Seq[ArrayType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))

@@ -300,6 +300,31 @@ object Similarity {
     math.max(4, b)
   }
 
+  /** s-curve recall of random-hyperplane LSH at cosine `c`:
+    * 1 − (1 − p^bits)^tables with p = 1 − arccos(c)/π. */
+  private[graft] def sCurveRecall(c: Double, tables: Int, bits: Int): Double = {
+    val p = 1.0 - math.acos(c) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+  }
+
+  /** The LARGEST bits-per-table at which `numTables` tables still give
+    * s-curve recall ≥ `minRecall` at the quoted threshold — the
+    * honest-threshold ENFORCEMENT bound (recall falls monotonically in
+    * bits). Throws if not even 4 bits serve the threshold: that
+    * parameterization cannot honestly quote it (raise numTables or use the
+    * exact-recall path). Evaluated ONLY in the JVM — the oracle embeds the
+    * resulting integer as a literal, so no cross-engine float math. */
+  private[graft] def maxBitsForRecall(threshold: Double, numTables: Int,
+                                      minRecall: Double = 0.9): Int = {
+    var b = 16
+    while (b >= 4 && sCurveRecall(threshold, numTables, b) < minRecall) b -= 1
+    require(b >= 4,
+      f"LSH with $numTables tables cannot serve threshold $threshold%.2f " +
+        f"with recall >= $minRecall%.2f even at 4 bits/table — raise " +
+        "numTables or use the exact-recall inverted-index path")
+    b
+  }
+
   /** Sign-bit bucket of a vector under a table's hyperplanes — the chained
     * dot+when HOF fold, kept private[graft] as the parity reference for the
     * fused [[graft.functions.LshBuckets]] kernel (VectorExpressionsSpec
@@ -347,12 +372,18 @@ object Similarity {
                       numTables: Int = 16, bitsPerTable: Int = 0,
                       dim: Int = 64, bucketCap: Int = 256): DataFrame = {
     val bits =
-      if (bitsPerTable > 0) bitsPerTable
+      if (bitsPerTable > 0) bitsPerTable // expert mode: caller owns recall
       else {
         // one cheap count parameterizes the plan (parquet metadata scan) —
         // the analog of AQE picking a plan from runtime statistics;
-        // target occupancy ~16/bucket ⇒ candidates ≈ numTables·8·N
-        autoBits(embeddings.count())
+        // target occupancy ~16/bucket ⇒ candidates ≈ numTables·8·N.
+        // The recall clamp ENFORCES the honest-threshold rule at any corpus
+        // size: auto-bits grows with N but stops where the s-curve at the
+        // QUOTED threshold would drop below 0.9 (e.g. 10 bits for 0.85 at
+        // 16 tables) — beyond that, buckets grow instead and the rank-cap
+        // bounds candidates; an unservable threshold throws at build time.
+        math.min(autoBits(embeddings.count()),
+          maxBitsForRecall(threshold, numTables))
       }
     val all = planes(numTables * bits, dim)
     val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))

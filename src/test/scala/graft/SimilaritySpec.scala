@@ -30,12 +30,23 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("LSH pair finding reports only pairs above threshold, verified exactly") {
-    val pairs = Similarity.lshNearDupPairs(emb, threshold = 0.3).collect()
-    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.3))
+    val pairs = Similarity.lshNearDupPairs(emb, threshold = 0.4).collect()
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.4))
     // candidates come from bucket equi-joins, not a cross join
-    val plan = Similarity.lshNearDupPairs(emb, threshold = 0.3)
+    val plan = Similarity.lshNearDupPairs(emb, threshold = 0.4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("auto mode REFUSES a threshold its tables cannot serve; expert mode bypasses") {
+    // 16 tables at 4 bits give recall 0.886 at cosine 0.3 — just under the
+    // 0.9 honesty bar: the build must throw, not silently under-recall
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshNearDupPairs(emb, threshold = 0.3))
+    assert(e.getMessage.contains("cannot serve threshold"))
+    // explicit bitsPerTable is expert mode: the caller owns recall
+    assert(Similarity.lshNearDupPairs(emb, threshold = 0.3, bitsPerTable = 4)
+      .columns.contains("cosine"))
   }
 
   test("IVF assignment is shuffle-free: only the final ranking exchanges/windows") {
@@ -93,17 +104,25 @@ class SimilaritySpec extends AnyFunSuite {
     // cannot serve).
     val quotedThreshold = 0.85
     val numTables = 16
-    def recallAt(c: Double, tables: Int, bits: Int): Double = {
-      val p = 1.0 - math.acos(c) / math.Pi
-      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
-    }
-    val sfBits = Seq(500L, 5000L).map(Similarity.autoBits)
-    assert(sfBits == Seq(5, 9), s"auto-bits rule moved: $sfBits")
-    sfBits.foreach { bits =>
+    def recallAt(c: Double, tables: Int, bits: Int): Double =
+      Similarity.sCurveRecall(c, tables, bits)
+    // the bit counts the driver ACTUALLY runs with: read the real corpus
+    // sizes (a fictional pinned N let the invariant hold by accident —
+    // round-4 review finding)
+    val driverNs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").map(d => Tables.embeddings(spark, d).count())
+    val clamp = Similarity.maxBitsForRecall(quotedThreshold, numTables)
+    // the recall clamp makes the bound hold at EVERY corpus size, not just
+    // the current testdata: effective bits = min(autoBits(n), clamp)
+    (driverNs ++ Seq(20000L, 1000000L, Long.MaxValue)).foreach { n =>
+      val bits = math.min(Similarity.autoBits(n), clamp)
       val r = recallAt(quotedThreshold, numTables, bits)
-      assert(r >= 0.9, s"recall $r at $bits bits — quoted threshold dishonest")
+      assert(r >= 0.9, s"recall $r at n=$n (bits $bits) — quoted threshold dishonest")
     }
-    // and the converse that motivated the rule: 0.4 is NOT servable here
+    // the clamp binds where unclamped auto-bits would break the rule
+    assert(clamp == 10)
+    assert(recallAt(quotedThreshold, numTables, 11) < 0.9)
+    // and the converse that motivated the rule: 0.4 at 9 bits is a ~22% sample
     assert(recallAt(0.4, numTables, 9) < 0.3)
   }
 

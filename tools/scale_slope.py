@@ -49,11 +49,13 @@ def build_corpus(base: str, out: str) -> None:
     for k in range(COPIES):
         for _, r in d.iterrows():
             ids.append(int(r["doc_id"]) + ID_STRIDE * k)
-            texts.append(r["text"] if k == 0 else
-                         " ".join(f"c{k}{t}" for t in r["text"].split()))
+            text = (r["text"] if k == 0 else
+                    " ".join(f"c{k}{t}" for t in r["text"].split()))
+            texts.append(text)
             langs.append(r["lang"])
             sources.append(r["source"])
-            nchars.append(int(r["n_chars"]))
+            # keep the corpus self-consistent: prefixed copies are longer
+            nchars.append(int(r["n_chars"]) if k == 0 else len(text))
     pq.write_table(pa.table({
         "doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string()),
         "lang": pa.array(langs, pa.string()), "source": pa.array(sources, pa.string()),
@@ -80,10 +82,23 @@ def build_corpus(base: str, out: str) -> None:
 def bench(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_QUERIES=PREFIXES)
-    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env, check=True,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    with open("bench.json") as f:
-        return json.load(f)["queries"]
+    # graft.Bench writes bench.json in cwd — the repo's TRACKED driver
+    # snapshot; save/restore it so a dev-tool run never clobbers committed
+    # bench data (round-4 review finding)
+    saved = None
+    if os.path.exists("bench.json"):
+        with open("bench.json") as f:
+            saved = f.read()
+    try:
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        with open("bench.json") as f:
+            return json.load(f)["queries"]
+    finally:
+        if saved is not None:
+            with open("bench.json", "w") as f:
+                f.write(saved)
 
 
 def main(base: str, work: str) -> int:
