@@ -118,6 +118,7 @@ object SparkEntry {
       TextOps.tfIdfTopTerms(Tables.documents(s, dir)).drop("tfidf")),
     "doc_dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(Tables.documents(s, dir))),
+    "doc_pii_redact" -> ((s, dir) => TextOps.redactPii(Tables.documents(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -365,6 +366,20 @@ object SparkEntry {
         WHERE c0 >= $threshold"""
   }
 
+  /** DuckDB replica of [[graft.operators.TextOps.redactPii]]: the identical
+    * pattern chain (single-sourced from TextOps.piiPatterns) with DuckDB's
+    * 'g' flag matching Spark's replace-all default; counts on the original
+    * text via regexp_extract_all on both engines. */
+  private val piiOracle: String = {
+    val chain = TextOps.piiPatterns.foldLeft("text") {
+      case (acc, (_, pat, repl)) => s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    val counts = TextOps.piiPatterns.map { case (kind, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$kind"
+    }.mkString(", ")
+    s"SELECT doc_id, $chain AS redacted_text, $counts FROM documents"
+  }
+
   /** DuckDB oracles, one per SQL-expressible query; tables are registered by
     * file name. Column aliases match the Spark side exactly.
     */
@@ -375,6 +390,7 @@ object SparkEntry {
     "emb_ann_ivf" -> ivfOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
       bucketCap = 256),
+    "doc_pii_redact" -> piiOracle,
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,

@@ -485,6 +485,43 @@ object TextOps {
           .as("n_punct"))
   }
 
+  /** PII patterns for [[redactPii]] — conservative ASCII regex, no
+    * backrefs/lookarounds, so Java regex (Spark) and RE2 (DuckDB) agree
+    * match-for-match; one definition interpolated into BOTH engines.
+    * Application order matters and is part of the contract: emails first
+    * (they contain digits/dots an IP or digit-run pattern would chew),
+    * then IPs, then long digit runs (card-shaped), then phone-shaped
+    * sequences — placeholders contain no digits, so later patterns can
+    * never match inside an earlier replacement. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("card", "[0-9]{13,16}", "<CARD>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+  )
+
+  /** PII redaction — the curation step every training-data pipeline runs
+    * before anything else sees the text: typed placeholder substitution for
+    * email / IPv4 / card-shaped digit runs / phone-shaped sequences, plus
+    * per-document match counts (counted on the ORIGINAL text — so the
+    * counters are raw per-pattern diagnostics and may overlap, e.g. a
+    * 16-digit card also increments n_phone; the REDACTION chain is what
+    * applies precedence). Pure per-row codegen'd regex — embarrassingly
+    * parallel, no shuffle, and the oracle replays the identical pattern
+    * chain with DuckDB's global-replace flag.
+    */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    documents.select(
+      (col("doc_id") +: redacted.as("redacted_text") +:
+        piiPatterns.map { case (kind, pat, _) =>
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as(s"n_$kind")
+        }): _*)
+  }
+
   /** Corpus statistics per (lang, source): document/char/token counts. The
     * group key has tiny cardinality, so this is one partial+final hash agg
     * with negligible shuffle at any scale.
@@ -541,13 +578,19 @@ object TextOps {
     * when duplicates chain (A≈B≈C with A̸≈C must still collapse to one
     * representative).
     *
-    * Min-label propagation to a fixed point: each round every node takes
-    * the min of its own and its neighbors' labels; rounds = graph diameter
-    * (near-dup components are tiny and shallow — bounded by `maxIters`,
-    * with the driver-side fixed-point check being the standard shape for
-    * iterative distributed graph algorithms, same as GraphX/Pregel).
+    * Min-label propagation WITH POINTER JUMPING to a fixed point: each
+    * round every node takes the min of its own and its neighbors' labels
+    * (edge relax), then chases its own label one step (label ← label of
+    * label — every label value is itself a node id, so the lookup is a
+    * self-join). Relax alone needs diameter rounds; the jump halves the
+    * remaining pointer distance each round, so convergence is
+    * O(log diameter) — a long path component that would abort a
+    * relax-only loop converges comfortably (round-3 advisor; asserted in
+    * TextOpsSpec on a 12-chain under a bound relax alone cannot meet).
+    * The driver-side fixed-point check is the standard shape for
+    * iterative distributed graph algorithms, same as GraphX/Pregel;
     * `localCheckpoint` truncates the per-iteration lineage so the plan
-    * doesn't grow exponentially. Each round is one equi-join + one hash
+    * doesn't grow exponentially. Each round is two equi-joins + one hash
     * agg on node ids — no arrays, no cross join.
     */
   def nearDupClusters(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
@@ -568,10 +611,21 @@ object TextOps {
         .join(labels, edges("doc_b") === labels("node"))
         .groupBy(edges("doc_a").as("nb_node"))
         .agg(min(col("label")).as("nmin"))
-      val updated = labels
+      val relaxed = labels
         .join(neighborMin, col("node") === col("nb_node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("relaxed"))
+      // pointer jump: label ← relaxed(label). Label values are always node
+      // ids (they start as ids and min() only selects among them), so the
+      // self-join always finds its row; the left join + coalesce guards the
+      // root (label = itself) without a special case.
+      val updated = relaxed
+        .join(relaxed.select(col("node").as("jump_node"),
+          col("relaxed").as("jump_label")),
+          col("relaxed") === col("jump_node"), "left")
+        .select(col("node"), col("label"),
+          least(col("relaxed"), coalesce(col("jump_label"), col("relaxed")))
+            .as("new_label"))
         .localCheckpoint(true)
       changed = updated.filter(col("new_label") =!= col("label")).count()
       labels = updated.select(col("node").as("node"), col("new_label").as("label"))

@@ -95,6 +95,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // doc 4 unclustered
   }
 
+  test("pointer jumping converges a 12-chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // a path component of diameter 11: doc k = tokens [6k, 6k+20), so
+    // adjacent docs share 10 of 22 distinct 5-grams (J ≈ 0.45 ≥ 0.4) and
+    // distance-2 docs share 4 of 28 (J ≈ 0.14 < 0.4). Relax-only min-label
+    // propagation moves the min one hop per round → needs 11 rounds and
+    // must THROW at maxIters = 8; the pointer jump halves the remaining
+    // distance per round and converges well inside it.
+    val docs = (0 until 12).map { k =>
+      (k + 1L, (k * 6 until k * 6 + 20).map(i => s"t$i").mkString(" "),
+        "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairIds = TextOps.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairIds == (1L to 11L).map(k => (k, k + 1)).toSet, pairIds)
+    val clusters = TextOps.nearDupClusters(docs, maxIters = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("PII redaction replaces typed placeholders and counts on the original text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@example.co.uk or call +1 (415) 555-0101 now",
+        "en", "s", 0L),
+      (2L, "server 192.168.0.1 charged card 4111111111111111 twice", "en", "s", 0L),
+      (3L, "no pii here just words", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L).getAs[String]("redacted_text")
+    assert(r1.contains("<EMAIL>") && r1.contains("<PHONE>"), r1)
+    assert(!r1.contains("example.co.uk") && !r1.contains("555"), r1)
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(1L).getAs[Long]("n_phone") == 1L)
+    val r2 = out(2L).getAs[String]("redacted_text")
+    assert(r2.contains("<IP>") && r2.contains("<CARD>"), r2)
+    assert(out(2L).getAs[Long]("n_ip") == 1L)
+    assert(out(2L).getAs[Long]("n_card") == 1L)
+    assert(out(3L).getAs[String]("redacted_text") == "no pii here just words")
+    assert(out(3L).getAs[Long]("n_email") == 0L)
+  }
+
   test("exact dedup keeps the minimum doc_id as canonical") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
