@@ -119,6 +119,11 @@ object SparkEntry {
     "doc_dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(Tables.documents(s, dir))),
     "doc_pii_redact" -> ((s, dir) => TextOps.redactPii(Tables.documents(s, dir))),
+    "doc_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir), sampleRates,
+        defaultRate = sampleDefaultRate)),
+    "doc_pack" -> ((s, dir) =>
+      TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -366,6 +371,51 @@ object SparkEntry {
         WHERE c0 >= $threshold"""
   }
 
+  /** Stratified-sample parameterization shared by the query and its oracle. */
+  private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
+  private val sampleDefaultRate = 0.8
+
+  /** DuckDB replica of [[graft.operators.TextOps.stratifiedSample]]: the
+    * same sha-prefix hash fold on CAST(doc_id AS VARCHAR) mod 10000 against
+    * per-stratum INTEGER thresholds (computed once in Scala — Spark
+    * truncates double→long where DuckDB rounds, so the float rate never
+    * crosses the engine boundary). */
+  private def sampleOracle(rates: Map[String, Double], defaultRate: Double): String = {
+    def thresholdOf(r: Double): Long = (r * 10000.0).toLong
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN ${thresholdOf(r)}" }
+      .mkString(" ")
+    s"""SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *,
+            list_reduce(list_transform(
+              string_split(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+              c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) % 10000 AS sample_bucket
+          FROM documents)
+        WHERE sample_bucket < (CASE $cases ELSE ${thresholdOf(defaultRate)} END)"""
+  }
+
+  /** DuckDB replica of [[graft.operators.TextOps.packDocuments]]: same
+    * per-lang running token sum (ROWS UNBOUNDED PRECEDING over doc_id
+    * order) and integer floor-division pack assignment. */
+  private def packOracle(contextTokens: Int): String =
+    s"""WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
+              AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT doc_id, lang, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+          FROM t)
+        SELECT lang, start_offset // $contextTokens AS pack_id,
+          count(*) AS n_docs,
+          sum(n_tokens) AS total_tokens,
+          min(doc_id) AS first_doc_id,
+          max(doc_id) AS last_doc_id
+        FROM o GROUP BY 1, 2"""
+
   /** DuckDB replica of [[graft.operators.TextOps.redactPii]]: the identical
     * pattern chain (single-sourced from TextOps.piiPatterns) with DuckDB's
     * 'g' flag matching Spark's replace-all default; counts on the original
@@ -391,6 +441,8 @@ object SparkEntry {
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
       bucketCap = 256),
     "doc_pii_redact" -> piiOracle,
+    "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
+    "doc_pack" -> packOracle(contextTokens = 512),
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,

@@ -674,6 +674,60 @@ object TextOps {
       )
   }
 
+  /** Deterministic stratified sampling — reproducible corpus selection, the
+    * step that turns "take 30% of English, 80% of the rest" into something
+    * re-runnable across engines and re-shuffles: a document is kept iff
+    * `portableHash64(doc_id) % 10000 < rate·10000` for its stratum's rate.
+    * Content-stable (the decision depends only on the key and rate, not on
+    * partitioning, order, or a seed stream), embarrassingly parallel, and
+    * exactly reproducible by the DuckDB oracle through the same sha-prefix
+    * fold. Rates are per-`lang` with a default for unlisted strata.
+    */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    // thresholds become INTEGER literals here, in one place: Spark's
+    // double→long cast truncates while DuckDB's rounds, so the oracle must
+    // never re-derive the threshold from the float rate
+    def thresholdOf(r: Double): Long = (r * 10000.0).toLong
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdOf(defaultRate))) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit(thresholdOf(r))).otherwise(acc)
+      }
+    documents
+      .withColumn("sample_bucket",
+        pmod(portableHash64(col("doc_id").cast("string")), lit(10000L)))
+      .filter(col("sample_bucket") < threshold)
+      .drop("sample_bucket")
+  }
+
+  /** Sequence packing — assign documents to fixed-size context windows for
+    * training-batch construction: within each `lang` partition, documents
+    * are laid out in doc_id order and a document joins the pack its
+    * STARTING token offset falls in (contiguous fill; the pack that a long
+    * document straddles absorbs the overflow — the standard streaming-fill
+    * discretization). One window (running token sum) per partition + one
+    * hash agg; the partition key is what keeps the sort parallel at 100 TB
+    * (a global pack order would funnel the corpus through one sort
+    * partition). Emits per-pack rows: (lang, pack_id, n_docs, total_tokens).
+    */
+  def packDocuments(documents: DataFrame, contextTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div $contextTokens"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"))
+  }
+
   // ------------------------------------------------------------ fingerprints
 
   /** Winnowing document fingerprints (Schleimer et al., MOSS): hash word

@@ -138,6 +138,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_email") == 0L)
   }
 
+  test("stratified sample is deterministic, per-stratum, and order-independent") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "de", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rates = Map("en" -> 0.25, "de" -> 0.75)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextOps.stratifiedSample(df, rates).collect().map(_.getAs[Long]("doc_id")).toSet
+    val kept = ids(docs)
+    // deterministic: same selection on a reshuffled input
+    assert(kept == ids(docs.repartition(7).sortWithinPartitions(col("text"))))
+    // per-stratum rates land near their targets (hash-uniform over 200 each)
+    val en = kept.count(_ % 2 == 0) / 200.0
+    val de = kept.count(_ % 2 == 1) / 200.0
+    assert(math.abs(en - 0.25) < 0.1, s"en rate $en")
+    assert(math.abs(de - 0.75) < 0.1, s"de rate $de")
+  }
+
+  test("sequence packing fills packs in doc order within each lang partition") {
+    import spark.implicits._
+    // 6 docs of 4 tokens each per lang, context = 8 tokens → packs of 2 docs
+    val docs = (for {
+      lang <- Seq("en", "de"); k <- 0 until 6
+    } yield ((if (lang == "en") 100L else 200L) + k,
+      "a b c d", lang, "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val packs = TextOps.packDocuments(docs, contextTokens = 8).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id")) -> r).toMap
+    assert(packs.size == 6) // 3 packs per lang
+    packs.foreach { case ((lang, pid), r) =>
+      assert(r.getAs[Long]("n_docs") == 2L, s"$lang/$pid")
+      assert(r.getAs[Long]("total_tokens") == 8L, s"$lang/$pid")
+    }
+    // packs are contiguous in doc_id order
+    assert(packs(("en", 0L)).getAs[Long]("first_doc_id") == 100L)
+    assert(packs(("en", 0L)).getAs[Long]("last_doc_id") == 101L)
+    assert(packs(("en", 2L)).getAs[Long]("first_doc_id") == 104L)
+  }
+
   test("exact dedup keeps the minimum doc_id as canonical") {
     import spark.implicits._
     val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
