@@ -70,6 +70,14 @@ object GraftFunctions {
         org.apache.spark.sql.functions.regexp_extract_all(
           text, org.apache.spark.sql.functions.lit(TextOps.bpePattern),
           org.apache.spark.sql.functions.lit(0))
+    },
+    colFn("graft_redact_pii", 1,
+      "typed-placeholder PII redaction (email/IP/card/phone)") {
+      case Seq(text) =>
+        TextOps.piiPatterns.foldLeft(text) {
+          case (acc, (_, pat, repl)) =>
+            org.apache.spark.sql.functions.regexp_replace(acc, pat, repl)
+        }
     }
   )
 

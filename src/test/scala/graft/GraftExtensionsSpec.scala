@@ -53,6 +53,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getAs[Int]("nb") == 4) // hello, world, 42, !
   }
 
+  test("graft_redact_pii is SQL-callable and redacts typed placeholders") {
+    import spark.implicits._
+    Seq(("mail bob@x.io from 10.0.0.1", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("t_pii")
+    val out = spark.sql("SELECT graft_redact_pii(text) AS r FROM t_pii")
+      .collect().head.getString(0)
+    assert(out == "mail <EMAIL> from <IP>", out)
+  }
+
   test("graft_dot/graft_cosine accept array<float> via implicit coercion") {
     import spark.implicits._
     // the embeddings table's actual storage type is array<float> — the SQL
