@@ -73,6 +73,11 @@ object SparkEntry {
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     "event_type_approx_users" -> ((s, dir) =>
       Relational.eventTypeApproxUsers(Tables.events(s, dir))),
+    // KMV: the approximate-distinct sketch that still hash-oracles — HLL's
+    // register layout is engine-defined, but k-minimum-values over the
+    // portable hash is deterministic on both engines
+    "event_type_kmv_users" -> ((s, dir) =>
+      Relational.eventTypeKmvUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
     "event_value_percentiles" -> ((s, dir) =>
@@ -443,6 +448,26 @@ object SparkEntry {
     "doc_pii_redact" -> piiOracle,
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
     "doc_pack" -> packOracle(contextTokens = 512),
+    "event_type_kmv_users" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type,
+             list_reduce(list_transform(
+               string_split(substr(sha256(CAST(user_id AS VARCHAR)), 1, 15), ''),
+               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+           FROM events),
+         r AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+         t AS (
+           SELECT event_type, count(*) AS n_seen, max(h) AS kth
+           FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type,
+           floor((CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+             ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
+             * 1e4 + 0.5) / 1e4 AS approx_users
+         FROM t""",
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,

@@ -224,6 +224,38 @@ object Relational {
         count(lit(1)).as("n_events")
       )
 
+  /** Approximate distinct users per event type via a K-MINIMUM-VALUES
+    * sketch — the distributed cardinality sketch that, unlike HLL (whose
+    * register layout is engine-defined), is DETERMINISTIC and hash-oracled:
+    * keep the `k` smallest distinct portable hashes per group; if fewer
+    * than `k` exist the count is exact, else estimate
+    * (k−1) / (kth_min / 2^60) — every step (sha-prefix hash, distinct,
+    * integer order, one double division) is reproducible bit-for-bit in
+    * DuckDB. State per group is O(k) at every stage (the rank window keeps
+    * k rows per group; a production run would use an Aggregator with a
+    * bounded heap — [[graft.functions.BoundedEarliest]]'s shape); sketches
+    * merge by union+re-truncate, the standard KMV property.
+    */
+  def eventTypeKmvUsers(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = events
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .select(col("event_type"),
+        graft.functions.DeterministicAgg.roundFixed(
+          when(col("n_seen") < k, col("n_seen").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("kth").cast("double") / lit(math.pow(2.0, 60)))), 4)
+          .as("approx_users"))
+  }
+
   /** Exact interpolated percentiles (percentile_cont semantics) per group
     * WITHOUT collecting values into an aggregation buffer: rank each row in
     * its group, compute the fractional target rank from the group size, and

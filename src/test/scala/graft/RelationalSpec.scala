@@ -23,6 +23,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch: exact below k, within ~2sigma of exact above k, deterministic") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val est = Relational.eventTypeKmvUsers(events, k = 64)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      // KMV sigma ~ 1/sqrt(64) = 12.5%; allow ~2.5 sigma
+      assert(math.abs(est(k) - e) / e <= 0.32, s"$k kmv=${est(k)} exact=$e")
+    }
+    // below k the sketch IS the exact count
+    val small = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 7L))
+      .toDF("event_type", "user_id")
+    val smallEst = Relational.eventTypeKmvUsers(small, k = 64).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
+    assert(smallEst == Map("a" -> 2.0, "b" -> 1.0))
+    // deterministic under reshuffling (the property HLL cannot oracle)
+    val re = Relational.eventTypeKmvUsers(events.repartition(13), k = 64)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
+    assert(re == est)
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = Relational.pricingRollup(Tables.lineitem(spark, dir)).collect()
     val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
