@@ -129,6 +129,8 @@ object SparkEntry {
         defaultRate = sampleDefaultRate)),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
+    "doc_hybrid_near_dup" -> ((s, dir) =>
+      TextOps.hybridNearDup(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -448,6 +450,37 @@ object SparkEntry {
     "doc_pii_redact" -> piiOracle,
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
     "doc_pack" -> packOracle(contextTokens = 512),
+    "doc_hybrid_near_dup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END AS s
+           FROM toks),
+         p AS (
+           SELECT doc_a, doc_b, jaccard FROM (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+                 AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           WHERE jaccard >= 0.2),
+         e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+               (a, b) -> a + b)) AS nrm
+           FROM embeddings)
+         SELECT p.doc_a, p.doc_b, p.jaccard,
+           floor((list_reduce(list_transform(generate_series(1, len(a.v)),
+             i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm)) * 1e4 + 0.5) / 1e4
+             AS cosine
+         FROM p
+         JOIN e a ON a.vec_id = p.doc_a
+         JOIN e b ON b.vec_id = p.doc_b""",
     "event_type_kmv_users" ->
       """WITH h AS (
            SELECT DISTINCT event_type,

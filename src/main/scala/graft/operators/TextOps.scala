@@ -200,6 +200,33 @@ object TextOps {
     verifiedJaccard(candidates, sh, threshold)
   }
 
+  /** Hybrid (lexical × semantic) near-duplicate scoring — the fusion step a
+    * production dedup review queue runs: exact-recall shingle candidates at
+    * a LOW lexical floor, each pair annotated with the embedding cosine of
+    * the two documents (doc_id ↔ vec_id), so a downstream policy can
+    * threshold on either signal or their combination. Candidates come from
+    * the bounded inverted index ([[nearDupPairs]] machinery — never a cross
+    * join); the cosine annotation is two broadcast-or-shuffle equi-joins on
+    * ids plus one native dot product per pair. Both scores are emitted
+    * (rounded) rather than pre-filtered on cosine: fusion policy belongs to
+    * the caller, recall to the operator.
+    */
+  def hybridNearDup(documents: DataFrame, embeddings: DataFrame,
+                    n: Int = 5, jaccardFloor: Double = 0.2): DataFrame = {
+    val pairs = nearDupPairs(documents, n, jaccardFloor)
+    val vecs = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.operators.Similarity.dot(col("v"), col("v"))))
+    pairs
+      .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("doc_a"))
+      .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        roundFixed(graft.operators.Similarity.dot(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b")), 4).as("cosine"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */
   private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
                               threshold: Double): DataFrame = {

@@ -138,6 +138,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_email") == 0L)
   }
 
+  test("hybrid near-dup annotates every lexical candidate with the embedding cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val hybrid = TextOps.hybridNearDup(docs, embs, jaccardFloor = 0.2).collect()
+    val lexical = TextOps.nearDupPairs(docs, threshold = 0.2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // same pair set (annotation must not change recall), every row scored
+    assert(hybrid.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == lexical)
+    assert(hybrid.nonEmpty)
+    assert(hybrid.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+    assert(hybrid.forall(_.getAs[Double]("jaccard") >= 0.2))
+  }
+
   test("stratified sample is deterministic, per-stratum, and order-independent") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
