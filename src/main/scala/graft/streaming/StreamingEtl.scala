@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.DeterministicAgg.avgRounded
 import graft.model.{AggregatedInfo, TripStation}
@@ -201,6 +201,71 @@ object StreamingEtl {
             if (punctuating) Iterator(result(next)) else Iterator.empty
           }
       }
+  }
+
+  /** [[punctuatedFullSnapshotAgg]] on Spark 4's `transformWithState`
+    * arbitrary-state API (StatefulProcessor + typed ValueState + explicit
+    * event-time timers; requires the RocksDB state store provider). The
+    * newer API is a strictly better fit for the reference punctuator than
+    * flatMapGroupsWithState: expired timers fire for EVERY key with a
+    * registered timer — including keys that received data in the same
+    * microbatch — so the full-store sweep needs no armed-boundary
+    * bookkeeping in state: data merges state and (re)arms the shared
+    * aligned timer; ALL emission happens in handleExpiredTimer.
+    * StreamingEtlSpec asserts it emits the identical snapshot/eviction
+    * sequence as the fMGWS form.
+    */
+  class FullSnapshotProcessor(punctuateEveryMs: Long)
+      extends StatefulProcessor[(String, Long), TripStation, AggregatedInfo] {
+    @transient private var buf: ValueState[TypedAgg.Buf] = _
+    private val agg = new TypedAgg.StationDayAggregator
+
+    private def nextBoundary(wm: Long): Long =
+      (Math.floorDiv(wm, punctuateEveryMs) + 1L) * punctuateEveryMs
+
+    private def result(key: (String, Long), b: TypedAgg.Buf): AggregatedInfo =
+      agg.finish(b).copy(stationName = key._1,
+        eventDay = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(key._2)))
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[TypedAgg.Buf]("buf",
+        Encoders.product[TypedAgg.Buf], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long), rows: Iterator[TripStation],
+                                 timers: TimerValues): Iterator[AggregatedInfo] = {
+      val zero = if (buf.exists()) buf.get() else agg.zero
+      buf.update(rows.foldLeft(zero)(agg.reduce))
+      // the SAME watermark-aligned boundary for every key — one crossing
+      // sweeps the whole store (re-registering an armed timestamp is a
+      // no-op, so each batch may arm it again safely)
+      getHandle.registerTimer(nextBoundary(timers.getCurrentWatermarkInMs()))
+      Iterator.empty // reference cadence: forward only from the punctuator
+    }
+
+    override def handleExpiredTimer(key: (String, Long), timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[AggregatedInfo] = {
+      if (!buf.exists()) return Iterator.empty
+      val out = Iterator.single(result(key, buf.get()))
+      val wm = timers.getCurrentWatermarkInMs()
+      if ((key._2 + 1L) * 86400000L <= wm) buf.clear() // day closed: evict
+      else getHandle.registerTimer(nextBoundary(wm))
+      out
+    }
+  }
+
+  /** [[FullSnapshotProcessor]] wired onto a trip stream. Needs
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the transformWithState requirement). */
+  def punctuatedFullSnapshotAggTws(
+      trips: Dataset[TripStation],
+      punctuateEveryMs: Long = 300000L): Dataset[AggregatedInfo] = {
+    import trips.sparkSession.implicits._
+    trips
+      .withWatermark("tripTime", "1 day")
+      .groupByKey(t => (t.stationName,
+        Math.floorDiv(t.tripTime.getTime, 86400000L)))
+      .transformWithState(new FullSnapshotProcessor(punctuateEveryMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** The anomaly topology in streaming form — the reference's intended

@@ -174,6 +174,56 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState full-snapshot processor matches the fMGWS sweep semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val savedProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TripStation]
+    val q = StreamingEtl.punctuatedFullSnapshotAggTws(input.toDS(), punctuateEveryMs = 300000L)
+      .writeStream.format("memory").queryName("snaptws").outputMode("update").start()
+    try {
+      // identical scenario to the fMGWS test: first drain sweeps both
+      // groups once via the shared aligned timer
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("B", ts("2024-01-01 10:30:00"), "view", 4.0))
+      q.processAllAvailable()
+      val after1 = spark.table("snaptws").collect()
+      assert(after1.count(_.getAs[String]("stationName") == "A") == 1)
+      assert(after1.count(_.getAs[String]("stationName") == "B") == 1)
+
+      // data for A only; the boundary sweep re-emits UNCHANGED B too —
+      // and under TWS the timer fires even for data-carrying keys, no
+      // armed-boundary state needed
+      input.addData(TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 30.0))
+      q.processAllAvailable()
+      val after2 = spark.table("snaptws").collect()
+      val a2 = after2.filter(_.getAs[String]("stationName") == "A")
+      val b2 = after2.filter(_.getAs[String]("stationName") == "B")
+      assert(a2.map(_.getAs[Long]("startedTrips")).toSet == Set(1L, 2L), a2.mkString(","))
+      assert(b2.length == 2 && b2.forall(_.getAs[Long]("endedTrips") == 1L))
+
+      // day close: final snapshot then eviction — no emissions afterwards
+      input.addData(TripStation("D", ts("2024-01-03 12:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val closedA = spark.table("snaptws").collect()
+        .count(_.getAs[String]("stationName") == "A")
+      input.addData(TripStation("D", ts("2024-01-03 18:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("snaptws").collect()
+        .count(_.getAs[String]("stationName") == "A") == closedA)
+    } finally {
+      q.stop()
+      savedProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming window anomalies emit scored windows (anomalies-topic path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
