@@ -64,8 +64,31 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("no pair-finder plans a cartesian product") {
     Seq("doc_near_dup_pairs", "doc_minhash_pairs", "doc_simhash_pairs",
-      "emb_lsh_pairs").foreach { q =>
+      "emb_lsh_pairs", "doc_hybrid_near_dup").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
+  }
+
+  test("doc_pii_redact and doc_sample are shuffle-free per-row plans") {
+    Seq("doc_pii_redact", "doc_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("doc_pack: window AND pack agg share ONE exchange on lang") {
+    val p = plan("doc_pack")
+    // hashpartitioning(lang) from the running-sum window satisfies the
+    // (lang, pack_id) agg's clustered distribution — the whole pipeline is
+    // one shuffle, and the sort is partition-parallel, never global
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), s"global sort funnel:\n$p")
+  }
+
+  test("event_type_kmv_users: the rank window bounds state; no cartesian, no global sort") {
+    val p = plan("event_type_kmv_users")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 }
