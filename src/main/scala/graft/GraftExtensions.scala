@@ -73,11 +73,7 @@ object GraftFunctions {
     },
     colFn("graft_redact_pii", 1,
       "typed-placeholder PII redaction (email/IP/card/phone)") {
-      case Seq(text) =>
-        TextOps.piiPatterns.foldLeft(text) {
-          case (acc, (_, pat, repl)) =>
-            org.apache.spark.sql.functions.regexp_replace(acc, pat, repl)
-        }
+      case Seq(text) => TextOps.redactChain(text)
     }
   )
 

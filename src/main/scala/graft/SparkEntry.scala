@@ -163,6 +163,15 @@ object SparkEntry {
       operators.Multimodal.frameSampleStats(Tables.documents(s, dir)))
   )
 
+  /** THE portable-hash contract in SQL — the DuckDB replica of
+    * [[graft.operators.TextOps.portableHash64]] (leading 15 sha256 nibbles
+    * folded to a bigint). Single-sourced: every oracle that recomputes the
+    * portable hash interpolates this one string, so the contract cannot
+    * drift per-oracle. */
+  private def shaFoldSql(arg: String): String =
+    s"""list_reduce(list_transform(string_split(substr(sha256($arg), 1, 15), ''),
+       c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"""
+
   /** DuckDB replica of [[graft.operators.TextOps.simhashPortable]]: token
     * hashes from the same sha256-prefix fold, then per-bit majority vote
     * assembled into bit positions 59..0 — generated as 60 CASE terms. */
@@ -173,8 +182,7 @@ object SparkEntry {
     s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
         FROM (SELECT doc_id,
           list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-            t -> list_reduce(list_transform(string_split(substr(sha256(t), 1, 15), ''),
-              c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)) AS hs
+            t -> ${shaFoldSql("t")}) AS hs
           FROM documents)"""
   }
 
@@ -378,6 +386,32 @@ object SparkEntry {
         WHERE c0 >= $threshold"""
   }
 
+  /** Shared shingle CTEs (`toks`, `sh`) and the verified-Jaccard pair
+    * subquery — THE lexical near-dup contract in SQL, single-sourced for
+    * every oracle that replays [[graft.operators.TextOps.nearDupPairs]]
+    * (near_dup / minhash / clusters / hybrid differ only in threshold and
+    * what wraps the pairs). */
+  private def shingleCtes: String =
+    s"""toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 5 THEN
+              list_distinct(list_transform(generate_series(1, len(t) - 4),
+                i -> array_to_string(t[i:i+4], ' ')))
+            ELSE CAST([] AS VARCHAR[]) END AS s
+          FROM toks)"""
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+              AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= $threshold"""
+
   /** Stratified-sample parameterization shared by the query and its oracle. */
   private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
   private val sampleDefaultRate = 0.8
@@ -394,10 +428,7 @@ object SparkEntry {
       .mkString(" ")
     s"""SELECT doc_id, text, lang, source, n_chars FROM (
           SELECT *,
-            list_reduce(list_transform(
-              string_split(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15), ''),
-              c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-              (a, b) -> a * 16 + b) % 10000 AS sample_bucket
+            ${shaFoldSql("CAST(doc_id AS VARCHAR)")} % 10000 AS sample_bucket
           FROM documents)
         WHERE sample_bucket < (CASE $cases ELSE ${thresholdOf(defaultRate)} END)"""
   }
@@ -451,24 +482,8 @@ object SparkEntry {
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 5 THEN
-               list_distinct(list_transform(generate_series(1, len(t) - 4),
-                 i -> array_to_string(t[i:i+4], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS s
-           FROM toks),
-         p AS (
-           SELECT doc_a, doc_b, jaccard FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
-                 AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.2),
+      s"""WITH $shingleCtes,
+         p AS (${jaccardPairsSql(0.2)}),
          e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
@@ -479,16 +494,13 @@ object SparkEntry {
              i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm)) * 1e4 + 0.5) / 1e4
              AS cosine
          FROM p
-         JOIN e a ON a.vec_id = p.doc_a
-         JOIN e b ON b.vec_id = p.doc_b""",
+         LEFT JOIN e a ON a.vec_id = p.doc_a
+         LEFT JOIN e b ON b.vec_id = p.doc_b""",
     "event_type_kmv_users" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT DISTINCT event_type,
-             list_reduce(list_transform(
-               string_split(substr(sha256(CAST(user_id AS VARCHAR)), 1, 15), ''),
-               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-               (a, b) -> a * 16 + b) AS h
-           FROM events),
+             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events WHERE user_id IS NOT NULL),
          r AS (
            SELECT event_type, h,
              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -717,42 +729,8 @@ object SparkEntry {
     "doc_dedup_docs" ->
       """SELECT d.* FROM documents d
          WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",
-    "doc_near_dup_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 5 THEN
-               list_distinct(list_transform(generate_series(1, len(t) - 4),
-                 i -> array_to_string(t[i:i+4], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS s
-           FROM toks)
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
-               AS jaccard
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.4""",
-    "doc_minhash_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 5 THEN
-               list_distinct(list_transform(generate_series(1, len(t) - 4),
-                 i -> array_to_string(t[i:i+4], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS s
-           FROM toks)
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
-               AS jaccard
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         WHERE jaccard >= 0.7""",
+    "doc_near_dup_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.4)}",
+    "doc_minhash_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.7)}",
     "doc_language_id" ->
       """SELECT doc_id, lang,
            CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
@@ -803,24 +781,8 @@ object SparkEntry {
            FROM documents)
          GROUP BY 1, 2""",
     "doc_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 5 THEN
-               list_distinct(list_transform(generate_series(1, len(t) - 4),
-                 i -> array_to_string(t[i:i+4], ' ')))
-             ELSE CAST([] AS VARCHAR[]) END AS s
-           FROM toks),
-         pairs AS (
-           SELECT doc_a, doc_b FROM (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
-                 AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-           WHERE jaccard >= 0.4),
+      s"""WITH RECURSIVE $shingleCtes,
+         pairs AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.4)})),
          edges AS (
            SELECT doc_a AS a, doc_b AS b FROM pairs
            UNION SELECT doc_b, doc_a FROM pairs),
@@ -882,16 +844,13 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          GROUP BY 1""",
     "doc_fingerprints" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
            FROM documents),
          grams AS (
            SELECT doc_id, i - 1 AS pos,
-             list_reduce(list_transform(
-               string_split(substr(sha256(array_to_string(t[i:i+2], ' ')), 1, 15), ''),
-               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-               (a, b) -> a * 16 + b) AS h
+             ${shaFoldSql("array_to_string(t[i:i+2], ' ')")} AS h
            FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
            WHERE len(t) >= 3),
          win AS (

@@ -231,14 +231,23 @@ object Relational {
     * than `k` exist the count is exact, else estimate
     * (k−1) / (kth_min / 2^60) — every step (sha-prefix hash, distinct,
     * integer order, one double division) is reproducible bit-for-bit in
-    * DuckDB. State per group is O(k) at every stage (the rank window keeps
-    * k rows per group; a production run would use an Aggregator with a
-    * bounded heap — [[graft.functions.BoundedEarliest]]'s shape); sketches
-    * merge by union+re-truncate, the standard KMV property.
+    * DuckDB. NULL user_ids are filtered before hashing (cardinality of the
+    * non-null values, like approx_count_distinct) — also a determinism
+    * requirement: Spark sorts NULL first, DuckDB last, so a surviving NULL
+    * hash would shift the k-th minimum between engines.
+    *
+    * This ORACLE-SHAPED form ranks via a window, whose per-group state is
+    * O(distinct), NOT O(k) — fine for the gate, not the 100 TB shape. At
+    * scale the same sketch runs as a bounded-heap Aggregator (exactly
+    * [[graft.functions.BoundedEarliest]]'s O(k)-buffer pattern over hashes
+    * instead of timestamps), kept out of this query so the oracle stays a
+    * plain SQL replica; sketches merge by union+re-truncate, the standard
+    * KMV property.
     */
   def eventTypeKmvUsers(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = events
+      .filter(col("user_id").isNotNull)
       .select(col("event_type"),
         graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
       .distinct()

@@ -209,7 +209,10 @@ object TextOps {
     * join); the cosine annotation is two broadcast-or-shuffle equi-joins on
     * ids plus one native dot product per pair. Both scores are emitted
     * (rounded) rather than pre-filtered on cosine: fusion policy belongs to
-    * the caller, recall to the operator.
+    * the caller, recall to the operator — which is also why the embedding
+    * joins are LEFT joins: a pair whose document has no embedding row keeps
+    * its lexical score with a null cosine instead of silently vanishing
+    * from the review queue (round-4 review finding).
     */
   def hybridNearDup(documents: DataFrame, embeddings: DataFrame,
                     n: Int = 5, jaccardFloor: Double = 0.2): DataFrame = {
@@ -219,9 +222,9 @@ object TextOps {
       .withColumn("nrm", sqrt(graft.operators.Similarity.dot(col("v"), col("v"))))
     pairs
       .join(vecs.select(col("vec_id").as("doc_a"), col("v").as("v_a"),
-        col("nrm").as("nrm_a")), Seq("doc_a"))
+        col("nrm").as("nrm_a")), Seq("doc_a"), "left")
       .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("v_b"),
-        col("nrm").as("nrm_b")), Seq("doc_b"))
+        col("nrm").as("nrm_b")), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         roundFixed(graft.operators.Similarity.dot(col("v_a"), col("v_b")) /
           (col("nrm_a") * col("nrm_b")), 4).as("cosine"))
@@ -537,10 +540,16 @@ object TextOps {
     * parallel, no shuffle, and the oracle replays the identical pattern
     * chain with DuckDB's global-replace flag.
     */
-  def redactPii(documents: DataFrame): DataFrame = {
-    val redacted = piiPatterns.foldLeft(col("text")) {
+  /** The redaction chain itself — ONE builder shared by [[redactPii]] and
+    * the `graft_redact_pii` SQL function, so the fold order and
+    * pattern/replacement pairing cannot drift between surfaces. */
+  def redactChain(text: Column): Column =
+    piiPatterns.foldLeft(text) {
       case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
     }
+
+  def redactPii(documents: DataFrame): DataFrame = {
+    val redacted = redactChain(col("text"))
     documents.select(
       (col("doc_id") +: redacted.as("redacted_text") +:
         piiPatterns.map { case (kind, pat, _) =>

@@ -42,6 +42,20 @@ class RelationalSpec extends AnyFunSuite {
     val smallEst = Relational.eventTypeKmvUsers(small, k = 64).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
     assert(smallEst == Map("a" -> 2.0, "b" -> 1.0))
+    // the ESTIMATOR branch needs a group with > k distinct users — the real
+    // events table at this sf stays below k, which made the accuracy bound
+    // vacuous (round-4 review finding): 400 distinct at k=64, sigma ~12.5%
+    val big = (1L to 400L).map(u => ("t", u)).toDF("event_type", "user_id")
+    val bigEst = Relational.eventTypeKmvUsers(big, k = 64).collect()
+      .head.getAs[Double]("approx_users")
+    assert(bigEst != 400.0, "estimator branch did not run")
+    assert(math.abs(bigEst - 400.0) / 400.0 <= 0.32, s"kmv=$bigEst exact=400")
+    // and NULL user_ids are ignored, not hashed (Spark sorts NULL first,
+    // DuckDB last — a surviving null would shift the k-th minimum)
+    val withNulls = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null.asInstanceOf[java.lang.Long]))
+      .toDF("event_type", "user_id")
+    assert(Relational.eventTypeKmvUsers(withNulls, k = 64).collect()
+      .head.getAs[Double]("approx_users") == 1.0)
     // deterministic under reshuffling (the property HLL cannot oracle)
     val re = Relational.eventTypeKmvUsers(events.repartition(13), k = 64)
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
