@@ -68,7 +68,40 @@ object StreamSmoke {
     val nStream = anomLast.count()
     val nBatch = anomBatch.count()
     println(s"ANOM_STREAM_GROUPS=$nStream ANOM_BATCH_GROUPS=$nBatch ANOM_OK=${nStream == nBatch}")
+
+    // exact-T2 full-snapshot punctuation (transformWithState/RocksDB) over
+    // the same real staged stream: the boundary sweep's latest snapshot per
+    // (station, day) must match the batch aggregate's integer columns
+    // (avg stays out — the stream folds doubles in arrival order, the
+    // batch path is decimal-exact; the typed finish() is the raw mean)
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream3 = StreamingEtl.readEventsStream(spark, staged.toString)
+    val trips3 = TripEtl.enrichTrips(stream3, stations)
+      .select(col("station_name").as("stationName"),
+        col("trip_time").as("tripTime"),
+        col("trip_type").as("tripType"), col("temperature"))
+      .as[graft.model.TripStation]
+    val q3 = StreamingEtl.punctuatedFullSnapshotAggTws(trips3)
+      .writeStream.format("memory").queryName("stream_snap")
+      .outputMode("update").start()
+    q3.processAllAvailable()
+    q3.stop()
+    val snapLast = spark.table("stream_snap")
+      .withColumn("rn", monotonically_increasing_id())
+      .groupBy(col("stationName").as("station_name"),
+        col("eventDay").as("event_day"))
+      .agg(
+        max_by(col("startedTrips"), col("rn")).as("started_trips"),
+        max_by(col("endedTrips"), col("rn")).as("ended_trips"),
+        max_by(col("updateTime"), col("rn")).as("update_time"))
+    val batchInts = batch.select("station_name", "event_day",
+      "started_trips", "ended_trips", "update_time")
+    val snapDiff = snapLast.exceptAll(batchInts).count() +
+      batchInts.exceptAll(snapLast).count()
+    println(s"SNAP_GROUPS=${snapLast.count()} SNAP_OK=${snapDiff == 0}")
     spark.stop()
-    if (diff != 0 || nStream != nBatch) sys.exit(1)
+    if (diff != 0 || nStream != nBatch || snapDiff != 0) sys.exit(1)
   }
 }

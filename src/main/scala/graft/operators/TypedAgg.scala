@@ -19,12 +19,26 @@ import graft.model.{AggregatedInfo, TripStation}
   */
 object TypedAgg {
 
+  /** `maxTime` is event-time MICROSECONDS (TimestampType's native
+    * precision). `Timestamp.getTime` alone is millis — folding through it
+    * silently truncated update_time against the batch path on real data
+    * (sub-millisecond event times; caught by StreamSmoke's snapshot
+    * equality check). */
   final case class Buf(
       started: Long,
       ended: Long,
       tempSum: Double,
       tempCount: Long,
       maxTime: Long)
+
+  def toMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Aggregates one (station, day) group of TripStation rows. Keyed use:
     * `ds.groupByKey(t => (t.stationName, day(t.tripTime))).agg(agg.toColumn)`.
@@ -39,7 +53,7 @@ object TypedAgg {
       b.ended + (if (t.tripType == "purchase") 0L else 1L),
       b.tempSum + t.temperature,
       b.tempCount + 1L,
-      math.max(b.maxTime, t.tripTime.getTime)
+      math.max(b.maxTime, toMicros(t.tripTime))
     )
 
     override def merge(a: Buf, b: Buf): Buf = Buf(
@@ -56,7 +70,7 @@ object TypedAgg {
       startedTrips = b.started,
       endedTrips = b.ended,
       avgTemperature = if (b.tempCount == 0) 0.0 else b.tempSum / b.tempCount,
-      updateTime = new java.sql.Timestamp(b.maxTime)
+      updateTime = fromMicros(b.maxTime)
     )
 
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
