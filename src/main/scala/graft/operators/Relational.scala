@@ -237,12 +237,11 @@ object Relational {
     * hash would shift the k-th minimum between engines.
     *
     * This ORACLE-SHAPED form ranks via a window, whose per-group state is
-    * O(distinct), NOT O(k) — fine for the gate, not the 100 TB shape. At
-    * scale the same sketch runs as a bounded-heap Aggregator (exactly
-    * [[graft.functions.BoundedEarliest]]'s O(k)-buffer pattern over hashes
-    * instead of timestamps), kept out of this query so the oracle stays a
-    * plain SQL replica; sketches merge by union+re-truncate, the standard
-    * KMV property.
+    * O(distinct), NOT O(k) — fine for the gate, not the 100 TB shape. The
+    * production form is [[eventTypeKmvUsersBounded]] ([[graft.functions.KmvSketch]],
+    * O(k) buffers at every stage, merge = union + re-truncate), asserted
+    * result-identical in RelationalSpec; this query stays the driver entry
+    * so the oracle remains a plain SQL replica.
     */
   def eventTypeKmvUsers(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -263,6 +262,26 @@ object Relational {
             .otherwise(lit((k - 1).toDouble) /
               (col("kth").cast("double") / lit(math.pow(2.0, 60)))), 4)
           .as("approx_users"))
+  }
+
+  /** The PRODUCTION form of [[eventTypeKmvUsers]]: the same KMV sketch as a
+    * bounded [[graft.functions.KmvSketch]] Aggregator — O(k) aggregation
+    * state at every stage (map-side partials included), one partial+final
+    * hash agg, no window sort over the distinct values. Identical results
+    * to the window form by construction (same distinct-hash set → same
+    * k-th minimum → same division), asserted in RelationalSpec; the window
+    * form stays the driver query because its oracle is a plain SQL replica.
+    */
+  def eventTypeKmvUsersBounded(events: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.DeterministicAgg.roundFixed(kmv(col("h")), 4)
+        .as("approx_users"))
   }
 
   /** Exact interpolated percentiles (percentile_cont semantics) per group

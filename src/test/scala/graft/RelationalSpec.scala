@@ -60,6 +60,16 @@ class RelationalSpec extends AnyFunSuite {
     val re = Relational.eventTypeKmvUsers(events.repartition(13), k = 64)
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
     assert(re == est)
+    // the O(k)-state Aggregator form computes the IDENTICAL sketch (same
+    // distinct-hash set -> same k-th minimum -> same estimate) on both the
+    // real corpus and the estimator-branch synthetic
+    val bounded = Relational.eventTypeKmvUsersBounded(events, k = 64)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
+    assert(bounded == est, s"bounded=$bounded window=$est")
+    assert(Relational.eventTypeKmvUsersBounded(big, k = 64).collect()
+      .head.getAs[Double]("approx_users") ==
+      Relational.eventTypeKmvUsers(big, k = 64).collect()
+        .head.getAs[Double]("approx_users"))
   }
 
   test("rollup emits leaf, subtotal, and grand-total rows") {
