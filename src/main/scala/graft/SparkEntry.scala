@@ -131,6 +131,8 @@ object SparkEntry {
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
     "doc_hybrid_near_dup" -> ((s, dir) =>
       TextOps.hybridNearDup(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    "doc_vocab" -> ((s, dir) =>
+      TextOps.vocabTopTerms(Tables.documents(s, dir), topN = 1000)),
 
     // --- LLM-pipeline: similarity search over `embeddings` ---
     "emb_knn" -> ((s, dir) =>
@@ -496,6 +498,16 @@ object SparkEntry {
          FROM p
          LEFT JOIN e a ON a.vec_id = p.doc_a
          LEFT JOIN e b ON b.vec_id = p.doc_b""",
+    "doc_vocab" ->
+      """WITH c AS (
+           SELECT term, count(*) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS term
+             FROM documents)
+           GROUP BY 1)
+         SELECT term, n,
+           CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
+         FROM c ORDER BY n DESC, term ASC LIMIT 1000""",
     "event_type_kmv_users" ->
       s"""WITH h AS (
            SELECT DISTINCT event_type,

@@ -710,6 +710,25 @@ object TextOps {
       )
   }
 
+  /** Corpus vocabulary — the top-`topN` terms by document-corpus frequency
+    * with a deterministic rank (count desc, term asc), the table a
+    * tokenizer-training run starts from. Shaped for scale: one partial+final
+    * hash agg over exploded tokens, then orderBy+limit (Spark plans
+    * TakeOrdered — per-partition top-N + merge, never a global sort) and a
+    * rank window over the ≤topN survivors only (bounded regardless of
+    * vocabulary size).
+    */
+  def vocabTopTerms(documents: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(topN)
+    counts.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+  }
+
   /** Deterministic stratified sampling — reproducible corpus selection, the
     * step that turns "take 30% of English, 80% of the rest" into something
     * re-runnable across engines and re-shuffles: a document is kept iff

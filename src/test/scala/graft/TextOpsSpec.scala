@@ -138,6 +138,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("n_email") == 0L)
   }
 
+  test("vocab: deterministic (count desc, term asc) rank, limit respected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c", "en", "s", 0L),
+      (2L, "a d", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.vocabTopTerms(docs, topN = 3).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"), r.getAs[Long]("rnk")))
+    // a and b tie at 3 → 'a' wins the tie alphabetically; d (1) is cut
+    assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)), out.mkString(","))
+  }
+
   test("hybrid near-dup annotates every lexical candidate with the embedding cosine") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
