@@ -493,7 +493,8 @@ object SparkEntry {
            FROM embeddings)
          SELECT p.doc_a, p.doc_b, p.jaccard,
            floor((list_reduce(list_transform(generate_series(1, len(a.v)),
-             i -> a.v[i] * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm)) * 1e4 + 0.5) / 1e4
+             i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+             / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4
              AS cosine
          FROM p
          LEFT JOIN e a ON a.vec_id = p.doc_a

@@ -28,39 +28,19 @@ final class BoundedEarliest(k: Int)
     extends Aggregator[Timestamp, Array[Long], Seq[Timestamp]] {
   require(k > 0, "k must be positive")
 
-  // buffer: epoch-micros, max-heap order maintained manually on a plain
-  // array (Encoders handle Array[Long] natively; a PriorityQueue would need
-  // a custom encoder)
+  // buffer: epoch-micros, bounded-min discipline shared with KmvSketch via
+  // BoundedMinBuffer (Encoders handle Array[Long] natively)
   override def zero: Array[Long] = Array.empty[Long]
 
-  private def push(buf: Array[Long], v: Long): Array[Long] =
-    if (buf.length < k) {
-      buf :+ v
-    } else {
-      // replace current max if the new value is earlier
-      var maxIdx = 0
-      var i = 1
-      while (i < buf.length) { if (buf(i) > buf(maxIdx)) maxIdx = i; i += 1 }
-      if (v < buf(maxIdx)) { val out = buf.clone(); out(maxIdx) = v; out }
-      else buf
-    }
-
-  private def toMicros(ts: Timestamp): Long = {
-    val i = ts.toInstant
-    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
-  }
-
   override def reduce(buf: Array[Long], ts: Timestamp): Array[Long] =
-    push(buf, toMicros(ts))
+    BoundedMinBuffer.push(buf, graft.operators.TypedAgg.toMicros(ts), k,
+      distinct = false)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(push)
+    b.foldLeft(a)((acc, v) => BoundedMinBuffer.push(acc, v, k, distinct = false))
 
   override def finish(buf: Array[Long]): Seq[Timestamp] =
-    buf.sorted.toSeq.map { micros =>
-      Timestamp.from(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
-    }
+    buf.sorted.toSeq.map(graft.operators.TypedAgg.fromMicros)
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

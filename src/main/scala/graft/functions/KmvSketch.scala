@@ -21,15 +21,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * `TextOps.portableHash64(user_id)`), so the Aggregator composes with any
   * key type and the hash contract stays in one place.
   */
-final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
-  require(k > 1, "k must be > 1 (the estimator divides by k-1)")
-
-  override def zero: Array[Long] = Array.empty[Long]
-
-  /** Insert keeping the ≤k smallest distinct values, O(k) per push. */
-  private def push(buf: Array[Long], v: Long): Array[Long] = {
+/** The ONE bounded-k-minimum buffer discipline, shared by
+  * [[BoundedEarliest]] (earliest timestamps, duplicates kept) and
+  * [[KmvSketch]] (smallest distinct hashes): keep ≤k values on a plain
+  * array, replacing the current maximum when a smaller value arrives —
+  * O(k) per push, O(k) state at every aggregation stage. */
+private[functions] object BoundedMinBuffer {
+  def push(buf: Array[Long], v: Long, k: Int, distinct: Boolean): Array[Long] = {
     var i = 0
-    while (i < buf.length) { if (buf(i) == v) return buf; i += 1 }
+    if (distinct) {
+      while (i < buf.length) { if (buf(i) == v) return buf; i += 1 }
+    }
     if (buf.length < k) buf :+ v
     else {
       var maxIdx = 0
@@ -39,11 +41,18 @@ final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
       else buf
     }
   }
+}
 
-  override def reduce(buf: Array[Long], h: Long): Array[Long] = push(buf, h)
+final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
+  require(k > 1, "k must be > 1 (the estimator divides by k-1)")
+
+  override def zero: Array[Long] = Array.empty[Long]
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    BoundedMinBuffer.push(buf, h, k, distinct = true)
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
-    b.foldLeft(a)(push)
+    b.foldLeft(a)((acc, v) => BoundedMinBuffer.push(acc, v, k, distinct = true))
 
   override def finish(buf: Array[Long]): Double =
     if (buf.length < k) buf.length.toDouble

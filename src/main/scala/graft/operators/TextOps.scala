@@ -226,8 +226,11 @@ object TextOps {
       .join(vecs.select(col("vec_id").as("doc_b"), col("v").as("v_b"),
         col("nrm").as("nrm_b")), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        // nullif guards a zero-norm embedding: Spark's non-ANSI divide
+        // yields NULL on a zero divisor where DuckDB's IEEE division gives
+        // NaN/inf — nullif makes BOTH engines emit NULL (review finding)
         roundFixed(graft.operators.Similarity.dot(col("v_a"), col("v_b")) /
-          (col("nrm_a") * col("nrm_b")), 4).as("cosine"))
+          nullif(col("nrm_a") * col("nrm_b"), lit(0.0)), 4).as("cosine"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets. */

@@ -458,6 +458,33 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless text operators compose unchanged onto a stream (PII redact + sample)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // redactPii and stratifiedSample are pure per-row plans, so the SAME
+    // operator call runs on a streaming frame — no streaming-specific
+    // variant needed; this pins that composition property
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.operators.TextOps.redactPii(
+      graft.operators.TextOps.stratifiedSample(docs,
+        rates = Map("en" -> 1.0), defaultRate = 0.0))
+      .writeStream.format("memory").queryName("stream_pii").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "mail bob@x.io now", "en", "s", 0L),
+        (2L, "kept text", "en", "s", 0L),
+        (3L, "dropped stratum", "de", "s", 0L))
+      q.processAllAvailable()
+      val rows = spark.table("stream_pii").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted_text")).toMap
+      assert(!rows.contains(3L)) // de stratum sampled out at rate 0
+      assert(rows(1L) == "mail <EMAIL> now")
+      assert(rows(2L) == "kept text")
+    } finally q.stop()
+  }
+
   test("toKafkaShape produces key/value JSON strings that round-trip") {
     import spark.implicits._
     val df = Seq(("A", 2L, 20.0)).toDF("station_name", "started", "avg_temp")

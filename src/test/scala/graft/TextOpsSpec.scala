@@ -161,6 +161,9 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hybrid.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       == lexical)
     assert(hybrid.nonEmpty)
+    // every row genuinely scored: NULL would unbox to 0.0 through
+    // getAs[Double] and pass the range check silently (review finding)
+    assert(hybrid.forall(r => !r.isNullAt(r.fieldIndex("cosine"))))
     assert(hybrid.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
     assert(hybrid.forall(_.getAs[Double]("jaccard") >= 0.2))
   }

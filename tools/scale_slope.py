@@ -130,9 +130,10 @@ def main(base: str, work: str) -> int:
             sum1 += t1[q]
             sum10 += t10[q]
             # exempt a ratio from the bound only when BOTH sides sit in the
-            # start-up-jitter band: a tiny 1x with a LARGE 10x is a real
-            # superlinear blow-up, not noise (round-4 review finding)
-            stable = t1[q] >= 0.75 or t10[q] >= 15 * 0.75
+            # start-up-jitter band (~2s of 10x work is measurement, not
+            # jitter): a tiny 1x with a large 10x is a real superlinear
+            # blow-up and must count (round-4 review findings, twice)
+            stable = t1[q] >= 0.75 or t10[q] >= 2.0
             if stable:
                 worst = max(worst, ratio)
             lines.append(f"| {q} | {t1[q]:.2f} | {t10[q]:.2f} | {ratio:.1f}x"
