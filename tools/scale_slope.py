@@ -12,7 +12,13 @@ rows (naive replication plants 10 exact copies of every document/vector,
 which multiplies true near-dup pairs ~100x and makes any pair-finder look
 superlinear through no fault of its plan):
   - documents: copy k > 0 prefixes every token with "c<k>" — within-copy
-    Jaccard structure identical to the base corpus, zero cross-copy overlap.
+    Jaccard structure identical to the base corpus, zero cross-copy
+    overlap. (A char-neutral Caesar shift was tried and REVERTED: on a
+    31-word vocabulary, shifts of different copies collide — shift k1 of
+    word A equals shift k2 of word B — which explodes the inverted-index
+    candidates ~65x. The prefix keeps copies provably disjoint at the cost
+    of ~1.4x more characters per copy, so per-CHARACTER operators see up
+    to ~14x work for 10x rows — still under the 15x bound.)
   - embeddings: copy k > 0 multiplies each vector elementwise by a seeded
     random +-1 mask — norms and per-dim distributions identical, cross-copy
     cosines ~0 (sign flips decorrelate).
@@ -79,7 +85,7 @@ def build_corpus(base: str, out: str) -> None:
         os.path.join(out, "embeddings.parquet"))
 
 
-def bench(sf_dir: str) -> dict:
+def bench(sf_dir: str, reps: int = 2) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_QUERIES=PREFIXES)
     # graft.Bench writes bench.json in cwd — the repo's TRACKED driver
@@ -90,11 +96,19 @@ def bench(sf_dir: str) -> dict:
         with open("bench.json") as f:
             saved = f.read()
     try:
-        subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
-                       check=True, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-        with open("bench.json") as f:
-            return json.load(f)["queries"]
+        # per-query MIN over `reps` full bench runs: sub-second timings
+        # jitter +-40% run to run, and the minimum is the standard
+        # noise-floor estimator — one inflated sample must not decide a
+        # slope ratio
+        best: dict = {}
+        for _ in range(reps):
+            subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            with open("bench.json") as f:
+                for q, t in json.load(f)["queries"].items():
+                    best[q] = min(best.get(q, float("inf")), t)
+        return best
     finally:
         if saved is not None:
             with open("bench.json", "w") as f:
@@ -115,10 +129,9 @@ def main(base: str, work: str) -> int:
         "finders (df-cap / bands / auto-bits+rank-cap / N*R*W) are the "
         "queries this evidences. Notes: prefixed-copy texts are ~1.4x "
         "longer per doc, so per-CHARACTER operators legitimately see up to "
-        "~14x work for 10x rows; per-query ratios with a sub-0.75s 1x "
-        "time are noise-dominated (start-up jitter rivals the runtime) and "
-        "are excluded from the bound — the headline slope is the TOTAL "
-        "ratio, which amortizes that jitter.",
+        "~14x work for 10x rows; per-query ratios where BOTH timings sit "
+        "in the start-up-jitter band are excluded from the bound; the "
+        "headline slope is the TOTAL ratio, which amortizes jitter.",
         "",
         "| query | 1x sec | 10x sec | ratio |",
         "|---|---|---|---|",
