@@ -338,6 +338,104 @@ object StreamingEtl {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** A banded-candidate row for [[nearDupCandidatesStreaming]]. */
+  final case class BandedDoc(band: Int, bh: Long, docId: Long,
+                             ts: java.sql.Timestamp)
+
+  /** Band-bucket state for [[nearDupCandidatesStreaming]]: registered doc
+    * ids plus the bucket's last event-time activity — the TTL timer anchors
+    * to `lastMs`, NOT to the watermark at arm time (a timer armed off the
+    * initial zero watermark would fire on the first watermark jump and
+    * evict every fresh bucket). */
+  final case class BandState(ids: Array[Long], lastMs: Long)
+
+  /** An emitted near-duplicate candidate pair (verification is the exact
+    * batch Jaccard — candidates are the streaming-time product). */
+  final case class NearDupCandidate(docA: Long, docB: Long, band: Int)
+
+  /** Streaming MinHash-LSH NEAR-duplicate candidates at ingest — the
+    * streaming sibling of the batch [[graft.operators.TextOps.minhashPairs]]
+    * (the exact-dup analog is [[dedupedDocsStreaming]]): a new document is
+    * checked against everything that ever shared one of its LSH band keys,
+    * across microbatches, without an unbounded join.
+    *
+    * The signature is computed STATELESSLY per row (64 seeded
+    * `array_min(transform(shingleHashes, xxhash64(seed, _)))` expressions —
+    * the same minima the batch explode+agg form produces, just without its
+    * shuffle, which matters here because a streaming query allows only ONE
+    * stateful operator and that budget is spent on the band state). Band
+    * keys explode to (band, bandHash) and the single stateful op is
+    * flatMapGroupsWithState keyed on them: state = up to `bandCap` doc ids
+    * per band bucket (the same rank-cap discipline as the batch LSH path —
+    * O(bandCap) state per key, a hot bucket degrades recall, never memory),
+    * evicted wholesale once the watermark passes the bucket's last activity
+    * by `stateTtl`. Emitted pairs are candidates from SOME shared band;
+    * verification (exact Jaccard over shingle sets) stays a batch
+    * concern, exactly like the batch pipeline's verify stage.
+    */
+  def nearDupCandidatesStreaming(docs: DataFrame, tsCol: String = "ingest_ts",
+                                 n: Int = 5, numHashes: Int = 64,
+                                 bandRows: Int = 2, bandCap: Int = 64,
+                                 watermark: String = "1 hour",
+                                 stateTtlMs: Long = 7200000L): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.TextOps
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    require(stateTtlMs > 0, "stateTtlMs must be positive")
+    val ttl = stateTtlMs
+
+    // stateless signature: shingle hashes once, then 64 per-row minima
+    val sh = docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        array_distinct(graft.functions.VectorExpressions.gramXxHashes(
+          TextOps.tokens(col("text")), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sigs = sh.select(col("doc_id") +: col("ts") +: sigCols: _*)
+    val numBands = numHashes / bandRows
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("k"))
+      .select(col("k.band").as("band"), col("k.bh").as("bh"),
+        col("doc_id").as("docId"), col("ts"))
+      .as[BandedDoc]
+
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BandState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // bucket idle past the TTL: evict wholesale
+            Iterator.empty
+          } else {
+            val prevState = state.getOption.getOrElse(BandState(Array.empty, 0L))
+            var ids = prevState.ids
+            var lastMs = prevState.lastMs
+            val out = scala.collection.mutable.ArrayBuffer[NearDupCandidate]()
+            rows.foreach { r =>
+              lastMs = math.max(lastMs, r.ts.getTime)
+              if (!ids.contains(r.docId)) {
+                ids.foreach(prev => out += NearDupCandidate(
+                  math.min(prev, r.docId), math.max(prev, r.docId), band))
+                if (ids.length < bandCap) ids = ids :+ r.docId
+              }
+            }
+            state.update(BandState(ids, lastMs))
+            // anchor the TTL to the bucket's own last activity (and always
+            // strictly ahead of the current watermark, as Spark requires)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, lastMs + ttl))
+            out.iterator
+          }
+      }
+  }
+
   /** Stream–stream interval join (the one join class the reference's
     * framework does with windowed join stores): purchases matched to the
     * same user's errors in the preceding `windowMinutes`. Both sides carry

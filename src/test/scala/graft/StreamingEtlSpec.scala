@@ -458,6 +458,42 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH flags near-dup candidates across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = StreamingEtl.nearDupCandidatesStreaming(docs)
+      .writeStream.format("memory").queryName("snddup").outputMode("append").start()
+    try {
+      val base = (1 to 12).map(i => s"w$i").mkString(" ")
+      input.addData((1L, base, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("snddup").collect().isEmpty) // nothing to pair yet
+
+      // a LATER microbatch: near-dup of doc 1 (same first 10 tokens) plus
+      // an unrelated doc — only the near-dup shares band keys with state
+      input.addData(
+        (2L, (1 to 10).map(i => s"w$i").mkString(" ") + " x11 x12",
+          ts("2024-01-01 10:05:00")),
+        (3L, (1 to 12).map(i => s"z$i").mkString(" "), ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("snddup").collect()
+        .map(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB"))).toSet
+      assert(pairs == Set((1L, 2L)), pairs.mkString(","))
+
+      // replays of an already-registered doc do not re-emit its pairs
+      input.addData((2L, (1 to 10).map(i => s"w$i").mkString(" ") + " x11 x12",
+        ts("2024-01-01 10:07:00")))
+      q.processAllAvailable()
+      val n = spark.table("snddup").collect()
+        .count(r => (r.getAs[Long]("docA"), r.getAs[Long]("docB")) == ((1L, 2L)))
+      val distinctBands = spark.table("snddup").collect()
+        .map(_.getAs[Int]("band")).distinct.length
+      assert(n == distinctBands, s"replay re-emitted: $n pairs over $distinctBands bands")
+    } finally q.stop()
+  }
+
   test("stateless text operators compose unchanged onto a stream (PII redact + sample)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
