@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   * and fails the whole run (nonzero exit); evaluation forces the full plan
   * through the `noop` sink (a `count()` would let column pruning delete most
   * of the measured work, e.g. JSON parsing); each query gets one warmup pass
-  * and the second run is reported, so JVM/codegen/parquet-footer warmup isn't
-  * billed to whichever query happens to run first.
+  * and the MINIMUM of the next two runs is reported (round-4 verdict: single
+  * timed runs showed ±15-70% host-load noise — min-of-2 is the same
+  * estimator tools/scale_slope.py already uses), so JVM/codegen/
+  * parquet-footer warmup and transient host load aren't billed to whichever
+  * query they happen to hit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,7 +45,7 @@ object Bench {
     names.foreach { name =>
       try {
         runOnce(name) // warmup
-        timed(name) = runOnce(name)
+        timed(name) = math.min(runOnce(name), runOnce(name))
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)

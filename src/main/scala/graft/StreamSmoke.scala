@@ -36,16 +36,23 @@ object StreamSmoke {
     q.processAllAvailable()
     q.stop()
 
-    // last emission per (station, day) == batch result
+    // Last emission per (station, day) == batch result. "Last" is selected
+    // WITHOUT scan-order ids (memory-sink row order across microbatch
+    // partitions is not a contract): started/ended counts and max(trip_time)
+    // are each monotone per key across update-mode emissions, so the
+    // per-column max IS the final snapshot; and since every folded event
+    // increments exactly one of the two counts, started+ended strictly
+    // increases per emission, making it a deterministic max_by key for the
+    // non-monotone avg.
     import org.apache.spark.sql.functions._
     val last = spark.table("stream_agg")
-      .withColumn("rn", monotonically_increasing_id())
       .groupBy("station_name", "event_day")
       .agg(
-        max_by(col("started_trips"), col("rn")).as("started_trips"),
-        max_by(col("ended_trips"), col("rn")).as("ended_trips"),
-        max_by(col("avg_temperature"), col("rn")).as("avg_temperature"),
-        max_by(col("update_time"), col("rn")).as("update_time"))
+        max(col("started_trips")).as("started_trips"),
+        max(col("ended_trips")).as("ended_trips"),
+        max_by(col("avg_temperature"),
+          col("started_trips") + col("ended_trips")).as("avg_temperature"),
+        max(col("update_time")).as("update_time"))
     val batch = TripEtl.stationDayAgg(
       TripEtl.enrichTrips(Tables.events(spark, dir), stations))
     val diff = last.exceptAll(batch).count() + batch.exceptAll(last).count()
@@ -88,14 +95,14 @@ object StreamSmoke {
       .outputMode("update").start()
     q3.processAllAvailable()
     q3.stop()
+    // same monotone-column selection as above — no scan-order dependence
     val snapLast = spark.table("stream_snap")
-      .withColumn("rn", monotonically_increasing_id())
       .groupBy(col("stationName").as("station_name"),
         col("eventDay").as("event_day"))
       .agg(
-        max_by(col("startedTrips"), col("rn")).as("started_trips"),
-        max_by(col("endedTrips"), col("rn")).as("ended_trips"),
-        max_by(col("updateTime"), col("rn")).as("update_time"))
+        max(col("startedTrips")).as("started_trips"),
+        max(col("endedTrips")).as("ended_trips"),
+        max(col("updateTime")).as("update_time"))
     val batchInts = batch.select("station_name", "event_day",
       "started_trips", "ended_trips", "update_time")
     val snapDiff = snapLast.exceptAll(batchInts).count() +

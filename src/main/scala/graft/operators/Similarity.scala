@@ -421,6 +421,29 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), roundFixed(col("cosine"), 4).as("cosine"))
   }
 
+  /** Deterministically planted near-duplicates — the non-vacuity fixture
+    * for the LSH driver gate (round-4 verdict #3): the synthetic corpus's
+    * max pairwise cosine is ~0.51, so `emb_lsh_pairs` at its honest 0.85
+    * quote emits 0 rows and the full-pipeline oracle match is trivially
+    * green. For each `vec_id < count` this appends a copy at
+    * `vec_id + idOffset` with the dims at multiples of `flipEvery`
+    * SIGN-FLIPPED. Sign flips are exact in floating point on every engine
+    * (value and norm unchanged), so the planted pair's cosine is exactly
+    * 1 − 2·Σ_flipped v_i² / ‖v‖² — ≈ 0.94 mean for 2 of 64 gaussian-ish
+    * dims, with per-vector spread that puts some pairs UNDER the 0.85
+    * threshold: the gate exercises bucketing, capping, candidate join AND
+    * the verify filter on non-empty output, with zero cross-engine
+    * rounding surface in the fixture itself. */
+  def plantNearDups(embeddings: DataFrame, count: Int = 40,
+                    idOffset: Long = 1000000L, flipEvery: Int = 32): DataFrame = {
+    val planted = embeddings
+      .filter(col("vec_id") < count)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i % flipEvery === 0, -x).otherwise(x)).as("embedding"))
+    embeddings.select("vec_id", "embedding").unionByName(planted)
+  }
+
   /** Per-label centroids in long format (label, dim, centroid_val): one
     * posexplode + one hash agg on (label, dim) — fully shuffle-parallel,
     * no array-typed aggregation buffer. */

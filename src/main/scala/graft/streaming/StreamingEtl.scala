@@ -135,7 +135,18 @@ object StreamingEtl {
   /** T2 EXACT full-snapshot punctuation (reference
     * CustomTransformer.kt:56-69): the reference punctuator iterates the
     * ENTIRE store every 300 s of stream time and forwards EVERY group —
-    * changed or not. [[punctuatedStationDayAgg]] emits on each group's OWN
+    * changed or not.
+    *
+    * NOTE — prefer [[punctuatedFullSnapshotAggTws]] (Spark 4
+    * `transformWithState`) as the default surface for this cadence: its
+    * timers fire even for keys that received data in the crossing
+    * microbatch, so no armed-boundary bookkeeping is needed in state. This
+    * fMGWS form is the Spark-3-compatible fallback (and runs on any state
+    * store provider, where transformWithState requires RocksDB);
+    * StreamingEtlSpec pins both to the identical emission sequence, and
+    * StreamSmoke exercises the TWS path on real data each round.
+    *
+    * [[punctuatedStationDayAgg]] emits on each group's OWN
     * timer; this variant arms every group's event-time timer at the same
     * WATERMARK-ALIGNED boundary (the next multiple of `punctuateEveryMs`),
     * so when the watermark crosses it, all live groups fire in the same

@@ -59,6 +59,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(_.frameIdx < nFrames - 1).forall(_.frame.length == 32))
   }
 
+  test("parsePpm decodes a real hand-built P6 payload, comments and all") {
+    // 2x2 RGB image with a header comment — bytes chosen so each channel
+    // sum is distinct; this is a REAL netpbm P6 stream, not the stub format
+    val pixels = Array[Byte](
+      10, 20, 30, 40, 50, 60,
+      70, 80, 90, 100, 110, 120)
+    val header = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+    val (w, h, body) = Multimodal.parsePpm(header ++ pixels)
+    assert(w == 2 && h == 2)
+    assert(java.util.Arrays.equals(body, pixels))
+    // malformed input fails loudly (no silent zeroed features at scale)
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm("P5\n2 2\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ pixels.take(5))
+    }
+  }
+
+  test("PPM generate -> binary decode round-trip matches text-side channel sums") {
+    val stats = Multimodal.ppmDecodeStats(docs).collect()
+    val texts = docs.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (text, nChars) = texts(id)
+      val w = (nChars % 16 + 8).toInt
+      val h = (id % 12 + 8).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      // independent reconstruction: text cycled to w*h*3 bytes
+      val t = if (text == null || text.isEmpty) " " else text
+      val bytes = Array.tabulate(w * h * 3)(i => t.charAt(i % t.length).toLong)
+      def chan(c: Int) = bytes.grouped(3).map(_(c)).sum
+      assert(r.getAs[Long]("sum_r") == chan(0))
+      assert(r.getAs[Long]("sum_g") == chan(1))
+      assert(r.getAs[Long]("sum_b") == chan(2))
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head

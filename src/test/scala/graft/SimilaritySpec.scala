@@ -126,6 +126,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallAt(0.4, numTables, 9) < 0.3)
   }
 
+  test("planted near-dup gate is NON-VACUOUS: >= 20 pairs found, all planted, spanning the threshold") {
+    // round-4 verdict #3: the real corpus's max pairwise cosine (~0.51) is
+    // below the honest 0.85 quote, so emb_lsh_pairs' oracled output is 0
+    // rows and its full-pipeline hash-match proves nothing about
+    // buckets/cap/verify. The planted twin must produce a non-trivial pair
+    // set — this pins that on the same corpus the driver gate reads.
+    val union = Similarity.plantNearDups(emb)
+    val pairs = Similarity.lshNearDupPairs(union, threshold = 0.85).collect()
+    assert(pairs.length >= 20, s"only ${pairs.length} planted pairs surfaced")
+    // every surviving pair is an (original, its planted copy) pair — real
+    // corpus pairs stay below threshold — and the verify filter held
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(b == a + 1000000L, s"unexpected pair ($a, $b)")
+      assert(r.getAs[Double]("cosine") >= 0.85)
+    }
+    // ...and the threshold DISCRIMINATES on this fixture: some planted
+    // copies (large sign-flipped dims) fall under 0.85 and must be absent,
+    // so the gate exercises the reject path on non-empty candidates too
+    assert(pairs.length < 40,
+      "all 40 planted pairs passed — fixture no longer spans the threshold")
+  }
+
   test("integer auto-bits matches the ceil-log2 intent and clamps to [4, 16]") {
     assert(Similarity.autoBits(0L) == 4)
     assert(Similarity.autoBits(16L) == 4)

@@ -54,6 +54,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             for c in got.columns:
                 a, b = got[c], exp[c]
+                # The driver hashes TYPED values, so 0 (int64) != 0.0
+                # (float64) there even though numpy == says equal — the
+                # round-4 doc_pack lesson (DuckDB sum(BIGINT) -> HUGEINT ->
+                # pandas float64). Mirror that strictness: int-vs-float
+                # dtype mismatch is a failure regardless of values.
+                int_f = (pd.api.types.is_integer_dtype(a) and
+                         pd.api.types.is_float_dtype(b))
+                f_int = (pd.api.types.is_float_dtype(a) and
+                         pd.api.types.is_integer_dtype(b))
+                if int_f or f_int:
+                    status.append(
+                        f"col {c}: dtype mismatch spark={a.dtype} "
+                        f"duck={b.dtype} (driver hashes typed values; "
+                        "CAST the oracle side)")
+                    continue
                 try:
                     eq = (a.values == b.values) | (a.isna().values & b.isna().values)
                 except Exception:  # noqa: BLE001
