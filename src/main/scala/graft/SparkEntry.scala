@@ -83,6 +83,12 @@ object SparkEntry {
     "event_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
     "pricing_cube" -> ((s, dir) => Relational.pricingCube(Tables.lineitem(s, dir))),
+    // z-order clustering key (Layout.zorderKey): integer Morton interleave
+    // of (user_id, minutes-since-2020) — the compaction-sort key that makes
+    // user-range AND time-range scans file-local; LayoutSpec measures the
+    // locality win over a single-column sort
+    "events_zorder" -> ((s, dir) =>
+      operators.Layout.eventsZOrdered(Tables.events(s, dir))),
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
@@ -112,6 +118,14 @@ object SparkEntry {
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
+    // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
+    // fractions) — integer-exact counts, ratio floats only at the edge
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.documents(s, dir))),
+    // deterministic hash-shard manifest — the balanced-export metadata a
+    // training-data loader plans reads from (content-stable sha assignment)
+    "doc_shard_manifest" -> ((s, dir) =>
+      TextOps.shardManifest(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
@@ -190,6 +204,26 @@ object SparkEntry {
   private def shaFoldSql(arg: String): String =
     s"""list_reduce(list_transform(string_split(substr(sha256($arg), 1, 15), ''),
        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"""
+
+  /** DuckDB replica of [[graft.operators.Layout.eventsZOrdered]]: the same
+    * Morton interleave generated as 2·bits shift/mask terms (integer
+    * arithmetic only — bit-exact on any engine). The minute coordinate is
+    * `epoch_us // 60000000` (DuckDB truncates the parquet nanos to µs on
+    * read, exactly like Tables.events), anchored at 2020-01-01. */
+  private def zorderOracle(bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).map { i =>
+      s"(((u >> $i) & 1) << ${2 * i}) + (((m >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, minute_key, CAST($terms AS BIGINT) AS zkey
+        FROM (
+          SELECT event_id, user_id, minute_key,
+            user_id & $mask AS u, minute_key & $mask AS m
+          FROM (
+            SELECT event_id, user_id,
+              epoch_us(ts) // 60000000 - 26297280 AS minute_key
+            FROM events))"""
+  }
 
   /** DuckDB replica of [[graft.operators.TextOps.simhashPortable]]: token
     * hashes from the same sha256-prefix fold, then per-bit majority vote
@@ -814,6 +848,57 @@ object SparkEntry {
            FROM (SELECT doc_id, n_chars,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
+    "events_zorder" -> zorderOracle(bits = 20),
+    // replica of TextOps.shardManifest: the shared sha-prefix fold mod the
+    // shard count, then the same manifest aggregation (sums cast BIGINT)
+    "doc_shard_manifest" ->
+      s"""SELECT shard, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            min(doc_id) AS first_doc_id,
+            max(doc_id) AS last_doc_id
+          FROM (
+            SELECT doc_id, n_chars,
+              ${shaFoldSql("CAST(doc_id AS VARCHAR)")} % 64 AS shard
+            FROM documents)
+          GROUP BY shard""",
+    // replica of TextOps.repetitionStats: same union of unnested words and
+    // positional 2-grams, same two-level count aggregation; every count is
+    // CAST BIGINT (DuckDB sum/max widen), fractions are the shared
+    // floor-round over exact-integer ratios
+    "doc_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         terms AS (
+           SELECT doc_id, 1 AS kind, unnest(t) AS term FROM toks
+           UNION ALL
+           SELECT doc_id, 2 AS kind,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS term
+           FROM toks),
+         counts AS (
+           SELECT doc_id, kind, term, count(*) AS cnt
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN kind = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_words,
+           CAST(count(CASE WHEN kind = 1 THEN 1 END) AS BIGINT) AS n_distinct_words,
+           CAST(max(CASE WHEN kind = 1 THEN cnt END) AS BIGINT) AS top_word_count,
+           CAST(sum(CASE WHEN kind = 1 AND cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             AS dup_word_instances,
+           CAST(sum(CASE WHEN kind = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_2grams,
+           CAST(sum(CASE WHEN kind = 2 AND cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             AS dup_2gram_instances,
+           floor((CAST(max(CASE WHEN kind = 1 THEN cnt END) AS DOUBLE)
+             / sum(CASE WHEN kind = 1 THEN cnt ELSE 0 END)) * 1e4 + 0.5) / 1e4
+             AS top_word_frac,
+           CASE WHEN sum(CASE WHEN kind = 2 THEN cnt ELSE 0 END) = 0 THEN 0.0
+             ELSE floor((CAST(sum(CASE WHEN kind = 2 AND cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN kind = 2 THEN cnt ELSE 0 END)) * 1e4 + 0.5) / 1e4
+             END AS dup_2gram_frac
+         FROM counts GROUP BY doc_id""",
     "doc_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators for scan locality at 100 TB: a z-order
+  * (Morton) clustering key, so data sorted by ONE key is simultaneously
+  * clustered in TWO dimensions. A range predicate on either — or a box on
+  * both — then touches a small fraction of files, and parquet min/max
+  * stats prune the rest (LayoutSpec measures the effect against a
+  * single-column sort on real data).
+  *
+  * All integer bit arithmetic: bit-exact in any engine, hash-oracle-safe.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative integer
+    * columns: bit i of `a` lands at result bit 2i, bit i of `b` at 2i+1.
+    * A fold of shift/and/or column expressions — whole-stage codegen
+    * compiles it to straight-line long arithmetic (2·bits ops per row, no
+    * UDF, no allocation). `bits` ≤ 31 keeps the result in a positive long.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val mask = (1L << bits) - 1
+    val ma = a.bitwiseAND(lit(mask))
+    val mb = b.bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(ma, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(mb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Minutes since 2020-01-01T00:00Z — the normalized time coordinate for
+    * event z-ordering (raw epoch minutes need ~26 bits; anchoring to the
+    * corpus era keeps 20 bits ≈ 2 years of range). 1577836800 s / 60. */
+  private val anchorMinute = 26297280L
+
+  /** `events` with its z-order clustering key over
+    * (user_id, minutes-since-2020): the layout a periodic compaction job
+    * sorts by, so both per-user scans and time-range scans stay file-local.
+    * Narrow per-row expressions only — at 100 TB the cost is the sort the
+    * writer was already paying, not this key.
+    */
+  def eventsZOrdered(events: DataFrame, bits: Int = 20): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      (floor(unix_timestamp(col("ts")) / lit(60)).cast("long") - anchorMinute)
+        .as("minute_key"))
+      .withColumn("zkey", zorderKey(col("user_id"), col("minute_key"), bits))
+}

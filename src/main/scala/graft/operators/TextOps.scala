@@ -561,6 +561,55 @@ object TextOps {
         }): _*)
   }
 
+  /** Repetition quality signals per document — the Gopher-style curation
+    * filters (Rae et al. 2021 §A1.1: duplicate-word/-n-gram fractions and
+    * most-frequent-word fraction flag boilerplate and degenerate text).
+    * All counts are integer-exact; the two fractions are exact-integer
+    * ratios under the engine-portable floor-round, so the whole row
+    * hash-oracles.
+    *
+    * Distributed shape (the 100 TB reason this is NOT a per-row HOF over
+    * `aggregate(array_distinct(...))`): per-term counting inside one row is
+    * O(n·distinct) per document — quadratic on a million-token document —
+    * and the array form holds the whole document in one aggregation buffer.
+    * Instead: ONE union of the exploded words and positional 2-grams
+    * (tagged by kind) → hash agg on (doc_id, kind, term) with map-side
+    * partials → hash agg on doc_id. Two shuffles total, no join, no
+    * window, O(1) aggregation state per group. Documents with zero tokens
+    * have no exploded rows and are absent from the output (same as the
+    * oracle's unnest).
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toksCol = tokens(col("text"))
+    val terms = documents
+      .select(col("doc_id"), lit(1).as("kind"), explode(toksCol).as("term"))
+      .unionByName(documents.select(col("doc_id"), lit(2).as("kind"),
+        explode(positionalShingles(toksCol, 2)).as("term")))
+    val isWord = col("kind") === 1
+    val isGram = col("kind") === 2
+    terms
+      .groupBy(col("doc_id"), col("kind"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(isWord, col("cnt")).otherwise(0L)).as("n_words"),
+        count(when(isWord, lit(1))).as("n_distinct_words"),
+        max(when(isWord, col("cnt"))).as("top_word_count"),
+        sum(when(isWord && col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("dup_word_instances"),
+        sum(when(isGram, col("cnt")).otherwise(0L)).as("n_2grams"),
+        sum(when(isGram && col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("dup_2gram_instances"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_count"), col("dup_word_instances"), col("n_2grams"),
+        col("dup_2gram_instances"),
+        roundFixed(col("top_word_count").cast("double") /
+          col("n_words").cast("double"), 4).as("top_word_frac"),
+        when(col("n_2grams") === 0L, lit(0.0))
+          .otherwise(roundFixed(col("dup_2gram_instances").cast("double") /
+            col("n_2grams").cast("double"), 4)).as("dup_2gram_frac"))
+  }
+
   /** Corpus statistics per (lang, source): document/char/token counts. The
     * group key has tiny cardinality, so this is one partial+final hash agg
     * with negligible shuffle at any scale.
@@ -757,6 +806,30 @@ object TextOps {
       .filter(col("sample_bucket") < threshold)
       .drop("sample_bucket")
   }
+
+  /** Deterministic export sharding + manifest — the step that turns a
+    * curated corpus into N balanced training shards a downstream loader can
+    * plan reads over. A document's shard is
+    * `portableHash64(doc_id) % numShards`: content-stable (independent of
+    * partitioning, row order, and any seed), so a re-run — or the DuckDB
+    * oracle — reproduces the exact assignment. The manifest is one
+    * partial+final hash agg (numShards groups); the physical write at scale
+    * is `df.write.partitionBy("shard")` on the same column, and hash
+    * sharding keeps the shards balanced without a skew pass (LayoutSpec
+    * pins the balance on real data).
+    */
+  def shardAssignments(documents: DataFrame, numShards: Int = 64): DataFrame =
+    documents.withColumn("shard",
+      pmod(portableHash64(col("doc_id").cast("string")), lit(numShards.toLong)))
+
+  def shardManifest(documents: DataFrame, numShards: Int = 64): DataFrame =
+    shardAssignments(documents, numShards)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"))
 
   /** Sequence packing — assign documents to fixed-size context windows for
     * training-batch construction: within each `lang` partition, documents

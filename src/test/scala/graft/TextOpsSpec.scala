@@ -21,6 +21,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(h(1L) != h(3L))
   }
 
+  test("repetition stats: hand-built duplicate-heavy docs count exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "x x x x")).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: words a,b,a,b,c; 2-grams "a b","b a","a b","b c"
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 5L)
+    assert(r1.getAs[Long]("n_distinct_words") == 3L)
+    assert(r1.getAs[Long]("top_word_count") == 2L)
+    assert(r1.getAs[Long]("dup_word_instances") == 4L) // a:2 + b:2
+    assert(r1.getAs[Long]("n_2grams") == 4L)
+    assert(r1.getAs[Long]("dup_2gram_instances") == 2L) // "a b" twice
+    assert(r1.getAs[Double]("top_word_frac") == 0.4)
+    assert(r1.getAs[Double]("dup_2gram_frac") == 0.5)
+    // doc 2: fully degenerate — the filter-signal extreme
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_words") == 4L)
+    assert(r2.getAs[Long]("n_distinct_words") == 1L)
+    assert(r2.getAs[Long]("top_word_count") == 4L)
+    assert(r2.getAs[Long]("dup_word_instances") == 4L)
+    assert(r2.getAs[Long]("n_2grams") == 3L)
+    assert(r2.getAs[Long]("dup_2gram_instances") == 3L)
+    assert(r2.getAs[Double]("dup_2gram_frac") == 1.0)
+  }
+
   test("sorted-neighborhood simhash recall vs exhaustive banding") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
