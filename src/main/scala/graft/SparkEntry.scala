@@ -126,6 +126,11 @@ object SparkEntry {
     // training-data loader plans reads from (content-stable sha assignment)
     "doc_shard_manifest" -> ((s, dir) =>
       TextOps.shardManifest(Tables.documents(s, dir))),
+    // token-budget selection (data mixing): best-quality docs per lang
+    // under a running token budget; order key is the 4-decimal-rounded
+    // quality score + doc_id, so the pick is engine-deterministic
+    "doc_budget_select" -> ((s, dir) =>
+      TextOps.selectByTokenBudget(Tables.documents(s, dir))),
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
@@ -221,7 +226,8 @@ object SparkEntry {
             user_id & $mask AS u, minute_key & $mask AS m
           FROM (
             SELECT event_id, user_id,
-              epoch_us(ts) // 60000000 - 26297280 AS minute_key
+              epoch_us(ts) // 60000000 - ${operators.Layout.anchorMinute}
+                AS minute_key
             FROM events))"""
   }
 
@@ -536,12 +542,13 @@ object SparkEntry {
     // same full-pipeline replica over the sign-flip-planted union (the
     // source subquery mirrors Similarity.plantNearDups exactly: DuckDB's
     // generate_series is 1-based where Spark's transform index is 0-based,
-    // hence (i-1) % 32; FLOAT negation is bit-exact on both engines)
+    // hence (i-1) % 32; FLOAT negation is bit-exact on both engines; the
+    // AUTO id offset max(vec_id)+1 is the same scalar subquery both sides)
     "emb_lsh_pairs_planted" -> lshOracle(threshold = 0.85, numTables = 16,
       dim = 64, bucketCap = 256, source =
         """(SELECT vec_id, embedding FROM embeddings
             UNION ALL
-            SELECT vec_id + 1000000 AS vec_id,
+            SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
               list_transform(generate_series(1, len(embedding)),
                 i -> CASE WHEN (i - 1) % 32 = 0 THEN -embedding[i]
                      ELSE embedding[i] END) AS embedding
@@ -861,6 +868,37 @@ object SparkEntry {
               ${shaFoldSql("CAST(doc_id AS VARCHAR)")} % 64 AS shard
             FROM documents)
           GROUP BY shard""",
+    // replica of TextOps.selectByTokenBudget: doc_quality's score formula
+    // verbatim (floor-rounded to 4 decimals, so the ORDER BY can't flip on
+    // a float ulp), the same (quality desc, doc_id) running sum per lang,
+    // the same budget cut; cum cast BIGINT (window sum widens)
+    "doc_budget_select" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0)
+               + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0))
+               + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+               AS quality_score
+           FROM (
+             SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
+             FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+               FROM documents))),
+         j AS (
+           SELECT q.doc_id, d.lang, q.n_tokens, q.quality_score
+           FROM q JOIN documents d USING (doc_id)),
+         o AS (
+           SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+             ORDER BY quality_score DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM j)
+         SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           quality_score
+         FROM o WHERE cum <= 4096""",
     // replica of TextOps.repetitionStats: same union of unnested words and
     // positional 2-grams, same two-level count aggregation; every count is
     // CAST BIGINT (DuckDB sum/max widen), fractions are the shared

@@ -32,10 +32,13 @@ object Layout {
     }
   }
 
-  /** Minutes since 2020-01-01T00:00Z — the normalized time coordinate for
+  /** Minutes since 2024-01-01T00:00Z — the normalized time coordinate for
     * event z-ordering (raw epoch minutes need ~26 bits; anchoring to the
-    * corpus era keeps 20 bits ≈ 2 years of range). 1577836800 s / 60. */
-  private val anchorMinute = 26297280L
+    * corpus epoch keeps the 20-bit key good for ≈ 2 years FROM THE DATA'S
+    * START, so the mask never wraps on in-range data — the events corpus
+    * begins 2024-01). 1704067200 s / 60. Single-sourced: the DuckDB
+    * zorder oracle interpolates this constant. */
+  private[graft] val anchorMinute = 28401120L
 
   /** `events` with its z-order clustering key over
     * (user_id, minutes-since-2020): the layout a periodic compaction job

@@ -138,8 +138,13 @@ object Multimodal {
     require(maxval > 0 && maxval < 256, s"unsupported PPM maxval $maxval")
     pos += 1 // the single whitespace byte that terminates the header
     val n = width * height * 3
-    require(payload.length - pos >= n,
-      s"PPM body truncated: need $n bytes, have ${payload.length - pos}")
+    // EXACT length, not >=: an oversized body means the generator's
+    // chars==bytes assumption broke (e.g. non-ASCII text inflating the
+    // UTF-8 encoding) and the raster would be channel-misaligned — the
+    // loud-failure contract covers that class, not just truncation
+    require(payload.length - pos == n,
+      s"PPM body length mismatch: header declares $n bytes, " +
+        s"have ${payload.length - pos}")
     (width, height, java.util.Arrays.copyOfRange(payload, pos, pos + n))
   }
 

@@ -435,10 +435,20 @@ object Similarity {
     * the verify filter on non-empty output, with zero cross-engine
     * rounding surface in the fixture itself. */
   def plantNearDups(embeddings: DataFrame, count: Int = 40,
-                    idOffset: Long = 1000000L, flipEvery: Int = 32): DataFrame = {
+                    idOffset: Long = 0L, flipEvery: Int = 32): DataFrame = {
+    // planted ids must not collide with real ones — a silent collision
+    // would corrupt the very non-vacuity evidence this fixture provides.
+    // Default idOffset = 0 means AUTO: max(vec_id) + 1, which stays
+    // collision-free at any corpus size (incl. the scale-slope 10× corpus
+    // whose ids reach ~9M); an explicit offset is validated. One
+    // metadata-scale agg — the LSH pipeline counts the corpus anyway.
+    val maxId = embeddings.agg(max(col("vec_id"))).first().getLong(0)
+    val offset = if (idOffset == 0L) maxId + 1L else idOffset
+    require(offset > maxId,
+      s"plantNearDups idOffset $offset collides with real vec_ids (max $maxId)")
     val planted = embeddings
       .filter(col("vec_id") < count)
-      .select((col("vec_id") + idOffset).as("vec_id"),
+      .select((col("vec_id") + offset).as("vec_id"),
         transform(col("embedding"),
           (x, i) => when(i % flipEvery === 0, -x).otherwise(x)).as("embedding"))
     embeddings.select("vec_id", "embedding").unionByName(planted)

@@ -807,6 +807,31 @@ object TextOps {
       .drop("sample_bucket")
   }
 
+  /** Token-budget selection — the data-mixing step of training-corpus
+    * construction: within each `lang`, keep the highest-quality documents
+    * whose RUNNING token total stays within the per-lang budget (quality
+    * ties broken by doc_id, so the selection is a deterministic function
+    * of content). The order key is [[qualityScore]]'s `quality_score`,
+    * which is floor-rounded to 4 decimals on both engines — no float
+    * comparison ambiguity can flip the selection. Same partition-parallel
+    * window shape as [[packDocuments]]: one running sum per lang partition,
+    * one equi-join to recover lang; nothing global.
+    */
+  def selectByTokenBudget(documents: DataFrame,
+                          budgetPerLang: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qualityScore(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("quality_score"))
+  }
+
   /** Deterministic export sharding + manifest — the step that turns a
     * curated corpus into N balanced training shards a downstream loader can
     * plan reads over. A document's shard is

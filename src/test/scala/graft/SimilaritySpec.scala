@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -136,10 +137,12 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = Similarity.lshNearDupPairs(union, threshold = 0.85).collect()
     assert(pairs.length >= 20, s"only ${pairs.length} planted pairs surfaced")
     // every surviving pair is an (original, its planted copy) pair — real
-    // corpus pairs stay below threshold — and the verify filter held
+    // corpus pairs stay below threshold — and the verify filter held.
+    // The auto id offset is max(vec_id) + 1 (collision-free at any scale).
+    val offset = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
     pairs.foreach { r =>
       val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
-      assert(b == a + 1000000L, s"unexpected pair ($a, $b)")
+      assert(b == a + offset, s"unexpected pair ($a, $b)")
       assert(r.getAs[Double]("cosine") >= 0.85)
     }
     // ...and the threshold DISCRIMINATES on this fixture: some planted

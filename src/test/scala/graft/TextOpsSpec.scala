@@ -47,6 +47,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("dup_2gram_frac") == 1.0)
   }
 
+  test("token-budget selection keeps exactly the best-quality prefix per lang") {
+    import org.apache.spark.sql.Row
+    val budget = 256L
+    val sel = TextOps.selectByTokenBudget(docs, budget).collect()
+    assert(sel.nonEmpty)
+    val selByLang = sel.groupBy(_.getAs[String]("lang"))
+    selByLang.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum <= budget)
+    }
+    // the filter is a PREFIX cut (cum_tokens is monotone along the order):
+    // recompute the greedy prefix independently and require set equality
+    val scored = TextOps.qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "n_tokens", "quality_score").collect()
+    assert(scored.length > sel.length, "budget never cut anything")
+    scored.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val order = rows.sortBy(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      val expect = order.takeWhile { r =>
+        cum += r.getAs[Long]("n_tokens"); cum <= budget
+      }.map(_.getAs[Long]("doc_id")).toSet
+      val got = selByLang.getOrElse(lang, Array.empty[Row])
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == expect, s"lang $lang: selection is not the greedy prefix")
+    }
+  }
+
   test("sorted-neighborhood simhash recall vs exhaustive banding") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -39,7 +39,8 @@ import pyarrow.parquet as pq
 COPIES = 10
 ID_STRIDE = 1_000_000
 # the documents/embeddings queries whose slopes the verdict asks for
-PREFIXES = "doc_,emb_"
+# (mm_ queries are documents-derived, so they scale with the corpus too)
+PREFIXES = "doc_,emb_,mm_"
 
 
 def build_corpus(base: str, out: str) -> None:
