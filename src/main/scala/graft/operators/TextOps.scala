@@ -463,12 +463,15 @@ object TextOps {
   /** Per-document quality metrics + a composite score in [0,1]: length
     * sufficiency, lexical diversity, stopword presence. Pure per-row
     * expressions; the formula is fixed-order double arithmetic, so it is
-    * bit-deterministic across engines.
+    * bit-deterministic across engines. `keep` carries extra source columns
+    * through (e.g. `lang` for [[selectByTokenBudget]]) without a
+    * self-join back to `documents`.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     documents
-      .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(Seq(col("doc_id"), col("n_chars"), toks.as("toks")) ++
+        keep.map(col): _*)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("stop_ratio",
@@ -485,8 +488,8 @@ object TextOps {
             lit(0.3) * least(lit(1.0), lit(5.0) *
               (countIn(col("toks"), Seq("the", "a", "of")).cast("double") /
                 nullif(col("n_tokens"), lit(0L)))), 4))
-      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
-        "stop_ratio", "diversity", "quality_score")
+      .select((Seq("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "stop_ratio", "diversity", "quality_score") ++ keep).map(col): _*)
   }
 
   /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
@@ -814,8 +817,9 @@ object TextOps {
     * of content). The order key is [[qualityScore]]'s `quality_score`,
     * which is floor-rounded to 4 decimals on both engines — no float
     * comparison ambiguity can flip the selection. Same partition-parallel
-    * window shape as [[packDocuments]]: one running sum per lang partition,
-    * one equi-join to recover lang; nothing global.
+    * window shape as [[packDocuments]]: one running sum per lang partition
+    * over the single scoring pass (`lang` rides through [[qualityScore]] —
+    * no self-join back to documents); nothing global.
     */
   def selectByTokenBudget(documents: DataFrame,
                           budgetPerLang: Long = 4096L): DataFrame = {
@@ -823,9 +827,7 @@ object TextOps {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qualityScore(documents)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    qualityScore(documents, keep = Seq("lang"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerLang)
       .select(col("doc_id"), col("lang"), col("n_tokens"),

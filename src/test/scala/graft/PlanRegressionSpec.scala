@@ -64,9 +64,36 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("no pair-finder plans a cartesian product") {
     Seq("doc_near_dup_pairs", "doc_minhash_pairs", "doc_simhash_pairs",
-      "emb_lsh_pairs", "doc_hybrid_near_dup").foreach { q =>
+      "emb_lsh_pairs", "emb_lsh_pairs_planted", "doc_hybrid_near_dup").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
+  }
+
+  test("events_zorder and mm_ppm_decode are shuffle-free narrow plans") {
+    Seq("events_zorder", "mm_ppm_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("doc_repetition: exactly the two hash-agg exchanges, no join or window") {
+    val p = plan("doc_repetition")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("doc_shard_manifest: one partial+final agg exchange, no join") {
+    val p = plan("doc_shard_manifest")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("doc_budget_select: one lang-window exchange, NO self-join back to documents") {
+    val p = plan("doc_budget_select")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), s"budget selection re-joined documents:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global sort funnel:\n$p")
   }
 
   test("doc_pii_redact and doc_sample are shuffle-free per-row plans") {
