@@ -80,6 +80,12 @@ object SparkEntry {
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+    // EXACT heavy hitters at bounded state: Misra-Gries candidates (O(k)
+    // buffers) -> exact re-count of candidates only -> real threshold.
+    // Runs over the planted-skew union (the corpus is frequency-uniform,
+    // so unplanted heavy hitters would be vacuous at any honest threshold)
+    "event_heavy_users" -> ((s, dir) =>
+      Relational.heavyUsers(Relational.plantHeavyUsers(Tables.events(s, dir)))),
     "event_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
     "pricing_cube" -> ((s, dir) => Relational.pricingCube(Tables.lineitem(s, dir))),
@@ -131,6 +137,22 @@ object SparkEntry {
     // quality score + doc_id, so the pick is engine-deterministic
     "doc_budget_select" -> ((s, dir) =>
       TextOps.selectByTokenBudget(Tables.documents(s, dir))),
+    // benchmark decontamination: 5-gram overlap against a deterministic
+    // held-out split; corpus side streams through a broadcast semi join
+    "doc_decontaminate" -> ((s, dir) =>
+      TextOps.decontaminate(Tables.documents(s, dir))),
+    // global training-shuffle order WITHOUT a single-partition sort: fixed
+    // key-range buckets -> per-bucket counts (metadata collect) -> parallel
+    // per-bucket rank + broadcast offsets == the oracle's global row_number
+    "doc_global_shuffle" -> ((s, dir) =>
+      TextOps.globalShuffleOrder(Tables.documents(s, dir))),
+    // ingest-time exact dedup behind a corpus Bloom filter: definite-new
+    // docs skip the join entirely, the might-contain sliver is resolved by
+    // an exact anti join — result identical to the oracle's NOT EXISTS
+    "doc_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.incrementalDedup(TextOps.plantIngestBatch(docs), docs)
+    }),
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
@@ -582,6 +604,22 @@ object SparkEntry {
          SELECT term, n,
            CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
          FROM c ORDER BY n DESC, term ASC LIMIT 1000""",
+    // replica of heavyUsers over plantHeavyUsers: the MG sketch is only a
+    // candidate pruner (exact verify pass), so the oracle is the plain
+    // GROUP BY + HAVING over the same planted union; threshold is the
+    // identical IEEE-double ceil(n * 0.01) on both engines
+    "event_heavy_users" ->
+      """WITH ev AS (
+           SELECT user_id FROM events
+           UNION ALL
+           SELECT e.user_id FROM events e
+           CROSS JOIN generate_series(1, 19) g(i)
+           WHERE e.user_id % 500 = 7),
+         t AS (SELECT count(*) AS n FROM ev),
+         c AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY 1)
+         SELECT c.user_id, c.n_events
+         FROM c, t
+         WHERE c.n_events >= CAST(ceil(t.n * 0.01) AS BIGINT)""",
     "event_type_kmv_users" ->
       s"""WITH h AS (
            SELECT DISTINCT event_type,
@@ -856,6 +894,59 @@ object SparkEntry {
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
     "events_zorder" -> zorderOracle(bits = 20),
+    // replica of TextOps.decontaminate: the same deterministic benchmark
+    // split (sha fold % 10 == 0), the same distinct 5-gram sets, overlap
+    // counted per non-benchmark doc (count(*) is BIGINT; coalesce kept
+    // BIGINT by the cast)
+    "doc_decontaminate" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents),
+          m AS (
+            SELECT doc_id, lang, t,
+              ${shaFoldSql("'bench:' || CAST(doc_id AS VARCHAR)")} % 10 AS bm
+            FROM toks),
+          grams AS (
+            SELECT doc_id, bm,
+              unnest(CASE WHEN len(t) >= 5 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                       t[i+3] || ' ' || t[i+4]))
+                ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM m),
+          bg AS (SELECT DISTINCT g FROM grams WHERE bm = 0),
+          hits AS (
+            SELECT doc_id, count(*) AS nh
+            FROM grams JOIN bg USING (g)
+            WHERE bm <> 0 GROUP BY doc_id)
+          SELECT m.doc_id, m.lang,
+            CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+            coalesce(h.nh, 0) > 0 AS contaminated
+          FROM m LEFT JOIN hits h USING (doc_id)
+          WHERE m.bm <> 0""",
+    // replica of TextOps.globalShuffleOrder: the two-phase bucketed rank
+    // equals a global row_number over the same content-stable key
+    "doc_global_shuffle" ->
+      s"""SELECT doc_id, k AS shuffle_key,
+            CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+          FROM (SELECT doc_id,
+              ${shaFoldSql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS k
+            FROM documents)""",
+    // replica of incrementalDedup over plantIngestBatch: the Bloom filter
+    // is only a pruner, so the exact answer is the plain NOT EXISTS
+    "doc_incremental_dedup" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+         batch AS (
+           SELECT doc_id + (SELECT off FROM mx) AS doc_id, text, lang, n_chars
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + (SELECT off FROM mx) AS doc_id,
+             text || ' [rev2]' AS text, lang, n_chars + 7 AS n_chars
+           FROM documents WHERE doc_id % 10 = 1)
+         SELECT b.doc_id, b.lang, CAST(b.n_chars AS BIGINT) AS n_chars
+         FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)""",
     // replica of TextOps.shardManifest: the shared sha-prefix fold mod the
     // shard count, then the same manifest aggregation (sums cast BIGINT)
     "doc_shard_manifest" ->

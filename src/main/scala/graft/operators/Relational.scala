@@ -343,4 +343,64 @@ object Relational {
       .filter(col("has_purchase") === 1 && col("has_error") === 0)
       .select(col("user_id"))
       .orderBy(col("user_id"))
+
+  /** Deterministic skew fixture for [[heavyUsers]]: the test corpus is
+    * frequency-uniform (~66 events per user at every sf), so a heavy-hitter
+    * query over it is vacuous at any honest threshold. This plants real
+    * skew the same way [[graft.operators.Similarity.plantNearDups]] plants
+    * near-dups: users with `user_id % mod == rem` get their events
+    * replicated `factor`× (a literal-array explode — pure narrow work), so
+    * exactly those users cross a 1% frequency threshold and everyone else
+    * stays an order of magnitude below it. Content-stable: the planted set
+    * is a function of ids only.
+    */
+  def plantHeavyUsers(events: DataFrame, factor: Int = 20, mod: Int = 500,
+                      rem: Int = 7): DataFrame = {
+    val extra = events
+      .filter(pmod(col("user_id"), lit(mod.toLong)) === rem.toLong)
+      .withColumn("rep", explode(lit((1 until factor).toArray)))
+      .drop("rep")
+    events.unionByName(extra)
+  }
+
+  /** EXACT heavy hitters (users with ≥ `minFrac` of all events) at bounded
+    * state — the two-pass sketch-then-verify design:
+    *
+    * Pass 1 finds CANDIDATES with a [[graft.functions.MisraGries]] sketch:
+    * one partial+final hash agg whose buffer is ≤ k−1 entries at every
+    * stage. MG guarantees every item with true count > N/k survives; with
+    * k chosen so 1/k < minFrac, the candidate set is a SUPERSET of the
+    * true heavy hitters regardless of partitioning or merge order.
+    *
+    * Pass 2 makes the answer exact and deterministic: re-count ONLY the
+    * candidates (a broadcast semi join — the candidate list is ≤ k−1 ids,
+    * metadata scale) and apply the real threshold to the exact counts.
+    * Sketch noise (under-estimates, partitioning-dependent survivors below
+    * the bound) is filtered out here, so the output equals the plain
+    * GROUP BY / HAVING the oracle runs — at a fraction of its shuffle: the
+    * full-cardinality count shuffles every key once; this shape shuffles
+    * O(k) keys after the bounded sketch agg.
+    *
+    * The threshold is `ceil(N · minFrac)` evaluated in IEEE double —
+    * the oracle computes the identical expression, so no boundary case can
+    * disagree.
+    */
+  def heavyUsers(events: DataFrame, k: Int = 200,
+                 minFrac: Double = 0.01): DataFrame = {
+    require(1.0 / k < minFrac,
+      s"k=$k too small for minFrac=$minFrac: need 1/k < minFrac for the " +
+        "Misra-Gries superset guarantee")
+    val n = events.count()
+    val threshold = math.ceil(n * minFrac).toLong
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val candidates = events
+      .agg(mg(col("user_id")).as("cand"))
+      .select(explode(col("cand")).as("user_id"))
+    events
+      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+  }
 }

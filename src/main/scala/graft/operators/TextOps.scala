@@ -958,4 +958,163 @@ object TextOps {
     fingerprints(documents, k, w)
       .withColumn("fingerprints",
         array_join(transform(col("fingerprints"), x => x.cast("string")), ","))
+
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the eval-leak filter every training
+    * pipeline runs before a model ever sees the corpus (the n-gram-overlap
+    * method: a training document sharing any word n-gram with a held-out
+    * benchmark document is flagged). The benchmark membership here is a
+    * deterministic content-stable split (`portableHash64("bench:"+doc_id)
+    * % benchMod == 0`) so the oracle reproduces it; a real run would join
+    * an external benchmark table through the same gram pipeline.
+    *
+    * Distributed shape: distinct grams per document (explode), the
+    * benchmark side collapsed to a DISTINCT gram set and BROADCAST — a
+    * benchmark is metadata-scale next to a 100 TB corpus (all of
+    * HELM/MMLU/GSM8K is ~10⁷ grams), so the corpus side streams map-side
+    * through the semi join with no shuffle of the big table. If the
+    * benchmark ever outgrew broadcast, dropping the hint degrades to a
+    * plain shuffle semi join with identical semantics. Grams join on the
+    * gram STRING (exact — no hash-collision false positives); at scale the
+    * join key would be the 8-byte gram hash with the string kept only for
+    * verify, same plan shape.
+    *
+    * Output: every NON-benchmark document with its count of distinct
+    * overlapping grams and the resulting contamination flag.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 5,
+                    benchMod: Int = 10): DataFrame = {
+    val isBench =
+      pmod(portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
+        lit(benchMod.toLong)) === 0L
+    val grams = documents
+      .select(col("doc_id"), isBench.as("bench"),
+        explode(shingles(tokens(col("text")), n)).as("g"))
+    val benchGrams = grams.filter(col("bench")).select(col("g")).distinct()
+    // grams are distinct per doc (shingle SET), so count(*) after the semi
+    // join IS the distinct-overlap count
+    val hits = grams.filter(!col("bench"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    documents
+      .filter(!isBench)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  // ---------------------------------------------- global training order
+
+  /** Deterministic global shuffle order — the "shuffle the corpus before
+    * training" step, as a total position over a content-stable pseudorandom
+    * key (`portableHash64("shuffle:"+doc_id)`), WITHOUT the single-partition
+    * global window a naive `row_number() OVER (ORDER BY key)` plans.
+    *
+    * Two-phase global ranking (the classic distributed sort-rank): the
+    * 60-bit key space is cut into `buckets` fixed-width ranges by its top
+    * bits (bucket boundaries are a pure function of the key — no sampling,
+    * so the result is deterministic and re-runnable); phase 1 counts rows
+    * per bucket (one tiny agg, ≤ `buckets` rows collected — metadata
+    * scale); phase 2 ranks WITHIN each bucket in parallel and adds the
+    * bucket's cumulative offset via a broadcast join. Every bucket's rank
+    * window runs on its own partition, so the sort parallelism is
+    * `buckets`-wide at any corpus size. Ties (60-bit key collisions) break
+    * by doc_id; `pos` is 1-based and equals the oracle's global
+    * `row_number() OVER (ORDER BY shuffle_key, doc_id)`.
+    */
+  def globalShuffleOrder(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val keyed = documents.select(col("doc_id"),
+      portableHash64(concat(lit("shuffle:"), col("doc_id").cast("string")))
+        .as("shuffle_key"))
+      // keys are non-negative 60-bit, so arithmetic shift == unsigned
+      .withColumn("bucket", shiftright(col("shuffle_key"), shift))
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (b, cnt) =>
+      val o = (b, acc); acc += cnt; o
+    }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("bucket", "offset")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("pos", col("offset") + row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shuffle_key"), col("pos"))
+  }
+
+  // ------------------------------------------------- incremental dedup
+
+  /** The deterministic "new ingest batch" fixture for [[incrementalDedup]]:
+    * one slice of the corpus re-ingested verbatim under fresh ids (exact
+    * duplicates the dedup must drop) and one slice with a content revision
+    * suffix (genuinely new text the dedup must keep). Modulo slices, so the
+    * fixture is non-vacuous at every scale factor; fresh ids are
+    * `doc_id + max(doc_id) + 1` (collision-free, same AUTO-offset
+    * technique as [[Similarity.plantNearDups]]).
+    */
+  def plantIngestBatch(documents: DataFrame, mod: Int = 10): DataFrame = {
+    val maxId = documents.agg(max(col("doc_id"))).first().getLong(0)
+    val offset = maxId + 1L
+    val base = documents.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars"))
+    val dups = base.filter(pmod(col("doc_id"), lit(mod)) === 0)
+      .select((col("doc_id") + offset).as("doc_id"), col("text"), col("lang"),
+        col("n_chars"))
+    val fresh = base.filter(pmod(col("doc_id"), lit(mod)) === 1)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" [rev2]")).as("text"), col("lang"),
+        (col("n_chars") + 7L).as("n_chars"))
+    dups.unionByName(fresh)
+  }
+
+  /** Incremental exact dedup — the ingest-time question "which of these new
+    * documents does the corpus already contain?", answered WITHOUT shuffling
+    * the corpus against the batch: a Bloom filter over the corpus's content
+    * hashes (Spark's own `BloomFilterAggregate` — one narrow pass,
+    * mergeable partials) routes each new document down one of two paths:
+    *
+    *   - might-contain = false → DEFINITELY new (Bloom has no false
+    *     negatives): kept with no join at all. At 100 TB this is the
+    *     overwhelming majority of a typical batch, so the expensive path
+    *     below sees only a sliver.
+    *   - might-contain = true → a true duplicate or a false positive: the
+    *     sliver is resolved EXACTLY by an anti join against the corpus.
+    *
+    * The result is therefore exact (identical to a plain anti join — the
+    * oracle IS the plain anti join); the Bloom filter only prunes work.
+    * The built filter is a byte-array literal in the plan (here ~1 MB; the
+    * same pattern Spark's runtime row-level filtering materializes via a
+    * scalar subquery), and the anti join broadcasts nothing of the corpus
+    * to the happy path.
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def textHash = ColumnBridge.expression(xxhash64(col("text")))
+    val bfAgg = ColumnBridge.column(
+      new BloomFilterAggregate(textHash, Literal(expectedItems),
+        Literal(expectedItems * 8L)).toAggregateExpression())
+    val bf: Array[Byte] =
+      corpus.agg(bfAgg.as("bf")).first().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bf, org.apache.spark.sql.types.BinaryType), textHash))
+    val out = Seq("doc_id", "lang", "n_chars")
+    val definitelyNew = newBatch.filter(!mightContain)
+    val needVerify = newBatch.filter(mightContain)
+      .join(corpus.select(col("text")), Seq("text"), "left_anti")
+    definitelyNew.select(out.map(col): _*)
+      .unionByName(needVerify.select(out.map(col): _*))
+  }
 }

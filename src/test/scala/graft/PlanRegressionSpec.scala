@@ -113,6 +113,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), s"global sort funnel:\n$p")
   }
 
+  test("doc_decontaminate: benchmark gram set broadcasts; corpus never cartesians") {
+    val p = plan("doc_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("doc_global_shuffle: NO single-partition sort; offsets broadcast; rank is bucket-parallel") {
+    val p = plan("doc_global_shuffle")
+    assert(!p.contains("Exchange SinglePartition"), s"global sort funnel:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("doc_incremental_dedup: the bloom prefilter is in the plan; no cartesian") {
+    val p = plan("doc_incremental_dedup")
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("event_type_kmv_users: the rank window bounds state; no cartesian, no global sort") {
     val p = plan("event_type_kmv_users")
     assert(!p.contains("CartesianProduct"), p)

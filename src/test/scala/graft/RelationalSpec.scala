@@ -180,4 +180,37 @@ class RelationalSpec extends AnyFunSuite {
     // but NOT the three shuffles of distinct+distinct+except
     assert("Exchange".r.findAllIn(plan).length <= 2, plan)
   }
+
+  test("Misra-Gries keeps the superset guarantee under adversarial merge order") {
+    val mg = new graft.functions.MisraGries(5)
+    // stream: item 1 appears 40 times out of N=100 — far above N/k=20 —
+    // among 60 singletons designed to force constant evictions
+    val stream = Seq.fill(40)(1L) ++ (100L until 160L)
+    // reduce in three chunks, then merge pairwise in both associations
+    val chunks = stream.grouped(34).toSeq
+      .map(c => c.foldLeft(mg.zero)(mg.reduce))
+    val left = mg.merge(mg.merge(chunks(0), chunks(1)), chunks(2))
+    val right = mg.merge(chunks(0), mg.merge(chunks(1), chunks(2)))
+    assert(mg.finish(left).contains(1L), left.toString)
+    assert(mg.finish(right).contains(1L), right.toString)
+    // the bound holds at every stage
+    (chunks :+ left :+ right).foreach(b => assert(b.size <= 4, b.toString))
+  }
+
+  test("heavy users: exact result on planted skew, equal to the plain groupBy") {
+    val events = Relational.plantHeavyUsers(Tables.events(spark, dir))
+    val got = Relational.heavyUsers(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    val n = events.count()
+    val threshold = math.ceil(n * 0.01).toLong
+    val exact = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(got == exact)
+    // at sf0.001 N is small enough that some natural users cross 1% too —
+    // the planted user must be among the hitters; exactness above is the
+    // real contract (at sf0.01+ ONLY planted users cross, per the oracle)
+    assert(got.keySet.exists(_ % 500 == 7), s"planted user missing: $got")
+  }
 }

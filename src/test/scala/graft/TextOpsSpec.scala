@@ -269,4 +269,62 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_copies")).toMap
     assert(out == Map(2L -> 2L, 9L -> 1L))
   }
+
+  test("decontamination overlap counts equal a brute-force recomputation") {
+    val n = 5
+    val isBench = pmod(
+      TextOps.portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
+      lit(10L)) === 0L
+    val sh = docs.select(col("doc_id"), isBench.as("bench"),
+      TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
+    val benchGrams = sh.filter(col("bench"))
+      .select(explode(col("sh")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(benchGrams.nonEmpty, "fixture: benchmark split must have grams")
+    // independent formulation: intersect each doc's distinct gram set with
+    // the collected benchmark set on the driver
+    val expected = sh.filter(!col("bench")).collect().map { r =>
+      val grams = r.getAs[scala.collection.Seq[String]]("sh")
+      r.getAs[Long]("doc_id") -> grams.count(benchGrams.contains).toLong
+    }.toMap
+    val out = TextOps.decontaminate(docs, n).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hit_grams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.keySet == expected.keySet) // exactly the non-benchmark docs
+    expected.foreach { case (id, hits) =>
+      assert(out(id) == (hits, hits > 0L), s"doc $id")
+    }
+    // the fixture parameters must keep the query non-vacuous
+    assert(out.values.count(_._2) > 0, "fixture: no contaminated docs")
+  }
+
+  test("global shuffle order is the exact global rank, bucketed or not") {
+    // buckets=4 forces multi-bucket offsets; the result must still be the
+    // single global permutation by (shuffle_key, doc_id)
+    val out = TextOps.globalShuffleOrder(docs, buckets = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_key"),
+        r.getAs[Long]("pos")))
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq) // a permutation
+    val byKey = out.sortBy(t => (t._2, t._1))
+    assert(byKey.map(_._3).toSeq == (1L to n).toSeq) // rank == key order
+  }
+
+  test("incremental dedup equals the exact anti join (bloom only prunes)") {
+    import spark.implicits._
+    val batch = TextOps.plantIngestBatch(docs)
+    // fixture shape: both slices non-empty (dups to drop, revisions to keep)
+    val nDup = docs.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    val nNew = docs.filter(pmod(col("doc_id"), lit(10)) === 1).count()
+    assert(batch.count() == nDup + nNew && nDup > 0 && nNew > 0)
+    val got = TextOps.incrementalDedup(batch, docs)
+    val exact = batch.join(docs.select(col("text")), Seq("text"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    assert(got.count() == nNew) // every re-ingested dup dropped
+    assert(got.exceptAll(exact).count() == 0 && exact.exceptAll(got).count() == 0)
+    // tiny expectedItems still exact: saturated bloom = more verify work only
+    val tiny = TextOps.incrementalDedup(batch, docs, expectedItems = 8L)
+    assert(tiny.exceptAll(exact).count() == 0 && exact.exceptAll(tiny).count() == 0)
+  }
 }
