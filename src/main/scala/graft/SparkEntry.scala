@@ -141,6 +141,11 @@ object SparkEntry {
     // held-out split; corpus side streams through a broadcast semi join
     "doc_decontaminate" -> ((s, dir) =>
       TextOps.decontaminate(Tables.documents(s, dir))),
+    // BPE tokenizer training (first 8 merge rules): corpus touched once
+    // (word-freq agg), iterations run on the vocab table; argmax rule
+    // collected per round (1 row — the k-means iteration discipline)
+    "doc_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir))),
     // global training-shuffle order WITHOUT a single-partition sort: fixed
     // key-range buckets -> per-bucket counts (metadata collect) -> parallel
     // per-bucket rank + broadcast offsets == the oracle's global row_number
@@ -237,6 +242,44 @@ object SparkEntry {
     * arithmetic only — bit-exact on any engine). The minute coordinate is
     * `epoch_us // 60000000` (DuckDB truncates the parquet nanos to µs on
     * read, exactly like Tables.events), anchored at 2020-01-01. */
+  /** DuckDB replica of [[graft.operators.TextOps.bpeMerges]], mechanically
+    * unrolled per merge (the k-means-oracle technique): each stage counts
+    * adjacent pairs of the previous segmentation, picks the argmax rule
+    * under the shared (count desc, left, right) tie-break, and re-applies
+    * it with a `list_reduce` fold whose accumulator is a list-of-lists —
+    * the exact greedy-leftmost non-overlapping semantics of the Spark
+    * `aggregate` HOF ([a,a,a] + (a,a) → [aa,a], verified both engines). */
+  private def bpeOracle(numMerges: Int): String = {
+    val stages = (1 to numMerges).map { i =>
+      s"""cnt$i AS (
+           SELECT seg[i] AS a, seg[i + 1] AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT freq, seg,
+                   unnest(generate_series(1, len(seg) - 1)) AS i
+                 FROM seg${i - 1})
+           GROUP BY 1, 2),
+         win$i AS (SELECT a, b, cnt FROM cnt$i ORDER BY cnt DESC, a, b LIMIT 1),
+         seg$i AS (
+           SELECT s.freq,
+             list_reduce(list_transform(s.seg, x -> [x]), (acc, x) ->
+               CASE WHEN acc[len(acc)] = w.a AND x[1] = w.b
+                 THEN acc[1:len(acc) - 1] || [w.a || w.b]
+                 ELSE acc || x END) AS seg
+           FROM seg${i - 1} s CROSS JOIN win$i w)"""
+    }.mkString(",\n")
+    val out = (1 to numMerges).map(i =>
+      s"""SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
+            cnt AS pair_count FROM win$i""").mkString("\n UNION ALL ")
+    s"""WITH w0 AS (
+         SELECT t AS word, count(*) AS freq FROM (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> '')) AS t
+           FROM documents) GROUP BY 1),
+       seg0 AS (SELECT freq, string_split(word, '') AS seg FROM w0),
+       $stages
+       $out"""
+  }
+
   private def zorderOracle(bits: Int): String = {
     val mask = (1L << bits) - 1
     val terms = (0 until bits).map { i =>
@@ -894,6 +937,7 @@ object SparkEntry {
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
     "events_zorder" -> zorderOracle(bits = 20),
+    "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     // replica of TextOps.decontaminate: the same deterministic benchmark
     // split (sha fold % 10 == 0), the same distinct 5-gram sets, overlap
     // counted per non-benchmark doc (count(*) is BIGINT; coalesce kept

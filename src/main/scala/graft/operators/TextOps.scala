@@ -959,6 +959,66 @@ object TextOps {
       .withColumn("fingerprints",
         array_join(transform(col("fingerprints"), x => x.cast("string")), ","))
 
+  // ------------------------------------------------- tokenizer training
+
+  /** BPE merge-rule training (Sennrich et al. 2016) — the step that turns a
+    * curated corpus into a tokenizer: the first `numMerges` merge rules by
+    * corpus pair frequency, with the classic greedy-leftmost application
+    * semantics.
+    *
+    * Distributed shape: the 100 TB corpus is touched ONCE (token explode →
+    * word-frequency agg); every iteration after that runs on the VOCAB
+    * table (distinct words × frequencies — the standard trainer's working
+    * set, millions of rows at web scale, never corpus-sized). Per
+    * iteration: adjacent-pair counts via a zip of two shifted segmentation
+    * slices (one hash agg), the argmax rule collected (ONE row — the same
+    * metadata-scale iteration collect as [[Similarity]]'s k-means), and
+    * the rule applied per word with a fold (`aggregate` HOF) that merges
+    * greedy-leftmost non-overlapping — `[a,a,a]` under rule (a,a) becomes
+    * `[aa,a]`, exactly the reference BPE behavior. `localCheckpoint`
+    * truncates the growing fold lineage each round (the
+    * [[nearDupClusters]] discipline).
+    *
+    * Ties in pair counts break by (count desc, left asc, right asc); the
+    * corpus is ASCII, so Spark's and the oracle's string orderings agree.
+    * Returns the trained artifact: (merge_rank, left_sym, right_sym,
+    * pair_count).
+    */
+  def bpeMerges(documents: DataFrame, numMerges: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    def applyMerge(seg: Column, a: String, b: String): Column =
+      aggregate(seg, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === a && x === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    var seg = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("word"), "").as("seg"))
+      .localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to numMerges) {
+      val n = size(col("seg"))
+      val winner = seg
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("seg"), lit(1), n - 1), slice(col("seg"), lit(2), n - 1))).as("p"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(winner.nonEmpty,
+        s"corpus exhausted at merge $i: every word is a single symbol")
+      val (a, b, cnt) = (winner(0).getAs[String]("a"),
+        winner(0).getAs[String]("b"), winner(0).getAs[Long]("cnt"))
+      rules += ((i, a, b, cnt))
+      seg = seg.select(col("freq"), applyMerge(col("seg"), a, b).as("seg"))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    rules.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the eval-leak filter every training

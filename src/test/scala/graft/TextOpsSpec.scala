@@ -270,6 +270,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map(2L -> 2L, 9L -> 1L))
   }
 
+  test("bpe merges follow greedy-leftmost semantics on a hand-computed corpus") {
+    import spark.implicits._
+    // words: aaab ×3, ab ×2. Round 1: (a,a)=6 beats (a,b)=5; applying it
+    // greedy-leftmost turns [a,a,a,b] into [aa,a,b] (NOT [aa,aa...]).
+    // Round 2: (a,b)=3+2 beats (aa,a)=3. Round 3: only (aa,ab)=3 remains.
+    val df = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, numMerges = 3).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSet
+    assert(got == Set((1, "a", "a", 6L), (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L)), got.toString)
+  }
+
   test("decontamination overlap counts equal a brute-force recomputation") {
     val n = 5
     val isBench = pmod(
