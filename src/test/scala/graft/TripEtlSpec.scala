@@ -147,6 +147,28 @@ class TripEtlSpec extends AnyFunSuite {
     assert(capped.getAs[Long]("started") == 1L) // counts unaffected by the cap
   }
 
+  test("incremental state merge finalizes to the one-shot aggregate, any split") {
+    import graft.operators.Incremental
+    val dir = "/root/testdata/sf0.001"
+    val enriched = TripEtl.enrichTrips(
+      graft.sources.Tables.events(spark, dir),
+      graft.sources.Tables.supplier(spark, dir))
+    val oneShot = TripEtl.stationDayAgg(enriched)
+    // two DIFFERENT splits must both finalize to the identical table —
+    // the associativity the stored-state design depends on
+    Seq(2, 7).foreach { mod =>
+      val inc = Incremental.stationDayAggIncremental(enriched, mod)
+      assert(inc.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(inc).count() == 0, s"mod=$mod")
+    }
+    // an empty new batch is a no-op merge (ingest idles, rollup unchanged)
+    val all = Incremental.stationDayAggState(enriched)
+    val none = Incremental.stationDayAggState(enriched.filter(lit(false)))
+    val merged = Incremental.finalizeState(Incremental.mergeStates(all, none))
+    assert(merged.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged).count() == 0)
+  }
+
   test("parseTrips drops records with invalid/missing timestamps (T1)") {
     val raw = Seq(
       """{"tripId":1,"tripTime":"2024-01-01T10:00:00.000Z","tripType":"purchase","stationId":3,"temperature":20.0}""",
