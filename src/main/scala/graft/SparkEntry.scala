@@ -221,6 +221,11 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansCentroids(Tables.embeddings(s, dir), k = 8, iters = 3)),
+    // product-quantization codebooks (IVF-PQ's compression half): one
+    // independent Lloyd loop per contiguous subspace slice — 64 float dims
+    // compress to numSubspaces one-byte codes against these codebooks
+    "emb_pq_codebooks" -> ((s, dir) =>
+      Similarity.pqCodebooks(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -358,7 +363,8 @@ object SparkEntry {
     * final centroid table hash-matches. The codebook CTE drops zero-norm
     * centroids exactly like the engine (their cosine is NaN, and the two
     * engines order NaN differently). */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int,
+                           source: String = "embeddings"): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
@@ -388,7 +394,7 @@ object SparkEntry {
     s"""WITH en AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
             ${nrm("embedding::DOUBLE[]")} AS vnrm
-          FROM embeddings),
+          FROM $source),
         c0 AS (
           SELECT vec_id AS cluster_id, v AS cv, vnrm AS cnrm
           FROM en WHERE vec_id < $k),
@@ -397,6 +403,19 @@ object SparkEntry {
           floor(cval * 1e6 + 0.5) / 1e6 AS centroid_val
         FROM cm$iters"""
   }
+
+  /** DuckDB replica of [[graft.operators.Similarity.pqCodebooks]]: one
+    * [[kmeansOracle]] unrolled-Lloyd replica per subspace, each over the
+    * sliced source `(embedding::DOUBLE[])[a:b]` — the same cast-then-slice
+    * values Spark's slice-then-cast produces per element. */
+  private def pqOracle(numSubspaces: Int, w: Int, k: Int, iters: Int): String =
+    (0 until numSubspaces).map { s =>
+      val src = s"""(SELECT vec_id,
+           (embedding::DOUBLE[])[${s * w + 1}:${(s + 1) * w}] AS embedding
+         FROM embeddings)"""
+      s"""SELECT $s AS subspace, cluster_id, dim, centroid_val
+          FROM (${kmeansOracle(k, iters, src)})"""
+    }.mkString("\n UNION ALL ")
 
   /** DuckDB replica of [[graft.operators.Similarity.ivfTopK]] (round-3
     * verdict #3): the coarse codebook is the first-`c` raw vectors (a plain
@@ -688,6 +707,7 @@ object SparkEntry {
              * 1e4 + 0.5) / 1e4 AS approx_users
          FROM t""",
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
+    "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

@@ -237,6 +237,36 @@ object Similarity {
         roundFixed(col("centroid_val"), 6).as("centroid_val"))
   }
 
+  /** Product-quantization codebooks — the memory-compression half of a
+    * production ANN index (IVF-PQ): the vector space is cut into
+    * `numSubspaces` contiguous slices and a SEPARATE k-codeword codebook is
+    * trained per slice with the exact [[kmeansCentroids]] Lloyd loop, so a
+    * d-dim vector compresses to `numSubspaces` one-byte codes (k ≤ 256)
+    * while distance tables stay per-subspace. 64 dims × float32 → 4 bytes
+    * per vector at (4, 256): a 100 TB embedding corpus fits hot in
+    * cluster memory.
+    *
+    * Pure composition: each subspace trains on a narrow slice projection of
+    * the SAME corpus scan shape as [[kmeansCentroids]] (per-iteration
+    * assignment pass + (cluster, dim) hash agg + k·w-row collect), and the
+    * oracle replays each subspace with the same unrolled-Lloyd replica over
+    * a sliced source — identical arithmetic, hash-exact.
+    */
+  def pqCodebooks(embeddings: DataFrame, numSubspaces: Int = 4, k: Int = 8,
+                  iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide evenly into $numSubspaces subspaces")
+    val w = dim / numSubspaces
+    (0 until numSubspaces).map { s =>
+      kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding"), s * w + 1, w).as("embedding")),
+        k, iters)
+        .select(lit(s).as("subspace"), col("cluster_id"), col("dim"),
+          col("centroid_val"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The Lloyd loop itself: returns the final (cluster_id, dim,
     * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
   private def kmeansRows(embeddings: DataFrame, k: Int,

@@ -230,4 +230,23 @@ class SimilaritySpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine(v, v).as("c")).collect().head.getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("pq codebooks: each subspace equals a standalone k-means on its slice") {
+    import org.apache.spark.sql.functions._
+    val pq = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("cluster_id"),
+        r.getAs[Int]("dim")) -> r.getAs[Double]("centroid_val")).toMap
+    // 4 subspaces × ≤4 clusters × 16 dims, every dim in [0, 16)
+    assert(pq.keys.map(_._1).toSet == Set(0, 1, 2, 3))
+    assert(pq.keys.forall { case (_, _, d) => d >= 0 && d < 16 })
+    // subspace independence: subspace 2 must be bit-identical to running
+    // the shared Lloyd trainer directly on that slice
+    val solo = Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), slice(col("embedding"), 33, 16).as("embedding")),
+      k = 4, iters = 2).collect()
+      .map(r => (2, r.getAs[Long]("cluster_id"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("centroid_val")).toMap
+    assert(solo == pq.filter(_._1._1 == 2), "subspace 2 diverged from solo run")
+  }
 }
