@@ -476,12 +476,28 @@ object Similarity {
     val offset = if (idOffset == 0L) maxId + 1L else idOffset
     require(offset > maxId,
       s"plantNearDups idOffset $offset collides with real vec_ids (max $maxId)")
-    val planted = embeddings
+    // The planted rows are COLLECTED and re-planted as a local relation —
+    // `count` rows, metadata scale, fixture-only. A lazy
+    // filter+transform union here defeated Catalyst's size estimation
+    // (Filter/Project inherit the full scan estimate, so the union looked
+    // ~2x the corpus): the downstream verify joins then lost their twin's
+    // broadcast plan and paid two sort-merge sorts of the candidate table
+    // — measured 6x slower on the 10x scale corpus. The local relation
+    // has exact (tiny) stats, so the planted query plans IDENTICALLY to
+    // the unplanted one. Float negation is exact, same values as before.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val plantedRows = embeddings
       .filter(col("vec_id") < count)
-      .select((col("vec_id") + offset).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i % flipEvery === 0, -x).otherwise(x)).as("embedding"))
-    embeddings.select("vec_id", "embedding").unionByName(planted)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val flipped = r.getSeq[Float](1).zipWithIndex
+          .map { case (x, i) => if (i % flipEvery == 0) -x else x }
+        (r.getLong(0) + offset, flipped)
+      }.toSeq
+    embeddings.select("vec_id", "embedding")
+      .unionByName(plantedRows.toDF("vec_id", "embedding"))
   }
 
   /** Per-label centroids in long format (label, dim, centroid_val): one

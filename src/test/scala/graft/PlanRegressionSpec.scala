@@ -132,6 +132,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("event_heavy_users: bounded-sketch agg + broadcast candidate semi join, no cartesian") {
+    val p = plan("event_heavy_users")
+    assert(p.contains("ObjectHashAggregate"), s"MG sketch agg missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("station_day_agg_incremental: two slice partials + one merge agg, no sort-merge join") {
+    val p = plan("station_day_agg_incremental")
+    assert(count(p, "Exchange hashpartitioning") == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("event_type_kmv_users: the rank window bounds state; no cartesian, no global sort") {
     val p = plan("event_type_kmv_users")
     assert(!p.contains("CartesianProduct"), p)
