@@ -139,9 +139,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("station_day_agg_incremental: two slice partials + one merge agg, no sort-merge join") {
+  test("station_day_agg_incremental: merge agg reuses the slice partials' partitioning") {
     val p = plan("station_day_agg_incremental")
-    assert(count(p, "Exchange hashpartitioning") == 3, p)
+    // one exchange per slice partial; both sides arrive hash-partitioned
+    // on the merge keys, so the merge agg adds NO third exchange
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
