@@ -226,6 +226,10 @@ object SparkEntry {
     // compress to numSubspaces one-byte codes against these codebooks
     "emb_pq_codebooks" -> ((s, dir) =>
       Similarity.pqCodebooks(Tables.embeddings(s, dir))),
+    // PQ encoding: each vector's 4 one-byte codes against the published
+    // (rounded) codebooks — shuffle-free per-row argmax per subspace
+    "emb_pq_codes" -> ((s, dir) =>
+      Similarity.pqAssignCodes(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -364,7 +368,8 @@ object SparkEntry {
     * centroids exactly like the engine (their cosine is NaN, and the two
     * engines order NaN differently). */
   private def kmeansOracle(k: Int, iters: Int,
-                           source: String = "embeddings"): String = {
+                           source: String = "embeddings",
+                           emit: String = "centroids"): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
@@ -399,9 +404,29 @@ object SparkEntry {
           SELECT vec_id AS cluster_id, v AS cv, vnrm AS cnrm
           FROM en WHERE vec_id < $k),
         $iterCtes
-        SELECT cluster_id, dim,
-          floor(cval * 1e6 + 0.5) / 1e6 AS centroid_val
-        FROM cm$iters"""
+        ${
+          if (emit == "centroids")
+            s"""SELECT cluster_id, dim,
+                  floor(cval * 1e6 + 0.5) / 1e6 AS centroid_val
+                FROM cm$iters"""
+          else
+            // codes: assignment against the ROUNDED published codebook
+            // (the same values pqAssignCodes collects), argmax cosine with
+            // the shared (cos DESC, id ASC) tie-break
+            s""", cb AS (
+                 SELECT * FROM (
+                   SELECT cluster_id, cv, ${nrm("cv")} AS cnrm FROM (
+                     SELECT cluster_id,
+                       list(floor(cval * 1e6 + 0.5) / 1e6 ORDER BY dim) AS cv
+                     FROM cm$iters GROUP BY 1))
+                 WHERE cnrm > 0)
+               SELECT vec_id, cluster_id AS code FROM (
+                 SELECT en.vec_id, cb.cluster_id,
+                   row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                     (${dot("en.v", "cb.cv")} / (en.vnrm * cb.cnrm)) DESC,
+                     cb.cluster_id ASC) AS rnk
+                 FROM en, cb) WHERE rnk = 1"""
+        }"""
   }
 
   /** DuckDB replica of [[graft.operators.Similarity.pqCodebooks]]: one
@@ -415,6 +440,19 @@ object SparkEntry {
          FROM embeddings)"""
       s"""SELECT $s AS subspace, cluster_id, dim, centroid_val
           FROM (${kmeansOracle(k, iters, src)})"""
+    }.mkString("\n UNION ALL ")
+
+  /** DuckDB replica of [[graft.operators.Similarity.pqAssignCodes]]: the
+    * per-subspace unrolled-Lloyd chain with the `codes` tail — rounded
+    * codebook CTE + per-vector argmax assignment. */
+  private def pqCodesOracle(numSubspaces: Int, w: Int, k: Int,
+                            iters: Int): String =
+    (0 until numSubspaces).map { s =>
+      val src = s"""(SELECT vec_id,
+           (embedding::DOUBLE[])[${s * w + 1}:${(s + 1) * w}] AS embedding
+         FROM embeddings)"""
+      s"""SELECT vec_id, $s AS subspace, code
+          FROM (${kmeansOracle(k, iters, src, emit = "codes")})"""
     }.mkString("\n UNION ALL ")
 
   /** DuckDB replica of [[graft.operators.Similarity.ivfTopK]] (round-3
@@ -708,6 +746,7 @@ object SparkEntry {
          FROM t""",
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
+    "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

@@ -267,6 +267,36 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** PQ encoding — the companion of [[pqCodebooks]]: each vector's
+    * `numSubspaces` one-byte codes, i.e. the argmax-cosine codeword per
+    * subspace slice. Assignment runs against the ROUNDED published
+    * codebook (the exportable artifact — unrounded trainer internals would
+    * make codes unreproducible from the codebook a consumer actually
+    * holds), as a shuffle-free per-row argmax over the collected k·w
+    * codebook (the [[ivfTopK]] assignment discipline; zero-norm codewords
+    * filtered before they can produce a NaN cosine). Output:
+    * (vec_id, subspace, code).
+    */
+  def pqAssignCodes(embeddings: DataFrame, numSubspaces: Int = 4, k: Int = 8,
+                    iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide evenly into $numSubspaces subspaces")
+    val w = dim / numSubspaces
+    (0 until numSubspaces).map { s =>
+      val sliced = embeddings.select(col("vec_id"),
+        slice(col("embedding"), s * w + 1, w).as("embedding"))
+      val cb = reshapeCodebook(
+        kmeansCentroids(sliced, k, iters).collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+        .filter(_._3 > 0)
+      val e = sliced.select(col("vec_id"), vec(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      e.select(col("vec_id"), lit(s).as("subspace"),
+        nearestAnchors(col("v"), col("nrm"), cb, keep = 1)
+          .getItem(0).getField("aid").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The Lloyd loop itself: returns the final (cluster_id, dim,
     * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
   private def kmeansRows(embeddings: DataFrame, k: Int,

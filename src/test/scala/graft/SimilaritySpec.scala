@@ -231,6 +231,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("pq codes: every vector gets one code per subspace, from the trained codebook") {
+    import org.apache.spark.sql.functions._
+    val codes = Similarity.pqAssignCodes(emb, numSubspaces = 4, k = 4, iters = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("subspace"),
+        r.getAs[Long]("code")))
+    val n = emb.count()
+    assert(codes.length == 4 * n) // one code per (vector, subspace)
+    assert(codes.map(c => (c._1, c._2)).distinct.length == codes.length)
+    // codes come from the subspace's trained cluster-id domain
+    val cbIds = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 1)
+      .select(col("subspace"), col("cluster_id")).distinct().collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("cluster_id"))).toSet
+    assert(codes.forall(c => cbIds.contains((c._2, c._3))),
+      "a code fell outside the trained codebook")
+  }
+
   test("pq codebooks: each subspace equals a standalone k-means on its slice") {
     import org.apache.spark.sql.functions._
     val pq = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 2)
