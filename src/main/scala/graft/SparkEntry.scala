@@ -78,11 +78,14 @@ object SparkEntry {
       Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
     "events_last_hour" -> ((s, dir) =>
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
-    "event_type_approx_users" -> ((s, dir) =>
-      Relational.eventTypeApproxUsers(Tables.events(s, dir))),
-    // KMV: the approximate-distinct sketch that still hash-oracles — HLL's
-    // register layout is engine-defined, but k-minimum-values over the
-    // portable hash is deterministic on both engines
+    // HLL approx-distinct (Relational.eventTypeApproxUsers) is deliberately
+    // NOT a driver query: an HLL estimate is engine-defined (Spark's and
+    // DuckDB's sketches legitimately disagree), so no hash oracle can exist —
+    // it was the single `err: no_oracle` row four rounds running. It remains
+    // public API with a ≤5% relative-error spec (RelationalSpec); the driver's
+    // approx-distinct representative is the KMV twin below, which DOES
+    // hash-oracle because k-minimum-values over the portable 64-bit hash is
+    // deterministic on both engines.
     "event_type_kmv_users" -> ((s, dir) =>
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
@@ -230,6 +233,11 @@ object SparkEntry {
     // (rounded) codebooks — shuffle-free per-row argmax per subspace
     "emb_pq_codes" -> ((s, dir) =>
       Similarity.pqAssignCodes(Tables.embeddings(s, dir))),
+    // the ADC serving path (r5 verdict #5): per-query distance TABLES
+    // against the published codebook, approximate cosine = pure per-code
+    // table lookups — queries never touch a corpus vector again
+    "emb_pq_search" -> ((s, dir) =>
+      Similarity.pqSearchTopK(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -410,12 +418,16 @@ object SparkEntry {
                   floor(cval * 1e6 + 0.5) / 1e6 AS centroid_val
                 FROM cm$iters"""
           else
-            // codes: assignment against the ROUNDED published codebook
-            // (the same values pqAssignCodes collects), argmax cosine with
-            // the shared (cos DESC, id ASC) tie-break
+            // codes: L2-argmin assignment against the ROUNDED published
+            // codebook (the same values pqAssignCodes collects) — key
+            // nsq − 2·dot with the (d2 ASC, id ASC) tie-break, nsq a fresh
+            // ascending fold of squares exactly like the engine's dotSeq
             s""", cb AS (
                  SELECT * FROM (
-                   SELECT cluster_id, cv, ${nrm("cv")} AS cnrm FROM (
+                   SELECT cluster_id, cv, ${nrm("cv")} AS cnrm,
+                     list_reduce(list_transform(cv, x -> x * x),
+                       (a, b) -> a + b) AS nsq
+                   FROM (
                      SELECT cluster_id,
                        list(floor(cval * 1e6 + 0.5) / 1e6 ORDER BY dim) AS cv
                      FROM cm$iters GROUP BY 1))
@@ -423,7 +435,7 @@ object SparkEntry {
                SELECT vec_id, cluster_id AS code FROM (
                  SELECT en.vec_id, cb.cluster_id,
                    row_number() OVER (PARTITION BY en.vec_id ORDER BY
-                     (${dot("en.v", "cb.cv")} / (en.vnrm * cb.cnrm)) DESC,
+                     (cb.nsq - 2 * ${dot("en.v", "cb.cv")}) ASC,
                      cb.cluster_id ASC) AS rnk
                  FROM en, cb) WHERE rnk = 1"""
         }"""
@@ -454,6 +466,73 @@ object SparkEntry {
       s"""SELECT vec_id, $s AS subspace, code
           FROM (${kmeansOracle(k, iters, src, emit = "codes")})"""
     }.mkString("\n UNION ALL ")
+
+  /** DuckDB replica of [[graft.operators.Similarity.pqSearchTopK]] — the
+    * ADC estimator replayed exactly: per-subspace rounded codebooks and
+    * codes come from the already-hash-green [[kmeansOracle]] chains (one
+    * `centroids` + one `codes` emission per subspace); the numerator term
+    * re-derives each table entry as the query-slice·codeword dot (ascending
+    * -index list_reduce ≡ the engine's driver-side while-loop fold), the
+    * denominator re-derives each codeword's squared norm the same way, and
+    * the subspace sums fold s-ascending via `list(x ORDER BY subspace)` +
+    * list_reduce ≡ the engine's left-assoc `.reduce(_ + _)` — every double
+    * bit-identical, so the top-k hash-matches. */
+  private def pqSearchOracle(numSubspaces: Int, w: Int, k: Int, iters: Int,
+                             numQueries: Int, topK: Int): String = {
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val codesUnion = (0 until numSubspaces).map { s =>
+      val src = s"""(SELECT vec_id,
+           (embedding::DOUBLE[])[${s * w + 1}:${(s + 1) * w}] AS embedding
+         FROM embeddings)"""
+      s"""SELECT vec_id, $s AS subspace, code
+          FROM (${kmeansOracle(k, iters, src, emit = "codes")})"""
+    }.mkString("\n UNION ALL ")
+    val cbUnion = (0 until numSubspaces).map { s =>
+      val src = s"""(SELECT vec_id,
+           (embedding::DOUBLE[])[${s * w + 1}:${(s + 1) * w}] AS embedding
+         FROM embeddings)"""
+      s"""SELECT $s AS subspace, cluster_id, dim, centroid_val
+          FROM (${kmeansOracle(k, iters, src)})"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH codes AS ($codesUnion),
+        cb AS ($cbUnion),
+        cbv AS (
+          SELECT subspace, cluster_id,
+            list(centroid_val ORDER BY dim) AS cv
+          FROM cb GROUP BY 1, 2),
+        cbn AS (
+          SELECT subspace, cluster_id, cv,
+            list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS nsq
+          FROM cbv),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS qnrm
+          FROM embeddings WHERE vec_id < $numQueries),
+        terms AS (
+          SELECT c.vec_id AS neighbor_id, q.query_id, c.subspace,
+            list_reduce(list_transform(generate_series(1, len(b.cv)),
+              i -> (q.v)[c.subspace * $w + i] * b.cv[i]), (x, y) -> x + y) AS t,
+            b.nsq AS nsq, q.qnrm
+          FROM codes c
+          JOIN cbn b ON b.subspace = c.subspace AND b.cluster_id = c.code
+          CROSS JOIN q
+          WHERE q.query_id <> c.vec_id),
+        agg AS (
+          SELECT query_id, neighbor_id, any_value(qnrm) AS qnrm,
+            list_reduce(list(t ORDER BY subspace), (x, y) -> x + y) AS num,
+            list_reduce(list(nsq ORDER BY subspace), (x, y) -> x + y) AS densum
+          FROM terms GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+            num / (qnrm * sqrt(densum)) AS c0,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY num / (qnrm * sqrt(densum)) DESC, neighbor_id ASC) AS rank
+          FROM agg)
+        SELECT query_id, neighbor_id,
+          floor(c0 * 1e4 + 0.5) / 1e4 AS adc_cosine, rank
+        FROM ranked WHERE rank <= $topK"""
+  }
 
   /** DuckDB replica of [[graft.operators.Similarity.ivfTopK]] (round-3
     * verdict #3): the coarse codebook is the first-`c` raw vectors (a plain
@@ -747,6 +826,8 @@ object SparkEntry {
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
+    "emb_pq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
+      iters = 2, numQueries = 10, topK = 5),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

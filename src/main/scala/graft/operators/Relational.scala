@@ -390,15 +390,20 @@ object Relational {
     require(1.0 / k < minFrac,
       s"k=$k too small for minFrac=$minFrac: need 1/k < minFrac for the " +
         "Misra-Gries superset guarantee")
-    val n = events.count()
-    val threshold = math.ceil(n * minFrac).toLong
     val mg = udaf(new graft.functions.MisraGries(k),
       org.apache.spark.sql.Encoders.scalaLong)
-    val candidates = events
-      .agg(mg(col("user_id")).as("cand"))
-      .select(explode(col("cand")).as("user_id"))
+    // ONE pass produces both the candidate sketch and N (r5 advice: the
+    // separate count() was a full extra scan). Collecting here is ≤ k−1
+    // ids + one long — metadata scale; the candidates then reach pass 2 as
+    // an In-list literal, so the verify pass is a single scan with the
+    // candidate filter evaluated at (or pushed into) the parquet scan, no
+    // join at all.
+    val sketch = events
+      .agg(mg(col("user_id")).as("cand"), count(lit(1)).as("n")).first()
+    val candidates = sketch.getAs[scala.collection.Seq[Long]]("cand").toSeq
+    val threshold = math.ceil(sketch.getAs[Long]("n") * minFrac).toLong
     events
-      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .filter(col("user_id").isin(candidates: _*))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") >= threshold)

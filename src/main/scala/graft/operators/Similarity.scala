@@ -268,13 +268,19 @@ object Similarity {
   }
 
   /** PQ encoding — the companion of [[pqCodebooks]]: each vector's
-    * `numSubspaces` one-byte codes, i.e. the argmax-cosine codeword per
-    * subspace slice. Assignment runs against the ROUNDED published
-    * codebook (the exportable artifact — unrounded trainer internals would
-    * make codes unreproducible from the codebook a consumer actually
-    * holds), as a shuffle-free per-row argmax over the collected k·w
-    * codebook (the [[ivfTopK]] assignment discipline; zero-norm codewords
-    * filtered before they can produce a NaN cosine). Output:
+    * `numSubspaces` one-byte codes, i.e. the L2-argmin codeword per
+    * subspace slice (`argmin_j ‖x_s − c_j‖²` — the textbook PQ encode;
+    * reconstruction-optimal codes are what makes the ADC estimator in
+    * [[pqSearchTopK]] rank well, and a cosine argmax measurably does not:
+    * it ignores slice magnitude, so reconstructions land on wrong-length
+    * codewords). `‖x_s‖²` is common to all codewords, so the comparison
+    * key is `‖c_j‖² − 2⟨x_s, c_j⟩` — one dot product per codeword.
+    * Assignment runs against the ROUNDED published codebook (the
+    * exportable artifact — unrounded trainer internals would make codes
+    * unreproducible from the codebook a consumer actually holds), as a
+    * shuffle-free per-row argmin over the collected k·w codebook (the
+    * [[ivfTopK]] assignment discipline; zero-norm codewords filtered for
+    * artifact consistency with the trainer's surviving set). Output:
     * (vec_id, subspace, code).
     */
   def pqAssignCodes(embeddings: DataFrame, numSubspaces: Int = 4, k: Int = 8,
@@ -290,11 +296,134 @@ object Similarity {
           .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
         .filter(_._3 > 0)
       val e = sliced.select(col("vec_id"), vec(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       e.select(col("vec_id"), lit(s).as("subspace"),
-        nearestAnchors(col("v"), col("nrm"), cb, keep = 1)
-          .getItem(0).getField("aid").as("code"))
+        nearestCodewordL2(col("v"), cb).as("code"))
     }.reduce(_ unionByName _)
+  }
+
+  /** L2-argmin codeword id for a slice vector, as ONE per-row expression
+    * over the collected codebook: key = ‖c_j‖² − 2⟨v, c_j⟩ (the ‖v‖² term
+    * is constant across codewords), ties broken by ascending codeword id
+    * via the struct sort — the same discipline as [[nearestAnchors]], in
+    * the L2 metric. ‖c_j‖² is a fresh ascending fold of squares (NOT the
+    * stored norm squared — a sqrt-then-square detour the oracle could not
+    * replay bit-for-bit). */
+  private def nearestCodewordL2(v: Column,
+                                cb: Seq[(Long, Seq[Double], Double)]): Column = {
+    val entries = cb.map { case (id, cw, _) =>
+      struct(
+        (lit(dotSeq(cw, cw)) - lit(2.0) * dot(v, array(cw.map(lit): _*))).as("d2"),
+        lit(id).as("aid"))
+    }
+    slice(array_sort(array(entries: _*)), 1, 1).getItem(0).getField("aid")
+  }
+
+  /** Ascending-index left-fold dot product on the driver — the Scala twin
+    * of the engine/oracle fold order, used wherever a literal table is
+    * precomputed from collected vectors. */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the SERVING path of an
+    * IVF-PQ index, composing [[pqCodebooks]] + [[pqAssignCodes]]: the corpus
+    * is represented ONLY by its per-subspace codes; a query never touches a
+    * corpus vector again. Per query the driver precomputes, against the
+    * ROUNDED published codebook, a `numSubspaces × codewords` table of
+    * query-slice·codeword dot products (plus one global per-codeword
+    * squared-norm table), and the approximate cosine of (query, x) is pure
+    * table lookups:
+    *
+    *   cos ≈ Σ_s T_q[s][code_s(x)]  /  (‖q‖ · sqrt(Σ_s ‖c_{s,code_s(x)}‖²))
+    *
+    * i.e. the EXACT cosine between q and x's PQ reconstruction — the
+    * textbook ADC estimator. Scale shape: encoding is the same single
+    * shuffle-free scan as [[pqAssignCodes]] (at 100 TB the codes would be
+    * precomputed and this scan reads 4-byte codes, not 256-byte vectors);
+    * the distance tables are numQueries·numSubspaces·codewords doubles —
+    * literal scale — broadcast with the query list; scoring is
+    * numSubspaces·2 array lookups per (row, query) with no shuffle before
+    * the per-query top-k window (WindowGroupLimit: partial top-k map-side).
+    *
+    * Determinism for the hash oracle: every reduction is an ascending-index
+    * left fold on both engines (Scala while-loop / Seq.sum ≡ DuckDB
+    * list_reduce over a dim-ordered list; the subspace sum folds s ascending
+    * on both sides), and all tables derive from the rounded codebook, so the
+    * DuckDB replica reproduces each double bit-for-bit.
+    */
+  def pqSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                   numSubspaces: Int = 4, codewords: Int = 8,
+                   iters: Int = 2, dim: Int = 64): DataFrame = {
+    require(dim % numSubspaces == 0,
+      s"dim $dim must divide evenly into $numSubspaces subspaces")
+    val w = dim / numSubspaces
+    // per-subspace ROUNDED published codebooks (same artifact pqAssignCodes
+    // assigns against), zero-norm codewords dropped before assignment
+    val cbs: Seq[Seq[(Long, Seq[Double], Double)]] = (0 until numSubspaces).map { s =>
+      val sliced = embeddings.select(col("vec_id"),
+        slice(col("embedding"), s * w + 1, w).as("embedding"))
+      reshapeCodebook(
+        kmeansCentroids(sliced, codewords, iters).collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+        .filter(_._3 > 0)
+    }
+    if (cbs.exists(_.isEmpty)) return emptyTopK(embeddings)
+    // per-codeword squared norms, 0.0 for ids that never survive (a code can
+    // only reference a surviving codeword, so the gaps are never looked up);
+    // recomputed as a fresh ascending fold of squares — NOT norm², which
+    // would take a sqrt-then-square rounding detour the oracle can't replay
+    val nsqTabs: Seq[Seq[Double]] = (0 until numSubspaces).map { s =>
+      val m = cbs(s).map(e => e._1 -> dotSeq(e._2, e._2)).toMap
+      (0 until codewords).map(j => m.getOrElse(j.toLong, 0.0))
+    }
+    // queries collected once (numQueries·dim doubles — metadata scale, the
+    // same driver-side role as the anchors/codebook literals)
+    val queryRows = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), vec(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val queryTabs = queryRows.map { case (qid, qv) =>
+      val tabs = (0 until numSubspaces).map { s =>
+        val qs = qv.slice(s * w, (s + 1) * w)
+        val m = cbs(s).map(e => e._1 -> dotSeq(qs, e._2)).toMap
+        (0 until codewords).map(j => m.getOrElse(j.toLong, 0.0))
+      }
+      (qid, tabs, math.sqrt(dotSeq(qv, qv)))
+    }.toDF("query_id", "num_tabs", "qnrm")
+
+    // encode: ONE corpus scan, all subspace codes per row (shuffle-free),
+    // with the same L2-argmin assignment pqAssignCodes publishes
+    var coded = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+    for (s <- 0 until numSubspaces) {
+      coded = coded
+        .withColumn(s"v_$s", slice(col("v"), s * w + 1, w))
+        .withColumn(s"code_$s", nearestCodewordL2(col(s"v_$s"), cbs(s)))
+    }
+    val codes = coded.select(
+      col("vec_id").as("neighbor_id") +:
+        (0 until numSubspaces).map(s => col(s"code_$s")): _*)
+
+    val num = (0 until numSubspaces).map { s =>
+      element_at(element_at(col("num_tabs"), s + 1),
+        col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val densum = (0 until numSubspaces).map { s =>
+      element_at(array(nsqTabs(s).map(lit): _*), col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+
+    val scored = codes
+      .join(broadcast(queryTabs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("c0", num / (col("qnrm") * sqrt(densum)))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("c0").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        roundFixed(col("c0"), 4).as("adc_cosine"), col("rank"))
   }
 
   /** The Lloyd loop itself: returns the final (cluster_id, dim,

@@ -774,14 +774,29 @@ object TextOps {
     * vocabulary size).
     */
   def vocabTopTerms(documents: DataFrame, topN: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = documents
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(topN)
-    counts.withColumn("rnk",
-      row_number().over(Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
+    // Ranking the ≤topN survivors with row_number() over an empty partition
+    // spec makes WindowExec log "No Partition Defined … moving all data to a
+    // single partition" on every run — a warning that reads like a scale bug
+    // it isn't, because the window input is already GlobalLimit-bounded (r5
+    // verdict #4; a literal partition key doesn't help — Spark 4's
+    // EliminateWindowPartitions folds it right back to the empty spec). So
+    // the rank is derived WITHOUT a window: localCheckpoint the bounded set
+    // (lazy, ≤topN rows, one corpus scan shared by both sides) and count
+    // strictly-stronger rows via a broadcast self-join — ≤topN² comparisons,
+    // identical to row_number() over (n DESC, term ASC) since term is unique.
+    val c = counts.localCheckpoint(false)
+    val stronger = c.select(col("n").as("n2"), col("term").as("term2"))
+    c.join(broadcast(stronger),
+        col("n2") > col("n") || (col("n2") === col("n") && col("term2") < col("term")),
+        "left")
+      .groupBy(col("term"), col("n"))
+      .agg((count(col("term2")) + 1L).as("rnk"))
+      .select(col("term"), col("n"), col("rnk"))
   }
 
   /** Deterministic stratified sampling — reproducible corpus selection, the
@@ -1045,11 +1060,18 @@ object TextOps {
     */
   def decontaminate(documents: DataFrame, n: Int = 5,
                     benchMod: Int = 10): DataFrame = {
-    val isBench =
-      pmod(portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
-        lit(benchMod.toLong)) === 0L
-    val grams = documents
-      .select(col("doc_id"), isBench.as("bench"),
+    // the bench/train split is projected ONCE and every branch below derives
+    // from this single flagged relation (r5 advice: the flag expression used
+    // to be re-stated on an independent `documents` scan). The flag is still
+    // EVALUATED per scan — its input is a ~15-byte id string, so recomputing
+    // the hash is orders of magnitude cheaper than materializing or joining
+    // a flagged copy of a 100 TB corpus to avoid it; Catalyst prunes `text`
+    // out of the branches that only need (doc_id, lang, bench).
+    val flagged = documents.select(col("doc_id"), col("lang"), col("text"),
+      (pmod(portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
+        lit(benchMod.toLong)) === 0L).as("bench"))
+    val grams = flagged
+      .select(col("doc_id"), col("bench"),
         explode(shingles(tokens(col("text")), n)).as("g"))
     val benchGrams = grams.filter(col("bench")).select(col("g")).distinct()
     // grams are distinct per doc (shingle SET), so count(*) after the semi
@@ -1058,8 +1080,8 @@ object TextOps {
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_grams"))
-    documents
-      .filter(!isBench)
+    flagged
+      .filter(!col("bench"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
@@ -1122,8 +1144,10 @@ object TextOps {
     * technique as [[Similarity.plantNearDups]]).
     */
   def plantIngestBatch(documents: DataFrame, mod: Int = 10): DataFrame = {
-    val maxId = documents.agg(max(col("doc_id"))).first().getLong(0)
-    val offset = maxId + 1L
+    val maxId = Option(documents.agg(max(col("doc_id"))).first().get(0))
+    require(maxId.nonEmpty, "plantIngestBatch: corpus must be non-empty " +
+      "(max(doc_id) of zero rows is NULL, so no collision-free id offset exists)")
+    val offset = maxId.get.asInstanceOf[Long] + 1L
     val base = documents.select(col("doc_id"), col("text"), col("lang"),
       col("n_chars"))
     val dups = base.filter(pmod(col("doc_id"), lit(mod)) === 0)
@@ -1167,10 +1191,15 @@ object TextOps {
         Literal(expectedItems * 8L)).toAggregateExpression())
     val bf: Array[Byte] =
       corpus.agg(bfAgg.as("bf")).first().getAs[Array[Byte]]("bf")
+    val out = Seq("doc_id", "lang", "n_chars")
+    // Day-zero guard (r5 advice, medium): BloomFilterAggregate over ZERO
+    // corpus rows returns NULL, and might_contain(NULL, h) is NULL — so both
+    // the happy-path filter and its negation would silently discard the
+    // whole batch. An empty corpus means every document is definitely new.
+    if (bf == null) return newBatch.select(out.map(col): _*)
     val mightContain = ColumnBridge.column(
       BloomFilterMightContain(
         Literal(bf, org.apache.spark.sql.types.BinaryType), textHash))
-    val out = Seq("doc_id", "lang", "n_chars")
     val definitelyNew = newBatch.filter(!mightContain)
     val needVerify = newBatch.filter(mightContain)
       .join(corpus.select(col("text")), Seq("text"), "left_anti")

@@ -132,10 +132,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("event_heavy_users: bounded-sketch agg + broadcast candidate semi join, no cartesian") {
+  test("event_heavy_users: verify pass is a joinless scan with the candidate In-filter pushed down") {
+    // the MG sketch runs in its own single fused job at construction (r5
+    // advice: sketch + count in ONE pass); the returned plan is only the
+    // exact re-count, with the ≤k−1 candidate ids as a pushed-down In filter
     val p = plan("event_heavy_users")
-    assert(p.contains("ObjectHashAggregate"), s"MG sketch agg missing:\n$p")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("INSET") || p.contains("In(user_id"), s"candidate In-filter missing:\n$p")
+    assert(p.contains("PushedFilters: [In(user_id"), s"In not pushed to parquet:\n$p")
+    assert(!p.contains("Join"), s"verify pass should be joinless:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

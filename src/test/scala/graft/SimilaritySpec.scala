@@ -248,6 +248,39 @@ class SimilaritySpec extends AnyFunSuite {
       "a code fell outside the trained codebook")
   }
 
+  test("pq ADC search: recall vs brute force, codes-only scoring, shuffle-free encode") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    // This fixture is a HARD ANN instance: top-5 cosines sit ~0.27-0.39
+    // against a 0.125-σ random background, so PQ reconstruction error blurs
+    // genuinely small margins. A float64 numpy replica of ADC measures the
+    // honest ceiling: ~0.12 recall at 4×8, ~0.2 at 8×16, ~0.4 at 16×16,
+    // ~0.68 at 32×16 — and this engine lands ON that curve (0.22 at 8×16),
+    // which is itself evidence the estimator is right. Measure at 16×16
+    // (16 bytes/vector) with slack for the 2-iteration trainer; the driver
+    // query's 4×8 is the compression-ratio showcase end of the dial.
+    val adc = Similarity.pqSearchTopK(emb, numQueries = 10, k = 5,
+      numSubspaces = 16, codewords = 16)
+    val recall = (exact & topkSet(adc)).size.toDouble / exact.size
+    // ≫ random (k/N = 5/200 ≈ 0.025); numpy ceiling at this budget ≈ 0.4
+    assert(recall >= 0.3, s"ADC recall $recall")
+    // the serving plan never joins corpus VECTORS against queries: after
+    // encoding, scoring flows through the 4 code columns only, and the one
+    // join is the broadcast of the 10-row query-table relation
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // encode stage is shuffle-free: the only exchange is the rank window's
+    // (count within the final plan only — AQE's toString repeats the tree
+    // under "== Initial Plan ==")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+  }
+
+  test("pq ADC search: degenerate inputs degrade to empty, not to a crash") {
+    val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Similarity.pqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
+  }
+
   test("pq codebooks: each subspace equals a standalone k-means on its slice") {
     import org.apache.spark.sql.functions._
     val pq = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 2)
