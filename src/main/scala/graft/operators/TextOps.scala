@@ -539,12 +539,25 @@ object TextOps {
   /** PII redaction — the curation step every training-data pipeline runs
     * before anything else sees the text: typed placeholder substitution for
     * email / IPv4 / card-shaped digit runs / phone-shaped sequences, plus
-    * per-document match counts (counted on the ORIGINAL text — so the
-    * counters are raw per-pattern diagnostics and may overlap, e.g. a
-    * 16-digit card also increments n_phone; the REDACTION chain is what
-    * applies precedence). Pure per-row codegen'd regex — embarrassingly
-    * parallel, no shuffle, and the oracle replays the identical pattern
-    * chain with DuckDB's global-replace flag.
+    * per-document counts of the substitutions PERFORMED. Pure per-row
+    * codegen'd regex — embarrassingly parallel, no shuffle, and the oracle
+    * replays the identical pattern chain with DuckDB's global-replace flag.
+    *
+    * The counters are derived from the redacted OUTPUT (occurrences of each
+    * placeholder — a literal substring count, one cheap non-regex scan per
+    * kind) rather than by re-running every pattern over the original text:
+    * that halves the regex passes from 8 to 4 (r5 verdict #7 — this
+    * operator is perfectly linear in characters, so its 10x-corpus slope is
+    * bought down by cutting the per-character constant). Placeholders are
+    * inert under later passes (they contain no digits or '@', so no later
+    * pattern can match into or across one), which makes "occurrences in the
+    * final text" ≡ "substitutions performed" — modulo a document that
+    * already contains a literal placeholder token, which counts as a
+    * redaction (acceptable for a diagnostic counter; the redacted text
+    * itself is unaffected). Note the counts are therefore POST-precedence:
+    * digits consumed by an earlier pattern no longer increment a later
+    * pattern's counter — the counters now report what the redactor DID,
+    * where the pre-r6 raw per-pattern diagnostics could overlap.
     */
   /** The redaction chain itself — ONE builder shared by [[redactPii]] and
     * the `graft_redact_pii` SQL function, so the fold order and
@@ -555,13 +568,16 @@ object TextOps {
     }
 
   def redactPii(documents: DataFrame): DataFrame = {
-    val redacted = redactChain(col("text"))
-    documents.select(
-      (col("doc_id") +: redacted.as("redacted_text") +:
-        piiPatterns.map { case (kind, pat, _) =>
-          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-            .cast("long").as(s"n_$kind")
-        }): _*)
+    val kinds = piiPatterns.map { case (kind, _, repl) =>
+      // occurrences of the placeholder literal: (len - len(without)) / len(repl)
+      // — `replace` is a plain substring scan, not a regex
+      ((length(col("redacted_text")) -
+        length(replace(col("redacted_text"), lit(repl), lit("")))) /
+        repl.length).cast("long").as(s"n_$kind")
+    }
+    documents
+      .select(col("doc_id"), redactChain(col("text")).as("redacted_text"))
+      .select((col("doc_id") +: col("redacted_text") +: kinds): _*)
   }
 
   /** Repetition quality signals per document — the Gopher-style curation
@@ -584,10 +600,20 @@ object TextOps {
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val toksCol = tokens(col("text"))
+    // terms are REDUCED TO THEIR 64-BIT HASH before the shuffle: every
+    // downstream statistic is a pure function of the term MULTISET (counts,
+    // distinct counts, max multiplicity), which xxhash64 preserves modulo a
+    // within-document 64-bit collision (~n²/2⁶⁵ per doc — vanishing, and
+    // the oracle's term-string replica computes identical values unless one
+    // actually occurs). At the 10x corpus the term strings are the shuffle:
+    // prefixed 2-grams average ~17 bytes vs the fixed 8-byte hash, and the
+    // hash agg compares longs instead of strings (r5 verdict #7).
     val terms = documents
-      .select(col("doc_id"), lit(1).as("kind"), explode(toksCol).as("term"))
+      .select(col("doc_id"), lit(1).as("kind"),
+        explode(toksCol).as("term"))
       .unionByName(documents.select(col("doc_id"), lit(2).as("kind"),
         explode(positionalShingles(toksCol, 2)).as("term")))
+      .select(col("doc_id"), col("kind"), xxhash64(col("term")).as("term"))
     val isWord = col("kind") === 1
     val isGram = col("kind") === 2
     terms

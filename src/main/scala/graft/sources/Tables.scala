@@ -51,8 +51,70 @@ object Tables {
     StructField("label", IntegerType)
   ))
 
+  /** Physical read schema per table — ALWAYS passed explicitly to the
+    * parquet reader. Without it, `spark.read.parquet` launches a
+    * schema-INFERENCE Spark job (footer merge on executors) at every
+    * DataFrame construction; with it, building a plan touches no cluster at
+    * all (and the SURVEY §1.3 rule — schemas code-declared, never
+    * inferred — actually holds at the reader, not just in documentation).
+    * `events.ts` is declared LongType here because the file stores
+    * TIMESTAMP(NANOS), which the reader maps to raw nanos under
+    * `nanosAsLong` — [[events]] converts to a real timestamp right after.
+    */
+  private val readSchemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> supplierSchema,
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // raw TIMESTAMP(NANOS) under nanosAsLong
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> documentsSchema,
+    "embeddings" -> embeddingsSchema
+  )
+
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    spark.read.schema(readSchemas(table)).parquet(s"$sfDir/$table.parquet")
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
@@ -78,6 +140,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** Exact row count of a table from its parquet FOOTERS — a driver-side
+    * metadata read (each footer stores per-row-group record counts), no
+    * Spark job. This is what lets statistics-parameterized plans (e.g.
+    * [[graft.operators.Similarity.lshNearDupPairs]] auto-bits) be BUILT
+    * without launching work: at 100 TB a footer sweep is one namenode
+    * listing plus one ~KB read per file, the same metadata a count() job
+    * would route through an executor stage to reach (r5 verdict #6).
+    */
+  def parquetRowCount(spark: SparkSession, sfDir: String, table: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$table.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq.map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+      else Seq(root)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** CSV ingestion (reference S2/S3/S5, KafkaProducer.kt:37-57,
     * KafkaConsumer.kt:79-95): explicit schema, header handled by the reader

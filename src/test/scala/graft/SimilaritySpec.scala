@@ -248,6 +248,34 @@ class SimilaritySpec extends AnyFunSuite {
       "a code fell outside the trained codebook")
   }
 
+  test("lsh auto-bits from parquet footers: zero jobs at build, bits value unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    // footer sweep must agree exactly with a full count (bits parity)
+    val n = Tables.parquetRowCount(spark, dir, "embeddings")
+    assert(n == Tables.embeddings(spark, dir).count(), "footer count diverged")
+    assert(Similarity.autoBits(n) > 0) // same N -> same autoBits, trivially
+    @volatile var jobs = 0
+    val descs = new scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        descs += Option(js.properties.getProperty("spark.job.description"))
+          .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse("?"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // building the driver query twice must launch no Spark job (r5
+      // verdict #6: the auto-bits count() used to fire per construction)
+      SparkEntry.queries("emb_lsh_pairs")(spark, dir)
+      SparkEntry.queries("emb_lsh_pairs")(spark, dir)
+      Thread.sleep(500) // listener bus is async; give events time to land
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0,
+      s"plan construction launched $jobs Spark job(s): ${descs.mkString("; ")}")
+  }
+
   test("pq ADC search: recall vs brute force, codes-only scoring, shuffle-free encode") {
     val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
     // This fixture is a HARD ANN instance: top-5 cosines sit ~0.27-0.39

@@ -169,13 +169,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clusters == (1L to 12L).map(_ -> 1L).toMap)
   }
 
-  test("PII redaction replaces typed placeholders and counts on the original text") {
+  test("PII redaction replaces typed placeholders and counts the substitutions performed") {
     import spark.implicits._
     val docs = Seq(
       (1L, "reach me at jane.doe+spam@example.co.uk or call +1 (415) 555-0101 now",
         "en", "s", 0L),
       (2L, "server 192.168.0.1 charged card 4111111111111111 twice", "en", "s", 0L),
-      (3L, "no pii here just words", "en", "s", 0L)
+      (3L, "no pii here just words", "en", "s", 0L),
+      // precedence: the 16-digit run is consumed by the card pattern, so
+      // the phone counter (which would also match it raw) must NOT tick —
+      // counters are post-precedence substitution counts (r6 contract)
+      (4L, "pay 4111111111111111 today", "en", "s", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextOps.redactPii(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -190,6 +194,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("n_card") == 1L)
     assert(out(3L).getAs[String]("redacted_text") == "no pii here just words")
     assert(out(3L).getAs[Long]("n_email") == 0L)
+    assert(out(4L).getAs[String]("redacted_text") == "pay <CARD> today")
+    assert(out(4L).getAs[Long]("n_card") == 1L)
+    assert(out(4L).getAs[Long]("n_phone") == 0L,
+      "phone counter must not tick for digits the card pattern consumed")
   }
 
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
@@ -200,8 +208,11 @@ class TextOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = TextOps.vocabTopTerms(docs, topN = 3).collect()
       .map(r => (r.getAs[String]("term"), r.getAs[Long]("n"), r.getAs[Long]("rnk")))
-    // a and b tie at 3 → 'a' wins the tie alphabetically; d (1) is cut
-    assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)), out.mkString(","))
+    // a and b tie at 3 → 'a' wins the tie alphabetically; d (1) is cut.
+    // Row ORDER is not part of the contract (the windowless rank ends in an
+    // aggregate; the driver gate sorts rows) — compare by rank.
+    assert(out.toSeq.sortBy(_._3) ==
+      Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)), out.mkString(","))
   }
 
   test("hybrid near-dup annotates every lexical candidate with the embedding cosine") {
