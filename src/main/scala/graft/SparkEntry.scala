@@ -226,6 +226,14 @@ object SparkEntry {
         Similarity.plantNearDups(Tables.embeddings(s, dir)),
         threshold = 0.85, knownCount = n + math.min(40L, n))
     }),
+    // SemDeDup-style semantic dedup over the SAME planted fixture (the raw
+    // corpus max cosine ~0.51 sits below any honest threshold, so only the
+    // planted near-dups make the drop set non-empty): cluster with k-means,
+    // prune within clusters by the greedy keep-first-id cosine rule
+    "emb_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(
+        Similarity.plantNearDups(Tables.embeddings(s, dir)),
+        k = 8, iters = 2, threshold = 0.85)),
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_vector_stats" -> ((s, dir) =>
@@ -259,7 +267,13 @@ object SparkEntry {
     // pure JVM — the oracle recomputes the channel sums from the generating
     // text, so the whole generate→binary→decode loop is hash-checked
     "mm_ppm_decode" -> ((s, dir) =>
-      operators.Multimodal.ppmDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.ppmDecodeStats(Tables.documents(s, dir))),
+    // ...and a SECOND real format (round-5 verdict stretch): uncompressed
+    // 24-bit BMP — little-endian dual headers + BGR raster — generated from
+    // the corpus and binary-parsed back; same text-side oracle trick with
+    // the channels relabeled (BGR vs RGB byte order)
+    "mm_bmp_decode" -> ((s, dir) =>
+      operators.Multimodal.bmpDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -451,6 +465,36 @@ object SparkEntry {
         }"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.semanticDedup]]: the
+    * [[kmeansOracle]] `codes` emission IS the cluster assignment (one
+    * "subspace" spanning the full dimension — L2-argmin against the rounded
+    * published centroids), then the greedy keep-first-id rule as an
+    * equi-self-join on cluster + the engine's exact cosine fold
+    * (dot / (sqrt(Σa²)·sqrt(Σb²)), every reduction dim-ascending). */
+  private def semanticDedupOracle(k: Int, iters: Int, threshold: Double,
+                                  source: String = "embeddings"): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    s"""WITH asg AS (
+          SELECT vec_id, code AS cluster_id
+          FROM (${kmeansOracle(k, iters, source, emit = "codes")})),
+        ev AS (
+          SELECT s.vec_id, s.embedding::DOUBLE[] AS v,
+            ${nrm("s.embedding::DOUBLE[]")} AS vnrm, a.cluster_id
+          FROM (SELECT * FROM $source) s
+          JOIN asg a ON s.vec_id = a.vec_id),
+        drp AS (
+          SELECT b.vec_id
+          FROM ev a JOIN ev b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${dot("a.v", "b.v")} / (a.vnrm * b.vnrm) > $threshold
+          GROUP BY 1)
+        SELECT ev.vec_id, ev.cluster_id, (drp.vec_id IS NULL) AS kept
+        FROM ev LEFT JOIN drp ON ev.vec_id = drp.vec_id"""
+  }
+
   /** DuckDB replica of [[graft.operators.Similarity.pqCodebooks]]: one
     * [[kmeansOracle]] unrolled-Lloyd replica per subspace, each over the
     * sliced source `(embedding::DOUBLE[])[a:b]` — the same cast-then-slice
@@ -612,6 +656,21 @@ object SparkEntry {
     * Scala-computed INTEGER literal — no cross-engine float math. Plane
     * (t, j) is flat index t·bits + j, so t = idx // bits and
     * j = idx % bits. */
+  /** The sign-flip-planted union, single-sourced for every oracle that
+    * reads the [[graft.operators.Similarity.plantNearDups]] fixture
+    * (DuckDB's generate_series is 1-based where Spark's transform index is
+    * 0-based, hence (i-1) % 32; FLOAT negation is bit-exact on both
+    * engines; the AUTO id offset max(vec_id)+1 is the same scalar subquery
+    * both sides). */
+  private val plantedEmbeddingsSql: String =
+    """(SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+          list_transform(generate_series(1, len(embedding)),
+            i -> CASE WHEN (i - 1) % 32 = 0 THEN -embedding[i]
+                 ELSE embedding[i] END) AS embedding
+        FROM embeddings WHERE vec_id < 40) AS src"""
+
   private def lshOracle(threshold: Double, numTables: Int, dim: Int,
                         bucketCap: Int,
                         source: String = "embeddings"): String = {
@@ -768,14 +827,9 @@ object SparkEntry {
     // hence (i-1) % 32; FLOAT negation is bit-exact on both engines; the
     // AUTO id offset max(vec_id)+1 is the same scalar subquery both sides)
     "emb_lsh_pairs_planted" -> lshOracle(threshold = 0.85, numTables = 16,
-      dim = 64, bucketCap = 256, source =
-        """(SELECT vec_id, embedding FROM embeddings
-            UNION ALL
-            SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
-              list_transform(generate_series(1, len(embedding)),
-                i -> CASE WHEN (i - 1) % 32 = 0 THEN -embedding[i]
-                     ELSE embedding[i] END) AS embedding
-            FROM embeddings WHERE vec_id < 40) AS src"""),
+      dim = 64, bucketCap = 256, source = plantedEmbeddingsSql),
+    "emb_semantic_dedup" -> semanticDedupOracle(k = 8, iters = 2,
+      threshold = 0.85, source = plantedEmbeddingsSql),
     "doc_pii_redact" -> piiOracle,
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
     "doc_pack" -> packOracle(contextTokens = 512),
@@ -1434,6 +1488,32 @@ object SparkEntry {
            CAST(list_sum(list_transform(
              generate_series(0, CAST(n_pixels AS INTEGER) - 1),
              p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
+    // replica of Multimodal.bmpDecodeStats WITHOUT parsing binary: the
+    // generated width is 4-aligned so rows carry no padding, making the
+    // raster exactly the text cycled to w·h·3 bytes — BGR order, so the
+    // channel/byte-offset mapping is the PPM oracle's reversed
+    "mm_bmp_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 4 + 2) * 4 AS INTEGER) AS w,
+             CAST(doc_id % 12 + 8 AS INTEGER) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,
+             rpad(t, w * h * 3, t) AS body
+           FROM m)
+         SELECT doc_id, w AS width, h AS height, n_pixels,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 2, 1)))) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 1, 1)))) AS BIGINT) AS sum_b
          FROM s"""
   )
 }

@@ -1,12 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads + typed
   * metadata, with decode / feature-extraction / resize / frame-sample stages.
   *
-  * The decode step is a clearly-marked STUB — this container has no
+  * Two formats are decoded for REAL in pure JVM — netpbm P6 PPM
+  * ([[Multimodal.decodePpmStats]]) and uncompressed 24-bit BMP
+  * ([[Multimodal.decodeBmpStats]]) — so the stub scope is genuinely
+  * codec-bound formats only (JPEG/PNG/audio/video): this container has no
   * image/audio codecs, so [[Multimodal.decodeFeatures]] runs a deterministic
   * fake (header parse + byte histogram) in place of a real pixel decode. The
   * Spark-side plumbing is real and tested: binary column construction,
@@ -26,6 +29,9 @@ object Multimodal {
 
   /** Integer-exact per-channel pixel stats from a REAL decode. */
   final case class PpmStats(
+      docId: Long, width: Int, height: Int, nPixels: Long,
+      sumR: Long, sumG: Long, sumB: Long)
+  final case class BmpStats(
       docId: Long, width: Int, height: Int, nPixels: Long,
       sumR: Long, sumG: Long, sumB: Long)
 
@@ -154,6 +160,133 @@ object Multimodal {
   def ppmDecodeStats(documents: DataFrame): DataFrame = {
     val media = asMediaDataset(ppmFromDocuments(documents))
     decodePpmStats(media).toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        col("nPixels").as("n_pixels"), col("sumR").as("sum_r"),
+        col("sumG").as("sum_g"), col("sumB").as("sum_b"))
+  }
+
+  /** Little-endian integer column as `nBytes` raw bytes — the BMP header
+    * word shape, built from pure column ops (hex/lpad/unhex per byte) so
+    * payload generation stays a narrow codegen'd projection. */
+  private def le(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(k =>
+      unhex(lpad(hex(shiftright(c, 8 * k) % 256), 2, "0"))): _*)
+
+  /** Synthesize REAL Windows BMP images (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + uncompressed 24-bit BGR raster) from `documents` —
+    * the second pure-JVM-decodable format (round-5 verdict stretch). The
+    * generated width is always a multiple of 4, so rows need no padding and
+    * the raster is exactly the document's ASCII text cycled to w·h·3
+    * bytes — which is what lets a SQL oracle recompute the channel sums
+    * from (text, doc_id, n_chars) without touching binary ([[parseBmp]]
+    * still handles padded/top-down rasters generically; the padded case is
+    * spec-covered with a hand-built image). Pure column ops, narrow.
+    */
+  def bmpFromDocuments(documents: DataFrame): DataFrame = {
+    val base = documents.select(
+      col("doc_id"),
+      // identical empty/null guard must exist in any oracle replica
+      when(col("text").isNull || col("text") === "", lit(" "))
+        .otherwise(col("text")).as("t"),
+      ((col("n_chars") % 4 + 2) * 4).cast("int").as("w"), // 8|12|16|20: 4-aligned, zero row padding
+      (col("doc_id") % 12 + 8).cast("int").as("h"))
+      .withColumn("n_body", (col("w") * col("h") * lit(3)).cast("int"))
+    val body = expr("rpad(t, n_body, t)") // cycles identically on both engines
+    val header = concat(
+      unhex(lit("424D")),             // 'BM'
+      le(col("n_body") + 54, 4),      // file size
+      unhex(lit("00000000")),         // reserved
+      unhex(lit("36000000")),         // pixel-data offset = 54
+      unhex(lit("28000000")),         // BITMAPINFOHEADER size = 40
+      le(col("w"), 4),
+      le(col("h"), 4),                // positive height = bottom-up rows
+      unhex(lit("0100")),             // planes = 1
+      unhex(lit("1800")),             // bitCount = 24
+      unhex(lit("00000000")),         // compression = BI_RGB
+      le(col("n_body"), 4),           // imageSize
+      unhex(lit("130B0000130B0000")), // 2835 px/m x,y (72 dpi)
+      unhex(lit("0000000000000000"))) // palette sizes (none at 24-bit)
+    val payload = concat(header, encode(body, "UTF-8"))
+    base.select(
+      col("doc_id").as("docId"),
+      payload.as("payload"),
+      struct(
+        lit("image/bmp").as("format"),
+        col("w").as("width"),
+        col("h").as("height"),
+        length(payload).cast("long").as("nBytes")).as("meta"))
+  }
+
+  /** REAL BMP decode — not a stub: validates both headers (magic, plane
+    * count, 24-bit depth, BI_RGB), honors the declared pixel-data offset,
+    * 4-byte row padding, and bottom-up vs top-down (negative height) row
+    * order, and folds integer-exact per-channel sums over the pixels only
+    * (padding bytes excluded). Same `mapPartitions` batch shape and
+    * loud-failure contract as [[decodePpmStats]]. */
+  def decodeBmpStats(media: Dataset[MediaFile]): Dataset[BmpStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, stride, body) = parseBmp(m.payload)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var r = 0
+        while (r < h) {
+          var i = r * stride
+          val end = i + w * 3 // row padding bytes never enter the sums
+          while (i < end) {
+            sb += body(i) & 0xff; sg += body(i + 1) & 0xff; sr += body(i + 2) & 0xff
+            i += 3
+          }
+          r += 1
+        }
+        // channel sums are row-order-invariant, so bottom-up vs top-down
+        // needs no re-assembly here; parseBmp has already validated it
+        BmpStats(m.docId, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Minimal-but-real BMP parser: BITMAPFILEHEADER ('BM', pixel-data
+    * offset) + BITMAPINFOHEADER (>=40 bytes; width, signed height, planes,
+    * bit depth, compression), uncompressed 24-bit only. Returns (width,
+    * rowCount, rowStride, raster bytes from the declared offset); the
+    * stride includes each row's 4-byte-alignment padding. */
+  private[graft] def parseBmp(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      "not a BMP payload")
+    val dataOffset = le32(10)
+    val infoSize = le32(14)
+    require(infoSize >= 40, s"unsupported BMP info-header size $infoSize")
+    val width = le32(18)
+    val heightRaw = le32(22) // signed: negative = top-down row order
+    require(width > 0 && heightRaw != 0,
+      s"malformed BMP dimensions ${width}x$heightRaw")
+    require(le16(26) == 1, "BMP planes must be 1")
+    val bpp = le16(28)
+    require(bpp == 24, s"unsupported BMP bit depth $bpp (24-bit BI_RGB only)")
+    require(le32(30) == 0, "compressed BMP unsupported (BI_RGB only)")
+    require(dataOffset >= 14 + infoSize && dataOffset <= payload.length,
+      s"BMP pixel-data offset $dataOffset out of range")
+    val rows = math.abs(heightRaw)
+    val stride = ((width * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    // EXACT length (same contract as parsePpm): a mis-sized raster means
+    // channel misalignment, which must fail the task, not skew a feature
+    require(payload.length - dataOffset == stride.toLong * rows,
+      s"BMP raster length mismatch: header declares ${stride.toLong * rows} " +
+        s"bytes at offset $dataOffset, have ${payload.length - dataOffset}")
+    (width, rows, stride,
+      java.util.Arrays.copyOfRange(payload, dataOffset, payload.length))
+  }
+
+  /** Driver-facing query over the second REAL decode path: generate BMP
+    * payloads from `documents`, binary-parse them back, report
+    * integer-exact per-channel sums. */
+  def bmpDecodeStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(bmpFromDocuments(documents))
+    decodeBmpStats(media).toDF()
       .select(col("docId").as("doc_id"), col("width"), col("height"),
         col("nPixels").as("n_pixels"), col("sumR").as("sum_r"),
         col("sumG").as("sum_g"), col("sumB").as("sum_b"))

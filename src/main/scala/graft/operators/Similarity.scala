@@ -664,6 +664,54 @@ object Similarity {
       .unionByName(plantedRows.toDF("vec_id", "embedding"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication — the embedding-space analog of
+    * the lexical near-dup family (MinHash/SimHash find surface overlap;
+    * this finds paraphrases and re-encodings those can't see): k-means
+    * cluster the corpus, then prune within each cluster only.
+    *
+    * Contract (one deterministic pass, no transitive closure): a vector is
+    * DROPPED iff some SAME-CLUSTER vector with a smaller vec_id has cosine
+    * > `threshold` with it — the greedy keep-first-id rule, which is
+    * embarrassingly parallel per cluster and independent of the dropped
+    * status of the earlier vector. Output: one row per input vector,
+    * (vec_id, cluster_id, kept).
+    *
+    * Scale shape: assignment is the [[pqAssignCodes]] discipline — a
+    * shuffle-free per-row L2-argmin against the collected ROUNDED published
+    * centroids (metadata scale, k·d doubles) — and the pair search is an
+    * equi-join on cluster_id, NEVER a cross join: candidates are
+    * Σ|cluster|²/2, governed by k. k must scale with the corpus
+    * (k ≈ N/⟨target cluster size⟩ — SemDeDup runs 50k clusters on
+    * LAION-scale data); at 100 TB the assignment would be written once,
+    * bucketed by cluster_id, and the join co-locates with zero shuffle.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.85): DataFrame = {
+    val cb = reshapeCodebook(
+      kmeansCentroids(embeddings, k, iters).collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+      .filter(_._3 > 0)
+    val e = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        nearestCodewordL2(col("v"), cb).as("cluster_id"))
+    val a = e.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("v").as("va"))
+    val b = e.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"))
+    // distinct() because b may match several earlier vectors; the earlier
+    // side's own kept/dropped status is irrelevant by contract
+    val dropped = a.join(b, Seq("cluster_id"))
+      .where(col("a_id") < col("b_id") &&
+        cosine(col("va"), col("vb")) > threshold)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    e.select(col("vec_id"), col("cluster_id"))
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"),
+        col("is_dup").isNull.as("kept"))
+  }
+
   /** Per-label centroids in long format (label, dim, centroid_val): one
     * posexplode + one hash agg on (label, dim) — fully shuffle-parallel,
     * no array-typed aggregation buffer. */

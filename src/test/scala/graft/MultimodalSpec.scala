@@ -101,6 +101,71 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("parseBmp decodes a hand-built padded BMP; padding never enters the sums") {
+    import spark.implicits._
+    // 3x2 bottom-up 24-bit BMP: width 3 -> stride 12, 3 padding bytes per
+    // row, deliberately NON-ZERO (0x7f) so a decoder that sums the whole
+    // raster is caught red-handed
+    def le(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * k)) & 0xff).toByte)
+    val row0 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 0x7f, 0x7f, 0x7f)
+    val row1 = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 0x7f, 0x7f, 0x7f)
+    def bmp(height: Int): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le(54 + 24, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(3, 4) ++ le(height, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(24, 4) ++ le(2835, 4) ++ le(2835, 4) ++ le(0, 8) ++
+        row0 ++ row1
+    val (w, h, stride, raster) = Multimodal.parseBmp(bmp(2))
+    assert(w == 3 && h == 2 && stride == 12 && raster.length == 24)
+    val media = Seq(
+      Multimodal.MediaFile(1L, bmp(2), Multimodal.MediaMeta("image/bmp", 3, 2, 78)),
+      // negative height = top-down row order: same pixels, same sums
+      Multimodal.MediaFile(2L, bmp(-2), Multimodal.MediaMeta("image/bmp", 3, 2, 78))
+    ).toDS()
+    val stats = Multimodal.decodeBmpStats(media).collect()
+      .map(s => s.docId -> s).toMap
+    for (s <- stats.values) {
+      assert(s.width == 3 && s.height == 2 && s.nPixels == 6)
+      // BGR pixel layout: byte 0 is blue — and no 0x7f padding anywhere
+      assert(s.sumB == 1 + 4 + 7 + 10 + 40 + 70)
+      assert(s.sumG == 2 + 5 + 8 + 20 + 50 + 80)
+      assert(s.sumR == 3 + 6 + 9 + 30 + 60 + 90)
+    }
+    // malformed input fails loudly
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.parseBmp(bmp(2).patch(0, "PNG".getBytes("US-ASCII").take(2), 2))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.parseBmp(bmp(2).dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // 32-bit depth unsupported
+      Multimodal.parseBmp(bmp(2).patch(28, le(32, 2), 2))
+    }
+  }
+
+  test("BMP generate -> binary decode round-trip matches text-side channel sums") {
+    val stats = Multimodal.bmpDecodeStats(docs).collect()
+    val texts = docs.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (text, nChars) = texts(id)
+      val w = ((nChars % 4 + 2) * 4).toInt
+      val h = (id % 12 + 8).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      // independent reconstruction: text cycled to w*h*3 bytes, BGR order
+      val t = if (text == null || text.isEmpty) " " else text
+      val bytes = Array.tabulate(w * h * 3)(i => t.charAt(i % t.length).toLong)
+      def chan(c: Int) = bytes.grouped(3).map(_(c)).sum
+      assert(r.getAs[Long]("sum_b") == chan(0))
+      assert(r.getAs[Long]("sum_g") == chan(1))
+      assert(r.getAs[Long]("sum_r") == chan(2))
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head

@@ -276,6 +276,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"plan construction launched $jobs Spark job(s): ${descs.mkString("; ")}")
   }
 
+  test("semantic dedup: greedy keep-first-id contract holds exactly; planted dups drop") {
+    val planted = Similarity.plantNearDups(emb)
+    val out = Similarity.semanticDedup(planted, k = 8, iters = 2,
+      threshold = 0.85).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(out.size == planted.count(), "one row per input vector")
+    // non-vacuity: the raw corpus max cosine sits ~0.5, so every drop is a
+    // planted near-dup — and some planted pairs must actually co-cluster
+    val dropped = out.collect { case (id, (_, false)) => id }
+    assert(dropped.nonEmpty, "no drops: the planted fixture went vacuous")
+    val maxRealId = emb.agg(max(col("vec_id"))).first().getLong(0)
+    assert(dropped.forall(_ > maxRealId), "a raw-corpus vector was dropped")
+    // the full contract, re-derived locally from the output's OWN cluster
+    // assignment: kept(x) == no same-cluster earlier-id y with cos > t
+    val vecs = planted.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { case (id, (cl, kept)) =>
+      val expectDrop = out.exists { case (id2, (cl2, _)) =>
+        id2 < id && cl2 == cl && cos(vecs(id2), vecs(id)) > 0.85
+      }
+      assert(kept == !expectDrop, s"vec $id: kept=$kept, contract says ${!expectDrop}")
+    }
+  }
+
   test("pq ADC search: recall vs brute force, codes-only scoring, shuffle-free encode") {
     val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
     // This fixture is a HARD ANN instance: top-5 cosines sit ~0.27-0.39
