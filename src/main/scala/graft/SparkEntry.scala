@@ -133,6 +133,12 @@ object SparkEntry {
       TextOps.simhashDocsPortable(Tables.documents(s, dir))),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // CCNet-style perplexity filter: mean unigram log10-prob of each doc's
+    // tokens under the corpus's own unigram distribution (log10 evaluated
+    // once per DISTINCT term and 1e-6-quantized pre-sum, so the decimal-
+    // backed mean is partition-order-proof and replays exactly in DuckDB)
+    "doc_unigram_logprob" -> ((s, dir) =>
+      TextOps.unigramLogProb(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -1163,6 +1169,30 @@ object SparkEntry {
            FROM (SELECT doc_id, n_chars,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
+    // replica of TextOps.unigramLogProb: log10 per DISTINCT tf quantized to
+    // 1e-6, decimal-summed per doc (exactSum twin), mean minus lp(T) at 1e-4
+    "doc_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+         tfl AS (
+           SELECT term, floor(log10(CAST(tf AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lp
+           FROM tf),
+         tot AS (SELECT sum(tf) AS t_total FROM tf),
+         pd AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) AS slp
+           FROM toks t JOIN tfl USING (term) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN pd.n_tokens IS NULL THEN NULL ELSE
+             floor((pd.slp / pd.n_tokens -
+               floor(log10(CAST((SELECT t_total FROM tot) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+               * 1e4 + 0.5) / 1e4 END AS logprob
+         FROM documents d LEFT JOIN pd USING (doc_id)""",
     "events_zorder" -> zorderOracle(bits = 20),
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     // replica of TextOps.decontaminate: the same deterministic benchmark

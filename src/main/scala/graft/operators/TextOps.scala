@@ -492,6 +492,50 @@ object TextOps {
         "stop_ratio", "diversity", "quality_score") ++ keep).map(col): _*)
   }
 
+  /** CCNet-style unigram language-model scoring — the "perplexity filter"
+    * member of the curation family ([[qualityScore]] is heuristics;
+    * [[languageId]] is routing; this ranks documents by how likely their
+    * tokens are under the corpus's OWN unigram distribution, the cheap
+    * stand-in for the KenLM pass CCNet runs): per document, the mean
+    * log10-probability of its tokens,
+    *
+    *   logprob = (Σ_i lp(tf_i)) / n − lp(T),   lp(x) = log10(x) @ 1e-6
+    *
+    * where tf_i is the corpus frequency of token i and T the total token
+    * count. Cross-engine determinism: log10 is evaluated ONCE PER DISTINCT
+    * TERM (in the vocab aggregate, not per occurrence) and quantized to the
+    * 1e-6 grid via [[roundFixed]] before the per-document sum, which runs
+    * decimal-backed ([[graft.functions.DeterministicAgg.exactSum]]) so any
+    * partition order lands on the identical double.
+    *
+    * Plan shape (the [[tfidfTopTerms]] discipline): one explode, one hash
+    * agg to the vocab (vocab-scale, tiny next to the corpus), one equi-join
+    * of tokens to the vocab, one hash agg back to documents; T is a 1-row
+    * broadcast. Documents with zero tokens survive the left join with
+    * n_tokens = 0 and NULL logprob.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("lp", roundFixed(log10(col("tf").cast("double")), 6))
+    val total = tf.agg(sum(col("tf")).as("t_total"))
+    val perDoc = toks.join(tf, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.DeterministicAgg.exactSum(col("lp")).as("slp"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, lit(null).cast("double"))
+          .otherwise(roundFixed(
+            col("slp") / col("n_tokens") -
+              roundFixed(log10(col("t_total").cast("double")), 6), 4))
+          .as("logprob"))
+  }
+
   /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
     * core): maximal letter runs, digit runs, and single non-space symbols.
     * Kept to ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree

@@ -200,6 +200,32 @@ class TextOpsSpec extends AnyFunSuite {
       "phone counter must not tick for digits the card pattern consumed")
   }
 
+  test("unigram logprob: hand-computed means, zero-token doc gets NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "en", "s", 5L),
+      (2L, "b c", "en", "s", 3L),
+      (3L, "", "en", "s", 0L) // zero tokens: n_tokens 0, logprob NULL
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus: tf(a)=2 tf(b)=2 tf(c)=1, T=5 — re-derive with the exact
+    // documented arithmetic (1e-6 lp grid, mean, minus lp(T), 1e-4 round)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val lpT = q6(math.log10(5.0))
+    val exp1 = q4((q6(math.log10(2.0)) * 3) / 3 - lpT)
+    val exp2 = q4((q6(math.log10(2.0)) + q6(math.log10(1.0))) / 2 - lpT)
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("logprob") == exp1)
+    assert(out(2L).getAs[Long]("n_tokens") == 2L)
+    assert(out(2L).getAs[Double]("logprob") == exp2)
+    assert(out(3L).getAs[Long]("n_tokens") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("logprob")))
+    // rarer tokens must score lower: doc2 carries the hapax 'c'
+    assert(out(2L).getAs[Double]("logprob") < out(1L).getAs[Double]("logprob"))
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
