@@ -139,6 +139,10 @@ object SparkEntry {
     // backed mean is partition-order-proof and replays exactly in DuckDB)
     "doc_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.documents(s, dir))),
+    // domain-mixture weights: alpha-sampling (temperature) shares per
+    // source + per-doc sampling multiplier + slice of a fixed token budget
+    "doc_mix_weights" -> ((s, dir) =>
+      TextOps.mixWeights(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -1169,6 +1173,28 @@ object SparkEntry {
            FROM (SELECT doc_id, n_chars,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
+    // replica of TextOps.mixWeights: same 1e-6-quantized alpha powers,
+    // decimal cross-source sum, float division spelled CAST AS DOUBLE
+    "doc_mix_weights" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         q AS (
+           SELECT source, n_docs, n_tokens,
+             floor(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1e6 + 0.5) / 1e6 AS s_alpha
+           FROM per),
+         tot AS (
+           SELECT sum(n_tokens) AS t_total,
+             CAST(SUM(CAST(s_alpha AS DECIMAL(38,10))) AS DOUBLE) AS a_total
+           FROM q)
+         SELECT source, n_docs, n_tokens,
+           floor((CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS token_share,
+           floor((s_alpha / a_total) * 1e6 + 0.5) / 1e6 AS alpha_share,
+           floor(((s_alpha / a_total) / (CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS weight,
+           CAST(floor((floor((s_alpha / a_total) * 1e6 + 0.5) / 1e6) * 1000000.0) AS BIGINT) AS budget_tokens
+         FROM q, tot""",
     // replica of TextOps.unigramLogProb: log10 per DISTINCT tf quantized to
     // 1e-6, decimal-summed per doc (exactSum twin), mean minus lp(T) at 1e-4
     "doc_unigram_logprob" ->

@@ -536,6 +536,41 @@ object TextOps {
           .as("logprob"))
   }
 
+  /** Temperature-sampled source-mixing weights — the domain-mixture step of
+    * assembling a training corpus (the mBERT/XLM-R alpha-sampling rule):
+    * a source's sampling share is proportional to its token count raised to
+    * `alpha` < 1, which up-weights small domains relative to raw
+    * proportional sampling; `weight` is the per-document multiplier a
+    * sampler applies (alpha_share / token_share), and `budget_tokens` the
+    * source's slice of a fixed token budget.
+    *
+    * Everything is one source-keyed hash agg (sources are metadata-scale
+    * next to the corpus; the per-doc token size() is a narrow map under the
+    * partial agg) plus a 1-row broadcast of the totals. Determinism: the
+    * alpha powers are quantized to 1e-6 per source and the cross-source sum
+    * runs decimal-backed, so the published shares replay exactly in SQL.
+    */
+  def mixWeights(documents: DataFrame, alpha: Double = 0.5,
+                 budgetTokens: Long = 1000000L): DataFrame = {
+    val per = documents.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val q = per.withColumn("s_alpha",
+      roundFixed(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val tot = q.agg(
+      sum(col("n_tokens")).as("t_total"),
+      graft.functions.DeterministicAgg.exactSum(col("s_alpha")).as("a_total"))
+    val tokenShare = col("n_tokens").cast("double") / col("t_total").cast("double")
+    val alphaShare = col("s_alpha") / col("a_total")
+    q.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        roundFixed(tokenShare, 6).as("token_share"),
+        roundFixed(alphaShare, 6).as("alpha_share"),
+        roundFixed(alphaShare / tokenShare, 6).as("weight"),
+        floor(roundFixed(alphaShare, 6) * lit(budgetTokens.toDouble))
+          .cast("long").as("budget_tokens"))
+  }
+
   /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
     * core): maximal letter runs, digit runs, and single non-space symbols.
     * Kept to ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree

@@ -226,6 +226,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("logprob") < out(1L).getAs[Double]("logprob"))
   }
 
+  test("mix weights: alpha sampling up-weights the small source, budget splits") {
+    import spark.implicits._
+    // big: 16 tokens across 2 docs; small: 4 tokens in 1 doc
+    val docs = Seq(
+      (1L, "t t t t t t t t", "en", "big", 15L),
+      (2L, "t t t t t t t t", "en", "big", 15L),
+      (3L, "t t t t", "en", "small", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.mixWeights(docs, alpha = 0.5, budgetTokens = 1000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val aBig = q6(math.sqrt(16.0)); val aSmall = q6(math.sqrt(4.0))
+    val aTot = aBig + aSmall // 6.0 exactly — decimal sum is the same
+    assert(out("big").getAs[Long]("n_docs") == 2L)
+    assert(out("big").getAs[Long]("n_tokens") == 16L)
+    assert(out("big").getAs[Double]("token_share") == q6(16.0 / 20.0))
+    assert(out("big").getAs[Double]("alpha_share") == q6(aBig / aTot))
+    assert(out("small").getAs[Double]("alpha_share") == q6(aSmall / aTot))
+    // alpha < 1 pulls shares toward uniform: small gains, big loses
+    assert(out("small").getAs[Double]("weight") > 1.0)
+    assert(out("big").getAs[Double]("weight") < 1.0)
+    assert(out("big").getAs[Long]("budget_tokens") == 666L) // floor(0.666667*1000)
+    assert(out("small").getAs[Long]("budget_tokens") == 333L)
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
