@@ -166,6 +166,12 @@ object SparkEntry {
     // collected per round (1 row — the k-means iteration discipline)
     "doc_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir))),
+    // ...and the APPLY half: tokenize the corpus with the learned rules
+    // (rules fold over the DISTINCT-word vocab; corpus equi-joins to it
+    // map-side) and report the per-doc BPE token counts a budget planner
+    // consumes
+    "doc_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir))),
     // global training-shuffle order WITHOUT a single-partition sort: fixed
     // key-range buckets -> per-bucket counts (metadata collect) -> parallel
     // per-bucket rank + broadcast offsets == the oracle's global row_number
@@ -307,7 +313,9 @@ object SparkEntry {
     * it with a `list_reduce` fold whose accumulator is a list-of-lists —
     * the exact greedy-leftmost non-overlapping semantics of the Spark
     * `aggregate` HOF ([a,a,a] + (a,a) → [aa,a], verified both engines). */
-  private def bpeOracle(numMerges: Int): String = {
+  private def bpeOracle(numMerges: Int, emit: String = "rules"): String = {
+    // `word` rides along every seg CTE (unused by the training aggregates;
+    // the `encode` emission reads the final segment length per word)
     val stages = (1 to numMerges).map { i =>
       s"""cnt$i AS (
            SELECT seg[i] AS a, seg[i + 1] AS b,
@@ -318,22 +326,38 @@ object SparkEntry {
            GROUP BY 1, 2),
          win$i AS (SELECT a, b, cnt FROM cnt$i ORDER BY cnt DESC, a, b LIMIT 1),
          seg$i AS (
-           SELECT s.freq,
+           SELECT s.word, s.freq,
              list_reduce(list_transform(s.seg, x -> [x]), (acc, x) ->
                CASE WHEN acc[len(acc)] = w.a AND x[1] = w.b
                  THEN acc[1:len(acc) - 1] || [w.a || w.b]
                  ELSE acc || x END) AS seg
            FROM seg${i - 1} s CROSS JOIN win$i w)"""
     }.mkString(",\n")
-    val out = (1 to numMerges).map(i =>
-      s"""SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
-            cnt AS pair_count FROM win$i""").mkString("\n UNION ALL ")
+    val out =
+      if (emit == "rules")
+        (1 to numMerges).map(i =>
+          s"""SELECT $i AS merge_rank, a AS left_sym, b AS right_sym,
+                cnt AS pair_count FROM win$i""").mkString("\n UNION ALL ")
+      else
+        // encode: per-doc word and BPE-token counts via the encoded vocab
+        s"""SELECT d.doc_id,
+              CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+              CAST(coalesce(pd.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN (
+              SELECT t.doc_id, count(*) AS n_words,
+                sum(len(e.seg)) AS n_bpe_tokens
+              FROM (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+                FROM documents) t
+              JOIN seg$numMerges e USING (word)
+              GROUP BY 1) pd USING (doc_id)"""
     s"""WITH w0 AS (
          SELECT t AS word, count(*) AS freq FROM (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
              x -> x <> '')) AS t
            FROM documents) GROUP BY 1),
-       seg0 AS (SELECT freq, string_split(word, '') AS seg FROM w0),
+       seg0 AS (SELECT word, freq, string_split(word, '') AS seg FROM w0),
        $stages
        $out"""
   }
@@ -1221,6 +1245,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN pd USING (doc_id)""",
     "events_zorder" -> zorderOracle(bits = 20),
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
+    "doc_bpe_encode" -> bpeOracle(numMerges = 8, emit = "encode"),
     // replica of TextOps.decontaminate: the same deterministic benchmark
     // split (sha fold % 10 == 0), the same distinct 5-gram sets, overlap
     // counted per non-benchmark doc (count(*) is BIGINT; coalesce kept

@@ -1104,14 +1104,30 @@ object TextOps {
     * Returns the trained artifact: (merge_rank, left_sym, right_sym,
     * pair_count).
     */
+  /** One BPE merge rule applied to a symbol sequence: the greedy-leftmost
+    * non-overlapping fold (an `aggregate` HOF — per-row, no shuffle).
+    * Shared by the trainer's per-iteration re-segmentation and
+    * [[bpeEncode]]'s application of the learned ruleset. */
+  private def applyMerge(seg: Column, a: String, b: String): Column =
+    aggregate(seg, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, array(x))
+        .when(element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
   def bpeMerges(documents: DataFrame, numMerges: Int = 8): DataFrame = {
     val spark = documents.sparkSession
-    def applyMerge(seg: Column, a: String, b: String): Column =
-      aggregate(seg, array().cast("array<string>"), (acc, x) =>
-        when(size(acc) === 0, array(x))
-          .when(element_at(acc, -1) === a && x === b,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+    import spark.implicits._
+    bpeMergeRules(documents, numMerges)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The trained merge ruleset as collected driver-side rows (rank, left,
+    * right, weighted pair count) — the artifact [[bpeEncode]] applies; the
+    * training loop itself is distributed (per-iteration pair agg + 1-row
+    * argmax collect, see [[bpeMerges]]'s scaladoc). */
+  def bpeMergeRules(documents: DataFrame,
+                    numMerges: Int = 8): Seq[(Int, String, String, Long)] = {
     var seg = documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -1135,8 +1151,41 @@ object TextOps {
       seg = seg.select(col("freq"), applyMerge(col("seg"), a, b).as("seg"))
         .localCheckpoint()
     }
-    import spark.implicits._
-    rules.result().toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+    rules.result()
+  }
+
+  /** BPE ENCODING with the trained ruleset — the apply half of the
+    * tokenizer story ([[bpeMerges]] learns the rules; this tokenizes the
+    * corpus with them and reports per-document BPE token counts, the number
+    * a token-budget planner actually consumes).
+    *
+    * Scale shape — the vocabulary trick every real tokenizer pipeline uses:
+    * rules apply to the DISTINCT-word vocabulary (vocab-scale, tiny next to
+    * the corpus), as `numMerges` chained [[applyMerge]] folds in ONE
+    * projection (per-row expressions, no shuffle); the corpus then
+    * equi-joins its exploded words to the encoded vocab (the
+    * [[unigramLogProb]] join discipline — the vocab side broadcasts and the
+    * corpus streams map-side) and one hash agg lands the per-doc counts.
+    * Zero-token documents survive the left join with 0s.
+    */
+  def bpeEncode(documents: DataFrame, numMerges: Int = 8): DataFrame = {
+    val rules = bpeMergeRules(documents, numMerges)
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("word")).distinct()
+      .select(col("word"), split(col("word"), "").as("seg"))
+    val encoded = rules.foldLeft(vocab) { case (df, (_, a, b, _)) =>
+      df.select(col("word"), applyMerge(col("seg"), a, b).as("seg"))
+    }.select(col("word"), size(col("seg")).cast("long").as("n_sym"))
+    val perDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(encoded), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
   // ------------------------------------------------- decontamination

@@ -346,6 +346,25 @@ class TextOpsSpec extends AnyFunSuite {
       (3, "aa", "ab", 3L)), got.toString)
   }
 
+  test("bpe encode applies the learned rules; counts match hand-derived segmentations") {
+    import spark.implicits._
+    // same corpus as the merges spec; rules: (a,a), (a,b), (aa,ab).
+    // aaab: [a,a,a,b] -1-> [aa,a,b] -2-> [aa,ab] -3-> [aaab] = 1 symbol
+    // ab:   [a,b]     -2-> [ab]                        = 1 symbol
+    // aab (doc 3 only sees rules trained on the SAME corpus incl. itself):
+    //   trained rules change — so keep the corpus identical and check the
+    //   fixed points above instead.
+    val df = Seq((1L, "aaab aaab ab", "en", "s", 12L), (2L, "aaab ab", "en", "s", 7L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bpeEncode(df, numMerges = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(out(1L) == ((3L, 3L))) // aaab aaab ab -> 1+1+1 bpe tokens
+    assert(out(2L) == ((2L, 2L)))
+    assert(out(3L) == ((0L, 0L))) // zero-token doc survives with zeros
+  }
+
   test("decontamination overlap counts equal a brute-force recomputation") {
     val n = 5
     val isBench = pmod(
