@@ -1116,16 +1116,14 @@ object SparkEntry {
          GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "doc_bpe_stats" ->
       """SELECT doc_id,
-           CAST(len(rt) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_filter(rt, t -> (ascii(t) BETWEEN 65 AND 90)
-             OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT) AS n_alpha,
-           CAST(len(list_filter(rt, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT)
-             AS n_num,
-           CAST(len(list_filter(rt, t -> NOT ((ascii(t) BETWEEN 48 AND 57)
-             OR (ascii(t) BETWEEN 65 AND 90)
-             OR (ascii(t) BETWEEN 97 AND 122)))) AS BIGINT) AS n_punct
+           CAST(a + n + p AS BIGINT) AS n_bpe_tokens,
+           CAST(a AS BIGINT) AS n_alpha,
+           CAST(n AS BIGINT) AS n_num,
+           CAST(p AS BIGINT) AS n_punct
          FROM (SELECT doc_id,
-           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]') AS rt
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS a,
+           len(regexp_extract_all(text, '[0-9]+')) AS n,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS p
            FROM documents)""",
     "emb_quantize" ->
       """SELECT vec_id, label,

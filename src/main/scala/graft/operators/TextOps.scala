@@ -581,23 +581,27 @@ object TextOps {
 
   /** Token counting the way a tokenizer-training pipeline needs it: BPE-ish
     * pre-token counts per class (letter runs / digit runs / symbols).
-    * Classification by first-character code point — engine-portable, no
-    * second regex pass. Per-row expressions only.
+    *
+    * Counts each class with its own `regexp_count` over the raw text
+    * instead of materializing the token array and filtering it three
+    * times: [[bpePattern]]'s alternatives are DISJOINT character classes,
+    * so the maximal matches of each alternative alone are exactly the
+    * full tokenization's members of that class — no token can start
+    * inside another class's match. This is pure counting codegen with
+    * zero per-token allocation (the array form's UTF8String[] was the
+    * memory-bandwidth bottleneck: 16.5x wall for 10x corpus / ~14x
+    * characters; see SCALE.md). Per-row expressions only, no shuffle.
     */
   def bpeTokenStats(documents: DataFrame): DataFrame = {
-    def isAlpha(t: Column) =
-      (ascii(t) >= 65 && ascii(t) <= 90) || (ascii(t) >= 97 && ascii(t) <= 122)
-    def isNum(t: Column) = ascii(t) >= 48 && ascii(t) <= 57
-    documents
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(bpePattern), lit(0)).as("bpe"))
-      .select(
-        col("doc_id"),
-        size(col("bpe")).cast("long").as("n_bpe_tokens"),
-        size(filter(col("bpe"), t => isAlpha(t))).cast("long").as("n_alpha"),
-        size(filter(col("bpe"), t => isNum(t))).cast("long").as("n_num"),
-        size(filter(col("bpe"), t => !isAlpha(t) && !isNum(t))).cast("long")
-          .as("n_punct"))
+    val alpha = regexp_count(col("text"), lit("[A-Za-z]+"))
+    val num = regexp_count(col("text"), lit("[0-9]+"))
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
+    documents.select(
+      col("doc_id"),
+      (alpha + num + punct).cast("long").as("n_bpe_tokens"),
+      alpha.cast("long").as("n_alpha"),
+      num.cast("long").as("n_num"),
+      punct.cast("long").as("n_punct"))
   }
 
   /** PII patterns for [[redactPii]] — conservative ASCII regex, no
