@@ -245,11 +245,18 @@ object SparkEntry {
     // SemDeDup-style semantic dedup over the SAME planted fixture (the raw
     // corpus max cosine ~0.51 sits below any honest threshold, so only the
     // planted near-dups make the drop set non-empty): cluster with k-means,
-    // prune within clusters by the greedy keep-first-id cosine rule
-    "emb_semantic_dedup" -> ((s, dir) =>
+    // prune within clusters by the greedy keep-first-id cosine rule.
+    // k follows Similarity.semanticK — derived from the footer row count
+    // (plus the min(40,N) planted copies) so the expected cluster size is
+    // constant and candidates stay LINEAR in N; the oracle derives the
+    // identical k from count(*) over the same planted source
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val n = Tables.parquetRowCount(s, dir, "embeddings")
       Similarity.semanticDedup(
         Similarity.plantNearDups(Tables.embeddings(s, dir)),
-        k = 8, iters = 2, threshold = 0.85)),
+        k = Similarity.semanticK(n + math.min(40L, n)),
+        iters = 2, threshold = 0.85)
+    }),
     "emb_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_vector_stats" -> ((s, dir) =>
@@ -435,7 +442,8 @@ object SparkEntry {
     * engines order NaN differently). */
   private def kmeansOracle(k: Int, iters: Int,
                            source: String = "embeddings",
-                           emit: String = "centroids"): String = {
+                           emit: String = "centroids",
+                           kSql: Option[String] = None): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
@@ -468,7 +476,7 @@ object SparkEntry {
           FROM $source),
         c0 AS (
           SELECT vec_id AS cluster_id, v AS cv, vnrm AS cnrm
-          FROM en WHERE vec_id < $k),
+          FROM en WHERE vec_id < ${kSql.getOrElse(k.toString)}),
         $iterCtes
         ${
           if (emit == "centroids")
@@ -504,16 +512,24 @@ object SparkEntry {
     * "subspace" spanning the full dimension — L2-argmin against the rounded
     * published centroids), then the greedy keep-first-id rule as an
     * equi-self-join on cluster + the engine's exact cosine fold
-    * (dot / (sqrt(Σa²)·sqrt(Σb²)), every reduction dim-ascending). */
-  private def semanticDedupOracle(k: Int, iters: Int, threshold: Double,
-                                  source: String = "embeddings"): String = {
+    * (dot / (sqrt(Σa²)·sqrt(Σb²)), every reduction dim-ascending).
+    * k is DERIVED inside the SQL — max(kMin, ⌈count(*)/target⌉) over the
+    * same source — replaying [[graft.operators.Similarity.semanticK]]
+    * exactly, so the two engines agree on k at every scale factor. */
+  private def semanticDedupOracle(iters: Int, threshold: Double,
+                                  source: String = "embeddings",
+                                  targetClusterSize: Int = 250,
+                                  kMin: Int = 8): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
       s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val kSql = s"(SELECT greatest($kMin, CAST(ceil(count(*) / " +
+      s"${targetClusterSize}.0) AS BIGINT)) FROM en)"
     s"""WITH asg AS (
           SELECT vec_id, code AS cluster_id
-          FROM (${kmeansOracle(k, iters, source, emit = "codes")})),
+          FROM (${kmeansOracle(0, iters, source, emit = "codes",
+            kSql = Some(kSql))})),
         ev AS (
           SELECT s.vec_id, s.embedding::DOUBLE[] AS v,
             ${nrm("s.embedding::DOUBLE[]")} AS vnrm, a.cluster_id
@@ -862,7 +878,7 @@ object SparkEntry {
     // AUTO id offset max(vec_id)+1 is the same scalar subquery both sides)
     "emb_lsh_pairs_planted" -> lshOracle(threshold = 0.85, numTables = 16,
       dim = 64, bucketCap = 256, source = plantedEmbeddingsSql),
-    "emb_semantic_dedup" -> semanticDedupOracle(k = 8, iters = 2,
+    "emb_semantic_dedup" -> semanticDedupOracle(iters = 2,
       threshold = 0.85, source = plantedEmbeddingsSql),
     "doc_pii_redact" -> piiOracle,
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),

@@ -682,9 +682,24 @@ object Similarity {
     * equi-join on cluster_id, NEVER a cross join: candidates are
     * Σ|cluster|²/2, governed by k. k must scale with the corpus
     * (k ≈ N/⟨target cluster size⟩ — SemDeDup runs 50k clusters on
-    * LAION-scale data); at 100 TB the assignment would be written once,
+    * LAION-scale data); [[semanticK]] is that policy, and the driver
+    * query derives N from parquet footers so k tracks the corpus with no
+    * build-time job. At 100 TB the assignment would be written once,
     * bucketed by cluster_id, and the join co-locates with zero shuffle.
     */
+  /** The k policy [[semanticDedup]]'s contract requires: k grows with the
+    * corpus so the expected cluster size — and with it the per-vector
+    * candidate count — stays CONSTANT. With k = max(kMin, ⌈N/target⌉) the
+    * within-cluster equi-join produces ≈ N·target/2 candidate pairs total:
+    * linear in N. A fixed k would make candidates Σ|cluster|²/2 ≈ N²/2k —
+    * quadratic, the one shape the 10x scale-slope harness flagged (10.2x
+    * for 10x data at fixed k=8; see SCALE.md). N comes from
+    * [[graft.sources.Tables.parquetRowCount]]'s footer sweep at the call
+    * site, so deriving k launches no Spark job.
+    */
+  def semanticK(n: Long, targetClusterSize: Int = 250, kMin: Int = 8): Int =
+    math.max(kMin, math.ceil(n.toDouble / targetClusterSize).toInt)
+
   def semanticDedup(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
                     threshold: Double = 0.85): DataFrame = {
     val cb = reshapeCodebook(

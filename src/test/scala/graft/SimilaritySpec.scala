@@ -276,6 +276,17 @@ class SimilaritySpec extends AnyFunSuite {
       s"plan construction launched $jobs Spark job(s): ${descs.mkString("; ")}")
   }
 
+  test("semanticK keeps expected cluster size constant: floor at kMin, then ceil(N/target)") {
+    // below the floor the minimum wins (500 + 50 planted at sf0.01 → 8) …
+    assert(Similarity.semanticK(550L) == 8)
+    assert(Similarity.semanticK(1L) == 8)
+    // … and past it k tracks N so |cluster| ≈ target stays constant:
+    // candidates ≈ N·target/2 (linear), never N²/2k (fixed-k quadratic)
+    assert(Similarity.semanticK(2040L) == 9)
+    assert(Similarity.semanticK(20040L) == 81)
+    assert(Similarity.semanticK(2040L, targetClusterSize = 100) == 21)
+  }
+
   test("semantic dedup: greedy keep-first-id contract holds exactly; planted dups drop") {
     val planted = Similarity.plantNearDups(emb)
     val out = Similarity.semanticDedup(planted, k = 8, iters = 2,
