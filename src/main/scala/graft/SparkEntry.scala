@@ -109,6 +109,7 @@ object SparkEntry {
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
     "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
+    "doc_dup_spans" -> ((s, dir) => TextOps.dupSpanRatio(Tables.documents(s, dir))),
     "doc_near_dup_pairs" -> ((s, dir) =>
       TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     // quoted at threshold 0.7, NOT 0.4: the b=32/r=2 banding misses a pair
@@ -1171,6 +1172,30 @@ object SparkEntry {
     "doc_dedup_docs" ->
       """SELECT d.* FROM documents d
          WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",
+    // positional (with-repeats) 5-gram spans, so ps/pg differ from the
+    // shingle family's DISTINCT sets: the ratio weighs every span position
+    "doc_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         ps AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+             list_transform(generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS gram FROM toks),
+         pg AS (SELECT doc_id, gram, count(*) AS cnt FROM ps GROUP BY 1, 2),
+         sg AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+         agg AS (SELECT pg.doc_id, SUM(pg.cnt) AS n_spans,
+             SUM(CASE WHEN sg.gram IS NOT NULL THEN pg.cnt ELSE 0 END) AS n_dup
+           FROM pg LEFT JOIN sg ON pg.gram = sg.gram GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(a.n_spans, 0) = 0 THEN 0.0
+             ELSE floor((CAST(a.n_dup AS DOUBLE) / a.n_spans) * 1e6 + 0.5) / 1e6
+             END AS dup_ratio
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
     "doc_near_dup_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.4)}",
     "doc_minhash_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.7)}",
     "doc_language_id" ->

@@ -82,6 +82,52 @@ object TextOps {
       exactDedup(documents).select(col("canonical_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Per-document duplicated-SPAN ratio — the "how much of this document is
+    * shared boilerplate" quality signal (the per-doc aggregate view of
+    * exact-substring train-set dedup, Lee et al. 2022's "Deduplicating
+    * Training Data Makes Language Models Better"): the fraction of a
+    * document's positional word-`n`-gram spans that also occur in at least
+    * one OTHER document. Pair-finders ([[nearDupPairs]]/[[minhashPairs]])
+    * answer "which documents duplicate each other"; this answers "how much
+    * of EACH document is duplicated", the per-row filter signal curation
+    * thresholds on.
+    *
+    * Shape: positional gram HASHES (the [[graft.functions.WordGramHashes]]
+    * fused kernel — 8-byte keys through every shuffle, same collision
+    * budget as the near-dup path) → one hash agg to (doc, gram, positions)
+    * → one hash agg to the shared-gram set (df ≥ 2) → equi-join back →
+    * per-doc agg. Aggregation only — candidate volume is linear in corpus
+    * grams, never pairwise, so no df-cap is needed; the map-side partial
+    * collapse absorbs within-doc repetition before each shuffle. Documents
+    * shorter than `n` tokens have zero spans and report ratio 0.0.
+    */
+  def dupSpanRatio(documents: DataFrame, n: Int = 5): DataFrame = {
+    val pos = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.gramXxHashes(col("toks"), n))
+          .as("gk"))
+    val perDocGram = pos.groupBy(col("doc_id"), col("gk"))
+      .agg(count(lit(1)).as("cnt"))
+    val shared = perDocGram.groupBy(col("gk"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gk"), lit(true).as("is_shared"))
+    val agg = perDocGram.join(shared, Seq("gk"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("is_shared"), col("cnt")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(roundFixed(
+            col("n_dup_spans").cast("double") / col("n_spans"), 6))
+          .as("dup_ratio"))
+  }
+
   // -------------------------------------------------------- near-dup dedup
 
   /** Near-duplicate pairs by word-`n`-gram Jaccard, exact semantics.

@@ -332,6 +332,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map(2L -> 2L, 9L -> 1L))
   }
 
+  test("dup-span ratio counts cross-doc shared positional grams only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),       // spans: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),       // spans: "a b c d e", "b c d e x"
+      (3L, "z z z z"),           // 4 tokens < 5: zero spans
+      (4L, "q w e r t y"),       // 2 spans, none shared
+      (5L, "p p p p p p p")      // "p p p p p" x3 WITHIN one doc: not shared
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpanRatio(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))   // shares "a b c d e" with doc 2
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))   // short doc survives with zeros
+    assert(out(4L) == ((2L, 0L, 0.0)))
+    assert(out(5L) == ((3L, 0L, 0.0)))   // within-doc repeats are not dups
+  }
+
   test("bpe merges follow greedy-leftmost semantics on a hand-computed corpus") {
     import spark.implicits._
     // words: aaab ×3, ab ×2. Round 1: (a,a)=6 beats (a,b)=5; applying it
