@@ -280,6 +280,21 @@ object SparkEntry {
     // table lookups — queries never touch a corpus vector again
     "emb_pq_search" -> ((s, dir) =>
       Similarity.pqSearchTopK(Tables.embeddings(s, dir))),
+    // binary (sign-bit) quantization — the 1-bit member of the compression
+    // family: 64 float dims pack 256x into ONE 64-bit code, per-row
+    // projection only
+    "emb_binary_codes" -> ((s, dir) =>
+      Similarity.binaryQuantize(Tables.embeddings(s, dir))),
+    // Hamming search over the codes: bit_count(xor) — two integer
+    // instructions per comparison against 16-byte rows; the float arrays
+    // never enter the scored join
+    "emb_hamming_topk" -> ((s, dir) =>
+      Similarity.hammingTopK(Tables.embeddings(s, dir))),
+    // the two-stage serving pattern: Hamming shortlist (20 per query),
+    // exact-cosine rerank on the shortlist only — float math on q·20 rows
+    // instead of q·N
+    "emb_hamming_rerank" -> ((s, dir) =>
+      Similarity.hammingRerankTopK(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -722,6 +737,30 @@ object SparkEntry {
                  ELSE embedding[i] END) AS embedding
         FROM embeddings WHERE vec_id < 40) AS src"""
 
+  /** Sign-bit code of `embedding` as ONE BIGINT: bit i set iff dim i > 0 —
+    * the exact [[graft.operators.Similarity.signCode]] packing (disjoint
+    * single-bit constants OR'd). Bit 63's constant is spelled (-max − 1)
+    * because DuckDB rejects `1::BIGINT << 63` as shift overflow, while the
+    * value itself (Long.MinValue) is representable. */
+  private val signCodeSql: String = (0 until 64).map { i =>
+    val bit =
+      if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+      else s"(1::BIGINT << $i)"
+    s"(CASE WHEN embedding[${i + 1}] > 0 THEN $bit ELSE 0::BIGINT END)"
+  }.mkString(" | ")
+
+  /** Shared CTE chain for the Hamming-search oracles: sign codes, the
+    * query set (vec_id < numQueries), and the Hamming-scored cross of the
+    * two (bit_count(xor) — same kernel as the Spark side). */
+  private def hammingCtes(numQueries: Int): String =
+    s"""codes AS (SELECT vec_id, $signCodeSql AS code FROM embeddings),
+       hq AS (SELECT vec_id AS query_id, code AS code_q FROM codes
+              WHERE vec_id < $numQueries),
+       hscored AS (
+         SELECT hq.query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(hq.code_q, c.code)) AS BIGINT) AS hamming
+         FROM hq JOIN codes c ON c.vec_id <> hq.query_id)"""
+
   private def lshOracle(threshold: Double, numTables: Int, dim: Int,
                         bucketCap: Int,
                         source: String = "embeddings"): String = {
@@ -1142,6 +1181,48 @@ object SparkEntry {
            len(regexp_extract_all(text, '[0-9]+')) AS n,
            len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS p
            FROM documents)""",
+    "emb_binary_codes" ->
+      s"""SELECT vec_id, label, code, CAST(bit_count(code) AS BIGINT) AS n_positive
+         FROM (SELECT vec_id, label, $signCodeSql AS code FROM embeddings)""",
+    "emb_hamming_topk" ->
+      s"""WITH ${hammingCtes(10)},
+         ranked AS (
+           SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+           FROM hscored)
+         SELECT query_id, neighbor_id, hamming, rank
+         FROM ranked WHERE rank <= 5""",
+    // shortlist-20 by Hamming, then the emb_knn exact-cosine formula on the
+    // shortlist only, re-ranked to top-5
+    "emb_hamming_rerank" ->
+      s"""WITH ${hammingCtes(10)},
+         short AS (
+           SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS h_rank
+           FROM hscored),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ex AS (
+           SELECT s.query_id, s.neighbor_id, s.hamming,
+             list_reduce(list_transform(generate_series(1, len(qv.v)),
+                 i -> qv.v[i] * nv.v[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(qv.v)),
+                 i -> qv.v[i] * qv.v[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(nv.v)),
+                 i -> nv.v[i] * nv.v[i]), (x, y) -> x + y))) AS c
+           FROM short s
+           JOIN e nv ON nv.vec_id = s.neighbor_id
+           JOIN e qv ON qv.vec_id = s.query_id
+           WHERE s.h_rank <= 20),
+         ranked AS (
+           SELECT query_id, neighbor_id, hamming, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM ex)
+         SELECT query_id, neighbor_id, hamming,
+           floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
+         FROM ranked WHERE rank <= 5""",
     "emb_quantize" ->
       """SELECT vec_id, label,
            floor(scale * 1e6 + 0.5) / 1e6 AS scale,

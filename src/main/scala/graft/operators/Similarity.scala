@@ -778,4 +778,98 @@ object Similarity {
         aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4)
         .as("mean_val"))
   }
+
+  // ----------------------------------------- binary (sign-bit) quantization
+
+  /** Sign-bit code of a `dims`-dim vector packed into ONE 64-bit long:
+    * bit i is set iff `embedding[i] > 0` (strict — a zero component maps to
+    * 0, and ±0.0 compare equal in both engines). For random-hyperplane-style
+    * data the expected Hamming distance between two codes is
+    * dims·arccos(cosine)/π, which is what makes the code a cheap cosine
+    * proxy. 64 terms of `when(...)` OR'd together — disjoint single-bit
+    * constants, all inside whole-stage codegen.
+    */
+  private[graft] def signCode(v: Column, dims: Int = 64): Column = {
+    require(dims >= 1 && dims <= 64, s"signCode packs one long; got $dims dims")
+    (0 until dims).map { i =>
+      when(v.getItem(i) > lit(0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Binary (sign-bit) quantization — the 1-bit-per-dimension member of the
+    * compression family ([[quantizeInt8]] is 8 bits/dim; [[pqAssignCodes]]
+    * is sub-vector codebooks): each 64-float vector compresses 256× to a
+    * single long, and [[hammingTopK]] searches the codes with two integer
+    * instructions per comparison. Pure per-row projection — no shuffle, no
+    * join; at 100 TB this is the column you materialize next to the raw
+    * vectors so the search never has to touch them.
+    */
+  def binaryQuantize(embeddings: DataFrame, dims: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      signCode(col("embedding"), dims).as("code"))
+      .withColumn("n_positive", bit_count(col("code")).cast("long"))
+
+  /** Hamming top-k over the sign-bit codes: the binary-quantization
+    * prefilter of a two-stage retrieval stack. The per-pair kernel is
+    * `bit_count(code_q XOR code_n)` — two machine instructions against
+    * 16-byte rows, vs ~64 fused multiply-adds against 256-byte rows for
+    * exact cosine, which is the whole point at corpus scale: the broadcast
+    * carries only (query_id, code), and the corpus side of the scan never
+    * materializes the float arrays at all (column pruning drops
+    * `embedding` after the code projection). Ranking reuses the
+    * [[bruteForceTopK]] WindowGroupLimit shape. Ties break on ascending
+    * neighbor_id, so results are deterministic and oracle-able.
+    */
+  def hammingTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                  dims: Int = 64): DataFrame = {
+    val coded = embeddings.select(col("vec_id"),
+      signCode(col("embedding"), dims).as("code"))
+    val qCodes = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("code_q"))
+    val scored = coded
+      .select(col("vec_id").as("neighbor_id"), col("code").as("code_n"))
+      .join(broadcast(qCodes), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("code_q").bitwiseXOR(col("code_n"))).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+  }
+
+  /** Two-stage retrieve-and-rerank: Hamming shortlist over the sign codes
+    * ([[hammingTopK]] at `shortlist` ≫ k), then EXACT cosine over the
+    * shortlist only, re-ranked to the final top-k — the standard serving
+    * pattern for binary quantization (the 1-bit codes rank coarsely; the
+    * expensive float math runs on `numQueries·shortlist` rows instead of
+    * `numQueries·N`). The shortlist and the query vectors are both
+    * broadcast, so the rerank's vector fetch is a map-side join over one
+    * more corpus scan — at 100 TB that scan prunes to the shortlisted
+    * row groups via the broadcast join's dynamic filter, and nothing
+    * shuffles. Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
+    */
+  def hammingRerankTopK(embeddings: DataFrame, numQueries: Int = 10,
+                        k: Int = 5, shortlist: Int = 20,
+                        dims: Int = 64): DataFrame = {
+    val short = hammingTopK(embeddings, numQueries, k = shortlist, dims)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
+      .withColumn("nrm_n", sqrt(dot(col("v_n"), col("v_n"))))
+    val qVecs = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+    val exact = corpus
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -350,6 +350,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.pqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
   }
 
+  test("binary quantize: hand-computed sign codes, strict >0 rule, popcount") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.5f, -1f, 0f, 2f), 0),  // bits 0,3 -> 9 (0.0 is NOT set)
+      (1L, Seq(-1f, 1f, 1f, -1f), 0),   // bits 1,2 -> 6
+      (2L, Seq(0f, 0f, 0f, 0f), 0)      // all zero -> 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.binaryQuantize(df, dims = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("code"), r.getAs[Long]("n_positive")))).toMap
+    assert(out == Map(0L -> ((9L, 2L)), 1L -> ((6L, 2L)), 2L -> ((0L, 0L))))
+  }
+
+  test("sign code uses all 64 bits: bit 63 lands on Long.MinValue cleanly") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => if (i == 63) 1f else -1f)
+    val df = Seq((0L, v, 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.binaryQuantize(df).collect().head
+    assert(out.getAs[Long]("code") == Long.MinValue)
+    assert(out.getAs[Long]("n_positive") == 1L)
+  }
+
+  test("hamming top-k: hand-computed ranks; ties break on neighbor_id") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(0.5f, -1f, 0f, 2f), 0),  // code 9
+      (1L, Seq(-1f, 1f, 1f, -1f), 0),   // code 6
+      (2L, Seq(0f, 0f, 0f, 0f), 0)      // code 0
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hammingTopK(df, numQueries = 2, k = 2, dims = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming")))).toMap
+    // q0 (code 9): ham(9,0)=2 beats ham(9,6)=4; q1 (code 6): ham(6,0)=2
+    assert(out == Map(
+      (0L, 1) -> ((2L, 2L)), (0L, 2) -> ((1L, 4L)),
+      (1L, 1) -> ((2L, 2L)), (1L, 2) -> ((0L, 4L))))
+  }
+
+  test("hamming plans: codes-only scored join, no cartesian, no corpus shuffle") {
+    val plan = Similarity.hammingTopK(emb, 10, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("Join BuildRight"))
+    // the code projections sit BELOW the join (in the scan stages); every
+    // operator downstream of it — window, rank filter, output project —
+    // touches only (id, code, hamming) longs, never the float arrays
+    val aboveJoin = plan.substring(0, plan.indexOf("Join"))
+    assert(!aboveJoin.contains("embedding#"),
+      "float arrays leaked above the scored join")
+  }
+
+  test("hamming rerank recall vs brute force; shortlist depth is the dial") {
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val rerank20 = topkSet(
+      Similarity.hammingRerankTopK(emb, numQueries = 10, k = 5, shortlist = 20))
+    val rerank50 = topkSet(
+      Similarity.hammingRerankTopK(emb, numQueries = 10, k = 5, shortlist = 50))
+    val pure = topkSet(Similarity.hammingTopK(emb, numQueries = 10, k = 5))
+    val r20 = (exact & rerank20).size.toDouble / exact.size
+    val r50 = (exact & rerank50).size.toDouble / exact.size
+    val rPure = (exact & pure).size.toDouble / exact.size
+    // 1-bit codes on raw (non-centered) vectors rank COARSELY — measured
+    // 0.4 at shortlist 20 on this corpus, vs 0.2 for the codes alone. The
+    // honest contract is not high absolute recall at a fixed depth; it is
+    // (a) the exact rerank recovers at least what the codes alone rank,
+    // and (b) recall is monotone in shortlist depth (the serving dial a
+    // production config turns, exactly like nprobe for IVF).
+    assert(r20 >= rPure, s"rerank@20 $r20 < pure $rPure")
+    assert(r50 >= r20, s"recall not monotone in depth: @50 $r50 < @20 $r20")
+    assert(r20 >= 0.3, s"rerank@20 recall $r20 under the measured floor")
+    assert(r50 >= 0.5, s"rerank@50 recall $r50 under the measured floor")
+  }
+
   test("pq codebooks: each subspace equals a standalone k-means on its slice") {
     import org.apache.spark.sql.functions._
     val pq = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 2)
