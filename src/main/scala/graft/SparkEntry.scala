@@ -200,6 +200,10 @@ object SparkEntry {
     "doc_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), sampleRates,
         defaultRate = sampleDefaultRate)),
+    // exact-size per-lang eval holdout: hash-ranked top-25 per stratum —
+    // WindowGroupLimit keeps the per-partition state at 25 rows/stratum
+    "doc_holdout_sample" -> ((s, dir) =>
+      TextOps.holdoutSample(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
     "doc_hybrid_near_dup" -> ((s, dir) =>
@@ -280,6 +284,12 @@ object SparkEntry {
     // table lookups — queries never touch a corpus vector again
     "emb_pq_search" -> ((s, dir) =>
       Similarity.pqSearchTopK(Tables.embeddings(s, dir))),
+    // the composed FAISS-style index (IVF coarse pruning × PQ ADC scoring):
+    // one scan assigns partition AND codes shuffle-free; probes gate the
+    // candidate join map-side — the two dials multiply, O(N·d) per query
+    // drops to O(N·(nprobe/c)) table lookups
+    "emb_ivfpq_search" -> ((s, dir) =>
+      Similarity.ivfpqSearchTopK(Tables.embeddings(s, dir))),
     // binary (sign-bit) quantization — the 1-bit member of the compression
     // family: 64 float dims pack 256x into ONE 64-bit code, per-row
     // projection only
@@ -598,9 +608,51 @@ object SparkEntry {
     * list_reduce ≡ the engine's left-assoc `.reduce(_ + _)` — every double
     * bit-identical, so the top-k hash-matches. */
   private def pqSearchOracle(numSubspaces: Int, w: Int, k: Int, iters: Int,
-                             numQueries: Int, topK: Int): String = {
+                             numQueries: Int, topK: Int,
+                             ivf: Option[(Int, Int)] = None): String = {
     def nrm(a: String) =
       s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    def dotIdx(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    // IVF gate (when composed): first-c anchors, arnk=1 corpus assignment,
+    // arnk<=nprobe query probes — the ivfOracle structure verbatim, joined
+    // into `terms` as a (query, neighbor) pair gate (each neighbor has ONE
+    // anchor and probes are distinct, so a pair appears at most once)
+    val ivfCtes = ivf.map { case (c, nprobe) =>
+      s""",
+        ev AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS nrm
+          FROM embeddings),
+        anch AS (
+          SELECT vec_id AS anchor_id, v AS va, nrm AS nrm_a
+          FROM ev WHERE vec_id < $c),
+        assign AS (
+          SELECT vec_id AS neighbor_id, anchor_id FROM (
+            SELECT ev.vec_id, anch.anchor_id,
+              row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+                (${dotIdx("ev.v", "anch.va")} / (ev.nrm * anch.nrm_a)) DESC,
+                anch.anchor_id ASC) AS arnk
+            FROM ev CROSS JOIN anch) WHERE arnk = 1),
+        qprobes AS (
+          SELECT query_id, anchor_id FROM (
+            SELECT ev.vec_id AS query_id, anch.anchor_id,
+              row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+                (${dotIdx("ev.v", "anch.va")} / (ev.nrm * anch.nrm_a)) DESC,
+                anch.anchor_id ASC) AS arnk
+            FROM ev CROSS JOIN anch WHERE ev.vec_id < $numQueries)
+          WHERE arnk <= $nprobe),
+        ppairs AS (
+          SELECT p.query_id, a.neighbor_id
+          FROM qprobes p JOIN assign a USING (anchor_id)
+          WHERE p.query_id <> a.neighbor_id)"""
+    }.getOrElse("")
+    val termsJoin = ivf match {
+      case Some(_) =>
+        """JOIN ppairs pp ON pp.neighbor_id = c.vec_id
+           JOIN q ON q.query_id = pp.query_id"""
+      case None => "CROSS JOIN q WHERE q.query_id <> c.vec_id"
+    }
     val codesUnion = (0 until numSubspaces).map { s =>
       val src = s"""(SELECT vec_id,
            (embedding::DOUBLE[])[${s * w + 1}:${(s + 1) * w}] AS embedding
@@ -628,7 +680,7 @@ object SparkEntry {
         q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
             ${nrm("embedding::DOUBLE[]")} AS qnrm
-          FROM embeddings WHERE vec_id < $numQueries),
+          FROM embeddings WHERE vec_id < $numQueries)$ivfCtes,
         terms AS (
           SELECT c.vec_id AS neighbor_id, q.query_id, c.subspace,
             list_reduce(list_transform(generate_series(1, len(b.cv)),
@@ -636,8 +688,7 @@ object SparkEntry {
             b.nsq AS nsq, q.qnrm
           FROM codes c
           JOIN cbn b ON b.subspace = c.subspace AND b.cluster_id = c.code
-          CROSS JOIN q
-          WHERE q.query_id <> c.vec_id),
+          $termsJoin),
         agg AS (
           SELECT query_id, neighbor_id, any_value(qnrm) AS qnrm,
             list_reduce(list(t ORDER BY subspace), (x, y) -> x + y) AS num,
@@ -922,6 +973,14 @@ object SparkEntry {
       threshold = 0.85, source = plantedEmbeddingsSql),
     "doc_pii_redact" -> piiOracle,
     "doc_sample" -> sampleOracle(sampleRates, sampleDefaultRate),
+    "doc_holdout_sample" ->
+      s"""SELECT doc_id, lang, source, sample_rank FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ${shaFoldSql("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC)
+               AS sample_rank
+           FROM documents)
+         WHERE sample_rank <= 25""",
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,
@@ -987,6 +1046,8 @@ object SparkEntry {
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_pq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
       iters = 2, numQueries = 10, topK = 5),
+    "emb_ivfpq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
+      iters = 2, numQueries = 10, topK = 5, ivf = Some((8, 4))),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

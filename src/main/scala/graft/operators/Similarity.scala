@@ -355,9 +355,42 @@ object Similarity {
     */
   def pqSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                    numSubspaces: Int = 4, codewords: Int = 8,
-                   iters: Int = 2, dim: Int = 64): DataFrame = {
+                   iters: Int = 2, dim: Int = 64): DataFrame =
+    adcSearch(embeddings, numQueries, k, numSubspaces, codewords, iters, dim,
+      ivf = None)
+
+  /** IVF-PQ top-k — the full FAISS-style serving index, composing the
+    * coarse quantizer of [[ivfTopK]] with the ADC scoring of
+    * [[pqSearchTopK]]: every corpus vector is assigned to its nearest
+    * anchor (shuffle-free argmax over the collected anchor table) AND
+    * encoded to per-subspace PQ codes; a query probes only its `nprobe`
+    * nearest anchors' partitions, and within the probed partitions scores
+    * candidates by pure distance-table lookups. The two pruning dials
+    * multiply: per-query work drops from O(N·d) to
+    * O(N·(nprobe/c)·numSubspaces) lookups. At 100 TB the codes would be
+    * written bucketed by anchor_id, so a probe prunes whole partitions at
+    * the file level and the scan reads 4-byte codes, never the vectors.
+    * Recall vs exact and the nprobe=c ≡ flat-PQ equivalence are pinned in
+    * SimilaritySpec.
+    */
+  def ivfpqSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                      c: Int = 8, nprobe: Int = 4,
+                      numSubspaces: Int = 4, codewords: Int = 8,
+                      iters: Int = 2, dim: Int = 64): DataFrame =
+    adcSearch(embeddings, numQueries, k, numSubspaces, codewords, iters, dim,
+      ivf = Some((c, nprobe)))
+
+  private def adcSearch(embeddings: DataFrame, numQueries: Int, k: Int,
+                        numSubspaces: Int, codewords: Int,
+                        iters: Int, dim: Int,
+                        ivf: Option[(Int, Int)]): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide evenly into $numSubspaces subspaces")
+    // IVF half (when composed): the same collected first-c anchor table
+    // ivfTopK partitions by — metadata-scale, build-time, like the codebook
+    val anc: Option[Seq[(Long, Seq[Double], Double)]] =
+      ivf.map { case (c, _) => anchors(embeddings, c) }
+    if (anc.exists(_.isEmpty)) return emptyTopK(embeddings)
     val w = dim / numSubspaces
     // per-subspace ROUNDED published codebooks (same artifact pqAssignCodes
     // assigns against), zero-norm codewords dropped before assignment
@@ -391,12 +424,33 @@ object Similarity {
         val m = cbs(s).map(e => e._1 -> dotSeq(qs, e._2)).toMap
         (0 until codewords).map(j => m.getOrElse(j.toLong, 0.0))
       }
-      (qid, tabs, math.sqrt(dotSeq(qv, qv)))
-    }.toDF("query_id", "num_tabs", "qnrm")
+      val qnrm = math.sqrt(dotSeq(qv, qv))
+      // probe set, driver-side over the already-collected queries+anchors:
+      // the same (-cosine, anchor_id) order nearestAnchors realizes, on the
+      // identical sequential-fold doubles, so the oracle's row_number
+      // replica sees the same ids
+      val probes: Seq[Long] = (anc, ivf) match {
+        case (Some(a), Some((_, nprobe))) =>
+          a.map { case (aid, va, nrmA) =>
+            (-(dotSeq(qv, va) / (qnrm * nrmA)), aid)
+          }.sorted.take(nprobe).map(_._2)
+        case _ => Seq.empty
+      }
+      (qid, tabs, qnrm, probes)
+    }.toDF("query_id", "num_tabs", "qnrm", "probes")
 
     // encode: ONE corpus scan, all subspace codes per row (shuffle-free),
-    // with the same L2-argmin assignment pqAssignCodes publishes
+    // with the same L2-argmin assignment pqAssignCodes publishes; under
+    // IVF the same scan also assigns the coarse partition — still no
+    // Exchange anywhere before the final window
     var coded = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+    anc.foreach { a =>
+      coded = coded
+        .withColumn("nrm_v", sqrt(dot(col("v"), col("v"))))
+        .withColumn("anchor_id",
+          nearestAnchors(col("v"), col("nrm_v"), a, keep = 1)
+            .getItem(0).getField("aid"))
+    }
     for (s <- 0 until numSubspaces) {
       coded = coded
         .withColumn(s"v_$s", slice(col("v"), s * w + 1, w))
@@ -404,7 +458,8 @@ object Similarity {
     }
     val codes = coded.select(
       col("vec_id").as("neighbor_id") +:
-        (0 until numSubspaces).map(s => col(s"code_$s")): _*)
+        (0 until numSubspaces).map(s => col(s"code_$s")) ++:
+        (if (anc.isDefined) Seq(col("anchor_id")) else Nil): _*)
 
     val num = (0 until numSubspaces).map { s =>
       element_at(element_at(col("num_tabs"), s + 1),
@@ -414,8 +469,16 @@ object Similarity {
       element_at(array(nsqTabs(s).map(lit): _*), col(s"code_$s").cast("int") + 1)
     }.reduce(_ + _)
 
+    // under IVF, candidates are additionally gated to the query's probed
+    // partitions — the broadcast carries the tiny probe arrays, and the
+    // filter runs map-side before any window
+    val joinCond = anc match {
+      case Some(_) => col("query_id") =!= col("neighbor_id") &&
+        array_contains(col("probes"), col("anchor_id"))
+      case None => col("query_id") =!= col("neighbor_id")
+    }
     val scored = codes
-      .join(broadcast(queryTabs), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(queryTabs), joinCond)
       .withColumn("c0", num / (col("qnrm") * sqrt(densum)))
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("c0").desc, col("neighbor_id").asc)

@@ -980,6 +980,33 @@ object TextOps {
       .drop("sample_bucket")
   }
 
+  /** Fixed-SIZE per-stratum holdout — the eval-set carve-out, the
+    * exact-count complement of the rate-based [[stratifiedSample]]: exactly
+    * `perStratum` documents per `lang` (fewer only if the stratum is
+    * smaller), chosen by ascending [[portableHash64]] of the doc id — an
+    * order-free, seed-free deterministic "random" draw the oracle replays
+    * digit-for-digit. An eval holdout must be exact-size (benchmarks
+    * compare like-for-like counts) and unbiased by ingestion order, which
+    * Bernoulli sampling can't give: its stratum sizes fluctuate and a
+    * sorted-id prefix would correlate with crawl time.
+    *
+    * Scale shape: ONE rank window partitioned by lang — Spark's
+    * WindowGroupLimit pushes the `<= perStratum` filter below the sort, so
+    * every partition forwards at most perStratum rows per stratum into the
+    * (lang-keyed, parallel) shuffle; nothing resembles a global sort.
+    * Hash-collision ties break on doc_id.
+    */
+  def holdoutSample(documents: DataFrame, perStratum: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("draw").asc, col("doc_id").asc)
+    documents
+      .withColumn("draw", portableHash64(col("doc_id").cast("string")))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rank"))
+  }
+
   /** Token-budget selection — the data-mixing step of training-corpus
     * construction: within each `lang`, keep the highest-quality documents
     * whose RUNNING token total stays within the per-lang budget (quality

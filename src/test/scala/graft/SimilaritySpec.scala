@@ -350,6 +350,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.pqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
   }
 
+  test("ivfpq: probing EVERY partition reproduces flat PQ exactly") {
+    // with nprobe = c the probe gate admits every (query, neighbor) pair,
+    // so the composed index must return row-for-row what flat ADC returns —
+    // the contract that the IVF stage only PRUNES, never rescores
+    val flat = Similarity.pqSearchTopK(emb, numQueries = 10, k = 5)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.ivfpqSearchTopK(emb, numQueries = 10, k = 5,
+      c = 8, nprobe = 8).collect().map(_.toSeq).toSet
+    assert(full == flat)
+  }
+
+  test("ivfpq recall vs flat PQ; one scan, no exchange before the window") {
+    val flat = topkSet(Similarity.pqSearchTopK(emb, numQueries = 10, k = 5))
+    val ivfpq = topkSet(Similarity.ivfpqSearchTopK(emb, numQueries = 10,
+      k = 5, c = 8, nprobe = 4))
+    val recall = (flat & ivfpq).size.toDouble / flat.size
+    assert(recall >= 0.5, s"ivfpq recall vs flat PQ $recall")
+    // partition assignment + PQ encode + probe gate are all map-side: the
+    // only Exchange in the plan feeds the final per-query ranking window
+    val plan = Similarity.ivfpqSearchTopK(emb, numQueries = 10, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the window Exchange, got $exchanges")
+  }
+
   test("binary quantize: hand-computed sign codes, strict >0 rule, popcount") {
     import spark.implicits._
     val df = Seq(

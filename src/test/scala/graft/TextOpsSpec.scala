@@ -284,6 +284,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hybrid.forall(_.getAs[Double]("jaccard") >= 0.2))
   }
 
+  test("holdout sample: exact per-stratum size, order-free, small strata intact") {
+    import spark.implicits._
+    val docs = ((1L to 100L).map(i => (i, s"t $i", "en", "s", 0L)) ++
+      (101L to 110L).map(i => (i, s"t $i", "de", "s", 0L)) ++
+      Seq((111L, "t", "fr", "s", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.holdoutSample(docs, perStratum = 10).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // exact size where the stratum allows; whole stratum where it doesn't
+    assert(byLang == Map("en" -> 10, "de" -> 10, "fr" -> 1))
+    // ranks are dense 1..n within each stratum
+    assert(out.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 10))
+    // order-free: the same ids are drawn from a reshuffled input
+    val again = TextOps.holdoutSample(
+      docs.repartition(7).sortWithinPartitions(col("text")), perStratum = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
+    // the draw is the hash order, not the id order: with 10-of-100 kept,
+    // an id-prefix draw (1..10) would be astronomically unlikely
+    val en = out.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(en != (1L to 10L).toSet, "holdout degenerated to an id prefix")
+  }
+
   test("stratified sample is deterministic, per-stratum, and order-independent") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
