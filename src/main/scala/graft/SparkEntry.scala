@@ -204,6 +204,10 @@ object SparkEntry {
     // WindowGroupLimit keeps the per-partition state at 25 rows/stratum
     "doc_holdout_sample" -> ((s, dir) =>
       TextOps.holdoutSample(Tables.documents(s, dir))),
+    // exact per-lang length percentiles (disc): histogram-compressed, no
+    // global sort, no O(N)-state percentile aggregate
+    "doc_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
     "doc_hybrid_near_dup" -> ((s, dir) =>
@@ -981,6 +985,23 @@ object SparkEntry {
                AS sample_rank
            FROM documents)
          WHERE sample_rank <= 25""",
+    // replica of TextOps.lengthQuantiles: percentile_disc via the same
+    // histogram + cumulative-count + ceil(p*n) target — integer counts
+    // throughout, the one double expression identical on both engines
+    "doc_length_quantiles" ->
+      """WITH hist AS (
+           SELECT lang, n_chars, count(*) AS cnt FROM documents GROUP BY 1, 2),
+         tot AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1),
+         cum AS (
+           SELECT lang, n_chars,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM hist),
+         ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p)
+         SELECT c.lang, p, min(n_chars) AS q
+         FROM cum c JOIN tot t USING (lang) CROSS JOIN ps
+         WHERE cum >= ceil(p * CAST(n AS DOUBLE))
+         GROUP BY 1, 2""",
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,

@@ -1437,4 +1437,44 @@ object TextOps {
     definitelyNew.select(out.map(col): _*)
       .unionByName(needVerify.select(out.map(col): _*))
   }
+
+  // ------------------------------------------------- exact quantiles
+
+  /** EXACT per-stratum quantiles of an integer measure (here document
+    * length per `lang`) with `percentile_disc` semantics — the smallest
+    * value whose cumulative count reaches `ceil(p·N)` — computed WITHOUT a
+    * global sort and WITHOUT an O(N)-state sort-based aggregate (what
+    * `percentile`/`percentile_disc` plan in Spark): the corpus is first
+    * compressed to a (stratum, value) HISTOGRAM by one partial+final hash
+    * agg — map-side combine collapses repeated lengths before the only
+    * full-data shuffle — and everything after runs on histogram rows.
+    * Integer doc lengths are bounded in practice (a handful of context
+    * sizes' worth of distinct values), so the histogram is metadata-scale
+    * next to a 100 TB corpus; a continuous measure would quantize to fixed
+    * buckets first, same plan. The cumulative window partitions by
+    * stratum over histogram rows (bounded per-partition state — never the
+    * unpartitioned-window / single-partition sort of the naive
+    * `row_number() OVER (ORDER BY v)` ranking).
+    *
+    * Determinism: counts and targets are integer; the only double is
+    * `ceil(p·n)`, the identical IEEE expression the oracle evaluates, so
+    * no rounding boundary can disagree between engines.
+    */
+  def lengthQuantiles(documents: DataFrame,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = documents
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy(col("lang"), col("p"))
+      .agg(min(col("n_chars")).as("q"))
+  }
 }

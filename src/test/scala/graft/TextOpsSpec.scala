@@ -467,4 +467,20 @@ class TextOpsSpec extends AnyFunSuite {
     val tiny = TextOps.incrementalDedup(batch, docs, expectedItems = 8L)
     assert(tiny.exceptAll(exact).count() == 0 && exact.exceptAll(tiny).count() == 0)
   }
+
+  test("length quantiles equal the brute-force sorted-rank percentile_disc") {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val got = TextOps.lengthQuantiles(docs, ps).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("p")) ->
+        r.getAs[Long]("q")).toMap
+    val byLang = docs.select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((lang, vs) <- byLang; p <- ps) {
+      // percentile_disc: the value at 1-based rank ceil(p*n) of the sort
+      val expect = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(got((lang, p)) == expect, s"lang=$lang p=$p")
+    }
+    assert(got.size == byLang.size * ps.size)
+  }
 }
