@@ -208,6 +208,10 @@ object SparkEntry {
     // global sort, no O(N)-state percentile aggregate
     "doc_length_quantiles" -> ((s, dir) =>
       TextOps.lengthQuantiles(Tables.documents(s, dir))),
+    // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
+    // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
+    "doc_bm25_search" -> ((s, dir) =>
+      TextOps.bm25SearchTopK(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
     "doc_hybrid_near_dup" -> ((s, dir) =>
@@ -937,6 +941,57 @@ object SparkEntry {
           max(doc_id) AS last_doc_id
         FROM o GROUP BY 1, 2"""
 
+  /** DuckDB replica of [[graft.operators.TextOps.bm25SearchTopK]]: the same
+    * single tf relation carrying dl, the same broadcast-shaped query×idf
+    * join, and the 1e-6-quantize / decimal-sum / 1e-4-round discipline —
+    * every double constant interpolated from the SAME Scala value (Scala's
+    * Double.toString round-trips, so both engines parse the identical
+    * IEEE double). */
+  private def bm25Oracle(numQueries: Int, qLen: Int, k: Int, k1: Double,
+                         b: Double, maxDfFrac: Double): String = {
+    val toksList = """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+    s"""WITH tk AS (
+          SELECT doc_id, $toksList AS t FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+          FROM tk),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM (
+            SELECT CAST(len(t) AS BIGINT) AS dl FROM tk) WHERE dl > 0),
+        dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q AS (
+          SELECT doc_id AS query_id,
+            unnest(list_distinct((t)[1:$qLen])) AS term
+          FROM tk WHERE doc_id < $numQueries),
+        qidf AS (
+          SELECT term, query_id,
+            floor(log10((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+              (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6 + 0.5) / 1e6 AS idf,
+            t_tokens, n_docs
+          FROM dft JOIN q USING (term) CROSS JOIN stats
+          WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * $maxDfFrac),
+        contrib AS (
+          SELECT query_id, tf.doc_id,
+            floor(idf * (tf * ${k1 + 1.0}) /
+              (tf + $k1 * (1.0 - $b + $b *
+                (dl / (CAST(t_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+              * 1e6 + 0.5) / 1e6 AS c
+          FROM tf JOIN qidf USING (term) WHERE tf.doc_id <> query_id),
+        scored AS (
+          SELECT query_id, doc_id,
+            floor(CAST(SUM(CAST(c AS DECIMAL(38,10))) AS DOUBLE) * 1e4 + 0.5)
+              / 1e4 AS score
+          FROM contrib GROUP BY 1, 2)
+        SELECT query_id, doc_id, rank, score FROM (
+          SELECT query_id, doc_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= $k"""
+  }
+
   /** DuckDB replica of [[graft.operators.TextOps.redactPii]]: the identical
     * pattern chain (single-sourced from TextOps.piiPatterns) with DuckDB's
     * 'g' flag matching Spark's replace-all default; counts on the original
@@ -1002,6 +1057,8 @@ object SparkEntry {
          FROM cum c JOIN tot t USING (lang) CROSS JOIN ps
          WHERE cum >= ceil(p * CAST(n AS DOUBLE))
          GROUP BY 1, 2""",
+    "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
+      k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,

@@ -1438,6 +1438,85 @@ object TextOps {
       .unionByName(needVerify.select(out.map(col): _*))
   }
 
+  // ------------------------------------------------- keyword retrieval
+
+  /** BM25 keyword retrieval — the lexical complement of the
+    * [[Similarity]] ANN family: top-`k` corpus documents per query by the
+    * Okapi BM25 score over whitespace terms, as one posting-list
+    * EQUI-join. Queries are a deterministic fixture (the first
+    * `numQueries` documents' first `qLen` distinct tokens — same
+    * self-query convention as the ANN entries, self-matches excluded).
+    *
+    * Shaped for scale the way a distributed search engine runs BM25:
+    *   - ONE full-corpus shuffle total — the (doc, term) tf hash agg; the
+    *     per-doc length rides the agg key (it is functionally dependent on
+    *     doc_id), so scoring never joins a doc-keyed side table.
+    *   - the query×term set (`numQueries·qLen` rows joined to the
+    *     vocabulary df — metadata scale) BROADCASTS, so the posting lists
+    *     stream map-side through the score join; candidate volume is
+    *     Σ df(t) over query terms, bounded by the stopword cut
+    *     (`maxDfFrac`: terms in more than that fraction of documents are
+    *     dropped, the classic WAND-ish hot-posting prune — an unpruned
+    *     stopword would pull in the whole corpus as candidates). The
+    *     DEFAULT is 1.0 (no cut) because the synthetic test corpus draws
+    *     from a 31-word vocabulary where every term is in >2/3 of the
+    *     documents — a natural-language corpus (Zipfian df) would run
+    *     with ~0.5, which is what the tiny-corpus spec exercises.
+    *   - per-query top-k is a WindowGroupLimit rank (map-side partial
+    *     top-k), never a global sort.
+    *
+    * Determinism (the [[unigramLogProb]] discipline): idf
+    * (log10-based) and each term contribution quantize to 1e-6, the
+    * per-(query,doc) sum runs decimal-backed, the published score rounds
+    * to 1e-4, and the rank orders by (rounded score, doc_id) — every
+    * double expression is replayed verbatim by the oracle.
+    */
+  def bm25SearchTopK(documents: DataFrame, numQueries: Int = 10,
+                     qLen: Int = 4, k: Int = 5, k1: Double = 1.2,
+                     b: Double = 0.75, maxDfFrac: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+    val tf = base.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus stats: docs with at least one token (a token-free doc has no
+    // postings, so it can neither match nor be a query term source)
+    val stats = documents
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = documents.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(tokens(col("text")), 1, qLen))).as("term"))
+    val qidf = dfT.join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        col("n_docs").cast("double") * lit(maxDfFrac))
+      .withColumn("idf", roundFixed(log10(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+      .select(col("term"), col("query_id"), col("idf"),
+        col("t_tokens"), col("n_docs"))
+    val avgdl = col("t_tokens").cast("double") / col("n_docs").cast("double")
+    val contrib = tf.join(broadcast(qidf), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("c", roundFixed(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * (col("dl") / avgdl))), 6))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(roundFixed(
+        graft.functions.DeterministicAgg.exactSum(col("c")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   // ------------------------------------------------- exact quantiles
 
   /** EXACT per-stratum quantiles of an integer measure (here document

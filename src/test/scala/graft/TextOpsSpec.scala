@@ -468,6 +468,67 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tiny.exceptAll(exact).count() == 0 && exact.exceptAll(tiny).count() == 0)
   }
 
+  test("bm25 retrieval matches a hand-computed score on a tiny corpus") {
+    import spark.implicits._
+    // doc 0 is the query source (first 2 tokens: "rare shared"); docs 1-3
+    // are candidates with different tf/dl profiles; "common" appears in
+    // >50% of docs and must be pruned by the stopword cut
+    val df = Seq(
+      (0L, "rare shared common"),
+      (1L, "rare rare shared common filler filler"),
+      (2L, "shared common"),
+      (3L, "common filler")).toDF("doc_id", "text")
+    val got = TextOps.bm25SearchTopK(df, numQueries = 1, qLen = 2, k = 3,
+        maxDfFrac = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("score")))
+    // brute-force replica of the documented formula
+    val corpus = Map(0L -> Seq("rare", "shared", "common"),
+      1L -> Seq("rare", "rare", "shared", "common", "filler", "filler"),
+      2L -> Seq("shared", "common"), 3L -> Seq("common", "filler"))
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val dfOf = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val qTerms = Seq("rare", "shared").filter(t => dfOf(t) <= n * 0.5)
+    def score(d: Long): Double = q4(qTerms.flatMap { t =>
+      val tf = corpus(d).count(_ == t)
+      if (tf == 0) None else {
+        val idf = q6(math.log10((n - dfOf(t) + 0.5) / (dfOf(t) + 0.5) + 1.0))
+        Some(q6(idf * (tf * 2.2) /
+          (tf + 1.2 * (1.0 - 0.75 + 0.75 * (corpus(d).size / avgdl)))))
+      }
+    }.map(BigDecimal(_)).sum.toDouble)
+    val expect = Seq(1L, 2L, 3L).map(d => d -> score(d))
+      .filter(_._2 > 0.0)
+      .sortBy { case (d, sc) => (-sc, d) }
+      .zipWithIndex.map { case ((d, sc), i) => (d, i + 1L, sc) }
+    assert(got.sortBy(_._2).toSeq == expect)
+    // doc 3 matches no surviving query term ("common" was pruned)
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("bm25 on real data: k results per query, self excluded, ranks dense") {
+    val out = TextOps.bm25SearchTopK(docs).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    for ((q, rows) <- byQ) {
+      assert(rows.length <= 5)
+      assert(!rows.exists(_.getAs[Long]("doc_id") == q))
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+      // ranks follow (score desc, doc_id asc)
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+        case _ => true
+      })
+    }
+  }
+
   test("length quantiles equal the brute-force sorted-rank percentile_disc") {
     val ps = Seq(0.5, 0.9, 0.99)
     val got = TextOps.lengthQuantiles(docs, ps).collect()
