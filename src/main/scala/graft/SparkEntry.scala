@@ -78,6 +78,10 @@ object SparkEntry {
       Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
     "events_last_hour" -> ((s, dir) =>
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
+    // keyless point-in-interval range join, planned as a binned equi-join
+    // (never CartesianProduct); oracle runs the naive BETWEEN theta join
+    "events_in_windows" -> ((s, dir) =>
+      Relational.eventsInIncidentWindows(Tables.events(s, dir))),
     // HLL approx-distinct (Relational.eventTypeApproxUsers) is deliberately
     // NOT a driver query: an HLL estimate is engine-defined (Spark's and
     // DuckDB's sketches legitimately disagree), so no hash oracle can exist —
@@ -1261,6 +1265,20 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
            ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    // replica of Relational.eventsInIncidentWindows as the NAIVE range
+    // join the binned plan must equal: plain BETWEEN-style theta join
+    "events_in_windows" ->
+      """WITH iv AS (
+           SELECT event_id AS interval_id, ts AS win_start,
+             ts + INTERVAL 30 MINUTE AS win_end
+           FROM events WHERE event_type = 'error' AND user_id % 50 = 0)
+         SELECT interval_id, win_start, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_errors
+         FROM events e JOIN iv
+           ON e.ts >= iv.win_start AND e.ts < iv.win_end
+         GROUP BY 1, 2""",
     "user_sessions" ->
       """WITH o AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -408,4 +408,51 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") >= threshold)
   }
+
+  /** Point-in-interval RANGE join as a binned EQUI-join — the general
+    * range join the engine otherwise lacks (eventsInPrecedingHour covers
+    * only the keyed self-join case; this one has NO equality key at all).
+    * The interval fixture is derived deterministically from the fact table
+    * itself: every `error` event of every `userMod`-th user opens a
+    * `windowMinutes` incident window, and the query aggregates ALL events
+    * (any user) falling in each window — what a naive engine plans as an
+    * O(|events|·|intervals|) theta join / CartesianProduct.
+    *
+    * The bin trick makes it an equi-join: time is cut into fixed bins of
+    * exactly the window length, an interval explodes to the ≤2 bins it
+    * overlaps, an event maps to its ONE bin, and the join key is the bin
+    * id with the true containment predicate as a residual filter. Each
+    * qualifying (event, interval) pair meets in exactly one bin — the
+    * event's — so no post-join dedup is needed. At 100 TB both sides
+    * shuffle by bin id (or the small interval side broadcasts, as it does
+    * here); a pathological hot bin would salt the interval side — the same
+    * skew lever as any hash join. Bin width is a dial: it must be ≥ the
+    * longest interval for the ≤2-bin bound (wider bins = fewer join rows
+    * to filter, narrower = more replication).
+    *
+    * Window semantics are half-open [start, start+w): the opening error is
+    * counted, a boundary event at exactly +w is not.
+    */
+  def eventsInIncidentWindows(events: DataFrame, windowMinutes: Int = 30,
+                              userMod: Long = 50): DataFrame = {
+    val binUs = windowMinutes.toLong * 60L * 1000000L
+    val intervals = events
+      .filter(col("event_type") === "error" &&
+        pmod(col("user_id"), lit(userMod)) === 0)
+      .select(col("event_id").as("interval_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $windowMinutes MINUTES")).as("win_end"))
+    val binned = intervals.withColumn("bin",
+      explode(sequence(expr(s"unix_micros(win_start) div ${binUs}L"),
+        expr(s"unix_micros(win_end) div ${binUs}L"))))
+    events
+      .withColumn("bin", expr(s"unix_micros(ts) div ${binUs}L"))
+      .join(binned, Seq("bin"))
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy(col("interval_id"), col("win_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+  }
 }

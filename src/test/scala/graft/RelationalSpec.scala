@@ -213,4 +213,26 @@ class RelationalSpec extends AnyFunSuite {
     // real contract (at sf0.01+ ONLY planted users cross, per the oracle)
     assert(got.keySet.exists(_ % 500 == 7), s"planted user missing: $got")
   }
+
+  test("binned interval join equals the naive theta join and never plans a cartesian") {
+    val events = Tables.events(spark, dir)
+    val got = Relational.eventsInIncidentWindows(events)
+    // the naive range join it must equal (crossJoin + residual — the plan
+    // shape the binned form exists to avoid)
+    val iv = events
+      .filter(col("event_type") === "error" && pmod(col("user_id"), lit(50L)) === 0)
+      .select(col("event_id").as("interval_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+    val naive = events.crossJoin(iv)
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy(col("interval_id"), col("win_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    assert(iv.count() > 0) // fixture non-vacuous at sf0.001
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
 }
