@@ -144,6 +144,10 @@ object SparkEntry {
     // backed mean is partition-order-proof and replays exactly in DuckDB)
     "doc_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.documents(s, dir))),
+    // CCNet-style head/middle/tail quality tiers: exact per-lang logprob
+    // tertiles over the discrete (1e-4-quantized) score histogram
+    "doc_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(Tables.documents(s, dir))),
     // domain-mixture weights: alpha-sampling (temperature) shares per
     // source + per-doc sampling multiplier + slice of a fixed token budget
     "doc_mix_weights" -> ((s, dir) =>
@@ -945,6 +949,34 @@ object SparkEntry {
           max(doc_id) AS last_doc_id
         FROM o GROUP BY 1, 2"""
 
+  /** Shared CTE chain of the unigram-logprob replica (used by both
+    * `doc_unigram_logprob` and `doc_ppl_buckets`): log10 per DISTINCT tf
+    * quantized to 1e-6, decimal-summed per doc (exactSum twin), mean minus
+    * lp(T) at 1e-4 — ends in `lpdoc(doc_id, lang, n_tokens, logprob)`. */
+  private val unigramLogprobCtes: String =
+    """toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+         tfl AS (
+           SELECT term, floor(log10(CAST(tf AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lp
+           FROM tf),
+         tot AS (SELECT sum(tf) AS t_total FROM tf),
+         pd AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) AS slp
+           FROM toks t JOIN tfl USING (term) GROUP BY 1),
+         lpdoc AS (
+           SELECT d.doc_id, d.lang,
+             CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CASE WHEN pd.n_tokens IS NULL THEN NULL ELSE
+               floor((pd.slp / pd.n_tokens -
+                 floor(log10(CAST((SELECT t_total FROM tot) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
+                 * 1e4 + 0.5) / 1e4 END AS logprob
+           FROM documents d LEFT JOIN pd USING (doc_id))"""
+
   /** DuckDB replica of [[graft.operators.TextOps.bm25SearchTopK]]: the same
     * single tf relation carrying dl, the same broadcast-shaped query×idf
     * join, and the 1e-6-quantize / decimal-sum / 1e-4-round discipline —
@@ -1499,27 +1531,34 @@ object SparkEntry {
     // replica of TextOps.unigramLogProb: log10 per DISTINCT tf quantized to
     // 1e-6, decimal-summed per doc (exactSum twin), mean minus lp(T) at 1e-4
     "doc_unigram_logprob" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(list_filter(
-             string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
-           FROM documents),
-         tf AS (
-           SELECT term, count(*) AS tf FROM toks GROUP BY 1),
-         tfl AS (
-           SELECT term, floor(log10(CAST(tf AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lp
-           FROM tf),
-         tot AS (SELECT sum(tf) AS t_total FROM tf),
-         pd AS (
-           SELECT t.doc_id, count(*) AS n_tokens,
-             CAST(SUM(CAST(lp AS DECIMAL(38,10))) AS DOUBLE) AS slp
-           FROM toks t JOIN tfl USING (term) GROUP BY 1)
-         SELECT d.doc_id,
-           CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CASE WHEN pd.n_tokens IS NULL THEN NULL ELSE
-             floor((pd.slp / pd.n_tokens -
-               floor(log10(CAST((SELECT t_total FROM tot) AS DOUBLE)) * 1e6 + 0.5) / 1e6)
-               * 1e4 + 0.5) / 1e4 END AS logprob
-         FROM documents d LEFT JOIN pd USING (doc_id)""",
+      s"""WITH $unigramLogprobCtes
+         SELECT doc_id, n_tokens, logprob FROM lpdoc""",
+    // replica of TextOps.pplBuckets: the same lpdoc relation, per-lang
+    // percentile_disc tertile thresholds over the QUANTIZED logprob (the
+    // lengthQuantiles histogram machinery), and the same <= bucketing
+    "doc_ppl_buckets" ->
+      s"""WITH $unigramLogprobCtes,
+         hist AS (
+           SELECT lang, logprob, count(*) AS cnt FROM lpdoc
+           WHERE logprob IS NOT NULL GROUP BY 1, 2),
+         tot2 AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1),
+         cum AS (
+           SELECT lang, logprob,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY logprob
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM hist),
+         q13 AS (
+           SELECT lang, min(logprob) AS q13 FROM cum JOIN tot2 USING (lang)
+           WHERE cum >= ceil(${1.0 / 3} * CAST(n AS DOUBLE)) GROUP BY lang),
+         q23 AS (
+           SELECT lang, min(logprob) AS q23 FROM cum JOIN tot2 USING (lang)
+           WHERE cum >= ceil(${2.0 / 3} * CAST(n AS DOUBLE)) GROUP BY lang)
+         SELECT l.doc_id, l.lang, l.logprob,
+           CASE WHEN l.logprob IS NULL THEN 'empty'
+                WHEN l.logprob <= q13 THEN 'tail'
+                WHEN l.logprob <= q23 THEN 'middle'
+                ELSE 'head' END AS bucket
+         FROM lpdoc l LEFT JOIN q13 USING (lang) LEFT JOIN q23 USING (lang)""",
     "events_zorder" -> zorderOracle(bits = 20),
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     "doc_bpe_encode" -> bpeOracle(numMerges = 8, emit = "encode"),

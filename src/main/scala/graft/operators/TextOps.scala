@@ -582,6 +582,50 @@ object TextOps {
           .as("logprob"))
   }
 
+  /** CCNet-style perplexity bucketing — the quality-tiering step that
+    * splits a corpus into head/middle/tail thirds per language by model
+    * score (here the [[unigramLogProb]] proxy; a real LM score would be a
+    * precomputed column feeding the identical plan). Thresholds are EXACT
+    * per-lang tertiles of the quantized logprob via the
+    * [[lengthQuantiles]] histogram machinery — the 1e-4 quantization makes
+    * the score DISCRETE, so the threshold histogram is bounded by the
+    * score grid (metadata-scale) no matter the corpus size, and the
+    * cumulative window runs over histogram rows only. The per-doc score
+    * relation is localCheckpointed so the expensive unigram pipeline runs
+    * once, not once per consumer (at 100 TB it would be a materialized
+    * column); the two 5-row threshold tables broadcast into the final
+    * bucketing join. Token-free documents bucket as 'empty' and are
+    * excluded from the threshold population.
+    *
+    * Bucket semantics: tail = logprob ≤ q(1/3), middle = ≤ q(2/3), head
+    * above — higher unigram logprob reads "more typical of the corpus",
+    * the CCNet head.
+    */
+  def pplBuckets(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = unigramLogProb(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("logprob"))
+      .localCheckpoint(false)
+    val hist = lp.filter(col("logprob").isNotNull)
+      .groupBy(col("lang"), col("logprob")).agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("logprob"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(totals), Seq("lang"))
+    def thr(p: Double, as: String) = cum
+      .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
+      .groupBy(col("lang")).agg(min(col("logprob")).as(as))
+    lp.join(broadcast(thr(1.0 / 3, "q13")), Seq("lang"), "left")
+      .join(broadcast(thr(2.0 / 3, "q23")), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("logprob"),
+        when(col("logprob").isNull, lit("empty"))
+          .when(col("logprob") <= col("q13"), lit("tail"))
+          .when(col("logprob") <= col("q23"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
   /** Temperature-sampled source-mixing weights — the domain-mixture step of
     * assembling a training corpus (the mBERT/XLM-R alpha-sampling rule):
     * a source's sampling share is proportional to its token count raised to

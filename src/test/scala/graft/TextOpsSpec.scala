@@ -529,6 +529,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ppl buckets: tertile thresholds exact, buckets monotone in logprob") {
+    val out = TextOps.pplBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        Option(r.getAs[java.lang.Double]("logprob")).map(_.doubleValue),
+        r.getAs[String]("bucket")))
+    assert(out.length == docs.count())
+    val byLang = out.filter(_._3.isDefined).groupBy(_._2)
+    for ((_, rows) <- byLang) {
+      val sorted = rows.sortBy(_._3.get)
+      val n = sorted.length
+      // brute-force percentile_disc thresholds
+      val q13 = sorted(math.ceil(n / 3.0).toInt - 1)._3.get
+      val q23 = sorted(math.ceil(2 * n / 3.0).toInt - 1)._3.get
+      for ((_, _, Some(v), b) <- rows) {
+        val expect = if (v <= q13) "tail" else if (v <= q23) "middle" else "head"
+        assert(b == expect, s"v=$v q13=$q13 q23=$q23 got=$b")
+      }
+      // bucketing is a partition: every bucket non-empty when scores spread
+      if (sorted.map(_._3.get).distinct.length >= 3)
+        assert(Set("tail", "middle", "head").subsetOf(rows.map(_._4).toSet))
+    }
+    assert(out.filter(_._3.isEmpty).forall(_._4 == "empty"))
+  }
+
   test("length quantiles equal the brute-force sorted-rank percentile_disc") {
     val ps = Seq(0.5, 0.9, 0.99)
     val got = TextOps.lengthQuantiles(docs, ps).collect()
