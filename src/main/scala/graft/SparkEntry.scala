@@ -148,6 +148,10 @@ object SparkEntry {
     // tertiles over the discrete (1e-4-quantized) score histogram
     "doc_ppl_buckets" -> ((s, dir) =>
       TextOps.pplBuckets(Tables.documents(s, dir))),
+    // iterative BSP graph computation: 3 Jacobi sweeps of PageRank over
+    // the verified near-dup graph, 1e-9-quantized per sweep
+    "doc_pagerank" -> ((s, dir) =>
+      TextOps.pagerankNearDup(Tables.documents(s, dir))),
     // domain-mixture weights: alpha-sampling (temperature) shares per
     // source + per-doc sampling multiplier + slice of a fixed token budget
     "doc_mix_weights" -> ((s, dir) =>
@@ -906,6 +910,42 @@ object SparkEntry {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE jaccard >= $threshold"""
 
+  /** DuckDB replica of [[graft.operators.TextOps.pagerankNearDup]]: the
+    * exact-jaccard pair CTEs feed an UNROLLED fixed-iteration Jacobi chain
+    * (c_i/s_i/r_i per sweep) — every contribution and rank quantized to
+    * 1e-9 and every in-sum decimal-backed, mirroring the Spark loop
+    * sweep-for-sweep. */
+  private def pagerankOracle(iters: Int, d: Double,
+                             threshold: Double): String = {
+    def q9(x: String) = s"floor(($x) * 1e9 + 0.5) / 1e9"
+    val nD = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+            SELECT e.dst, ${q9(s"r.r / CAST(e.deg AS DOUBLE)")} AS c
+            FROM ed e JOIN $prev r ON r.doc_id = e.src),
+          s$i AS (
+            SELECT dst, CAST(SUM(CAST(c AS DECIMAL(38,10))) AS DOUBLE) AS s
+            FROM c$i GROUP BY 1),
+          r$i AS (
+            SELECT nd.doc_id,
+              ${q9(s"${1.0 - d} / $nD + $d * coalesce(s.s, 0.0)")} AS r
+            FROM nodes nd LEFT JOIN s$i s ON s.dst = nd.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $shingleCtes,
+        pairs AS (${jaccardPairsSql(threshold)}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        dg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, dg.deg FROM edges e JOIN dg USING (src)),
+        nodes AS (SELECT doc_id FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT doc_id, ${q9(s"1.0 / $nD")} AS r FROM nodes),
+        $iterCtes
+        SELECT doc_id, r AS rank FROM r$iters"""
+  }
+
   /** Stratified-sample parameterization shared by the query and its oracle. */
   private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
   private val sampleDefaultRate = 0.8
@@ -1095,6 +1135,7 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
+    "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,

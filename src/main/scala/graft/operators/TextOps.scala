@@ -1482,6 +1482,63 @@ object TextOps {
       .unionByName(needVerify.select(out.map(col): _*))
   }
 
+  // ------------------------------------------------- iterative pagerank
+
+  /** PageRank over the verified near-dup graph — the engine's iterative
+    * bulk-synchronous graph computation (the [[nearDupClusters]] pointer
+    * jumping covers reachability; this covers VALUE iteration): rank flows
+    * along [[nearDupPairs]] edges (undirected → both directions), `iters`
+    * fixed Jacobi sweeps of r ← (1−d)/N + d·Σ_in r/deg, isolated documents
+    * settling at the teleport floor. On the dedup graph the score reads
+    * "how central is this document in its duplication neighborhood" — a
+    * canonical-pick signal richer than min-id.
+    *
+    * Each sweep is one contribution join (edge list × current ranks, both
+    * keyed by src — at 100 TB both sides pre-bucketed by src, so sweeps
+    * co-locate shuffle-free) + one dst-keyed hash agg + one left join back
+    * to the node set; the edge list and degrees are localCheckpointed once
+    * (built from the pair finder — bounded candidates via the df-cap),
+    * so iteration k does not replay the shingle pipeline k times and the
+    * plan stays O(iters) deep, not O(iters·pipeline). No driver-side data
+    * loop: the driver only strings `iters` plans together.
+    *
+    * Determinism (cross-engine): contributions and ranks quantize to 1e-9
+    * each sweep and the in-sum runs decimal-backed, so DuckDB's unrolled
+    * replica reproduces every double bit-for-bit.
+    */
+  def pagerankNearDup(documents: DataFrame, iters: Int = 3,
+                      d: Double = 0.85, n: Int = 5,
+                      threshold: Double = 0.4): DataFrame = {
+    val pairs = nearDupPairs(documents, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
+    val nodes = documents.select(col("doc_id"))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val invN = lit(1.0) / col("n").cast("double")
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("doc_id"), roundFixed(invN, 9).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgeDeg
+        .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"),
+          roundFixed(col("r") / col("deg").cast("double"), 9).as("c"))
+      val inSum = contrib.groupBy(col("dst"))
+        .agg(graft.functions.DeterministicAgg.exactSum(col("c")).as("s"))
+      ranks = nodes.crossJoin(broadcast(nn))
+        .join(inSum.select(col("dst").as("doc_id"), col("s")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), roundFixed(
+          lit(1.0 - d) / col("n").cast("double") +
+            lit(d) * coalesce(col("s"), lit(0.0)), 9)
+          .as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("rank"))
+  }
+
   // ------------------------------------------------- keyword retrieval
 
   /** BM25 keyword retrieval — the lexical complement of the

@@ -553,6 +553,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.filter(_._3.isEmpty).forall(_._4 == "empty"))
   }
 
+  test("pagerank: isolated docs at teleport floor, neighbors above, replica exact") {
+    val out = TextOps.pagerankNearDup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    val n = docs.count()
+    assert(out.size == n)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val floorRank = q9(0.15000000000000002 / n + 0.85 * 0.0)
+    // driver-side replica of the 3 sweeps over the same edge set
+    val pairs = TextOps.nearDupPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = out.keys.map(_ -> q9(1.0 / n)).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        BigDecimal(q9(r(s) / deg(s)))
+      }.sum.toDouble).toMap
+      r = r.keys.map(v =>
+        v -> q9(0.15000000000000002 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    assert(out == r)
+    val linked = deg.keySet
+    assert(linked.nonEmpty && out.filterNot(kv => linked(kv._1))
+      .values.forall(_ == floorRank))
+    assert(linked.forall(v => out(v) > floorRank))
+  }
+
   test("length quantiles equal the brute-force sorted-rank percentile_disc") {
     val ps = Seq(0.5, 0.9, 0.99)
     val got = TextOps.lengthQuantiles(docs, ps).collect()
