@@ -82,6 +82,15 @@ object SparkEntry {
     // (never CartesianProduct); oracle runs the naive BETWEEN theta join
     "events_in_windows" -> ((s, dir) =>
       Relational.eventsInIncidentWindows(Tables.events(s, dir))),
+    // PIVOT with a DECLARED value list (no plan-time collect-distinct scan)
+    "event_type_pivot" -> ((s, dir) =>
+      Relational.eventTypePivot(Tables.events(s, dir))),
+    // time-series resample: zero-filled daily counts inside each user's span
+    "user_daily_gapfill" -> ((s, dir) =>
+      Relational.userDailyGapfill(Tables.events(s, dir))),
+    // ordered conversion funnel: view -> click-after -> purchase-after
+    "user_funnel" -> ((s, dir) =>
+      Relational.funnelStages(Tables.events(s, dir))),
     // HLL approx-distinct (Relational.eventTypeApproxUsers) is deliberately
     // NOT a driver query: an HLL estimate is engine-defined (Spark's and
     // DuckDB's sketches legitimately disagree), so no hash oracle can exist —
@@ -220,6 +229,10 @@ object SparkEntry {
     // global sort, no O(N)-state percentile aggregate
     "doc_length_quantiles" -> ((s, dir) =>
       TextOps.lengthQuantiles(Tables.documents(s, dir))),
+    // Efraimidis-Spirakis weighted sample: per-row key draw, per-lang
+    // WindowGroupLimit top-k — deterministic quality-weighted selection
+    "doc_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(Tables.documents(s, dir))),
     // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
@@ -1136,6 +1149,21 @@ object SparkEntry {
     "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
     "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
+    // replica of TextOps.weightedSample: same hash-derived u, same
+    // quantized -log10(u)/w key, same per-lang rank
+    "doc_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars, sample_key, sample_rank FROM (
+           SELECT doc_id, lang, n_chars, sample_key,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY sample_key ASC, doc_id ASC) AS sample_rank
+           FROM (
+             SELECT doc_id, lang, n_chars,
+               floor(((0.0 - floor(log10((CAST(
+                 ${shaFoldSql("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                 AS DOUBLE) + 1.0) / 1000000.0) * 1e6 + 0.5) / 1e6)
+                 / CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS sample_key
+             FROM documents))
+         WHERE sample_rank <= 25""",
     "doc_pack" -> packOracle(contextTokens = 512),
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,
@@ -1338,6 +1366,49 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
            ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    // replica of Relational.eventTypePivot as plain conditional aggregation
+    "event_type_pivot" ->
+      """SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
+    // replica of Relational.userDailyGapfill: per-user day span densified
+    // via generate_series, zero-filled by the same left join
+    "user_daily_gapfill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM daily GROUP BY 1),
+         cal AS (
+           SELECT user_id, CAST(unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span)
+         SELECT c.user_id, c.day,
+           CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+         FROM cal c LEFT JOIN daily d
+           ON d.user_id = c.user_id AND d.day = c.day""",
+    // replica of Relational.funnelStages: the same stage-respecting chain
+    "user_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           p.t_purchase IS NOT NULL AS converted
+         FROM v LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id""",
     // replica of Relational.eventsInIncidentWindows as the NAIVE range
     // join the binned plan must equal: plain BETWEEN-style theta join
     "events_in_windows" ->

@@ -409,6 +409,79 @@ object Relational {
       .filter(col("n_events") >= threshold)
   }
 
+  /** PIVOT (§2.8 relational completeness): per-user event counts spread
+    * across one column per event type. The value list is DECLARED, not
+    * discovered — `pivot(col, values)` with explicit values skips the
+    * eager collect-distinct job Spark otherwise runs at plan-build time
+    * (at 100 TB that job is a full scan before the query even starts),
+    * and Catalyst compiles the pivot to a single partial+final hash agg
+    * of `count(CASE WHEN ...)` columns — one shuffle of (user, 5 longs)
+    * rows, identical to the hand-written conditional aggregation the
+    * oracle runs. Empty cells surface as 0, not null (count semantics).
+    */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase",
+                       "signup", "view")): DataFrame = {
+    val p = events.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Time-series gap fill (resample): per-user DAILY event counts with
+    * explicit zero rows for every day inside the user's own active span —
+    * the dense-calendar shape a downstream forecaster needs. The span is
+    * one user-keyed agg; each user's day list comes from a `sequence`
+    * explode BOUNDED by their span (a generator over metadata, never a
+    * calendar cross join against the user dimension); the fill join is
+    * co-keyed on (user, day) with the daily agg, so at scale both sides
+    * hash-partition the same way. Nothing here scans more than the events
+    * table twice (daily agg + span agg share the same scan shape;
+    * Catalyst prunes to the two needed columns).
+    */
+  def userDailyGapfill(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Ordered funnel analysis: for every user who ever viewed, the earliest
+    * view → the earliest click strictly after it → the earliest purchase
+    * strictly after that — the classic conversion funnel where each stage
+    * must RESPECT the previous stage's timestamp (a plain per-type min
+    * would count a purchase that preceded the first view). Three
+    * user-keyed min-aggs chained by user-keyed joins — every join and agg
+    * shares the same hash partitioning, so at scale the chain is one
+    * shuffle of each filtered stage, no windows, no self theta joins.
+    * Stage timestamps are null (and `converted` false) when the funnel
+    * stalls.
+    */
+  def funnelStages(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val clicks = events.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"), col("t_purchase").isNotNull.as("converted"))
+  }
+
   /** Point-in-interval RANGE join as a binned EQUI-join — the general
     * range join the engine otherwise lacks (eventsInPrecedingHour covers
     * only the keyed self-join case; this one has NO equality key at all).

@@ -1482,6 +1482,38 @@ object TextOps {
       .unionByName(needVerify.select(out.map(col): _*))
   }
 
+  // --------------------------------------------- weighted sampling
+
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * Efraimidis–Spirakis A-ES scheme, the quality-weighted cousin of the
+    * uniform [[holdoutSample]]: each document draws a pseudorandom
+    * u ∈ (0,1] from its id hash and competes on the key −log10(u)/w
+    * (monotone-equivalent to the classic u^(1/w): SMALLEST keys win, and a
+    * larger weight — here `n_chars`, standing in for any quality score —
+    * systematically shrinks the key, raising selection probability
+    * exactly as A-ES prescribes). Per-lang top-`perStratum` by
+    * (key, doc_id) is the same WindowGroupLimit rank as the uniform
+    * holdout — map-side partial top-k per stratum, no global sort; the
+    * draw is a pure per-row projection, so re-runs and engine swaps
+    * reproduce the identical sample (log10 quantized 1e-6 before the
+    * division, key quantized 1e-9 — the cross-engine float discipline).
+    */
+  def weightedSample(documents: DataFrame,
+                     perStratum: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (pmod(portableHash64(
+      concat(lit("wsamp:"), col("doc_id").cast("string"))), lit(1000000L))
+      .cast("double") + lit(1.0)) / lit(1000000.0)
+    val key = roundFixed(
+      (lit(0.0) - roundFixed(log10(u), 6)) / col("n_chars").cast("double"), 9)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+    documents
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("sample_key"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perStratum)
+  }
+
   // ------------------------------------------------- iterative pagerank
 
   /** PageRank over the verified near-dup graph — the engine's iterative

@@ -214,6 +214,78 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.keySet.exists(_ % 500 == 7), s"planted user missing: $got")
   }
 
+  test("pivot equals conditional aggregation and declares its values (no distinct scan)") {
+    val events = Tables.events(spark, dir)
+    val got = Relational.eventTypePivot(events)
+    val manual = events.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+      sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"))
+    assert(got.exceptAll(manual).count() == 0 && manual.exceptAll(got).count() == 0)
+    // cell sums reconcile with the raw event count
+    val total = got.select((col("n_click") + col("n_error") + col("n_purchase")
+      + col("n_signup") + col("n_view")).as("s"))
+      .agg(sum(col("s"))).first().getLong(0)
+    assert(total == events.count())
+  }
+
+  test("gap fill densifies each user's span with zeros and keeps real counts") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val out = Relational.userDailyGapfill(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_events")))
+    val byUser = out.groupBy(_._1)
+    val daily = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").count().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString) ->
+        r.getAs[Long]("count")).toMap
+    for ((u, rows) <- byUser) {
+      val days = rows.map(_._2).sorted
+      // contiguous calendar: day count == span length
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last))
+      assert(rows.length == span + 1, s"user $u not dense")
+      for ((_, d, n) <- rows)
+        assert(n == daily.getOrElse((u, d), 0L), s"user $u day $d")
+    }
+    // fixture non-vacuous: at least one zero-filled day exists
+    assert(out.exists(_._3 == 0L))
+  }
+
+  test("funnel respects stage order: a purchase before the first view never converts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: purchase BEFORE the click-after-view chain completes
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      // user 3: click precedes the first view -> funnel stalls at view
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      // user 4: never viewed -> not in the funnel at all
+      (4L, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Relational.funnelStages(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[java.sql.Timestamp]("t_click")),
+          Option(r.getAs[java.sql.Timestamp]("t_purchase")),
+          r.getAs[Boolean]("converted")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((Some(ts("2024-01-01 11:00:00")),
+      Some(ts("2024-01-01 12:00:00")), true)))
+    assert(got(2L)._1.contains(ts("2024-01-01 11:00:00")) && got(2L)._2.isEmpty
+      && !got(2L)._3)
+    assert(got(3L)._1.isEmpty && !got(3L)._3)
+  }
+
   test("binned interval join equals the naive theta join and never plans a cartesian") {
     val events = Tables.events(spark, dir)
     val got = Relational.eventsInIncidentWindows(events)

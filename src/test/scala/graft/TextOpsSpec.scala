@@ -553,6 +553,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.filter(_._3.isEmpty).forall(_._4 == "empty"))
   }
 
+  test("weighted sample: selection equals the driver-side A-ES replica exactly") {
+    val out = TextOps.weightedSample(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sample_rank")))
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val all = docs.select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hash(id: Long): Long = {
+      val hex = md.digest(s"wsamp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (id, _, nc) =>
+        val u = ((hash(id) % 1000000L).toDouble + 1.0) / 1000000.0
+        val key = q((0.0 - q(math.log10(u), 1e6)) / nc.toDouble, 1e9)
+        (key, id)
+      }.sorted.take(25).zipWithIndex.map { case ((_, id), i) => (lang, id, i + 1L) }
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("pagerank: isolated docs at teleport floor, neighbors above, replica exact") {
     val out = TextOps.pagerankNearDup(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
