@@ -91,6 +91,16 @@ object SparkEntry {
     // ordered conversion funnel: view -> click-after -> purchase-after
     "user_funnel" -> ((s, dir) =>
       Relational.funnelStages(Tables.events(s, dir))),
+    // MERGE/upsert: full-outer key join, update row wins wholesale
+    "events_merge_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      Relational.mergeUpsert(ev, Relational.plantEventUpdates(ev))
+    }),
+    // KMV sketch algebra: union/intersection cardinality from two
+    // mergeable O(k) sketches, no raw-data re-touch
+    "event_kmv_overlap" -> ((s, dir) =>
+      Relational.kmvUserOverlap(Tables.events(s, dir))),
     // HLL approx-distinct (Relational.eventTypeApproxUsers) is deliberately
     // NOT a driver query: an HLL estimate is engine-defined (Spark's and
     // DuckDB's sketches legitimately disagree), so no hash oracle can exist —
@@ -1409,6 +1419,54 @@ object SparkEntry {
            p.t_purchase IS NOT NULL AS converted
          FROM v LEFT JOIN c ON c.user_id = v.user_id
          LEFT JOIN p ON p.user_id = v.user_id""",
+    // replica of Relational.mergeUpsert over plantEventUpdates: same
+    // slices, same full-outer with update-row-wins-wholesale CASE
+    "events_merge_upsert" ->
+      """WITH upd AS (
+           SELECT event_id, ts, user_id, event_type, value + 100.0 AS value
+           FROM events WHERE event_id % 10 = 0
+           UNION ALL
+           SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
+             ts, user_id, event_type, value
+           FROM events WHERE event_id % 17 = 3)
+         SELECT coalesce(u.event_id, t.event_id) AS event_id,
+           CASE WHEN u.event_id IS NOT NULL THEN u.ts ELSE t.ts END AS ts,
+           CASE WHEN u.event_id IS NOT NULL THEN u.user_id ELSE t.user_id END AS user_id,
+           CASE WHEN u.event_id IS NOT NULL THEN u.event_type ELSE t.event_type END AS event_type,
+           CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE t.value END AS value
+         FROM events t FULL JOIN upd u ON t.event_id = u.event_id""",
+    // replica of Relational.kmvUserOverlap: same per-type sketches, same
+    // k-min union + shared-hash Jaccard estimator
+    "event_kmv_overlap" ->
+      s"""WITH h AS (
+           SELECT DISTINCT event_type,
+             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IN ('view', 'purchase')),
+         r AS (
+           SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+         uni AS (
+           SELECT h,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+           FROM r WHERE rn <= 64 GROUP BY 1),
+         topk AS (SELECT * FROM uni ORDER BY h LIMIT 64),
+         agg AS (
+           SELECT count(*) AS n_seen, max(h) AS kth,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both
+           FROM topk)
+         SELECT n_seen, n_both,
+           floor((CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+             ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
+             * 1e4 + 0.5) / 1e4 AS est_union,
+           floor(((CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE)) *
+             (CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END))
+             * 1e4 + 0.5) / 1e4 AS est_intersection
+         FROM agg""",
     // replica of Relational.eventsInIncidentWindows as the NAIVE range
     // join the binned plan must equal: plain BETWEEN-style theta join
     "events_in_windows" ->

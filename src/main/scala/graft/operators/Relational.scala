@@ -482,6 +482,94 @@ object Relational {
         col("t_purchase"), col("t_purchase").isNotNull.as("converted"))
   }
 
+  /** KMV sketch ALGEBRA — the property that makes distinct-count sketches
+    * a 100 TB tool: two per-type KMV user sketches (each O(k) state,
+    * mergeable) COMBINE into union and intersection cardinality estimates
+    * without ever re-touching the raw data. Union: the k smallest distinct
+    * hashes across both sketches estimate |A ∪ B| exactly as a directly-
+    * built union sketch would (k-min of a union = k-min of the sketch
+    * union — the merge IS lossless for the top-k). Intersection: the
+    * fraction ρ of the union sketch's hashes present in BOTH input
+    * sketches is an unbiased Jaccard estimate, and |A ∩ B| ≈ ρ·|A ∪ B|
+    * (the standard KMV set-operation estimator). Everything downstream of
+    * the two bounded sketches is metadata-scale: the union top-k is a
+    * TakeOrdered over ≤2k rows (never an unpartitioned rank window), the
+    * estimate one 1-row agg. Deterministic end-to-end — same portable
+    * hash, integer order, one double division — so the oracle replays it
+    * exactly.
+    */
+  def kmvUserOverlap(events: DataFrame, typeA: String = "view",
+                     typeB: String = "purchase", k: Int = 64): DataFrame = {
+    val hashed = events
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash64(col("user_id").cast("string"))
+          .as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val uni = sk.groupBy(col("h")).agg(
+      max(when(col("event_type") === typeA, 1).otherwise(0)).as("in_a"),
+      max(when(col("event_type") === typeB, 1).otherwise(0)).as("in_b"))
+    val topk = uni.orderBy(col("h").asc).limit(k)
+    val agg = topk.agg(
+      count(lit(1)).as("n_seen"), max(col("h")).as("kth"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val estU = when(col("n_seen") < k, col("n_seen").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("kth").cast("double") / lit(math.pow(2.0, 60))))
+    agg.select(col("n_seen"), col("n_both"),
+      roundFixed(estU, 4).as("est_union"),
+      roundFixed((col("n_both").cast("double") / col("n_seen").cast("double"))
+        * estU, 4).as("est_intersection"))
+  }
+
+  /** Deterministic "update batch" fixture for [[mergeUpsert]]: one slice
+    * of events re-keyed verbatim with a bumped value (rows the merge must
+    * OVERWRITE) and one slice under fresh collision-free ids (rows it must
+    * INSERT) — the [[TextOps.plantIngestBatch]] convention on the events
+    * table. */
+  def plantEventUpdates(events: DataFrame): DataFrame = {
+    val maxId = Option(events.agg(max(col("event_id"))).first().get(0))
+    require(maxId.nonEmpty, "plantEventUpdates: events must be non-empty")
+    val offset = maxId.get.asInstanceOf[Long] + 1L
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    base.filter(pmod(col("event_id"), lit(10)) === 0)
+      .withColumn("value", col("value") + lit(100.0))
+      .unionByName(base.filter(pmod(col("event_id"), lit(17)) === 3)
+        .withColumn("event_id", col("event_id") + offset))
+  }
+
+  /** MERGE / upsert (SCD-1): apply an update batch to a target table —
+    * matching keys take the update's row, unmatched target rows survive,
+    * unmatched update rows insert. One FULL OUTER key join with
+    * column-wise coalesce (update side wins) — the batch formulation of
+    * `MERGE INTO`. At 100 TB both sides hash-partition on the key (or the
+    * update batch broadcasts when small, as AQE chooses here); with the
+    * target stored bucketed by key the merge rewrites only the buckets
+    * the batch touches. Update keys must be unique (they are a keyed
+    * batch); target keys are unique by construction.
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame,
+                  key: String = "event_id"): DataFrame = {
+    val t = target.select(target.columns.map(c =>
+      col(c).as(if (c == key) c else s"t_$c")): _*)
+    // row-presence marker, NOT per-column coalesce: a matched update row
+    // wins wholesale even where its columns are legitimately NULL
+    val u = updates.select(updates.columns.map(c =>
+      col(c).as(if (c == key) c else s"u_$c")): _*)
+      .withColumn("u_present", lit(true))
+    val cols = target.columns.filterNot(_ == key)
+    t.join(u, Seq(key), "full_outer")
+      .select(col(key) +: cols.map(c =>
+        when(col("u_present"), col(s"u_$c")).otherwise(col(s"t_$c"))
+          .as(c)): _*)
+  }
+
   /** Point-in-interval RANGE join as a binned EQUI-join — the general
     * range join the engine otherwise lacks (eventsInPrecedingHour covers
     * only the keyed self-join case; this one has NO equality key at all).

@@ -286,6 +286,58 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(3L)._1.isEmpty && !got(3L)._3)
   }
 
+  test("merge upsert: update row wins wholesale (even nulls), inserts land, rest survive") {
+    import spark.implicits._
+    val target = Seq((1L, "a", Some(1.0)), (2L, "b", Some(2.0)),
+      (3L, "c", Some(3.0))).toDF("id", "name", "v")
+    // id 2: matched update with a NULL v — must overwrite 2.0 with null;
+    // id 9: pure insert
+    val updates = Seq((2L, "B", None: Option[Double]), (9L, "z", Some(9.0)))
+      .toDF("id", "name", "v")
+    val got = Relational.mergeUpsert(target, updates, key = "id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("name"), Option(r.getAs[java.lang.Double]("v"))))).toMap
+    assert(got == Map(
+      1L -> (("a", Some(1.0))), 2L -> (("B", None)),
+      3L -> (("c", Some(3.0))), 9L -> (("z", Some(9.0)))))
+  }
+
+  test("merge upsert on planted events: overwrites bumped, inserts added, keys unique") {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val upd = Relational.plantEventUpdates(ev)
+    val out = Relational.mergeUpsert(ev, upd)
+    val n = ev.count()
+    val nIns = ev.filter(pmod(col("event_id"), lit(17)) === 3).count()
+    assert(out.count() == n + nIns)
+    assert(out.select("event_id").distinct().count() == n + nIns)
+    // every %10 row carries the bumped value
+    val bumped = out.join(ev.withColumnRenamed("value", "old_v")
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select("event_id", "old_v"), Seq("event_id"))
+    assert(bumped.filter(col("value") =!= col("old_v") + 100.0).count() == 0)
+    assert(bumped.count() == ev.filter(pmod(col("event_id"), lit(10)) === 0).count())
+  }
+
+  test("kmv overlap: exact when k covers the population, estimate within 30% otherwise") {
+    val events = Tables.events(spark, dir)
+    // k = 4096 >> distinct users: sketch is the full set -> exact answers
+    val exactRow = Relational.kmvUserOverlap(events, k = 4096).first()
+    val viewers = events.filter(col("event_type") === "view")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val buyers = events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exactRow.getAs[Double]("est_union") == (viewers ++ buyers).size.toDouble)
+    assert(exactRow.getAs[Double]("est_intersection") ==
+      (viewers & buyers).size.toDouble)
+    // k = 64 on ~150 users: a real estimate, sanity-banded
+    val est = Relational.kmvUserOverlap(events, k = 64).first()
+    val u = (viewers ++ buyers).size.toDouble
+    val i = (viewers & buyers).size.toDouble
+    assert(math.abs(est.getAs[Double]("est_union") - u) / u <= 0.3)
+    assert(math.abs(est.getAs[Double]("est_intersection") - i) / math.max(i, 1.0) <= 0.3)
+  }
+
   test("binned interval join equals the naive theta join and never plans a cartesian") {
     val events = Tables.events(spark, dir)
     val got = Relational.eventsInIncidentWindows(events)
