@@ -341,6 +341,46 @@ object StreamingEtl {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** A per-trigger heavy-hitter summary row from [[heavyHittersStreaming]]:
+    * the group's running total and the current Misra-Gries candidate set
+    * (sorted ids; counts stay internal — MG under-counts by up to N/k and
+    * must not leak as results, same contract as the batch sketch). */
+  final case class HeavyHitterUpdate(eventType: String, nTotal: Long,
+                                     candidates: Array[Long])
+
+  /** Streaming heavy hitters — the ingest-time half of the batch two-pass
+    * operator ([[graft.operators.Relational.heavyUsers]]), with the SAME
+    * bounded sketch: per event type, a [[graft.functions.MisraGries]]
+    * buffer lives in the state store (≤ k−1 entries per key FOREVER, no
+    * matter how many events stream through — the property that lets this
+    * run against an unbounded 100 TB/day feed) and every micro-batch folds
+    * its rows in via the sketch's own reduce, emitting the refreshed
+    * candidate set in Update mode. The MG guarantee carries over verbatim:
+    * after any prefix of the stream, every user with true count > N/k is
+    * in the candidate set. The exact re-count + real threshold stays a
+    * batch concern over the archived events, exactly like the batch
+    * pipeline's second pass.
+    */
+  def heavyHittersStreaming(events: DataFrame,
+                            k: Int = 50): Dataset[HeavyHitterUpdate] = {
+    import events.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    events.selectExpr("event_type", "user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Map[Long, Long], Long)]) =>
+          var (buf, n) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          rows.foreach { case (_, uid) =>
+            buf = mg.reduce(buf, uid)
+            n += 1L
+          }
+          state.update((buf, n))
+          HeavyHitterUpdate(key, n, buf.keys.toArray.sorted)
+      }
+  }
+
   /** Streaming exact deduplication — the ingestion-time form of the batch
     * content-hash dedup (TextOps.exactDedup): keep the first record per
     * content hash, drop replays arriving later. `dropDuplicatesWithinWatermark`

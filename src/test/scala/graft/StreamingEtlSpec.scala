@@ -531,4 +531,39 @@ class StreamingEtlSpec extends AnyFunSuite {
     assert(parsed.getAs[Long]("started") == 2L)
     assert(parsed.getAs[Double]("avg_temp") == 20.0)
   }
+
+  test("streaming heavy hitters: MG superset guarantee across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 5
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingEtl.heavyHittersStreaming(
+        input.toDF().toDF("event_type", "user_id"), k = k)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      // planted skew: user 7 dominates type "click" across BOTH batches;
+      // the noise users rotate so no single one crosses N/k
+      val batch1 = (1 to 30).map(i => ("click", 7L)) ++
+        (1 to 20).map(i => ("click", 100L + i))
+      val batch2 = (1 to 25).map(i => ("click", 7L)) ++
+        (1 to 20).map(i => ("click", 200L + i)) ++
+        (1 to 3).map(i => ("view", 9L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh").collect()
+        .map(r => (r.getAs[String]("eventType"), r.getAs[Long]("nTotal"),
+          r.getAs[scala.collection.Seq[Long]]("candidates")))
+      // last click emission covers the full prefix
+      val lastClick = rows.filter(_._1 == "click").maxBy(_._2)
+      assert(lastClick._2 == batch1.length + batch2.count(_._1 == "click"))
+      // user 7 has true count 55 > N/k = 95/5 = 19 -> MUST be a candidate
+      assert(lastClick._3.contains(7L))
+      // bounded state surfaces as a bounded candidate list
+      rows.foreach { case (_, _, cands) => assert(cands.size <= k - 1) }
+      val lastView = rows.filter(_._1 == "view").maxBy(_._2)
+      assert(lastView._2 == 3L && lastView._3.contains(9L))
+    } finally q.stop()
+  }
 }
