@@ -101,6 +101,10 @@ object SparkEntry {
     // mergeable O(k) sketches, no raw-data re-touch
     "event_kmv_overlap" -> ((s, dir) =>
       Relational.kmvUserOverlap(Tables.events(s, dir))),
+    // Deequ-style constraint gate: per-column profile + rule violations,
+    // one conditional-agg scan per profiled column
+    "event_quality_report" -> ((s, dir) =>
+      Relational.dataQualityReport(Tables.events(s, dir))),
     // HLL approx-distinct (Relational.eventTypeApproxUsers) is deliberately
     // NOT a driver query: an HLL estimate is engine-defined (Spark's and
     // DuckDB's sketches legitimately disagree), so no hash oracle can exist —
@@ -1467,6 +1471,39 @@ object SparkEntry {
               ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END))
              * 1e4 + 0.5) / 1e4 AS est_intersection
          FROM agg""",
+    // replica of Relational.dataQualityReport: per-column conditional-agg
+    // profiles unioned; min/max cast to VARCHAR after aggregation
+    "event_quality_report" ->
+      """SELECT 'ts' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT ts) AS n_distinct,
+           CAST(min(ts) AS VARCHAR) AS min_str,
+           CAST(max(ts) AS VARCHAR) AS max_str,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+           CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT 'event_type', count(*),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT event_type),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR),
+           CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+             ('click', 'error', 'purchase', 'signup', 'view') THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events
+         UNION ALL
+         SELECT 'value', count(*),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT value),
+           CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR),
+           CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value >= 1000.0)
+             THEN 1 ELSE 0 END) AS BIGINT)
+         FROM events""",
     // replica of Relational.eventsInIncidentWindows as the NAIVE range
     // join the binned plan must equal: plain BETWEEN-style theta join
     "events_in_windows" ->

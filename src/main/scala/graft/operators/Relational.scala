@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DeterministicAgg.{avgRounded, roundFixed, sumRounded}
@@ -480,6 +480,41 @@ object Relational {
       .join(purchases, Seq("user_id"), "left")
       .select(col("user_id"), col("t_view"), col("t_click"),
         col("t_purchase"), col("t_purchase").isNotNull.as("converted"))
+  }
+
+  /** Data-quality / constraint report (the Deequ-style pipeline gate): ONE
+    * pass over the table computes, per declared column, the profile a
+    * quality gate checks — row count, null count, approximate-free exact
+    * distinct count, min/max — plus rule-violation counts (here: events
+    * must have non-null ts, non-negative user_id, a known event_type, and
+    * value within [0, 1000)). Everything is conditional aggregation inside
+    * one partial+final hash agg — a quality gate over 100 TB costs exactly
+    * one scan, no per-rule passes. Distinct counts are the one
+    * shuffle-bearing term (count_distinct plans an Expand); they share the
+    * same single aggregation. The output is one row per profiled column
+    * (UNION of per-column 1-row aggs over the same cached scan shape —
+    * Catalyst collapses each branch to the pruned column set).
+    */
+  def dataQualityReport(events: DataFrame): DataFrame = {
+    val knownTypes = Seq("click", "error", "purchase", "signup", "view")
+    def profile(c: String, violation: Column): DataFrame =
+      events.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"),
+          col("n_violations"))
+    profile("ts", col("ts").isNull)
+      .unionByName(profile("user_id",
+        col("user_id").isNull || col("user_id") < 0L))
+      .unionByName(profile("event_type",
+        col("event_type").isNull || !col("event_type").isin(knownTypes: _*)))
+      .unionByName(profile("value",
+        col("value").isNotNull && (col("value") < 0.0 || col("value") >= 1000.0)))
   }
 
   /** KMV sketch ALGEBRA — the property that makes distinct-count sketches

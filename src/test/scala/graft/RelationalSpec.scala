@@ -338,6 +338,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(est.getAs[Double]("est_intersection") - i) / math.max(i, 1.0) <= 0.3)
   }
 
+  test("quality report: profiles reconcile with direct counts; planted violations surface") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (Some(ts("2024-01-01 10:00:00")), Some(5L), Some("view"), Some(10.0)),
+      (None, Some(-3L), Some("bogus"), Some(2000.0)),
+      (Some(ts("2024-01-02 10:00:00")), None, None, None))
+      .toDF("ts", "user_id", "event_type", "value")
+    val got = Relational.dataQualityReport(df).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(got.keySet == Set("ts", "user_id", "event_type", "value"))
+    got.values.foreach(r => assert(r.getAs[Long]("n_rows") == 3L))
+    assert(got("ts").getAs[Long]("n_null") == 1L &&
+      got("ts").getAs[Long]("n_violations") == 1L)
+    assert(got("user_id").getAs[Long]("n_violations") == 2L) // null + negative
+    assert(got("event_type").getAs[Long]("n_violations") == 2L) // null + unknown
+    assert(got("value").getAs[Long]("n_violations") == 1L) // 2000.0; null is OK
+    assert(got("user_id").getAs[String]("min_str") == "-3" &&
+      got("user_id").getAs[String]("max_str") == "5")
+    assert(got("value").getAs[Long]("n_distinct") == 2L)
+    // clean real data: zero violations anywhere
+    val real = Relational.dataQualityReport(Tables.events(spark, dir)).collect()
+    assert(real.forall(_.getAs[Long]("n_violations") == 0L))
+  }
+
   test("binned interval join equals the naive theta join and never plans a cartesian") {
     val events = Tables.events(spark, dir)
     val got = Relational.eventsInIncidentWindows(events)
