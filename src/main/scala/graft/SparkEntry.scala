@@ -247,6 +247,10 @@ object SparkEntry {
     // WindowGroupLimit top-k — deterministic quality-weighted selection
     "doc_weighted_sample" -> ((s, dir) =>
       TextOps.weightedSample(Tables.documents(s, dir))),
+    // order-aware novelty: fraction of a doc's distinct 5-grams first
+    // seen in that doc — gram min-agg + join, candidates linear in grams
+    "doc_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(Tables.documents(s, dir))),
     // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
@@ -369,7 +373,13 @@ object SparkEntry {
     // the corpus and binary-parsed back; same text-side oracle trick with
     // the channels relabeled (BGR vs RGB byte order)
     "mm_bmp_decode" -> ((s, dir) =>
-      operators.Multimodal.bmpDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.bmpDecodeStats(Tables.documents(s, dir))),
+    // ...and a THIRD real format — the first AUDIO one: RIFF/WAVE 16-bit
+    // PCM (uncompressed, codec-free) — generated from the corpus,
+    // chunk-walked and sample-decoded back; text-side oracle recomputes
+    // sums/max from the cycled body (ASCII -> all samples positive)
+    "mm_wav_decode" -> ((s, dir) =>
+      operators.Multimodal.wavDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -1163,6 +1173,23 @@ object SparkEntry {
     "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
     "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
+    // replica of TextOps.ngramNovelty over the shared distinct-shingle CTE
+    "doc_ngram_novelty" ->
+      s"""WITH $shingleCtes,
+         g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+         agg AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM g JOIN fst USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(n_grams, 0) = 0 THEN 1.0
+             ELSE floor((CAST(n_novel AS DOUBLE) / n_grams) * 1e6 + 0.5) / 1e6
+           END AS novelty
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
     // replica of TextOps.weightedSample: same hash-derived u, same
     // quantized -log10(u)/w key, same per-lang rank
     "doc_weighted_sample" ->
@@ -2118,6 +2145,27 @@ object SparkEntry {
            CAST(list_sum(list_transform(
              generate_series(0, CAST(n_pixels AS INTEGER) - 1),
              p -> ascii(substr(body, p * 3 + 1, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
+    // replica of Multimodal.wavDecodeStats WITHOUT parsing binary: the PCM
+    // body is the text cycled to 2n bytes, each sample = low + 256*high of
+    // a byte pair (ASCII < 0x80 -> every sample positive, no sign split)
+    "mm_wav_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 32 + 16 AS INTEGER) AS n
+           FROM documents),
+         s AS (
+           SELECT doc_id, n, rpad(t, n * 2, t) AS body FROM m)
+         SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(0, n - 1),
+             i -> ascii(substr(body, i * 2 + 1, 1)) +
+                  256 * ascii(substr(body, i * 2 + 2, 1)))) AS BIGINT)
+             AS sum_samples,
+           CAST(list_max(list_transform(generate_series(0, n - 1),
+             i -> ascii(substr(body, i * 2 + 1, 1)) +
+                  256 * ascii(substr(body, i * 2 + 2, 1)))) AS INTEGER)
+             AS max_sample
          FROM s"""
   )
 }

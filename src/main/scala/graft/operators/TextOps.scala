@@ -1482,6 +1482,42 @@ object TextOps {
       .unionByName(needVerify.select(out.map(col): _*))
   }
 
+  // ----------------------------------------------- n-gram novelty
+
+  /** Order-aware n-gram NOVELTY — the curation signal "how much of this
+    * document is text the corpus hadn't produced yet": the fraction of a
+    * document's DISTINCT word-5-gram set whose FIRST occurrence (minimum
+    * doc_id over all docs containing it) is this document. Complements
+    * [[dupSpanRatio]] (presence-based, order-free) with the
+    * ingest-order-aware view a dedup-aware curator ranks by: boilerplate
+    * that floods in later scores near 0, the first copy keeps scoring 1.
+    *
+    * Shape: the same hashed-shingle explode as every gram operator (8-byte
+    * keys in all shuffles), one gram-keyed min-agg for first occurrence,
+    * one equi-join back, one doc-keyed agg — candidates linear in corpus
+    * grams, no pairs anywhere. Gram-free documents (shorter than n tokens)
+    * define novelty 1.0 — nothing they say is redundant.
+    */
+  def ngramNovelty(documents: DataFrame, n: Int = 5): DataFrame = {
+    val perDoc = shingleSets(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("gk"))
+    val first = perDoc.groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val agg = perDoc.join(first, Seq("gk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(roundFixed(
+            col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+  }
+
   // --------------------------------------------- weighted sampling
 
   /** Deterministic WEIGHTED sampling without replacement — the

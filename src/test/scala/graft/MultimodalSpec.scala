@@ -166,6 +166,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("parseWav decodes a hand-built PCM16 file, walks unknown chunks, fails loudly") {
+    // canonical little-endian writer, independent of the operator's
+    def le(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * k)) & 0xff).toByte)
+    def bytes(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    val samples = Seq[Short](100, -2, 32767, -32768)
+    val data = bytes(samples.map(s => le(s & 0xffff, 2)): _*)
+    // a LIST chunk before fmt/data — the walk must skip it per the spec
+    val junk = bytes("LIST".getBytes, le(4, 4), "INFO".getBytes)
+    val fmt = bytes("fmt ".getBytes, le(16, 4), le(1, 2), le(1, 2),
+      le(8000, 4), le(16000, 4), le(2, 2), le(16, 2))
+    val dataCh = bytes("data".getBytes, le(data.length, 4), data)
+    val content = bytes("WAVE".getBytes, junk, fmt, dataCh)
+    val wav = bytes("RIFF".getBytes, le(content.length, 4), content)
+    val (rate, got) = Multimodal.parseWav(wav)
+    assert(rate == 8000 && got.toSeq == samples)
+    // loud failures: bad magic, stereo, truncated data
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("RIFX".getBytes ++ wav.drop(4)) }
+    val stereoFmt = bytes("fmt ".getBytes, le(16, 4), le(1, 2), le(2, 2),
+      le(8000, 4), le(32000, 4), le(4, 2), le(16, 2))
+    val stereoContent = bytes("WAVE".getBytes, stereoFmt, dataCh)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav(bytes("RIFF".getBytes,
+        le(stereoContent.length, 4), stereoContent)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav(wav.dropRight(1)) }
+  }
+
+  test("WAV generate -> binary decode round-trip matches text-side sample stats") {
+    val out = Multimodal.wavDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val n = (nChars % 32 + 16).toInt
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      val t = if (text == null || text.isEmpty) " " else text
+      val body = Array.tabulate(n * 2)(i => t.charAt(i % t.length).toInt)
+      val ss = (0 until n).map(i => body(2 * i) + 256 * body(2 * i + 1))
+      assert(r.getAs[Long]("sum_samples") == ss.map(_.toLong).sum)
+      assert(r.getAs[Int]("max_sample") == ss.max)
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head

@@ -576,6 +576,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.toSet == expect)
   }
 
+  test("ngram novelty: first copy scores 1, verbatim replay 0, overlap fractional") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),        // grams: abcde, bcdef — all first here
+      (2L, "a b c d e f"),        // exact replay -> novelty 0
+      (3L, "a b c d e x y z w v"),// shares abcde, adds 5 fresh grams
+      (4L, "short text"))         // < 5 tokens -> no grams -> novelty 1.0
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramNovelty(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L)._1 == 6L && got(3L)._2 == 5L)
+    assert(got(3L)._3 == math.floor(5.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(got(4L) == ((0L, 0L, 1.0)))
+  }
+
   test("pagerank: isolated docs at teleport floor, neighbors above, replica exact") {
     val out = TextOps.pagerankNearDup(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
