@@ -123,6 +123,24 @@ object VectorExpressions {
       ColumnBridge.expression(v), planes.flatten.toVector, numTables, bits,
       planes.head.length))
   }
+
+  /** Column form of [[NearestCodewords]]. `cb` entries are (id, vector,
+    * auxiliary constant) with ids strictly ascending; `aux` is the L2 norm
+    * for the cosine metric (`l2 = false`) or the ascending-fold squared
+    * norm for L2. */
+  def nearestCodewordIds(v: Column, cb: Seq[(Long, Seq[Double], Double)],
+                         l2: Boolean, keep: Int): Column = {
+    require(cb.nonEmpty, "nearestCodewordIds needs a non-empty codebook")
+    val dim = cb.head._2.length
+    require(cb.forall(_._2.length == dim),
+      "all codebook vectors must share one dimensionality")
+    require(cb.map(_._1) == cb.map(_._1).sorted &&
+      cb.map(_._1).distinct.length == cb.length,
+      "codebook ids must be strictly ascending")
+    ColumnBridge.column(NearestCodewords(
+      ColumnBridge.expression(v), cb.map(_._1).toVector,
+      cb.flatMap(_._2).toVector, cb.map(_._3).toVector, dim, l2, keep))
+  }
 }
 
 /** Shared portable-hash primitive: the leading 15 hex nibbles of a sha256
@@ -345,6 +363,141 @@ case class LshBuckets(child: Expression, planes: IndexedSeq[Double],
     val planesRef = ctx.addReferenceObj("lshPlanes", planeArr, "double[]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.LshUtil.buckets($c, $planesRef, $numTables, $bits, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[NearestCodewords]] — the codebook-assignment hot loop.
+  *
+  * Replaces the unrolled literal-expression form (k `struct(key, id)`
+  * entries each holding a d-element `array(lit...)` dot product, sorted by
+  * `array_sort`): that form's generated code grows O(k·d) — at the
+  * SemDeDup-scale k the [[graft.operators.Similarity.semanticK]] policy
+  * derives (k ≈ N/250), task binaries reached multiple MiB and the
+  * per-pass cost scaled with CODE size, not data. This kernel is one
+  * static call per row with tight primitive loops; the codebook rides in
+  * as a referenced object (k·d doubles), so generated code stays
+  * constant-size however large k grows.
+  *
+  * Bit-exactness contract with the expression form it replaces (asserted
+  * in VectorExpressionsSpec):
+  *  - dots are strict ascending-index folds (the [[DotProduct]] order);
+  *  - cosine key = -(dot / (nrm · nrmA)) with nrm = sqrt(ascending
+  *    self-dot), exactly the materialized `sqrt(dot(v,v))` column;
+  *  - L2 key = cSq − 2·dot (cSq precomputed driver-side with the same
+  *    fold);
+  *  - ordering = Spark's double ordering (x == y ties −0.0 with 0.0, NaN
+  *    compares greater than everything and equal to itself), ties broken
+  *    by ascending codeword id — the `array_sort` struct discipline;
+  *  - an invalid vector (null element / length ≠ dim) nulls every key,
+  *    so ALL entries tie and the lowest ids win, id-ascending.
+  */
+object CodebookUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Spark's SQL double ordering: -0.0 == 0.0, NaN > any non-NaN,
+    * NaN == NaN. */
+  private def cmp(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
+  /** Ids of the `keep` nearest codewords of `v`, best first. `flat` is the
+    * row-major k·dim codebook; `aux(j)` is the codeword's precomputed
+    * constant — L2 norm for the cosine metric, ascending-fold squared norm
+    * for L2. `ids` must be strictly ascending (both codebook builders
+    * emit id-sorted entries). */
+  def nearestIds(v: ArrayData, ids: Array[Long], flat: Array[Double],
+                 aux: Array[Double], dim: Int, l2: Boolean,
+                 keep: Int): ArrayData = {
+    val k = ids.length
+    val out = math.min(keep, k)
+    var ok = v.numElements() == dim
+    var i = 0
+    while (ok && i < dim) { if (v.isNullAt(i)) ok = false; i += 1 }
+    if (!ok) {
+      // every key is null -> all entries tie -> ascending id order
+      return new GenericArrayData(java.util.Arrays.copyOfRange(ids, 0, out))
+    }
+    val x = new Array[Double](dim)
+    i = 0
+    while (i < dim) { x(i) = v.getDouble(i); i += 1 }
+    var nrm = 0.0
+    if (!l2) {
+      var s = 0.0
+      i = 0
+      while (i < dim) { s += x(i) * x(i); i += 1 }
+      nrm = math.sqrt(s)
+    }
+    val keys = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var d = 0.0
+      val base = j * dim
+      i = 0
+      while (i < dim) { d += x(i) * flat(base + i); i += 1 }
+      keys(j) = if (l2) aux(j) - 2.0 * d else -(d / (nrm * aux(j)))
+      j += 1
+    }
+    if (out == 1) {
+      var best = 0
+      j = 1
+      while (j < k) { if (cmp(keys(j), keys(best)) < 0) best = j; j += 1 }
+      new GenericArrayData(Array(ids(best)))
+    } else {
+      // stable sort of id-ascending indices by key == sort by (key, id)
+      val idx = Array.range(0, k).map(Integer.valueOf)
+      java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+        override def compare(a: Integer, b: Integer): Int =
+          cmp(keys(a), keys(b))
+      })
+      val res = new Array[Long](out)
+      j = 0
+      while (j < out) { res(j) = ids(idx(j)); j += 1 }
+      new GenericArrayData(res)
+    }
+  }
+}
+
+/** Top-`keep` codebook assignment of a vector as ONE native expression over
+  * a referenced codebook object — see [[CodebookUtil.nearestIds]] for the
+  * exact contract. Returns `array<bigint>` of codeword ids, best first
+  * (`keep = 1` + `getItem(0)` is the argmin/argmax form). */
+case class NearestCodewords(child: Expression, ids: IndexedSeq[Long],
+                            flat: IndexedSeq[Double], aux: IndexedSeq[Double],
+                            dim: Int, l2: Boolean, keep: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val flatArr: Array[Double] = flat.toArray
+  @transient private lazy val auxArr: Array[Double] = aux.toArray
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest codewords expect array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CodebookUtil.nearestIds(v.asInstanceOf[ArrayData], idArr, flatArr, auxArr,
+      dim, l2, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cbIds", idArr, "long[]")
+    val flatRef = ctx.addReferenceObj("cbFlat", flatArr, "double[]")
+    val auxRef = ctx.addReferenceObj("cbAux", auxArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CodebookUtil.nearestIds($c, $idsRef, $flatRef, " +
+        s"$auxRef, $dim, $l2, $keep)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

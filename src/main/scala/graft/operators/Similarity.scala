@@ -95,23 +95,24 @@ object Similarity {
       .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
       .toSeq
 
-  /** Top-`keep` nearest anchors of a row's vector as ONE per-row expression:
-    * `c` literal-array dot products, sorted by (-cosine, anchor_id), sliced.
+  /** Top-`keep` nearest anchor IDS of a row's vector (best first), as ONE
+    * per-row native expression: the codebook rides into generated code as a
+    * referenced k·d array and a JVM kernel realizes the (-cosine,
+    * anchor_id) order — see [[graft.functions.CodebookUtil.nearestIds]].
     * No join, no window, no Exchange — the assignment is a narrow map over
     * the scan (round-2 verdict #6: the join+row_number form fanned the
     * corpus ×c through a window sort, shuffling N·c rows of d-dim arrays).
-    * `nrm` must be a materialized column (an expression inlined into the
-    * struct list would re-evaluate per anchor).
+    * The earlier unrolled literal-struct + `array_sort` form was replaced
+    * in round 6: its generated code grew O(k·d), so the SemDeDup-scale k
+    * policy ([[semanticK]]) made every assignment pass pay multi-MiB task
+    * binaries and code-size-bound eval; the kernel is bit-identical
+    * (asserted in VectorExpressionsSpec) and constant-code-size.
     */
-  private def nearestAnchors(v: Column, nrm: Column,
-                             anc: Seq[(Long, Seq[Double], Double)], keep: Int): Column = {
-    val entries = anc.map { case (id, va, nrmA) =>
-      struct(
-        (-(dot(v, array(va.map(lit): _*)) / (nrm * lit(nrmA)))).as("negc"),
-        lit(id).as("aid"))
-    }
-    slice(array_sort(array(entries: _*)), 1, keep)
-  }
+  private def nearestAnchorIds(v: Column,
+                               anc: Seq[(Long, Seq[Double], Double)],
+                               keep: Int): Column =
+    graft.functions.VectorExpressions.nearestCodewordIds(
+      v, anc, l2 = false, keep = keep)
 
   /** IVF (inverted-file) ANN top-k: every corpus vector is assigned to its
     * nearest anchor once (a shuffle-free per-row argmax over the collected
@@ -184,15 +185,13 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
       .withColumn("nrm_n", sqrt(dot(col("v_n"), col("v_n"))))
       .withColumn("anchor_id",
-        nearestAnchors(col("v_n"), col("nrm_n"), anc, keep = 1)
-          .getItem(0).getField("aid"))
+        nearestAnchorIds(col("v_n"), anc, keep = 1).getItem(0))
     val queries = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q"))
       .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
-      .withColumn("probe",
-        explode(nearestAnchors(col("v_q"), col("nrm_q"), anc, keep = nprobe)))
-      .select(col("query_id"), col("v_q"), col("nrm_q"),
-        col("probe.aid").as("anchor_id"))
+      .withColumn("anchor_id",
+        explode(nearestAnchorIds(col("v_q"), anc, keep = nprobe)))
+      .select(col("query_id"), col("v_q"), col("nrm_q"), col("anchor_id"))
 
     // norms precomputed per vector (same trick as bruteForceTopK): scoring a
     // pair costs ONE dot product
@@ -301,22 +300,18 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
-  /** L2-argmin codeword id for a slice vector, as ONE per-row expression
-    * over the collected codebook: key = ‖c_j‖² − 2⟨v, c_j⟩ (the ‖v‖² term
-    * is constant across codewords), ties broken by ascending codeword id
-    * via the struct sort — the same discipline as [[nearestAnchors]], in
-    * the L2 metric. ‖c_j‖² is a fresh ascending fold of squares (NOT the
-    * stored norm squared — a sqrt-then-square detour the oracle could not
-    * replay bit-for-bit). */
+  /** L2-argmin codeword id for a slice vector, as ONE per-row native
+    * expression over the collected codebook: key = ‖c_j‖² − 2⟨v, c_j⟩ (the
+    * ‖v‖² term is constant across codewords), ties broken by ascending
+    * codeword id — the same kernel as [[nearestAnchorIds]], in the L2
+    * metric. ‖c_j‖² is a fresh ascending fold of squares (NOT the stored
+    * norm squared — a sqrt-then-square detour the oracle could not replay
+    * bit-for-bit), precomputed driver-side into the kernel's aux table. */
   private def nearestCodewordL2(v: Column,
-                                cb: Seq[(Long, Seq[Double], Double)]): Column = {
-    val entries = cb.map { case (id, cw, _) =>
-      struct(
-        (lit(dotSeq(cw, cw)) - lit(2.0) * dot(v, array(cw.map(lit): _*))).as("d2"),
-        lit(id).as("aid"))
-    }
-    slice(array_sort(array(entries: _*)), 1, 1).getItem(0).getField("aid")
-  }
+                                cb: Seq[(Long, Seq[Double], Double)]): Column =
+    graft.functions.VectorExpressions.nearestCodewordIds(
+      v, cb.map { case (id, cw, _) => (id, cw, dotSeq(cw, cw)) },
+      l2 = true, keep = 1).getItem(0)
 
   /** Ascending-index left-fold dot product on the driver — the Scala twin
     * of the engine/oracle fold order, used wherever a literal table is
@@ -426,7 +421,7 @@ object Similarity {
       }
       val qnrm = math.sqrt(dotSeq(qv, qv))
       // probe set, driver-side over the already-collected queries+anchors:
-      // the same (-cosine, anchor_id) order nearestAnchors realizes, on the
+      // the same (-cosine, anchor_id) order nearestAnchorIds realizes, on the
       // identical sequential-fold doubles, so the oracle's row_number
       // replica sees the same ids
       val probes: Seq[Long] = (anc, ivf) match {
@@ -446,10 +441,8 @@ object Similarity {
     var coded = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
     anc.foreach { a =>
       coded = coded
-        .withColumn("nrm_v", sqrt(dot(col("v"), col("v"))))
         .withColumn("anchor_id",
-          nearestAnchors(col("v"), col("nrm_v"), a, keep = 1)
-            .getItem(0).getField("aid"))
+          nearestAnchorIds(col("v"), a, keep = 1).getItem(0))
     }
     for (s <- 0 until numSubspaces) {
       coded = coded
@@ -498,12 +491,10 @@ object Similarity {
     var codebook = anchors(embeddings, k)
     if (codebook.isEmpty) return Nil
     val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     var lastRows: Seq[(Long, Int, Double)] = Nil
     for (_ <- 1 to iters) {
       val assigned = e.withColumn("cluster_id",
-        nearestAnchors(col("v"), col("nrm"), codebook, keep = 1)
-          .getItem(0).getField("aid"))
+        nearestAnchorIds(col("v"), codebook, keep = 1).getItem(0))
       val cents = assigned
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))

@@ -118,6 +118,78 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out(3L)._1 == List(0L, 0L))
   }
 
+  test("nearest codewords kernel equals the unrolled array_sort form bit-for-bit") {
+    import graft.functions.VectorExpressions.nearestCodewordIds
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // codebook: the first 7 vectors, id-ascending, with the L2-norm aux —
+    // exactly the anchors() shape
+    val cb = e.filter(col("vec_id") < 7).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      .toSeq
+    // the unrolled form the kernel replaced (cosine metric, keep = 3)
+    def unrolledCos(v: org.apache.spark.sql.Column, keep: Int) = {
+      val nrm = sqrt(dotNative(v, v))
+      val entries = cb.map { case (id, va, nrmA) =>
+        struct(
+          (-(dotNative(v, array(va.map(lit): _*)) / (nrm * lit(nrmA)))).as("negc"),
+          lit(id).as("aid"))
+      }
+      transform(slice(array_sort(array(entries: _*)), 1, keep),
+        s => s.getField("aid"))
+    }
+    // the unrolled L2 form (keep = 1)
+    def unrolledL2(v: org.apache.spark.sql.Column) = {
+      def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val entries = cb.map { case (id, cw, _) =>
+        struct(
+          (lit(dotSeq(cw, cw)) - lit(2.0) * dotNative(v, array(cw.map(lit): _*))).as("d2"),
+          lit(id).as("aid"))
+      }
+      slice(array_sort(array(entries: _*)), 1, 1).getItem(0).getField("aid")
+    }
+    val cbL2 = cb.map { case (id, cw, _) =>
+      (id, cw, { var s = 0.0; var i = 0
+        while (i < cw.length) { s += cw(i) * cw(i); i += 1 }; s })
+    }
+    val both = e.select(
+      nearestCodewordIds(col("v"), cb, l2 = false, keep = 3).as("n_cos"),
+      unrolledCos(col("v"), 3).as("u_cos"),
+      graft.functions.VectorExpressions.nearestCodewordIds(
+        col("v"), cbL2, l2 = true, keep = 1).getItem(0).as("n_l2"),
+      unrolledL2(col("v")).as("u_l2"))
+    assert(both.filter(!(col("n_cos") <=> col("u_cos")) ||
+      !(col("n_l2") <=> col("u_l2"))).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("nearest codewords: invalid vectors tie every key -> ascending ids (array_sort parity)") {
+    import graft.functions.VectorExpressions.nearestCodewordIds
+    import spark.implicits._
+    val cb = Seq(
+      (3L, Seq(1.0, 0.0), 1.0), (5L, Seq(0.0, 1.0), 1.0),
+      (9L, Seq(1.0, 1.0), math.sqrt(2.0)))
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.5)),  // clean
+      (2L, Seq[java.lang.Double](1.0, null)), // null element
+      (3L, Seq[java.lang.Double](1.0)),       // dim mismatch
+      (4L, Seq[java.lang.Double](0.0, 0.0))   // zero norm -> NaN cosine keys
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+      nearestCodewordIds(col("v"), cb, l2 = false, keep = 2).as("ids")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Long]]("ids").toList).toMap
+    assert(out(1L) == List(9L, 3L))       // cos: (1,1) 0.949 > (1,0) 0.894
+    assert(out(2L) == List(3L, 5L))       // null key -> id-ascending
+    assert(out(3L) == List(3L, 5L))       // mismatch -> id-ascending
+    assert(out(4L) == List(3L, 5L))       // all-NaN ties -> id-ascending
+  }
+
   test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
