@@ -117,6 +117,11 @@ object SparkEntry {
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+    // SCD Type-2 dimension build: per-user event_type runs collapsed to
+    // [valid_from, valid_to) validity intervals; one Exchange reused by
+    // both windows and the run agg
+    "user_scd2" -> ((s, dir) =>
+      Relational.scd2UserState(Tables.events(s, dir))),
     // EXACT heavy hitters at bounded state: Misra-Gries candidates (O(k)
     // buffers) -> exact re-count of candidates only -> real threshold.
     // Runs over the planted-skew union (the corpus is frequency-uniform,
@@ -251,6 +256,11 @@ object SparkEntry {
     // seen in that doc — gram min-agg + join, candidates linear in grams
     "doc_ngram_novelty" -> ((s, dir) =>
       TextOps.ngramNovelty(Tables.documents(s, dir))),
+    // sub-document rewrite dedup: fixed 16-token blocks, first corpus-wide
+    // occurrence wins, survivors reassembled — block explode + min-struct
+    // hash agg + equi-join, linear in corpus blocks
+    "doc_block_dedup" -> ((s, dir) =>
+      TextOps.blockDedup(Tables.documents(s, dir))),
     // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
@@ -1190,6 +1200,37 @@ object SparkEntry {
              ELSE floor((CAST(n_novel AS DOUBLE) / n_grams) * 1e6 + 0.5) / 1e6
            END AS novelty
          FROM documents d LEFT JOIN agg USING (doc_id)""",
+    // replica of TextOps.blockDedup: same 16-token blocks, the
+    // first-occurrence rule realized as a per-key (doc_id, idx) window
+    // rank (identical to the engine's min-struct agg), same reassembly
+    "doc_block_dedup" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+           FROM documents),
+         blk AS (
+           SELECT doc_id, i - 1 AS idx,
+             array_to_string(t[(i-1)*16+1:(i-1)*16+16], ' ') AS block
+           FROM toks, unnest(generate_series(1,
+             CASE WHEN len(t) = 0 THEN 0
+               ELSE CAST(floor((len(t) - 1) / 16) AS INTEGER) + 1 END)) AS u(i)),
+         keyed AS (
+           SELECT doc_id, idx, block,
+             row_number() OVER (
+               PARTITION BY ${shaFoldSql("block")}
+               ORDER BY doc_id, idx) AS rn
+           FROM blk),
+         agg AS (
+           SELECT doc_id, count(*) AS n_blocks,
+             sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             coalesce(string_agg(block, ' ' ORDER BY idx)
+               FILTER (WHERE rn = 1), '') AS dedup_text
+           FROM keyed GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(dedup_text, '') AS dedup_text
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
     // replica of TextOps.weightedSample: same hash-derived u, same
     // quantized -log10(u)/w key, same per-lang rank
     "doc_weighted_sample" ->
@@ -1563,6 +1604,31 @@ object SparkEntry {
            count(*) AS n_events,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
          FROM s GROUP BY 1, 2""",
+    // replica of Relational.scd2UserState: same (ts, event_id) order, same
+    // run-length change flags, same run agg + lead
+    "user_scd2" ->
+      """WITH o AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         s AS (
+           SELECT user_id, event_type, ts,
+             CAST(sum(CASE WHEN prev_type IS NULL
+                 OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+           FROM o),
+         a AS (
+           SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+           FROM s GROUP BY 1, 2)
+         SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+           n_events,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL)
+             AS is_current
+         FROM a""",
     "event_value_percentiles" ->
       """WITH ranked AS (
            SELECT event_type, value,

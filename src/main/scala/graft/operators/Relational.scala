@@ -196,6 +196,45 @@ object Relational {
           .as("duration_us"))
   }
 
+  /** SCD Type-2 dimension build from a change log — the warehouse operator
+    * that turns an event stream into validity intervals: per user, ordered
+    * by (ts, event_id), consecutive runs of the same `event_type` collapse
+    * into one row with [valid_from, valid_to) bounds; `valid_to` is the
+    * next run's start (NULL on the user's current row). The canonical
+    * "dimension table from a CDC feed" pass.
+    *
+    * Shape: ONE shuffle (hash partition by user_id) feeding the run-length
+    * window, the run-keyed agg, and the `lead` window — all three reuse
+    * the same partitioning, so Exchange appears once. At 100 TB this is
+    * the plan you want: the change log is re-sorted per user anyway, and
+    * segment collapse is map-side within the sorted partition.
+    */
+  def scd2UserState(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(
+        // event_type is constant within a run; min() keeps the agg
+        // deterministic without a first()-ordering dependency
+        min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("seg").asc)
+    segs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Full CUBE with grouping ids (§2.8 breadth next to [[pricingRollup]]):
     * all four grouping sets in one Expand + single hash aggregation; the
     * grouping id disambiguates subtotal NULLs from data NULLs.

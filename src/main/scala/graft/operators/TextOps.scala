@@ -1518,6 +1518,62 @@ object TextOps {
           .as("novelty"))
   }
 
+  // ----------------------------------------------- block-level dedup
+
+  /** Sub-document (block-level) deduplication — the C4/RefinedWeb-style
+    * pass that REWRITES documents instead of dropping them: the token
+    * stream is cut into fixed non-overlapping `blockSize`-token blocks
+    * (last block may be short), and every block keeps only its FIRST
+    * corpus-wide occurrence (minimum (doc_id, block_idx), so a block
+    * repeated within one document also collapses to its first position).
+    * Surviving blocks are reassembled in document order. Complements
+    * [[exactDedup]] (whole-document granularity) and [[dupSpanRatio]]
+    * (signal only, no rewrite) — this is the operator that actually
+    * removes boilerplate from otherwise-unique pages.
+    *
+    * Shape: one posexplode (N·tokens/blockSize rows), one hash agg taking
+    * the lexicographic min-(doc_id, idx) struct per block key, one
+    * equi-join back, one doc-keyed agg to reassemble — candidates linear
+    * in corpus blocks, no pairs, no window. Per-doc collect_list is
+    * bounded by document length (the [[packGreedy]] discipline). At
+    * 100 TB the block key would drop to xxhash64 (8-byte shuffle key,
+    * same plan); sha-prefix keeps the oracle able to recompute it.
+    */
+  def blockDedup(documents: DataFrame, blockSize: Int = 16): DataFrame = {
+    val toked = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // toks is a MATERIALIZED column here, so the lambda's slice reads an
+    // attribute (no per-element re-tokenization — the positionalShingles
+    // trap)
+    val blocks = toked.select(col("doc_id"),
+      when(size(col("toks")) > 0,
+        transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(blockSize)).cast("int")),
+          i => concat_ws(" ",
+            slice(col("toks"), i * blockSize + lit(1), lit(blockSize)))))
+        .otherwise(array().cast("array<string>")).as("blocks"))
+    val b = blocks
+      .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
+      .withColumn("k", portableHash64(col("block")))
+    val first = b.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = b.join(first, Seq("k"))
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("block"))))),
+          s => s.getField("block"))).as("dedup_text"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   // --------------------------------------------- weighted sampling
 
   /** Deterministic WEIGHTED sampling without replacement — the

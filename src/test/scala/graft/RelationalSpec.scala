@@ -145,6 +145,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("scd2: runs collapse, intervals chain with no gaps, current row open-ended") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: view view click view -> 3 runs (the second view run is NEW)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:20:00"), 1L, "view", 0.0, "{}"),
+      // user 2: singleton -> one current row
+      (5L, ts("2024-01-02 09:00:00"), 2L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Relational.scd2UserState(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("valid_from")) ->
+        ((r.getAs[String]("event_type"), r.getAs[Timestamp]("valid_to"),
+          r.getAs[Long]("n_events"), r.getAs[Boolean]("is_current"))))
+      .toMap
+    assert(out.size == 4)
+    assert(out((1L, ts("2024-01-01 10:00:00"))) ==
+      (("view", ts("2024-01-01 10:10:00"), 2L, false)))
+    assert(out((1L, ts("2024-01-01 10:10:00"))) ==
+      (("click", ts("2024-01-01 10:20:00"), 1L, false)))
+    assert(out((1L, ts("2024-01-01 10:20:00"))) == (("view", null, 1L, true)))
+    assert(out((2L, ts("2024-01-02 09:00:00"))) ==
+      (("purchase", null, 1L, true)))
+    // intervals chain: every non-current valid_to is some run's valid_from
+    val u1 = out.keys.filter(_._1 == 1L).map(_._2).toSet
+    out.filter(_._1._1 == 1L).values.filter(!_._4).foreach { v =>
+      assert(u1.contains(v._2))
+    }
+  }
+
   test("cube gid distinguishes subtotal NULLs; groups reconcile") {
     val out = Relational.pricingCube(Tables.lineitem(spark, dir)).collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))

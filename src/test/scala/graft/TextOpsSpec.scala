@@ -595,6 +595,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 1.0)))
   }
 
+  test("block dedup: first occurrence wins corpus-wide and within-doc, text reassembled") {
+    import spark.implicits._
+    // blockSize 2: doc 1 = [a b][c d][a b] (3rd block repeats its own 1st);
+    // doc 2 = [c d][x y] (1st block already seen in doc 1); doc 3 empty
+    val df = Seq(
+      (1L, "a b c d a b"),
+      (2L, "c d x y"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.blockDedup(df, blockSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("dedup_text")))).toMap
+    assert(got(1L) == ((3L, 2L, "a b c d")))
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((0L, 0L, "")))
+    // short tail block is its own unit: "a b c" at size 2 -> [a b][c]
+    val tail = TextOps.blockDedup(
+      Seq((7L, "a b c")).toDF("doc_id", "text"), blockSize = 2).collect().head
+    assert(tail.getAs[Long]("n_blocks") == 2L &&
+      tail.getAs[String]("dedup_text") == "a b c")
+  }
+
   test("pagerank: isolated docs at teleport floor, neighbors above, replica exact") {
     val out = TextOps.pagerankNearDup(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
