@@ -277,6 +277,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
     "emb_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    // index-quality report: recall@k of the IVF index vs the exact
+    // baseline, per sampled query — identical tie order on both sides
+    // makes the compared id sets deterministic
+    "emb_recall_eval" -> ((s, dir) =>
+      Similarity.recallEval(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
     // quoted at threshold 0.85, NOT 0.4: the s-curve recall of 16 tables at
     // auto-bits ∈ [4,9] is ≥ 0.9 only for cosine ≥ ~0.81 (≈ 0.95 at 9 bits,
     // ≈ 0.9995 at 5) — at 0.4 it would be a ~22% sample dressed up as "pairs
@@ -822,6 +827,42 @@ object SparkEntry {
         FROM ranked WHERE rank <= $k"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.recallEval]]: the full
+    * [[ivfOracle]] and the emb_knn exact replica ride in as nested CTE
+    * subqueries (both already hash-match standalone); recall is the id-set
+    * intersection size over k. Membership is tie-order-stable on both
+    * engines, so the composition is deterministic. */
+  private def recallOracle(numQueries: Int, k: Int, c: Int,
+                           nprobe: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""WITH ivf_res AS (${ivfOracle(numQueries, k, c, nprobe)}),
+        knn_res AS (
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < $numQueries),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+              ${dot("q.vq", "e.v")}
+              / (sqrt(${dot("q.vq", "q.vq")}) * sqrt(${dot("e.v", "e.v")})) AS cos
+            FROM q JOIN e ON e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k),
+        hits AS (
+          SELECT i.query_id, count(*) AS n_hits
+          FROM ivf_res i JOIN knn_res n USING (query_id, neighbor_id)
+          GROUP BY 1)
+        SELECT q.query_id, $k AS k,
+          CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+          floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / $k) * 1e4 + 0.5) / 1e4
+            AS recall
+        FROM (SELECT DISTINCT query_id FROM knn_res) q
+        LEFT JOIN hits USING (query_id)"""
+  }
+
   /** DuckDB replica of [[graft.operators.Similarity.lshNearDupPairs]] with
     * the hyperplanes embedded as LITERALS — the same generated-SQL technique
     * as [[kmeansOracle]], so the hash-match is fully deterministic and
@@ -1142,6 +1183,8 @@ object SparkEntry {
     "doc_simhash_pairs" -> simhashPairsOracle(maxHamming = 5, rotations = 4,
       windowSize = 8),
     "emb_ann_ivf" -> ivfOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
+    "emb_recall_eval" ->
+      recallOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
       bucketCap = 256),
     // same full-pipeline replica over the sign-flip-planted union (the

@@ -169,6 +169,33 @@ object Similarity {
                       iters: Int = 3): Seq[(Long, Seq[Double], Double)] =
     reshapeCodebook(kmeansRows(embeddings, k, iters)).filter(_._3 > 0)
 
+  /** ANN index-quality report: recall@k of [[ivfTopK]] against the exact
+    * [[bruteForceTopK]] baseline, per query — the eval harness every
+    * production ANN deployment runs before turning a recall/cost dial
+    * (nprobe, c) on real traffic, expressed as a first-class data op.
+    * Both sides break top-k boundary ties identically (cosine DESC,
+    * neighbor_id ASC), so the compared id SETS are deterministic and the
+    * report hash-oracles. Cost: one pruned pass (IVF) + one full pass
+    * (exact) over the corpus for a SAMPLED query set — at 100 TB the
+    * sample IS the method (the exact baseline is only ever computed for
+    * the eval queries), then two metadata-scale joins.
+    */
+  def recallEval(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                 c: Int = 16, nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, numQueries, k, c, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), lit(k).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        roundFixed(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4)
+          .as("recall"))
+  }
+
   /** Empty result with the top-k schema (empty-input degradation). */
   private def emptyTopK(embeddings: DataFrame): DataFrame =
     embeddings.select(

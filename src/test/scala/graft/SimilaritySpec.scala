@@ -23,6 +23,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("recall eval: full probing scores exactly 1.0; report matches the set math") {
+    // nprobe = c admits every partition, so IVF IS brute force -> recall 1.0
+    val full = Similarity.recallEval(emb, numQueries = 10, k = 5,
+      c = 16, nprobe = 16).collect()
+    assert(full.length == 10)
+    assert(full.forall(r => r.getAs[Double]("recall") == 1.0 &&
+      r.getAs[Long]("n_hits") == 5L))
+    // at nprobe = 4 the report equals the independently computed set overlap
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val approx = topkSet(Similarity.ivfTopK(emb, numQueries = 10, k = 5,
+      c = 16, nprobe = 4))
+    val report = Similarity.recallEval(emb, numQueries = 10, k = 5,
+      c = 16, nprobe = 4).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    (0L until 10L).foreach { q =>
+      val expect = (exact.filter(_._1 == q).map(_._2) &
+        approx.filter(_._1 == q).map(_._2)).size.toLong
+      assert(report(q) == expect, s"query $q")
+    }
+  }
+
   test("brute-force plan broadcasts the query side (no corpus shuffle)") {
     val plan = Similarity.bruteForceTopK(emb, 10, 5)
       .queryExecution.executedPlan.toString
