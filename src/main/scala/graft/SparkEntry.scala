@@ -282,6 +282,10 @@ object SparkEntry {
     // makes the compared id sets deterministic
     "emb_recall_eval" -> ((s, dir) =>
       Similarity.recallEval(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    // contrastive-training hard negatives: top-k nearest OTHER-label
+    // vectors per query, label gate map-side before the top-k window
+    "emb_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
     // quoted at threshold 0.85, NOT 0.4: the s-curve recall of 16 tables at
     // auto-bits ∈ [4,9] is ≥ 0.9 only for cosine ≥ ~0.81 (≈ 0.95 at 9 bits,
     // ≈ 0.9995 at 5) — at 0.4 it would be a ~22% sample dressed up as "pairs
@@ -2157,6 +2161,29 @@ object SparkEntry {
                ORDER BY c DESC, neighbor_id ASC) AS rank
            FROM scored)
          SELECT query_id, neighbor_id,
+           floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
+         FROM ranked WHERE rank <= 5""",
+    // replica of Similarity.hardNegatives: the emb_knn formula with the
+    // label-mismatch join gate
+    "emb_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS label_q, v AS vq
+               FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * e.v[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * q.vq[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+                 i -> e.v[i] * e.v[i]), (x, y) -> x + y))) AS c
+           FROM q JOIN e ON e.label <> q.label_q),
+         ranked AS (
+           SELECT query_id, neighbor_id, neg_label, c,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, neg_label,
            floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
          FROM ranked WHERE rank <= 5""",
     "emb_label_centroids" ->

@@ -77,6 +77,40 @@ object Similarity {
         roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training data:
+    * per query, the top-k highest-cosine corpus vectors whose LABEL
+    * differs from the query's — the near-miss negatives a contrastive
+    * loss learns most from (random negatives are trivially separable).
+    * Same plan as [[bruteForceTopK]] (broadcast sampled queries, one
+    * corpus pass, WindowGroupLimit top-k) with the label-mismatch gate
+    * applied map-side before the window; at 100 TB the query side is a
+    * training batch and this IS the mining pass ANCE-style trainers run
+    * per epoch (against the then-current checkpoint's embeddings).
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("label").as("label_n"),
+      vec(col("embedding")).as("v_n"))
+      .withColumn("nrm_n", sqrt(dot(col("v_n"), col("v_n"))))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("label_q"),
+        vec(col("embedding")).as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+    val scored = corpus
+      .join(broadcast(queries), col("label_q") =!= col("label_n"))
+      .withColumn("cosine",
+        dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("label_n").as("neg_label"),
+        roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Deterministic anchor set, collected to the driver: the embeddings of
     * the first `c` vec_ids as (anchor_id, vector, precomputed L2 norm).
     *

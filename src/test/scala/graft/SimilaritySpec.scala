@@ -44,6 +44,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: no same-label neighbor ever appears; ranks dense; subset of other-label corpus") {
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Similarity.hardNegatives(emb, numQueries = 10, k = 5).collect()
+    assert(out.length == 10 * 5)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(q) != labels(n), s"same-label pair ($q, $n)")
+      assert(r.getAs[Int]("neg_label") == labels(n))
+    }
+    // ranks are 1..k per query
+    val ranks = out.groupBy(_.getAs[Long]("query_id"))
+      .map { case (_, rs) => rs.map(_.getAs[Int]("rank")).sorted.toList }
+    assert(ranks.forall(_ == List(1, 2, 3, 4, 5)))
+  }
+
   test("brute-force plan broadcasts the query side (no corpus shuffle)") {
     val plan = Similarity.bruteForceTopK(emb, 10, 5)
       .queryExecution.executedPlan.toString
