@@ -286,6 +286,10 @@ object SparkEntry {
     // vectors per query, label gate map-side before the top-k window
     "emb_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    // Matryoshka truncation eval: recall@k when searching with only the
+    // first d dims, per candidate d — the dim-vs-recall serving report
+    "emb_mrl_recall" -> ((s, dir) =>
+      Similarity.mrlRecallEval(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
     // quoted at threshold 0.85, NOT 0.4: the s-curve recall of 16 tables at
     // auto-bits ∈ [4,9] is ≥ 0.9 only for cosine ≥ ~0.81 (≈ 0.95 at 9 bits,
     // ≈ 0.9995 at 5) — at 0.4 it would be a ~22% sample dressed up as "pairs
@@ -867,6 +871,42 @@ object SparkEntry {
         LEFT JOIN hits USING (query_id)"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.mrlRecallEval]]: one
+    * [[recallOracle]]-shaped block per truncation width, the approx side
+    * being the exact-knn formula over `v[1:d]`, unioned in `dims` order. */
+  private def mrlOracle(numQueries: Int, k: Int, dims: Seq[Int]): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def knn(vExpr: String) =
+      s"""WITH e AS (SELECT vec_id, (embedding::DOUBLE[])$vExpr AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < $numQueries),
+          scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+              ${dot("q.vq", "e.v")}
+              / (sqrt(${dot("q.vq", "q.vq")}) * sqrt(${dot("e.v", "e.v")})) AS cos
+            FROM q JOIN e ON e.vec_id <> q.query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id FROM ranked WHERE rank <= $k"""
+    val blocks = dims.map { d =>
+      s"""SELECT $d AS dims, q.query_id, $k AS k,
+            CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+            floor((CAST(coalesce(n_hits, 0) AS DOUBLE) / $k) * 1e4 + 0.5) / 1e4
+              AS recall
+          FROM (SELECT DISTINCT query_id FROM full_res) q
+          LEFT JOIN (
+            SELECT t.query_id, count(*) AS n_hits
+            FROM trunc_$d t JOIN full_res f USING (query_id, neighbor_id)
+            GROUP BY 1) h USING (query_id)"""
+    }
+    s"""WITH full_res AS (${knn("")}),
+        ${dims.map(d => s"trunc_$d AS (${knn(s"[1:$d]")})").mkString(",\n")}
+        ${blocks.mkString("\nUNION ALL\n")}"""
+  }
+
   /** DuckDB replica of [[graft.operators.Similarity.lshNearDupPairs]] with
     * the hyperplanes embedded as LITERALS — the same generated-SQL technique
     * as [[kmeansOracle]], so the hash-match is fully deterministic and
@@ -1189,6 +1229,8 @@ object SparkEntry {
     "emb_ann_ivf" -> ivfOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
     "emb_recall_eval" ->
       recallOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
+    "emb_mrl_recall" ->
+      mrlOracle(numQueries = 10, k = 5, dims = Seq(8, 16, 32)),
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
       bucketCap = 256),
     // same full-pipeline replica over the sign-flip-planted union (the

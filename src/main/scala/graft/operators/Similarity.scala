@@ -230,6 +230,37 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Matryoshka (MRL-style) truncation eval: recall@k of searching with
+    * only the FIRST `d` dimensions against the full-dimension exact
+    * baseline, for each candidate `d` — the report behind the
+    * "serve 16 of 64 dims at 4x less memory, keep X% recall" decision.
+    * Truncated search reuses [[bruteForceTopK]]'s broadcast/one-scan plan
+    * on a sliced projection (Catalyst prunes the slice into the scan
+    * side), and ties break identically everywhere, so the id sets — and
+    * the report — are deterministic. Cost: |dims|+1 corpus passes for a
+    * SAMPLED query set (the baseline pass per union branch is the price
+    * of a self-contained plan; a 100 TB run caches the baseline ids).
+    */
+  def mrlRecallEval(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                    dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val exact = bruteForceTopK(embeddings, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    dims.map { d =>
+      val trunc = embeddings.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val approx = bruteForceTopK(trunc, numQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(lit(d).as("dims"), col("query_id"), lit(k).as("k"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          roundFixed(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Empty result with the top-k schema (empty-input degradation). */
   private def emptyTopK(embeddings: DataFrame): DataFrame =
     embeddings.select(

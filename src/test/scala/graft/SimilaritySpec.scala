@@ -61,6 +61,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.forall(_ == List(1, 2, 3, 4, 5)))
   }
 
+  test("mrl recall: full width scores exactly 1.0; report is per (dims, query)") {
+    val out = Similarity.mrlRecallEval(emb, numQueries = 10, k = 5,
+      dims = Seq(16, 64)).collect()
+    assert(out.length == 2 * 10)
+    val byDim = out.groupBy(_.getAs[Int]("dims"))
+    // 64 = the table's full width -> truncation is identity -> recall 1.0
+    assert(byDim(64).forall(_.getAs[Double]("recall") == 1.0))
+    assert(byDim(16).forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 &&
+        rec == r.getAs[Long]("n_hits").toDouble / 5.0
+    })
+  }
+
   test("brute-force plan broadcasts the query side (no corpus shuffle)") {
     val plan = Similarity.bruteForceTopK(emb, 10, 5)
       .queryExecution.executedPlan.toString
