@@ -402,7 +402,14 @@ object SparkEntry {
     // chunk-walked and sample-decoded back; text-side oracle recomputes
     // sums/max from the cycled body (ASCII -> all samples positive)
     "mm_wav_decode" -> ((s, dir) =>
-      operators.Multimodal.wavDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.wavDecodeStats(Tables.documents(s, dir))),
+    // ...and a FOURTH — the first COMPRESSED format: QOI (public-domain
+    // lossless image codec). The corpus pixel stream is run-length/index/
+    // delta ENCODED for real, then decoded back through the codec state
+    // machine; the oracle computes channel sums from text alone (the
+    // codec is lossless, so decoded pixels == the text-cycled stream)
+    "mm_qoi_decode" -> ((s, dir) =>
+      operators.Multimodal.qoiDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2276,6 +2283,31 @@ object SparkEntry {
     // identically on both engines), so channel c's sum is the sum of
     // ascii(body[3p + c + 1]) over pixels p — integer-exact end to end
     // (DuckDB widens sum to HUGEINT; every sum is CAST back to BIGINT)
+    // replica of Multimodal.qoiDecodeStats WITHOUT running the codec: QOI
+    // is LOSSLESS, so the decoded pixel stream equals the text cycled to
+    // w*h*3 bytes — the compression round-trip cancels out of the oracle
+    "mm_qoi_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 12 + 4 AS INTEGER) AS w,
+             CAST(doc_id % 8 + 4 AS INTEGER) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,
+             rpad(t, w * h * 3, t) AS body
+           FROM m)
+         SELECT doc_id, w AS width, h AS height, n_pixels,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 1, 1)))) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 2, 1)))) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
     "mm_ppm_decode" ->
       """WITH m AS (
            SELECT doc_id,

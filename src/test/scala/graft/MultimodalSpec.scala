@@ -213,6 +213,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("QOI: hand-built chunk stream decodes through every op type") {
+    // 3x2 image exercising RGB, RUN, DIFF, LUMA, INDEX in that order
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val header = bytes('q', 'o', 'i', 'f', 0, 0, 0, 3, 0, 0, 0, 2, 3, 0)
+    val chunks = bytes(
+      0xfe, 10, 20, 30,        // RGB literal       -> (10,20,30)
+      0xc0 | (2 - 1),          // RUN 2             -> (10,20,30) x2
+      0x40 | (3 << 4) | (2 << 2) | 1, // DIFF +1,0,-1 -> (11,20,29)
+      0x80 | (10 + 32), (((2) + 8) << 4) | ((-3) + 8), // LUMA dg=10,dr-dg=2,db-dg=-3 -> (23,30,36)
+      (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64 // INDEX back to (10,20,30)
+    )
+    val marker = bytes(0, 0, 0, 0, 0, 0, 0, 1)
+    val (w, h, rgb) = Multimodal.parseQoi(header ++ chunks ++ marker)
+    assert(w == 3 && h == 2)
+    val px = rgb.grouped(3).map(p => (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff)).toList
+    assert(px == List((10, 20, 30), (10, 20, 30), (10, 20, 30),
+      (11, 20, 29), (23, 30, 36), (10, 20, 30)))
+    // loud failures: bad magic, truncated stream, bad end marker
+    intercept[IllegalArgumentException] {
+      Multimodal.parseQoi(bytes('q', 'o', 'i', 'x') ++ (header ++ chunks ++ marker).drop(4)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseQoi(header ++ chunks.dropRight(1) ++ marker) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseQoi(header ++ chunks ++ bytes(0, 0, 0, 0, 0, 0, 0, 2)) }
+  }
+
+  test("QOI: encoder round-trips arbitrary pixels and actually compresses runs") {
+    val rnd = new scala.util.Random(7)
+    val w = 13; val h = 9
+    val noisy = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val (w2, h2, back) = Multimodal.parseQoi(Multimodal.encodeQoi(w, h, noisy))
+    assert(w2 == w && h2 == h && back.toSeq == noisy.toSeq)
+    // a flat image must be dominated by RUN chunks: far below 3 B/px
+    val flat = Array.fill(64 * 64 * 3)(42.toByte)
+    val enc = Multimodal.encodeQoi(64, 64, flat)
+    assert(enc.length < 64 * 64 * 3 / 10, s"flat image encoded to ${enc.length}")
+    val (_, _, flatBack) = Multimodal.parseQoi(enc)
+    assert(flatBack.toSeq == flat.toSeq)
+    // leading run of the implicit initial pixel (0,0,0) — the one
+    // encoder/decoder index-table asymmetry in the spec; must round-trip
+    val leadBlack = Array.fill(5 * 3)(0.toByte) ++ Array.fill(3)(200.toByte)
+    val (_, _, lb) = Multimodal.parseQoi(Multimodal.encodeQoi(6, 1, leadBlack))
+    assert(lb.toSeq == leadBlack.toSeq)
+  }
+
+  test("QOI generate -> codec decode round-trip matches text-side channel sums") {
+    val out = Multimodal.qoiDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = (nChars % 12 + 4).toInt
+      val hh = (r.getAs[Long]("doc_id") % 8 + 4).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      val t = if (text == null || text.isEmpty) " " else text
+      val body = Array.tabulate(w * hh * 3)(i => t.charAt(i % t.length).toInt)
+      assert(r.getAs[Long]("sum_r") ==
+        body.indices.collect { case i if i % 3 == 0 => body(i).toLong }.sum)
+      assert(r.getAs[Long]("sum_g") ==
+        body.indices.collect { case i if i % 3 == 1 => body(i).toLong }.sum)
+      assert(r.getAs[Long]("sum_b") ==
+        body.indices.collect { case i if i % 3 == 2 => body(i).toLong }.sum)
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
