@@ -494,6 +494,70 @@ object StreamingEtl {
       }
   }
 
+  /** The open run a user's SCD-2 state carries across micro-batches:
+    * current attribute value, interval start (epoch µs — full event-time
+    * precision, a ms-only clock would collide sub-ms changes), and the
+    * run's event count. */
+  final case class Scd2State(eventType: String, validFromUs: Long, nEvents: Long)
+
+  /** An emitted SCD-2 validity row. `validTo` null on the open (current)
+    * run — re-emitted refreshed each batch in Update mode; closed rows
+    * are final. */
+  final case class Scd2Row(userId: Long, eventType: String,
+                           validFrom: java.sql.Timestamp,
+                           validTo: java.sql.Timestamp,
+                           nEvents: Long, isCurrent: Boolean)
+
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming SCD Type-2 — the incremental form of the batch
+    * [[graft.operators.Relational.scd2UserState]]: the dimension's
+    * validity intervals are MAINTAINED as the change log streams in,
+    * instead of recomputed from the archive. State per user is exactly
+    * the one open run (O(1) forever — the closed history is output, not
+    * state); each micro-batch folds its rows in (ts, event_id) order,
+    * emits every run it closes (final rows) plus the refreshed open run
+    * (is_current = true, replaced on the next change — Update-mode
+    * semantics). In-order delivery per user is the contract (the CDC
+    * norm); a batch replay over the archive reconciles late data,
+    * exactly like the dedup/heavy-hitter pairs' two-pass discipline.
+    */
+  def scd2Streaming(events: DataFrame): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Scd2State]) =>
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Scd2Row]()
+          rows.toSeq.sortBy(r => (tsToUs(r._3), r._4)).foreach {
+            case (_, typ, ts, _) =>
+              cur match {
+                case Some(s) if s.eventType == typ =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Scd2Row(uid, s.eventType, usToTs(s.validFromUs),
+                    ts, s.nEvents, isCurrent = false)
+                  cur = Some(Scd2State(typ, tsToUs(ts), 1L))
+                case None =>
+                  cur = Some(Scd2State(typ, tsToUs(ts), 1L))
+              }
+          }
+          cur.foreach(state.update)
+          (closed ++ cur.map(s => Scd2Row(uid, s.eventType,
+            usToTs(s.validFromUs), null, s.nEvents, isCurrent = true))).iterator
+      }
+  }
+
   /** Stream–stream interval join (the one join class the reference's
     * framework does with windowed join stores): purchases matched to the
     * same user's errors in the preceding `windowMinutes`. Both sides carry

@@ -566,4 +566,56 @@ class StreamingEtlSpec extends AnyFunSuite {
       assert(lastView._2 == 3L && lastView._3.contains(9L))
     } finally q.stop()
   }
+
+  test("streaming SCD2: runs close across micro-batches with O(1) open-run state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp, Long)]
+    val q = StreamingEtl.scd2Streaming(
+        input.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+      .writeStream.format("memory").queryName("scd2").outputMode("update").start()
+    try {
+      // batch 1: user 1 view view click -> one closed view run + open click
+      input.addData(
+        (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+        (1L, "view", ts("2024-01-01 10:05:00"), 2L),
+        (1L, "click", ts("2024-01-01 10:10:00"), 3L))
+      q.processAllAvailable()
+      val after1 = spark.table("scd2").collect()
+      val closed1 = after1.filter(!_.getAs[Boolean]("isCurrent"))
+      assert(closed1.length == 1)
+      assert(closed1.head.getAs[String]("eventType") == "view" &&
+        closed1.head.getAs[Long]("nEvents") == 2L &&
+        closed1.head.getAs[Timestamp]("validTo") == ts("2024-01-01 10:10:00"))
+      val open1 = after1.filter(_.getAs[Boolean]("isCurrent"))
+      assert(open1.length == 1 && open1.head.getAs[String]("eventType") == "click" &&
+        open1.head.getAs[Timestamp]("validTo") == null)
+
+      // batch 2: the CARRIED open click run closes against a new view run —
+      // state crossed the batch boundary; the open view run re-emits
+      input.addData((1L, "view", ts("2024-01-01 10:20:00"), 4L))
+      q.processAllAvailable()
+      val all = spark.table("scd2").collect()
+      val closed = all.filter(!_.getAs[Boolean]("isCurrent"))
+        .map(r => (r.getAs[String]("eventType"),
+          r.getAs[Timestamp]("validFrom"), r.getAs[Timestamp]("validTo"),
+          r.getAs[Long]("nEvents"))).toSet
+      assert(closed == Set(
+        ("view", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        ("click", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:20:00"), 1L)))
+      // matches the batch operator on the same archive (closed rows; the
+      // open run differs only in its refresh cadence)
+      val archive = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),
+        (3L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, "{}"),
+        (4L, ts("2024-01-01 10:20:00"), 1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchClosed = graft.operators.Relational.scd2UserState(archive)
+        .filter(!col("is_current")).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("valid_from"),
+          r.getAs[Timestamp]("valid_to"), r.getAs[Long]("n_events"))).toSet
+      assert(batchClosed == closed)
+    } finally q.stop()
+  }
 }
