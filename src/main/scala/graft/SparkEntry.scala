@@ -261,6 +261,10 @@ object SparkEntry {
     // hash agg + equi-join, linear in corpus blocks
     "doc_block_dedup" -> ((s, dir) =>
       TextOps.blockDedup(Tables.documents(s, dir))),
+    // long-doc chunking: overlapping 64-token windows every 48 tokens —
+    // packGreedy's inverse; narrow bounded explode, no shuffle
+    "doc_chunks" -> ((s, dir) =>
+      TextOps.chunkDocuments(Tables.documents(s, dir))),
     // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
@@ -1327,6 +1331,25 @@ object SparkEntry {
            CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
            coalesce(dedup_text, '') AS dedup_text
          FROM documents d LEFT JOIN agg USING (doc_id)""",
+    // replica of TextOps.chunkDocuments: same chunk-count formula, same
+    // stride starts, same window slices
+    "doc_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         n AS (
+           SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) = 0 THEN 0
+               ELSE 1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS INTEGER)
+             END AS n_chunks
+           FROM toks)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+           CAST((i - 1) * 48 AS BIGINT) AS start_tok,
+           CAST(least(64, n - (i - 1) * 48) AS BIGINT) AS chunk_tokens,
+           array_to_string(t[(i - 1) * 48 + 1:(i - 1) * 48 + 64], ' ')
+             AS chunk_text
+         FROM n, unnest(generate_series(1, n_chunks)) AS u(i)""",
     // replica of TextOps.weightedSample: same hash-derived u, same
     // quantized -log10(u)/w key, same per-lang rank
     "doc_weighted_sample" ->

@@ -1574,6 +1574,40 @@ object TextOps {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  // --------------------------------------------- sequence chunking
+
+  /** Long-document CHUNKING for context-window-bounded training: the token
+    * stream is cut into `window`-token chunks every `stride` tokens
+    * (stride < window ⇒ overlapping chunks, the standard long-doc recipe
+    * so no boundary context is lost). The inverse-direction sibling of
+    * [[packGreedy]] (pack joins SHORT docs up to the budget; this splits
+    * LONG docs down to it). Empty documents produce no chunks. Pure
+    * narrow explode — `sequence` is bounded by the document's own length,
+    * no shuffle, no state.
+    */
+  def chunkDocuments(documents: DataFrame, window: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toked = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // chunk count: 1 + ceil(max(0, n - window) / stride) for n > 0
+    val nChunks = when(col("n") === 0, lit(0)).otherwise(
+      lit(1) + ceil((greatest(col("n") - window, lit(0)))
+        .cast("double") / stride).cast("int"))
+    toked
+      .withColumn("chunk_idx",
+        explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(window), col("n") - col("start_tok")).cast("long")
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + lit(1),
+          lit(window))).as("chunk_text"))
+  }
+
   // --------------------------------------------- weighted sampling
 
   /** Deterministic WEIGHTED sampling without replacement — the

@@ -618,6 +618,30 @@ class TextOpsSpec extends AnyFunSuite {
       tail.getAs[String]("dedup_text") == "a b c")
   }
 
+  test("chunking: overlap stride, short docs one chunk, empty docs none, coverage exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks, W=4 S=3
+      (2L, "a b"),                                    // short: one chunk
+      (3L, ""))                                       // empty: no chunks
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        ((r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_tokens"),
+          r.getAs[String]("chunk_text")))).toMap
+    // doc 1: chunks at 0,3,6 cover w1..w10 (1 + ceil(6/3) = 3 chunks)
+    assert(got.keys.count(_._1 == 1L) == 3)
+    assert(got((1L, 0L)) == ((0L, 4L, "w1 w2 w3 w4")))
+    assert(got((1L, 1L)) == ((3L, 4L, "w4 w5 w6 w7")))
+    assert(got((1L, 2L)) == ((6L, 4L, "w7 w8 w9 w10")))
+    assert(got((2L, 0L)) == ((0L, 2L, "a b")))
+    assert(!got.keys.exists(_._1 == 3L))
+    // every token position is covered by some chunk
+    val covered = got.keys.filter(_._1 == 1L).map(got).flatMap {
+      case (s, n, _) => s until (s + n) }.toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
   test("pagerank: isolated docs at teleport floor, neighbors above, replica exact") {
     val out = TextOps.pagerankNearDup(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
