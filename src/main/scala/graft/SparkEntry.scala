@@ -383,6 +383,10 @@ object SparkEntry {
     // instead of q·N
     "emb_hamming_rerank" -> ((s, dir) =>
       Similarity.hammingRerankTopK(Tables.embeddings(s, dir))),
+    // reciprocal-rank fusion of the exact-cosine and Hamming legs: each leg
+    // keeps its one-corpus-scan shape; fusion itself runs on 2·q·20 rows
+    "emb_rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.embeddings(s, dir))),
 
     // --- LLM-pipeline: multimodal binary columns (decode stage stubbed) ---
     "mm_feature_stats" -> ((s, dir) =>
@@ -1801,6 +1805,54 @@ object SparkEntry {
            FROM hscored)
          SELECT query_id, neighbor_id, hamming, rank
          FROM ranked WHERE rank <= 5""",
+    // replica of Similarity.rrfFusion: the emb_knn cosine ranking and the
+    // emb_hamming_topk ranking, each truncated at 20, full-outer-joined on
+    // (query, neighbor), RRF score = Σ 1.0/(60 + rank), re-ranked to top-5
+    "emb_rrf_fusion" ->
+      s"""WITH ${hammingCtes(10)},
+         hranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming ASC, neighbor_id ASC) AS rank_hamming
+           FROM hscored),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < 10),
+         dscored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * e.v[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, len(q.vq)),
+                 i -> q.vq[i] * q.vq[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(e.v)),
+                 i -> e.v[i] * e.v[i]), (x, y) -> x + y))) AS c
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         dranked AS (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id ASC) AS rank_dense
+           FROM dscored),
+         fused AS (
+           SELECT coalesce(d.query_id, h.query_id) AS query_id,
+             coalesce(d.neighbor_id, h.neighbor_id) AS neighbor_id,
+             d.rank_dense, h.rank_hamming,
+             coalesce(1.0::DOUBLE / (60 + d.rank_dense), 0.0::DOUBLE)
+               + coalesce(1.0::DOUBLE / (60 + h.rank_hamming), 0.0::DOUBLE)
+               AS rrf
+           FROM (SELECT * FROM dranked WHERE rank_dense <= 20) d
+           FULL OUTER JOIN
+                (SELECT * FROM hranked WHERE rank_hamming <= 20) h
+             ON d.query_id = h.query_id AND d.neighbor_id = h.neighbor_id),
+         final AS (
+           SELECT query_id, neighbor_id,
+             CAST(coalesce(rank_dense, 0) AS BIGINT) AS rank_dense,
+             CAST(coalesce(rank_hamming, 0) AS BIGINT) AS rank_hamming,
+             rrf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, neighbor_id ASC) AS rank
+           FROM fused)
+         SELECT query_id, neighbor_id, rank_dense, rank_hamming,
+           floor(rrf * 1e6 + 0.5) / 1e6 AS rrf_score, rank
+         FROM final WHERE rank <= 5""",
     // shortlist-20 by Hamming, then the emb_knn exact-cosine formula on the
     // shortlist only, re-ranked to top-5
     "emb_hamming_rerank" ->

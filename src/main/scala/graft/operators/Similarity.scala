@@ -1018,4 +1018,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("hamming"),
         roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of two retrievers — the standard hybrid-serving
+    * ensemble (Cormack et al.'s RRF: score = Σ 1/(c + rank), c = 60): here
+    * the EXACT cosine leg ([[bruteForceTopK]]) fused with the binary
+    * Hamming leg ([[hammingTopK]]), each truncated at `kEach`. RRF needs
+    * only RANKS, never comparable scores, which is why it is the fusion
+    * used when the legs' score scales disagree (cosine in [-1,1] vs
+    * integer Hamming — or, in a full pipeline, BM25 vs dense).
+    *
+    * Scale shape: each leg is the broadcast-queries + one-corpus-scan +
+    * WindowGroupLimit plan of its base retriever; everything AFTER the legs
+    * (the full-outer rank join and the final re-rank window) runs on
+    * ≤ 2·numQueries·kEach rows — metadata scale no matter the corpus size.
+    * A neighbor found by only one leg contributes only that leg's term
+    * (the other coalesces to 0); absent ranks surface as 0 in the output
+    * (never null — deterministic hashing).
+    */
+  def rrfFusion(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                kEach: Int = 20, rrfC: Int = 60): DataFrame = {
+    val dense = bruteForceTopK(embeddings, numQueries, kEach)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_dense"))
+    val ham = hammingTopK(embeddings, numQueries, kEach)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("rank_hamming"))
+    // full outer: a neighbor surfaced by either leg participates; the rank
+    // join is over two k·q-row lists, so the join side is metadata-scale
+    val fused = dense.join(ham, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfC) + col("rank_dense")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rank_hamming")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("rank_dense"), lit(0)).cast("long").as("rank_dense"),
+        coalesce(col("rank_hamming"), lit(0)).cast("long").as("rank_hamming"),
+        roundFixed(col("rrf"), 6).as("rrf_score"), col("rank"))
+  }
 }

@@ -502,6 +502,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r50 >= 0.5, s"rerank@50 recall $r50 under the measured floor")
   }
 
+  test("rrf fusion: exact recompute from the two legs; one-leg ranks coalesce to 0") {
+    val dense = Similarity.bruteForceTopK(emb, numQueries = 10, k = 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val ham = Similarity.hammingTopK(emb, numQueries = 10, k = 20).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    // driver-side reference fusion: identical formula, identical doubles
+    val rrf = (dense.keySet ++ ham.keySet).map { key =>
+      key -> (dense.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        ham.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toMap
+    val expectedRank = rrf.groupBy(_._1._1).flatMap { case (_, perQ) =>
+      perQ.toSeq.sortBy { case ((_, n), s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((key, _), i) => key -> (i + 1) }
+    }
+    val got = Similarity.rrfFusion(emb).collect()
+    assert(got.length == 10 * 5)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Int]("rank") == expectedRank(key), s"rank mismatch $key")
+      assert(r.getAs[Long]("rank_dense") == dense.getOrElse(key, 0).toLong)
+      assert(r.getAs[Long]("rank_hamming") == ham.getOrElse(key, 0).toLong)
+      // a neighbor must come from at least one leg
+      assert(r.getAs[Long]("rank_dense") > 0 || r.getAs[Long]("rank_hamming") > 0)
+    }
+  }
+
   test("pq codebooks: each subspace equals a standalone k-means on its slice") {
     import org.apache.spark.sql.functions._
     val pq = Similarity.pqCodebooks(emb, numSubspaces = 4, k = 4, iters = 2)
