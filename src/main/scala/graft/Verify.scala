@@ -16,6 +16,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata-drift gate (r6 post-mortem): the driver regenerates the
+    // parquet between rounds; if the read path misdecodes ts, every
+    // event-time query silently produces plausible-but-wrong rows. Fail the
+    // WHOLE run loudly instead — the driver then records err, not bad hashes.
+    locally {
+      import org.apache.spark.sql.functions.{col, max, min, year}
+      val b = sources.Tables.events(spark, sfDir)
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
+      val (lo, hi) = (b.getInt(0), b.getInt(1))
+      if (lo < 2000 || hi > 2100) {
+        System.err.println(
+          s"[verify] FATAL: events.ts year range [$lo,$hi] is outside [2000,2100] — " +
+            "testdata encoding drifted; refusing to emit wrong answers")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     new java.io.File(outDir).mkdirs()
     // dev-only subsetting (same contract as Bench): comma-separated name
     // prefixes; the driver leaves it unset and always dumps everything

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -57,9 +58,9 @@ object Tables {
     * DataFrame construction; with it, building a plan touches no cluster at
     * all (and the SURVEY §1.3 rule — schemas code-declared, never
     * inferred — actually holds at the reader, not just in documentation).
-    * `events.ts` is declared LongType here because the file stores
-    * TIMESTAMP(NANOS), which the reader maps to raw nanos under
-    * `nanosAsLong` — [[events]] converts to a real timestamp right after.
+    * `events.ts` is declared natively as TimestampType; [[events]] swaps in
+    * [[eventsNanosReadSchema]] when the parquet footer actually declares
+    * TIMESTAMP(NANOS) (which Spark 4 can only read as raw longs).
     */
   private val readSchemas: Map[String, StructType] = Map(
     "region" -> StructType(Seq(
@@ -102,13 +103,7 @@ object Tables {
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))),
-    "events" -> StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // raw TIMESTAMP(NANOS) under nanosAsLong
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType))),
+    "events" -> eventsSchema,
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema
   )
@@ -116,21 +111,65 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.schema(readSchemas(table)).parquet(s"$sfDir/$table.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the
-    * legacy flag (runtime-settable SQL conf), then truncate to microseconds —
-    * `TimestampType`'s native precision. DuckDB (the driver's oracle) performs
-    * the identical ns→µs truncation when it reads the same file, so the two
-    * sides agree to the microsecond. `div` is integer division: no
-    * double-rounding on the int64 nanos values.
+  /** Read schema for events files whose footer declares TIMESTAMP(NANOS):
+    * Spark 4 rejects that annotation outright ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw int64.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = read(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  private val eventsNanosReadSchema: StructType = StructType(
+    eventsSchema.map(f => if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** The `ts` logical-type unit declared by the events.parquet FOOTER — a
+    * driver-side metadata read, no Spark job (same machinery as
+    * [[parquetRowCount]]). Cached per directory: the testdata is immutable
+    * within a run, and [[events]] is called once per query built.
+    */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalTypeAnnotation.TimeUnit]()
+  private def eventsTsUnit(spark: SparkSession, sfDir: String): LogicalTypeAnnotation.TimeUnit =
+    tsUnitCache.computeIfAbsent(sfDir, { dir =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).head
+        else root
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case other => sys.error(
+            s"events.ts in $dir has unexpected logical type $other — testdata format changed?")
+        }
+      } finally r.close()
+    })
+
+  /** events reader, robust to the testdata generator's timestamp encoding.
+    * The footer decides (drivers have regenerated the file across rounds with
+    * different physical types — r6 shipped TIMESTAMP(NANOS), r7 regenerated it
+    * as TIMESTAMP(MICROS)):
+    *   - MICROS/MILLIS → native TimestampType scan, nothing to convert.
+    *   - NANOS → Spark 4 can't scan it as a timestamp; read raw int64 under
+    *     the legacy `nanosAsLong` flag and truncate ns→µs (`div` is integer
+    *     division — no double rounding). DuckDB (the driver's oracle) performs
+    *     the identical ns→µs truncation, so both sides agree to the µs.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsTsUnit(spark, sfDir) match {
+      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(eventsNanosReadSchema)
+          .parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        read(spark, sfDir, "events")
+    }
   def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
