@@ -178,6 +178,18 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Incremental sliced streaming-fold replay equals the one-shot build") {
+    val events = Tables.events(spark, dir)
+    val oneShot = Relational.scd2UserState(events)
+    // slice counts bracketing the micro-batch granularity: 1 (degenerate —
+    // single batch), 3 (the driver query), 7 (runs split mid-interval)
+    Seq(1, 3, 7).foreach { k =>
+      val inc = graft.operators.Incremental.scd2Incremental(events, k)
+      assert(inc.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(inc).count() == 0, s"slices=$k")
+    }
+  }
+
   test("cube gid distinguishes subtotal NULLs; groups reconcile") {
     val out = Relational.pricingCube(Tables.lineitem(spark, dir)).collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))

@@ -39,17 +39,40 @@ import pyarrow.parquet as pq
 COPIES = 10
 ID_STRIDE = 1_000_000
 # the documents/embeddings queries whose slopes the verdict asks for
-# (mm_ queries are documents-derived, so they scale with the corpus too)
-PREFIXES = "doc_,emb_,mm_"
+# (mm_ queries are documents-derived, so they scale with the corpus too),
+# plus the event-time family (r7: slopes were never measured on real
+# timestamps — the r6 numbers predate the events replica entirely)
+PREFIXES = "doc_,emb_,mm_,station_,window_,user_,event,trip_,asof_"
 
 
 def build_corpus(base: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
+    replicated = ("documents.parquet", "embeddings.parquet", "events.parquet")
     for f in os.listdir(base):
-        if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        if f.endswith(".parquet") and f not in replicated:
             dst = os.path.join(out, f)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(base, f), dst)
+
+    # events: copy k > 0 strides event_id AND user_id — 10x distinct users
+    # with IDENTICAL per-user event sequences and the same 30-day ts range.
+    # This preserves workload structure: sessions/funnels/SCD2 runs per user
+    # are unchanged (row counts scale linearly with users), the user_id%10
+    # station key keeps its distribution (ID_STRIDE % 10 == 0), and
+    # time-window queries see 10x events per unchanged window — exactly the
+    # "more traffic, same schema" growth a real deployment sees.
+    ev = duckdb.sql(f"SELECT * FROM '{base}/events.parquet'").df()
+    parts = []
+    for k in range(COPIES):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + ID_STRIDE * k
+        c["user_id"] = c["user_id"] + ID_STRIDE * k
+        parts.append(c)
+    import pandas as pd
+    allev = pd.concat(parts, ignore_index=True)
+    tbl = pa.Table.from_pandas(allev, preserve_index=False)
+    # match the driver's current encoding (timestamp[us])
+    pq.write_table(tbl, os.path.join(out, "events.parquet"))
 
     d = duckdb.sql(f"SELECT * FROM '{base}/documents.parquet'").df()
     ids, texts, langs, sources, nchars = [], [], [], [], []
@@ -122,10 +145,12 @@ def main(base: str, work: str) -> int:
     t1 = bench(base)
     t10 = bench(out10)
     lines = [
-        "# Scale slope: 10x documents/embeddings corpus",
+        "# Scale slope: 10x documents/embeddings/events corpus",
         "",
         f"Base `{base}` vs structure-preserving 10x replica (see "
-        "tools/scale_slope.py); wall-time ratios for 10x data on local[32]. "
+        "tools/scale_slope.py; events grow by 10x users with identical "
+        "per-user sequences over the same 30-day range). "
+        "Wall-time ratios for 10x data on local[32]. "
         "A ~linear plan stays well under ~15x; candidate-bounded pair "
         "finders (df-cap / bands / auto-bits+rank-cap / N*R*W) are the "
         "queries this evidences. Notes: prefixed-copy texts are ~1.4x "
