@@ -423,7 +423,12 @@ object SparkEntry {
     // machine; the oracle computes channel sums from text alone (the
     // codec is lossless, so decoded pixels == the text-cycled stream)
     "mm_qoi_decode" -> ((s, dir) =>
-      operators.Multimodal.qoiDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.qoiDecodeStats(Tables.documents(s, dir))),
+    // REAL PNG codec (r7): zlib/DEFLATE via java.util.zip + the full
+    // five-filter scanline reconstruction; like QOI, losslessness lets the
+    // oracle compute channel sums from text alone
+    "mm_png_decode" -> ((s, dir) =>
+      operators.Multimodal.pngDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2399,6 +2404,31 @@ object SparkEntry {
              CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
              CAST(n_chars % 12 + 4 AS INTEGER) AS w,
              CAST(doc_id % 8 + 4 AS INTEGER) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,
+             rpad(t, w * h * 3, t) AS body
+           FROM m)
+         SELECT doc_id, w AS width, h AS height, n_pixels,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 1, 1)))) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 2, 1)))) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST(n_pixels AS INTEGER) - 1),
+             p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
+    // replica of Multimodal.pngDecodeStats WITHOUT running the codec: PNG
+    // is LOSSLESS, so the decoded pixel stream equals the text cycled to
+    // w*h*3 bytes — DEFLATE + filtering cancel out of the oracle
+    "mm_png_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 10 + 5 AS INTEGER) AS w,
+             CAST(doc_id % 7 + 5 AS INTEGER) AS h
            FROM documents),
          s AS (
            SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,

@@ -279,6 +279,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG: encoder round-trips through all five filters, multi-IDAT, CRC checks") {
+    val rnd = new scala.util.Random(11)
+    // h >= 5 so every filter type (y % 5) appears; w odd to hit edge bytes
+    val w = 11; val h = 9
+    val noisy = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+    val enc = Multimodal.encodePng(w, h, noisy)
+    val (w2, h2, back) = Multimodal.parsePng(enc)
+    assert(w2 == w && h2 == h && back.toSeq == noisy.toSeq)
+    // DEFLATE must actually compress a flat image
+    val flat = Array.fill(64 * 64 * 3)(42.toByte)
+    val flatEnc = Multimodal.encodePng(64, 64, flat)
+    assert(flatEnc.length < 64 * 64 * 3 / 10, s"flat image encoded to ${flatEnc.length}")
+    assert(Multimodal.parsePng(flatEnc)._3.toSeq == flat.toSeq)
+    // a large-enough image forces >1 IDAT chunk (512 B chunking); count them
+    def countIdat(p: Array[Byte]): Int = {
+      var pos = 8; var n = 0
+      while (pos + 12 <= p.length) {
+        val len = ((p(pos) & 0xff) << 24) | ((p(pos + 1) & 0xff) << 16) |
+          ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        if (new String(p, pos + 4, 4, "US-ASCII") == "IDAT") n += 1
+        pos += 12 + len
+      }
+      n
+    }
+    val big = Array.fill(40 * 40 * 3)(rnd.nextInt(256).toByte)
+    assert(countIdat(Multimodal.encodePng(40, 40, big)) > 1)
+    assert(Multimodal.parsePng(Multimodal.encodePng(40, 40, big))._3.toSeq == big.toSeq)
+    // loud failures: bad signature, corrupted byte (CRC), truncation
+    intercept[IllegalArgumentException] {
+      Multimodal.parsePng(enc.updated(1, 'Q'.toByte)) }
+    intercept[IllegalArgumentException] {
+      // flip one bit inside the first IDAT body: CRC must catch it
+      val idatPos = {
+        var pos = 8
+        while (new String(enc, pos + 4, 4, "US-ASCII") != "IDAT") {
+          val len = ((enc(pos) & 0xff) << 24) | ((enc(pos + 1) & 0xff) << 16) |
+            ((enc(pos + 2) & 0xff) << 8) | (enc(pos + 3) & 0xff)
+          pos += 12 + len
+        }
+        pos + 8
+      }
+      Multimodal.parsePng(enc.updated(idatPos, (enc(idatPos) ^ 1).toByte)) }
+    intercept[IllegalArgumentException] { Multimodal.parsePng(enc.dropRight(4)) }
+  }
+
+  test("PNG generate -> codec decode round-trip matches text-side channel sums") {
+    val out = Multimodal.pngDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = (nChars % 10 + 5).toInt
+      val hh = (r.getAs[Long]("doc_id") % 7 + 5).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      val t = if (text == null || text.isEmpty) " " else text
+      val body = Array.tabulate(w * hh * 3)(i => t.charAt(i % t.length).toInt)
+      assert(r.getAs[Long]("sum_r") ==
+        body.indices.collect { case i if i % 3 == 0 => body(i).toLong }.sum)
+      assert(r.getAs[Long]("sum_g") ==
+        body.indices.collect { case i if i % 3 == 1 => body(i).toLong }.sum)
+      assert(r.getAs[Long]("sum_b") ==
+        body.indices.collect { case i if i % 3 == 2 => body(i).toLong }.sum)
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
