@@ -607,18 +607,14 @@ object TextOps {
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("logprob"))
       .localCheckpoint(false)
-    val hist = lp.filter(col("logprob").isNotNull)
-      .groupBy(col("lang"), col("logprob")).agg(count(lit(1)).as("cnt"))
-    val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("logprob"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-      .join(broadcast(totals), Seq("lang"))
-    def thr(p: Double, as: String) = cum
-      .filter(col("cum") >= ceil(lit(p) * col("n").cast("double")))
-      .groupBy(col("lang")).agg(min(col("logprob")).as(as))
-    lp.join(broadcast(thr(1.0 / 3, "q13")), Seq("lang"), "left")
-      .join(broadcast(thr(2.0 / 3, "q23")), Seq("lang"), "left")
+    // tertile thresholds via the shared histogram cumulative-pick
+    val qs = histQuantiles(
+      lp.filter(col("logprob").isNotNull).select(col("lang"), col("logprob")),
+      "lang", "logprob", Seq(1.0 / 3, 2.0 / 3))
+    val thr = qs.groupBy(col("lang")).agg(
+      max(when(col("p") === lit(1.0 / 3), col("q"))).as("q13"),
+      max(when(col("p") === lit(2.0 / 3), col("q"))).as("q23"))
+    lp.join(broadcast(thr), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("logprob"),
         when(col("logprob").isNull, lit("empty"))
           .when(col("logprob") <= col("q13"), lit("tail"))
@@ -1799,20 +1795,39 @@ object TextOps {
     * no rounding boundary can disagree between engines.
     */
   def lengthQuantiles(documents: DataFrame,
-                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    histQuantiles(documents.select(col("lang"), col("n_chars")),
+      "lang", "n_chars", ps)
+
+  /** THE histogram cumulative-pick: exact stratified quantiles of a
+    * discrete measure, shared by every quantile consumer ([[lengthQuantiles]],
+    * [[pplBuckets]] — r6 verdict #8: one implementation, not re-derived).
+    * Build the per-stratum value histogram (metadata-scale next to the
+    * corpus — the shuffle carries distinct values, not rows), cumulative-sum
+    * it under a stratum-partitioned window (bounded per-partition state,
+    * never the single-partition global sort of a naive
+    * `row_number() OVER (ORDER BY v)`), and for each p emit the smallest
+    * value whose cumulative count reaches `ceil(p·n)` — the inclusive
+    * type-1 quantile, integer-exact end to end (the only double is
+    * `ceil(p·n)`, the identical IEEE expression the oracle evaluates).
+    * Output: (stratumCol, p, q).
+    */
+  private[operators] def histQuantiles(rows: DataFrame, stratumCol: String,
+                                       valueCol: String,
+                                       ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = documents
-      .groupBy(col("lang"), col("n_chars"))
+    val hist = rows
+      .groupBy(col(stratumCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
-    val totals = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val totals = hist.groupBy(col(stratumCol)).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
       .withColumn("cum", sum(col("cnt")).over(w))
-      .join(broadcast(totals), Seq("lang"))
+      .join(broadcast(totals), Seq(stratumCol))
       .withColumn("p", explode(array(ps.map(lit): _*)))
       .filter(col("cum") >= ceil(col("p") * col("n")))
-      .groupBy(col("lang"), col("p"))
-      .agg(min(col("n_chars")).as("q"))
+      .groupBy(col(stratumCol), col("p"))
+      .agg(min(col(valueCol)).as("q"))
   }
 }
