@@ -53,4 +53,30 @@ object Layout {
       (floor(unix_timestamp(col("ts")) / lit(60)).cast("long") - anchorMinute)
         .as("minute_key"))
       .withColumn("zkey", zorderKey(col("user_id"), col("minute_key"), bits))
+
+  /** Bucketed-table write — THE co-location primitive this codebase's
+    * scale notes keep invoking (semantic-dedup's cluster_id layout,
+    * IVF-PQ's anchor_id layout, merge-upsert's key buckets): hash-bucket
+    * the rows by `key` into `numBuckets` files per partition, each
+    * sorted by `key`. A later join or aggregation on `key` between
+    * tables bucketed the same way satisfies the required hash
+    * distribution AT THE SCAN — Catalyst plans it with ZERO Exchange
+    * (and zero sort, for the join): the shuffle that dominates a 100 TB
+    * job is paid once at write time, then never again across every
+    * downstream consumer. LayoutSpec asserts both the join and the
+    * aggregation plan Exchange-free against a live bucketed table.
+    *
+    * Spark's bucketing rides the table catalog (`saveAsTable`) — the
+    * bucket spec lives in table metadata, which is what the scan-side
+    * planner reads; a bare parquet path write cannot carry it.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int, path: Option[String] = None): Unit = {
+    val base = df.write
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+    path.fold(base)(p => base.option("path", p)).saveAsTable(table)
+  }
 }

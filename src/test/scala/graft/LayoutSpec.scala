@@ -86,12 +86,10 @@ class LayoutSpec extends AnyFunSuite {
       // the join then reads bucket i against bucket i — no Exchange, no
       // extra Sort, the exact layout a nightly 100 TB fact⋈fact job
       // amortizes over every downstream run
-      Tables.orders(spark, dir).write
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
-      Tables.customer(spark, dir).write
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$wh/customer_b").mode("overwrite").saveAsTable("customer_b")
+      Layout.writeBucketed(Tables.orders(spark, dir), "orders_b",
+        "o_custkey", 8, Some(s"$wh/orders_b"))
+      Layout.writeBucketed(Tables.customer(spark, dir), "customer_b",
+        "c_custkey", 8, Some(s"$wh/customer_b"))
 
       val joined = spark.table("orders_b")
         .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
@@ -104,6 +102,18 @@ class LayoutSpec extends AnyFunSuite {
         .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
         .count()
       assert(joined.count() == expect)
+
+      // aggregation co-location: a groupBy on the bucket key needs
+      // hashpartitioning(key) — the bucketed scan already provides it, so
+      // the partial+final agg pair collapses to ONE stage, no Exchange.
+      // At 100 TB this is the difference between a full-fact shuffle per
+      // rollup and none.
+      val agg = spark.table("orders_b")
+        .groupBy($"o_custkey").agg(org.apache.spark.sql.functions.sum($"o_totalprice"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg still shuffles:\n$aggPlan")
+      val aggExpect = Tables.orders(spark, dir).select($"o_custkey").distinct().count()
+      assert(agg.count() == aggExpect)
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
