@@ -428,7 +428,12 @@ object SparkEntry {
     // five-filter scanline reconstruction; like QOI, losslessness lets the
     // oracle compute channel sums from text alone
     "mm_png_decode" -> ((s, dir) =>
-      operators.Multimodal.pngDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.pngDecodeStats(Tables.documents(s, dir))),
+    // REAL GIF codec (r7): variable-width LZW dictionary coder + grayscale
+    // palette indirection; the identity palette (entry i = (i,i,i)) keeps
+    // the text-side oracle exact through the index->pixel mapping
+    "mm_gif_decode" -> ((s, dir) =>
+      operators.Multimodal.gifDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2444,6 +2449,25 @@ object SparkEntry {
            CAST(list_sum(list_transform(
              generate_series(0, CAST(n_pixels AS INTEGER) - 1),
              p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
+    // replica of Multimodal.gifDecodeStats WITHOUT running the codec: LZW
+    // is lossless and the grayscale palette is the identity map, so the
+    // decoded pixel stream equals the text cycled to w*h bytes
+    "mm_gif_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 14 + 6 AS INTEGER) AS w,
+             CAST(doc_id % 9 + 6 AS INTEGER) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,
+             rpad(t, w * h, t) AS body
+           FROM m)
+         SELECT doc_id, w AS width, h AS height, n_pixels,
+           CAST(list_sum(list_transform(
+             generate_series(1, CAST(n_pixels AS INTEGER)),
+             p -> ascii(substr(body, p, 1)))) AS BIGINT) AS sum_px
          FROM s""",
     "mm_ppm_decode" ->
       """WITH m AS (

@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads + typed
   * metadata, with decode / feature-extraction / resize / frame-sample stages.
   *
-  * FIVE formats are decoded for REAL in pure JVM — netpbm P6 PPM
+  * SIX formats are decoded for REAL in pure JVM — netpbm P6 PPM
   * ([[Multimodal.decodePpmStats]]), uncompressed 24-bit BMP
   * ([[Multimodal.decodeBmpStats]]), RIFF/WAVE PCM16 audio
   * ([[Multimodal.decodeWavStats]]), the COMPRESSED QOI image codec
   * ([[Multimodal.decodeQoiStats]] — run-length/index/delta chunk state
-  * machine), and PNG ([[Multimodal.decodePngStats]] — zlib/DEFLATE
+  * machine), PNG ([[Multimodal.decodePngStats]] — zlib/DEFLATE
   * inflate via `java.util.zip` plus full five-filter scanline
-  * reconstruction and per-chunk CRC32 validation) — so the stub scope is
-  * lossy-transform-codec formats only (JPEG/H.264-class audio/video):
+  * reconstruction and per-chunk CRC32 validation), and GIF
+  * ([[Multimodal.decodeGifStats]] — variable-width LZW dictionary coder
+  * with KwKwK reconstruction, table reset, palette indirection) — so the
+  * stub scope is lossy-transform-codec formats only (JPEG/H.264-class):
   * this container has no codec libraries, so
   * [[Multimodal.decodeFeatures]] runs a deterministic
   * fake (header parse + byte histogram) in place of a real pixel decode. The
@@ -875,6 +877,266 @@ object Multimodal {
       .select(col("docId").as("doc_id"), col("width"), col("height"),
         col("nPixels").as("n_pixels"), col("sumR").as("sum_r"),
         col("sumG").as("sum_g"), col("sumB").as("sum_b"))
+  }
+
+  /** Integer-exact pixel stats from a REAL GIF/LZW decode. */
+  final case class GifStats(
+      docId: Long, width: Int, height: Int, nPixels: Long,
+      sumPx: Long, compressedBytes: Long)
+
+  /** Synthesize REAL GIF89a images from `documents`: a 256-entry
+    * GRAYSCALE global color table (entry i = (i,i,i)) makes the palette
+    * index stream literally the text bytes cycled to w·h — so the
+    * text-side oracle survives the palette indirection — and the index
+    * stream is REALLY compressed through [[encodeGif]]'s variable-width
+    * LZW (clear/EOI codes, 9→12-bit growth, table reset at 4096,
+    * 255-byte sub-block framing). Third compressed format in the media
+    * path, and the first dictionary coder.
+    */
+  def gifFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(
+      col("doc_id"),
+      when(col("text").isNull || col("text") === "", lit(" "))
+        .otherwise(col("text")).as("t"),
+      (col("n_chars") % 14 + 6).cast("int").as("w"),
+      (col("doc_id") % 9 + 6).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+    base.mapPartitions { rows =>
+      rows.map { case (docId, t, w, h) =>
+        val n = w * h
+        val tb = t.getBytes("UTF-8")
+        val idx = new Array[Byte](n)
+        var i = 0
+        while (i < n) { idx(i) = tb(i % tb.length); i += 1 }
+        val payload = encodeGif(w, h, idx)
+        MediaFile(docId, payload,
+          MediaMeta("image/gif", w, h, payload.length.toLong))
+      }
+    }.toDF("docId", "payload", "meta")
+  }
+
+  /** REAL GIF89a encoder (8-bit palette, no interlace): grayscale global
+    * color table, then the classic ppmtogif-convention LZW — initial code
+    * size 9 (min-code-size 8), clear=256/EOI=257, dictionary keyed
+    * (prefixCode, byte), code width bumped AFTER emit when the next free
+    * slot exceeds the current width's range, clear emitted on a full
+    * (4096) table — packed LSB-first into 255-byte sub-blocks. */
+  private[graft] def encodeGif(w: Int, h: Int, indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h, s"index body ${indices.length} != $w*$h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    var ci = 0
+    while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0) // no local color table, no interlace
+    out.write(8) // LZW minimum code size
+
+    // LZW with sub-block framing
+    val body = new java.io.ByteArrayOutputStream()
+    val block = new Array[Byte](255)
+    var blockLen = 0
+    var acc = 0L; var accBits = 0
+    def flushByte(b: Int): Unit = {
+      block(blockLen) = b.toByte; blockLen += 1
+      if (blockLen == 255) { body.write(255); body.write(block, 0, 255); blockLen = 0 }
+    }
+    val clear = 256; val eoi = 257
+    var nBits = 9; var maxCode = (1 << nBits) - 1
+    var freeEnt = 258
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += nBits
+      while (accBits >= 8) { flushByte((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+      // ppmtogif convention: width check AFTER the emit, so a code equal
+      // to the width's max still fits before the bump
+      if (freeEnt > maxCode && nBits < 12) { nBits += 1; maxCode = (1 << nBits) - 1 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    emit(clear)
+    var cur: Int = indices(0) & 0xff
+    var p = 1
+    while (p < indices.length) {
+      val k = indices(p) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (freeEnt < 4096) { dict.put(key, Integer.valueOf(freeEnt)); freeEnt += 1 }
+        else {
+          emit(clear)
+          dict.clear(); freeEnt = 258; nBits = 9; maxCode = (1 << nBits) - 1
+        }
+        cur = k
+      }
+      p += 1
+    }
+    emit(cur); emit(eoi)
+    while (accBits > 0) { flushByte((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    if (blockLen > 0) { body.write(blockLen); body.write(block, 0, blockLen) }
+    body.write(0) // block terminator
+    out.write(body.toByteArray)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF decoder — header + logical screen descriptor validation,
+    * global color table READ (pixels come out through the palette, not as
+    * raw indices), extension blocks skipped per spec, and a full LZW
+    * state machine: variable code width (9→12), clear-code table reset,
+    * dictionary reconstruction INCLUDING the KwKwK case (a code equal to
+    * the next free slot names the entry being built), sub-block
+    * reassembly, EOI/terminator/trailer enforcement, exact pixel count.
+    * Returns (w, h, gray bytes — the palette's R channel per pixel).
+    */
+  private[graft] def parseGif(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    require(payload.length >= 14, "GIF too short")
+    val magic = new String(payload, 0, 6, "US-ASCII")
+    require(magic == "GIF89a" || magic == "GIF87a", s"not a GIF payload: $magic")
+    val screenW = le16(6); val screenH = le16(8)
+    val packed = u8(10)
+    var pos = 13
+    val palette = new Array[Byte](256)
+    if ((packed & 0x80) != 0) {
+      val gctSize = 2 << (packed & 7)
+      require(pos + 3 * gctSize <= payload.length, "GCT truncated")
+      var i = 0
+      while (i < gctSize) { palette(i) = payload(pos + 3 * i); i += 1 }
+      pos += 3 * gctSize
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while (u8(pos) == 0x21) {
+      pos += 2 // extension introducer + label
+      while (u8(pos) != 0) pos += 1 + u8(pos)
+      pos += 1
+    }
+    require(u8(pos) == 0x2c, s"expected image descriptor, got 0x${u8(pos)}%02x")
+    val w = le16(pos + 5); val h = le16(pos + 7)
+    require(w > 0 && h > 0 && w <= screenW && h <= screenH,
+      s"malformed GIF dims ${w}x$h in ${screenW}x$screenH")
+    val imgPacked = u8(pos + 9)
+    require((imgPacked & 0x40) == 0, "interlaced GIF unsupported")
+    require((imgPacked & 0x80) == 0, "local color table unsupported")
+    pos += 10
+    val minCodeSize = u8(pos); pos += 1
+    require(minCodeSize == 8, s"unsupported LZW min code size $minCodeSize")
+
+    // reassemble sub-blocks
+    val z = new java.io.ByteArrayOutputStream()
+    while (u8(pos) != 0) {
+      val len = u8(pos)
+      require(pos + 1 + len < payload.length, "GIF sub-block truncated")
+      z.write(payload, pos + 1, len)
+      pos += 1 + len
+    }
+    pos += 1 // block terminator
+    require(pos < payload.length && u8(pos) == 0x3b, "missing GIF trailer")
+    require(pos + 1 == payload.length, "trailing bytes after GIF trailer")
+    val zb = z.toByteArray
+
+    // LZW decode — mirror of encodeGif's width/reset conventions
+    val clear = 256; val eoi = 257
+    val nPx = w * h
+    val gray = new Array[Byte](nPx)
+    var outPos = 0
+    // dictionary as (prefix link, last byte) — O(1) per entry, entries
+    // materialized by walking links backward
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    val depth = new Array[Int](4096)
+    var i = 0
+    while (i < 256) { prefix(i) = -1; last(i) = i.toByte; depth(i) = 1; i += 1 }
+    var freeEnt = 258
+    var nBits = 9; var maxCode = (1 << nBits) - 1
+    var acc = 0L; var accBits = 0; var zPos = 0
+    var prev = -1
+    val scratch = new Array[Byte](4096)
+    def writeEntry(code: Int): Byte = { // returns first byte of the entry
+      var d = depth(code); var c = code
+      require(outPos + d <= nPx, s"GIF pixel overrun at $outPos")
+      var s = d
+      while (c != -1) { s -= 1; scratch(s) = last(c); c = prefix(c) }
+      System.arraycopy(scratch, 0, gray, outPos, d)
+      outPos += d
+      scratch(0)
+    }
+    var done = false
+    while (!done) {
+      while (accBits < nBits && zPos < zb.length) {
+        acc |= (zb(zPos) & 0xffL) << accBits; accBits += 8; zPos += 1
+      }
+      require(accBits >= nBits, "LZW stream truncated before EOI")
+      val code = (acc & maxCode).toInt
+      acc >>>= nBits; accBits -= nBits
+      if (code == clear) {
+        freeEnt = 258; nBits = 9; maxCode = (1 << nBits) - 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < 256, s"first LZW code $code is not a literal")
+        writeEntry(code)
+        prev = code
+      } else {
+        require(code <= freeEnt && code < 4096, s"LZW code $code beyond table $freeEnt")
+        val firstByte =
+          if (code < freeEnt) writeEntry(code)
+          else { // KwKwK: entry being defined names itself
+            var c = prev
+            while (prefix(c) != -1) c = prefix(c)
+            val fb = last(c)
+            require(outPos + depth(prev) + 1 <= nPx, s"GIF pixel overrun at $outPos")
+            writeEntry(prev)
+            gray(outPos) = fb; outPos += 1
+            fb
+          }
+        if (freeEnt < 4096) {
+          prefix(freeEnt) = prev; last(freeEnt) = firstByte
+          depth(freeEnt) = depth(prev) + 1
+          freeEnt += 1
+        }
+        if (freeEnt > maxCode && nBits < 12) { nBits += 1; maxCode = (1 << nBits) - 1 }
+        prev = code
+      }
+    }
+    require(outPos == nPx, s"GIF decoded $outPos of $nPx pixels")
+    // palette indirection: the decoder returns PIXELS, not indices
+    var q = 0
+    while (q < nPx) { gray(q) = palette(gray(q) & 0xff); q += 1 }
+    (w, h, gray)
+  }
+
+  /** Pixel-sum stats over a REAL GIF/LZW decode. */
+  def decodeGifStats(media: Dataset[MediaFile]): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, gray) = parseGif(m.payload)
+        var s = 0L
+        var i = 0
+        while (i < gray.length) { s += gray(i) & 0xff; i += 1 }
+        GifStats(m.docId, w, h, (w.toLong * h), s, m.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Driver-facing query over the GIF path: generate REAL LZW-compressed
+    * payloads from `documents`, decode through the dictionary coder +
+    * palette, report the integer-exact pixel sum. `compressedBytes`
+    * stays out of the driver projection (specs cover it). */
+  def gifDecodeStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(gifFromDocuments(documents))
+    decodeGifStats(media).toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        col("nPixels").as("n_pixels"), col("sumPx").as("sum_px"))
   }
 
   /** STUB DECODE — deterministic fake in place of a real image decode (no

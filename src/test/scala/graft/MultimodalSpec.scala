@@ -345,6 +345,49 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("GIF: LZW round-trips through KwKwK, width growth, and table reset") {
+    // KwKwK stress: "ababab..." makes the encoder emit a code the decoder
+    // hasn't finished defining on nearly every step
+    val kwk = Array.tabulate(60 * 1)(i => (if (i % 2 == 0) 'a' else 'b').toByte)
+    val (kw, kh, kback) = Multimodal.parseGif(Multimodal.encodeGif(60, 1, kwk))
+    assert(kw == 60 && kh == 1 && kback.toSeq == kwk.toSeq)
+    // random bytes: forces literal-heavy streams and the 9->10 bit bump
+    val rnd = new scala.util.Random(13)
+    val noisy = Array.fill(40 * 25)(rnd.nextInt(256).toByte)
+    val (w2, h2, back) = Multimodal.parseGif(Multimodal.encodeGif(40, 25, noisy))
+    assert(w2 == 40 && h2 == 25 && back.toSeq == noisy.toSeq)
+    // big enough to fill the 4096-entry table and force a mid-stream
+    // clear + full reset (random over a small alphabet grows long entries)
+    val big = Array.fill(200 * 120)(rnd.nextInt(4).toByte)
+    val (_, _, bigBack) = Multimodal.parseGif(Multimodal.encodeGif(200, 120, big))
+    assert(bigBack.toSeq == big.toSeq)
+    // LZW must actually compress the repetitive stream
+    assert(Multimodal.encodeGif(200, 120, big).length < 200 * 120 / 2)
+    // loud failures: bad magic, truncated sub-blocks, missing trailer
+    val enc = Multimodal.encodeGif(40, 25, noisy)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGif(enc.updated(3, 'X'.toByte)) }
+    intercept[IllegalArgumentException] { Multimodal.parseGif(enc.dropRight(1)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGif(enc.dropRight(1) :+ 0x00.toByte) }
+  }
+
+  test("GIF generate -> codec decode round-trip matches text-side pixel sums") {
+    val out = Multimodal.gifDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = (nChars % 14 + 6).toInt
+      val hh = (r.getAs[Long]("doc_id") % 9 + 6).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      val t = if (text == null || text.isEmpty) " " else text
+      val sum = (0 until w * hh).map(i => t.charAt(i % t.length).toLong).sum
+      assert(r.getAs[Long]("sum_px") == sum)
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
