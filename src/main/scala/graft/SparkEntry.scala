@@ -136,6 +136,11 @@ object SparkEntry {
       Relational.heavyUsers(Relational.plantHeavyUsers(Tables.events(s, dir)))),
     "event_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
+    // mergeable equi-width histogram sketch (r7): approximate per-type
+    // quantiles at O(buckets) post-shuffle state — the scale path next to
+    // the exact window-rank form above (which sorts every group member)
+    "event_value_hist_quantiles" -> ((s, dir) =>
+      Relational.valueHistQuantiles(Tables.events(s, dir))),
     "pricing_cube" -> ((s, dir) => Relational.pricingCube(Tables.lineitem(s, dir))),
     // z-order clustering key (Layout.zorderKey): integer Morton interleave
     // of (user_id, minutes-since-2020) — the compaction-sort key that makes
@@ -1815,6 +1820,37 @@ object SparkEntry {
            floor((vlo0 + frac0 * (coalesce(vhi0, vlo0) - vlo0)) * 1e6 + 0.5) / 1e6 AS p50,
            floor((vlo1 + frac1 * (coalesce(vhi1, vlo1) - vlo1)) * 1e6 + 0.5) / 1e6 AS p90
          FROM braket""",
+    // replica of Relational.valueHistQuantiles: same per-type bounds, same
+    // equi-width bucket index, same ceil(p*n) cumulative pick over the
+    // bucket histogram, same upper-boundary report
+    "event_value_hist_quantiles" ->
+      """WITH v AS (
+           SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         b AS (
+           SELECT event_type, min(value) AS lo, max(value) AS hi
+           FROM v GROUP BY 1),
+         k AS (
+           SELECT v.event_type,
+             CASE WHEN hi = lo THEN 0
+               ELSE least(255, CAST(floor((value - lo) / ((hi - lo) / 256.0)) AS BIGINT))
+             END AS bucket
+           FROM v JOIN b USING (event_type)),
+         h AS (
+           SELECT event_type, bucket, count(*) AS cnt FROM k GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         c AS (
+           SELECT h.event_type, bucket, cnt, n,
+             CAST(sum(cnt) OVER (PARTITION BY h.event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM h JOIN t USING (event_type)),
+         q AS (
+           SELECT event_type, p, min(bucket) AS q
+           FROM c CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) ps
+           WHERE cum >= ceil(p * n) GROUP BY 1, 2)
+         SELECT q.event_type, p,
+           floor((lo + (q + 1) * ((hi - lo) / 256.0)) * 1e6 + 0.5) / 1e6 AS q_upper
+         FROM q JOIN b USING (event_type)""",
     "pricing_cube" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

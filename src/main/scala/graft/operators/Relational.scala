@@ -363,6 +363,50 @@ object Relational {
       }: _*)
   }
 
+  /** APPROXIMATE per-group quantiles from a mergeable equi-width histogram
+    * sketch — the 100 TB complement of [[valuePercentiles]]: the exact form
+    * pays one sorted window pass over every row per group; this pays a
+    * B-bucket histogram (one partial+final hash agg whose post-shuffle
+    * cardinality is ≤ groups·B — metadata-scale) and answers any p from
+    * the same sketch: the picked bucket provably contains the discrete
+    * type-1 quantile (the value at rank ceil(p·n)), so the reported upper
+    * boundary brackets it within one bucket width (spec-asserted). The
+    * per-group [lo, hi]
+    * calibration is its own tiny agg (groups-cardinality rows, broadcast
+    * back); at a real deployment the bounds come free from column stats.
+    *
+    * Determinism: the bucket index `least(B-1, floor((v-lo)/width))` and
+    * the reported upper boundary `lo + (q+1)·width` are the same IEEE
+    * doubles on both engines, and the cumulative pick reuses
+    * [[TextOps.histQuantiles]] — the one shared quantile implementation.
+    * Estimates round at 1e-6 like every published double.
+    */
+  def valueHistQuantiles(events: DataFrame, buckets: Int = 256,
+                         ps: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val vals = events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val bounds = vals.groupBy(col("event_type")).agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+    val bucketed = vals
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("lo"), col("hi"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(buckets - 1).cast("long"),
+            floor((col("value") - col("lo")) / width).cast("long")))
+          .as("bucket"))
+    val picked = graft.operators.TextOps.histQuantiles(
+      bucketed.select(col("event_type"), col("bucket")),
+      "event_type", "bucket", ps)
+    picked
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("p"),
+        roundFixed(
+          col("lo") + (col("q") + lit(1L)).cast("double") *
+            ((col("hi") - col("lo")) / lit(buckets.toDouble)), 6)
+          .as("q_upper"))
+  }
+
   /** Set operation coverage (§2.8: absent in the reference, free in Spark):
     * users seen in purchases but never in errors. Semantically an EXCEPT over
     * two distincts, but planned as ONE hash aggregation over user_id with

@@ -190,6 +190,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram-sketch quantiles land within one bucket width of exact") {
+    val events = Tables.events(spark, dir)
+    val buckets = 256
+    // ground truth: the DISCRETE type-1 quantile (value at rank ceil(p·n))
+    // — the statistic the sketch's cumulative pick approximates; the picked
+    // bucket provably CONTAINS it, so the reported upper boundary brackets
+    // it from above within one bucket width
+    val byType = events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("value")).sorted }
+    val est = Relational.valueHistQuantiles(events, buckets).collect()
+    assert(est.length == byType.size * 2)
+    for (r <- est) {
+      val typ = r.getAs[String]("event_type")
+      val vs = byType(typ)
+      val w = (vs.last - vs.head) / buckets
+      val p = r.getAs[Double]("p")
+      val truth = vs(math.ceil(p * vs.length).toInt - 1)
+      val qUp = r.getAs[Double]("q_upper")
+      assert(qUp >= truth - 1e-6 && qUp - truth <= w + 1e-6,
+        s"$typ p=$p: est $qUp vs discrete-exact $truth (width $w)")
+    }
+  }
+
   test("cube gid distinguishes subtotal NULLs; groups reconcile") {
     val out = Relational.pricingCube(Tables.lineitem(spark, dir)).collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
