@@ -76,6 +76,21 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(Tables.lineitem(s, dir))),
     "asof_last_error" -> ((s, dir) =>
       Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
+    // the NATIVE as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    // plans/AsOfJoin.scala): oracled by the SAME SQL as asof_last_error,
+    // so the hash match proves the custom operator ≡ the window form
+    "asof_last_error_native" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      graft.plans.AsOf
+        .backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("e_ts").as("last_error_ts"))
+    }),
     "events_last_hour" -> ((s, dir) =>
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     // keyless point-in-interval range join, planned as a binned equi-join
@@ -1588,6 +1603,14 @@ object SparkEntry {
            AS events_last_hour
          FROM events""",
     "asof_last_error" ->
+      """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    // identical to asof_last_error BY DESIGN: the custom physical operator
+    // must reproduce the window formulation — the shared replica is the
+    // equivalence proof
+    "asof_last_error_native" ->
       """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e

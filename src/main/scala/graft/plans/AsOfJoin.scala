@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Native AS-OF (backward) join — the brief's extension tier (c): a custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan`, for the one whole-operator
+  * semantics the Dataset API can't declare directly (pandas-on-Spark ships
+  * merge_asof; vanilla SQL needs the window re-formulation
+  * [[graft.operators.Relational.lastErrorBeforePurchase]] or an O(n·m)
+  * range join).
+  *
+  * Semantics: for every left row, append the LATEST right row of the same
+  * key with `rightTime <= leftTime` (ties inclusive — matching DuckDB's
+  * `ASOF JOIN ... ON l.t >= r.t`, which the driver oracle uses); left rows
+  * with no such match keep nulls (left-outer flavor).
+  *
+  * Physical contract (the 100 TB story): both children hash-cluster on the
+  * key and sort (key, time) — EnsureRequirements inserts exactly one
+  * Exchange per unaligned side, the same cost class as any shuffled join —
+  * then [[AsOfJoinExec]] streams a per-partition MERGE holding exactly ONE
+  * buffered right row (the current key's latest-so-far): O(|L|+|R|) time,
+  * O(1) state, no join buffer, no per-key group materialization. Contrast
+  * the window form, which unions both inputs through one shuffle — same
+  * asymptotics, but the native operator never widens the left rows with
+  * carried-state columns and keeps both inputs independently prunable.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute)
+  extends BinaryNode {
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: one custom exec per [[AsOfJoinPlan]] node. Injectable via
+  * `SparkSessionExtensions.injectPlannerStrategy` or appended at runtime to
+  * `spark.experimental.extraStrategies` (what [[AsOf.backward]] does, so
+  * driver sessions need no build-time config). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // hash-cluster both sides on the key: EnsureRequirements co-partitions
+  // them (and reuses an existing partitioning when a side already complies
+  // — e.g. a bucketed table joins shuffle-free here too)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // per-partition (key, time) order is what makes the single-pass merge
+  // with O(1) buffered state correct
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val lTimeExpr = BindReferences.bindReference(leftTime, left.output)
+    val rTimeExpr = BindReferences.bindReference(rightTime, right.output)
+    // ship TYPES, not orderings — interpreted orderings are built per
+    // partition (they are not serializable; same discipline as SMJ)
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.length
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+      val lKeyProj = UnsafeProjection.create(lKeyExprs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs)
+      // consumers (incl. SparkPlan.getByteArrayRdd at a collect root)
+      // require UnsafeRow output — flatten the JoinedRow like SMJ does
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow()
+
+      // one-row lookahead over the right side
+      var rRow: InternalRow = null
+      var rKey: InternalRow = null
+      var rTime: Any = null
+      def advanceRight(): Unit = {
+        rRow = null
+        while (rRow == null && rIter.hasNext) {
+          val cand = rIter.next()
+          val t = rTimeExpr.eval(cand)
+          if (t != null) { // null right times can never satisfy rt <= lt
+            rRow = cand
+            rKey = rKeyProj(cand).copy()
+            rTime = t
+          }
+        }
+      }
+      advanceRight()
+
+      // the O(1) held state: latest right row seen for the key it carries
+      var heldRow: InternalRow = null
+      var heldKey: InternalRow = null
+
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeExpr.eval(l)
+          if (lTime != null) {
+            // consume every right row at-or-before (lKey, lTime); rows of
+            // smaller keys pass through unheld, matching-key rows replace
+            // the held row (later time wins — inputs are time-sorted)
+            var advancing = true
+            while (advancing && rRow != null) {
+              val c = keyOrdering.compare(rKey, lKey)
+              if (c < 0) advanceRight()
+              else if (c == 0 &&
+                timeOrdering.asInstanceOf[Ordering[Any]].lteq(rTime, lTime)) {
+                heldRow = rRow.copy(); heldKey = rKey
+                advanceRight()
+              } else advancing = false
+            }
+          }
+          val matched = lTime != null && heldRow != null &&
+            keyOrdering.compare(heldKey, lKey) == 0
+          resultProj(joined(l, if (matched) heldRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API for the native as-of join. */
+object AsOf {
+  /** Backward as-of join `left` ⟕asof `right` on equal keys with the
+    * latest `rightTimeCol <= leftTimeCol`. Column names resolve against
+    * each side's analyzed output (alias the right side first when joining
+    * a table to itself — fresh attributes keep the two sides distinct,
+    * exactly like Dataset self-joins). Registers [[AsOfJoinStrategy]] in
+    * the session's experimental strategies on first use.
+    */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        sys.error(s"as-of join: no column '$name' in [${p.output.map(_.name).mkString(", ")}]"))
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(
+      lp, rp,
+      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+  }
+}

@@ -14,6 +14,15 @@ import org.apache.spark.sql.classic.{ColumnConversions, ExpressionUtils}
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** DataFrame from a custom LogicalPlan (Dataset.ofRows is private[sql]) —
+    * the entry point a custom operator's public API needs once its logical
+    * node is built. Delegates; nothing reimplemented. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** EAGER conversion (ColumnConversions.expression runs the column-node →
     * expression converter immediately): the lazy wrapper from
     * ExpressionUtils.expression is a leaf the analyzer will not descend
