@@ -91,6 +91,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("e_ts").as("last_error_ts"))
     }),
+    // FORWARD as-of with tolerance (pandas merge_asof parity) through the
+    // same custom exec: each error's next purchase within one hour
+    "asof_next_purchase" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      graft.plans.AsOf
+        .forward(errors, purchases, "user_id", "p_user", "ts", "p_ts",
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_ts").as("next_purchase_ts"))
+    }),
     "events_last_hour" -> ((s, dir) =>
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     // keyless point-in-interval range join, planned as a binned equi-join
@@ -1607,6 +1622,25 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
            ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    // replica of the FORWARD+tolerance as-of without the custom operator:
+    // union both event classes, carry the earliest following purchase ts
+    // per user (errors sort before same-instant purchases so the inclusive
+    // tie is in the following frame), bound by the 1-hour tolerance
+    "asof_next_purchase" ->
+      """WITH u AS (
+           SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+           FROM events WHERE event_type IN ('error', 'purchase')),
+         w AS (
+           SELECT event_id, user_id, ts, event_type,
+             min(p_ts) OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+           FROM u)
+         SELECT event_id, user_id, ts,
+           CASE WHEN next_p <= ts + INTERVAL 1 HOUR THEN next_p END
+             AS next_purchase_ts
+         FROM w WHERE event_type = 'error'""",
     // identical to asof_last_error BY DESIGN: the custom physical operator
     // must reproduce the window formulation — the shared replica is the
     // equivalence proof

@@ -38,10 +38,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-    leftTime: Attribute, rightTime: Attribute)
+    leftTime: Attribute, rightTime: Attribute,
+    forward: Boolean = false, tolerance: Option[Long] = None)
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -55,8 +57,8 @@ final case class AsOfJoinPlan(
   * driver sessions need no build-time config). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +66,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    forward: Boolean, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -126,9 +129,16 @@ final case class AsOfJoinExec(
       }
       advanceRight()
 
-      // the O(1) held state: latest right row seen for the key it carries
+      // the O(1) held state (backward only): latest right row seen for the
+      // key it carries
       var heldRow: InternalRow = null
       var heldKey: InternalRow = null
+      var heldTime: Any = null
+      // integral view of a time value for the tolerance bound (timestamps
+      // surface as Long micros internally, dates as Int days)
+      def toLong(v: Any): Long = v.asInstanceOf[Number].longValue
+      def withinTol(earlier: Any, later: Any): Boolean =
+        tolerance.forall(t => toLong(later) - toLong(earlier) <= t)
 
       new Iterator[InternalRow] {
         override def hasNext: Boolean = lIter.hasNext
@@ -136,24 +146,45 @@ final case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeExpr.eval(l)
+          val tOrd = timeOrdering.asInstanceOf[Ordering[Any]]
+          var matched = false
+          var matchRow: InternalRow = null
           if (lTime != null) {
-            // consume every right row at-or-before (lKey, lTime); rows of
-            // smaller keys pass through unheld, matching-key rows replace
-            // the held row (later time wins — inputs are time-sorted)
-            var advancing = true
-            while (advancing && rRow != null) {
-              val c = keyOrdering.compare(rKey, lKey)
-              if (c < 0) advanceRight()
-              else if (c == 0 &&
-                timeOrdering.asInstanceOf[Ordering[Any]].lteq(rTime, lTime)) {
-                heldRow = rRow.copy(); heldKey = rKey
-                advanceRight()
-              } else advancing = false
+            if (forward) {
+              // consume right rows strictly BEFORE (lKey, lTime) — no later
+              // left row (keys/times only grow) can need them; the match is
+              // the lookahead row itself, left UNCONSUMED so every earlier
+              // left row of the same key can share it
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrdering.compare(rKey, lKey)
+                if (c < 0 || (c == 0 && tOrd.lt(rTime, lTime))) advanceRight()
+                else advancing = false
+              }
+              if (rRow != null && keyOrdering.compare(rKey, lKey) == 0 &&
+                withinTol(lTime, rTime)) {
+                matched = true; matchRow = rRow
+              }
+            } else {
+              // consume every right row at-or-before (lKey, lTime); rows of
+              // smaller keys pass through unheld, matching-key rows replace
+              // the held row (later time wins — inputs are time-sorted)
+              var advancing = true
+              while (advancing && rRow != null) {
+                val c = keyOrdering.compare(rKey, lKey)
+                if (c < 0) advanceRight()
+                else if (c == 0 && tOrd.lteq(rTime, lTime)) {
+                  heldRow = rRow.copy(); heldKey = rKey; heldTime = rTime
+                  advanceRight()
+                } else advancing = false
+              }
+              if (heldRow != null && keyOrdering.compare(heldKey, lKey) == 0 &&
+                withinTol(heldTime, lTime)) {
+                matched = true; matchRow = heldRow
+              }
             }
           }
-          val matched = lTime != null && heldRow != null &&
-            keyOrdering.compare(heldKey, lKey) == 0
-          resultProj(joined(l, if (matched) heldRow else nullRight))
+          resultProj(joined(l, if (matched) matchRow else nullRight))
         }
       }
     }
@@ -164,18 +195,43 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Public API for the native as-of join. */
+/** Public API for the native as-of join — pandas `merge_asof` surface:
+  * backward (latest at-or-before), forward (earliest at-or-after), both
+  * with an optional tolerance bound, expressed in the time column's
+  * internal units (MICROSECONDS for timestamps, days for dates, raw for
+  * integral columns). */
 object AsOf {
   /** Backward as-of join `left` ⟕asof `right` on equal keys with the
-    * latest `rightTimeCol <= leftTimeCol`. Column names resolve against
-    * each side's analyzed output (alias the right side first when joining
-    * a table to itself — fresh attributes keep the two sides distinct,
-    * exactly like Dataset self-joins). Registers [[AsOfJoinStrategy]] in
-    * the session's experimental strategies on first use.
+    * latest `rightTimeCol <= leftTimeCol` (and `>= leftTime − tolerance`
+    * when one is given). Column names resolve against each side's analyzed
+    * output (alias the right side first when joining a table to itself —
+    * fresh attributes keep the two sides distinct, exactly like Dataset
+    * self-joins). Registers [[AsOfJoinStrategy]] in the session's
+    * experimental strategies on first use.
     */
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String,
+               tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol,
+      forward = false, tolerance)
+
+  /** Forward as-of join: the EARLIEST `rightTimeCol >= leftTimeCol` (and
+    * `<= leftTime + tolerance` when one is given) per key. Same physical
+    * contract as backward; the merge needs no buffered row at all — the
+    * lookahead right row is the match, shared by every earlier left row
+    * of its key. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTimeCol: String, rightTimeCol: String,
+              tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol,
+      forward = true, tolerance)
+
+  private def join(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -188,6 +244,6 @@ object AsOf {
     ColumnBridge.ofRows(spark, AsOfJoinPlan(
       lp, rp,
       Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+      attr(lp, leftTimeCol), attr(rp, rightTimeCol), forward, tolerance))
   }
 }

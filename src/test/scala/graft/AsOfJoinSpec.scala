@@ -75,6 +75,55 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("forward as-of: earliest at-or-after, shared match, tolerance bound") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 08:00:00")), // -> e1 (first at-or-after)
+      (2L, 10L, ts("2024-01-01 08:30:00")), // -> e1 too (shared, unconsumed)
+      (3L, 10L, ts("2024-01-01 09:00:00")), // tie -> e1 (inclusive)
+      (4L, 10L, ts("2024-01-01 09:15:00")), // -> e2
+      (5L, 10L, ts("2024-01-01 11:00:00")), // nothing after -> null
+      (6L, 20L, ts("2024-01-01 08:00:00"))  // keyless -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0), // e1
+      (10L, ts("2024-01-01 09:30:00"), 2.0)  // e2
+    ).toDF("e_user", "e_ts", "e_val")
+    val out = graft.plans.AsOf
+      .forward(left, right, "user_id", "e_user", "ts", "e_ts")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("e_ts"))).toMap
+    assert(out(1L) == Some(ts("2024-01-01 09:00:00")))
+    assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
+    assert(out(3L) == Some(ts("2024-01-01 09:00:00")))
+    assert(out(4L) == Some(ts("2024-01-01 09:30:00")))
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+    // 30-minute tolerance (micros): row 1 (gap 60 min) loses its match,
+    // rows 2-4 (gaps 30/0/15 min) keep theirs
+    val tol = graft.plans.AsOf
+      .forward(left, right, "user_id", "e_user", "ts", "e_ts",
+        tolerance = Some(30L * 60 * 1000000))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("e_ts"))).toMap
+    assert(tol(1L).isEmpty)
+    assert(tol(2L) == Some(ts("2024-01-01 09:00:00")))
+    assert(tol(3L) == Some(ts("2024-01-01 09:00:00")))
+    assert(tol(4L) == Some(ts("2024-01-01 09:30:00")))
+  }
+
+  test("backward tolerance: stale matches drop, fresh ones survive") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // gap 60 min -> dropped
+      (2L, 10L, ts("2024-01-01 09:10:00"))  // gap 10 min -> kept
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"))).toDF("e_user", "e_ts")
+    val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts",
+        tolerance = Some(30L * 60 * 1000000))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Timestamp]("e_ts"))).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
