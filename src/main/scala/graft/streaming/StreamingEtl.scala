@@ -381,6 +381,32 @@ object StreamingEtl {
       }
   }
 
+  /** Streaming mergeable-histogram maintenance — the incremental form of
+    * the batch quantile sketch
+    * ([[graft.operators.Relational.valueHistQuantiles]]): per
+    * (event_type, bucket) counts accumulate across micro-batches in the
+    * state store behind an Update-mode aggregation. Because the sketch is
+    * a plain additive histogram, streaming-maintained counts equal the
+    * batch histogram over the same data by associativity (spec-asserted),
+    * and any quantile is answerable from the ≤ groups·buckets state at
+    * any moment — no raw-value retention, the same O(B) contract as the
+    * batch form. Bounds come calibrated from history (the batch sketch or
+    * column stats); they are parameters here, matching how a deployed
+    * sketch pins its grid so estimates stay comparable across restarts.
+    */
+  def valueHistogramStreaming(events: DataFrame, lo: Double, hi: Double,
+                              buckets: Int = 256): DataFrame = {
+    val width = (hi - lo) / buckets
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(lit(buckets - 1L),
+          greatest(lit(0L), floor((col("value") - lit(lo)) / lit(width))))
+          .cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact deduplication — the ingestion-time form of the batch
     * content-hash dedup (TextOps.exactDedup): keep the first record per
     * content hash, drop replays arriving later. `dropDuplicatesWithinWatermark`

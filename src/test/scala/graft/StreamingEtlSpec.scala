@@ -618,4 +618,38 @@ class StreamingEtlSpec extends AnyFunSuite {
       assert(batchClosed == closed)
     } finally q.stop()
   }
+
+  test("streaming histogram sketch: cross-batch counts equal the batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val (lo, hi) = (0.0, 100.0)
+    val q = StreamingEtl.valueHistogramStreaming(
+        input.toDF().toDF("event_type", "value"), lo, hi, buckets = 16)
+      .writeStream.format("memory").queryName("histsketch")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq(("purchase", 1.0), ("purchase", 7.0), ("error", 99.9),
+        ("purchase", 6.26), ("error", 0.0))
+      val batch2 = Seq(("purchase", 1.5), ("purchase", 50.0), ("error", 99.0),
+        ("purchase", 100.0)) // 100.0 clamps into the last bucket
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update mode re-emits refreshed rows; the latest emission per
+      // (type, bucket) is the maintained count
+      val streamed = spark.table("histsketch").collect()
+        .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("cnt")).max }
+      val width = (hi - lo) / 16
+      val expected = (batch1 ++ batch2)
+        .groupBy { case (t, v) =>
+          (t, math.min(15L, math.max(0L, math.floor((v - lo) / width).toLong))) }
+        .map { case (k, vs) => k -> vs.size.toLong }
+      assert(streamed == expected)
+      // state is bucket-bounded: no (type, bucket) pair exceeds the grid
+      assert(streamed.keys.forall { case (_, b) => b >= 0 && b < 16 })
+    } finally q.stop()
+  }
 }
