@@ -20,8 +20,14 @@ import graft.operators.{Similarity, TextOps}
   * imperatively via [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // the custom as-of operator's planner strategy + its pushdown rule
+    // (build-time registration; AsOf.backward/forward also self-register
+    // at runtime through spark.experimental for extension-less sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
+  }
 }
 
 object GraftFunctions {

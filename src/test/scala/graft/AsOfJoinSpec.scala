@@ -124,6 +124,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
   }
 
+  test("left-only filters push below the as-of join and reach the scan") {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val df = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+      .filter(col("event_id") < 500L && col("e_ts").isNotNull)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the left-only conjunct sinks below the AsOfJoin node...
+    assert("AsOfJoinPlan|asofjoinplan|AsOfJoin".r.findFirstIn(optimized).isDefined, optimized)
+    assert(optimized.indexOf("event_id") > optimized.indexOf("AsOfJoin") ||
+      !optimized.substring(0, optimized.indexOf("AsOfJoin")).contains("event_id#"),
+      optimized)
+    // ...and lands as a data-source pushed filter on the left parquet scan
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("LessThan(event_id,500)"), physical)
+    // the right-side conjunct must NOT reach the right child (null-extension
+    // semantics) — it stays as a post-join filter
+    assert(!physical.contains("IsNotNull(e_ts)"), physical)
+    // and semantics are unchanged vs the independent window formulation
+    val window = graft.operators.Relational.lastErrorBeforePurchase(events)
+      .where(col("event_id") < 500L && col("last_error_ts").isNotNull)
+    assert(df.count() == window.count() && df.count() > 0)
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
