@@ -8,10 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.{
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning}
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.internal.SQLConf
 
 /** Native AS-OF (backward) join — the brief's extension tier (c): a custom
   * `LogicalPlan` + `SparkStrategy` + `SparkPlan`, for the one whole-operator
@@ -51,14 +53,28 @@ final case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: one custom exec per [[AsOfJoinPlan]] node. Injectable via
-  * `SparkSessionExtensions.injectPlannerStrategy` or appended at runtime to
-  * `spark.experimental.extraStrategies` (what [[AsOf.backward]] does, so
-  * driver sessions need no build-time config). */
+/** Planner rule: one custom exec per [[AsOfJoinPlan]] node — and the
+  * STATISTICS-DRIVEN physical choice every shuffled operator owes its
+  * users: when the right side's estimated size fits the session's
+  * `autoBroadcastJoinThreshold`, plan [[BroadcastAsOfJoinExec]] (left side
+  * untouched — no shuffle, no sort; the dim broadcasts like any small
+  * dimension) instead of the shuffle-merge [[AsOfJoinExec]]. At sf0.01 the
+  * error dimension broadcasts; at sf0.1+ the same query flips to the
+  * merge — both paths driver-oracled. Injectable via
+  * `SparkSessionExtensions.injectPlannerStrategy` or appended at runtime
+  * to `spark.experimental.extraStrategies` (what [[AsOf.backward]] does,
+  * so driver sessions need no build-time config). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(lk, rk, lt, rt, fwd, tol,
+            planLater(l), planLater(r))
+        else
+          AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -192,6 +208,115 @@ final case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast variant of the as-of join: the RIGHT side (a small dimension
+  * — error log, rate table, calendar) broadcasts whole via Spark's own
+  * BroadcastExchange (IdentityBroadcastMode), and each task builds a
+  * per-key time-sorted index once, then answers every left row with a
+  * binary search. The left side keeps its partitioning AND ordering — no
+  * shuffle, no sort, the same reason small dims broadcast everywhere
+  * else: at 100 TB the fact side never moves. Chosen automatically by
+  * [[AsOfJoinStrategy]] when right-side stats fit the broadcast
+  * threshold. */
+final case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean, tolerance: Option[Long],
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // the whole point: left flows through untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val lTimeExpr = BindReferences.bindReference(leftTime, left.output)
+    val rTimeExpr = BindReferences.bindReference(rightTime, right.output)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.length
+    val outputAttrs = output
+    val fwd = forward
+    val tol = tolerance
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+        .asInstanceOf[Ordering[Any]]
+      val lKeyProj = UnsafeProjection.create(lKeyExprs)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs)
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow()
+      def toLong(v: Any): Long = v.asInstanceOf[Number].longValue
+
+      // per-task index: key -> (times, rows) sorted by time. The dim is
+      // threshold-bounded, so the build is O(|R| log |R|) over a small R —
+      // the same per-task cost class as a broadcast hash join's hashing.
+      val index = new java.util.HashMap[InternalRow, (Array[Any], Array[InternalRow])]()
+      locally {
+        val grouped = new java.util.HashMap[
+          InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val t = rTimeExpr.eval(r)
+          if (t != null) { // null times never match
+            val k = rKeyProj(r).copy()
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+              grouped.put(k, buf)
+            }
+            buf += ((t, r))
+          }
+        }
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sortBy(_._1)(timeOrdering)
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+
+      lIter.map { l =>
+        val lTime = lTimeExpr.eval(l)
+        var matchRow: InternalRow = null
+        if (lTime != null) {
+          val entry = index.get(lKeyProj(l))
+          if (entry != null) {
+            val (times, rows) = entry
+            // binary search: position of the first time > lTime
+            var lo = 0; var hi = times.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrdering.lteq(times(mid), lTime)) lo = mid + 1 else hi = mid
+            }
+            if (fwd) {
+              // first time >= lTime: step back over the == run
+              var i = lo
+              while (i > 0 && timeOrdering.equiv(times(i - 1), lTime)) i -= 1
+              if (i < times.length &&
+                tol.forall(t => toLong(times(i)) - toLong(lTime) <= t))
+                matchRow = rows(i)
+            } else if (lo > 0 &&
+              tol.forall(t => toLong(lTime) - toLong(times(lo - 1)) <= t)) {
+              matchRow = rows(lo - 1)
+            }
+          }
+        }
+        resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -5,19 +5,37 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{AsOf, AsOfJoinExec}
+import graft.plans.AsOf
 import graft.sources.Tables
 
 /** The native as-of join (custom LogicalPlan + Strategy + SparkPlan):
   * semantics against hand-built edges, equivalence with the window
-  * formulation on real data, and the physical contract (the exec node
-  * plans with at most one Exchange per side and no join buffer). */
+  * formulation on real data, and both physical contracts — shuffle-merge
+  * (one Exchange per side, one buffered row) and statistics-chosen
+  * broadcast (left untouched, right broadcast + binary search). */
 class AsOfJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Run `body` once per physical path: default broadcast threshold (tiny
+    * fixture dims take BroadcastAsOfJoinExec) and threshold -1 (forces the
+    * shuffle-merge AsOfJoinExec). Both execs must agree everywhere. */
+  private def bothPaths(body: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Seq("10485760", "-1").foreach { v =>
+        conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        body
+      }
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 
   test("backward as-of: latest at-or-before match, ties inclusive, no-match nulls") {
     val left = Seq(
@@ -32,16 +50,17 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, ts("2024-01-01 09:30:00"), 2.0), // e2
       (30L, ts("2024-01-01 13:00:00"), 3.0)  // after every user-30 purchase
     ).toDF("e_user", "e_ts", "e_val")
-
-    val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        ((Option(r.getAs[Timestamp]("e_ts")), Option(r.getAs[Any]("e_val"))))).toMap
-    assert(out.size == 5)
-    assert(out(1L) == ((Some(ts("2024-01-01 09:30:00")), Some(2.0))))
-    assert(out(2L) == ((Some(ts("2024-01-01 09:00:00")), Some(1.0))))
-    assert(out(3L) == ((None, None)))
-    assert(out(4L) == ((None, None)))
-    assert(out(5L) == ((None, None)))
+    bothPaths {
+      val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[Timestamp]("e_ts")), Option(r.getAs[Any]("e_val"))))).toMap
+      assert(out.size == 5)
+      assert(out(1L) == ((Some(ts("2024-01-01 09:30:00")), Some(2.0))))
+      assert(out(2L) == ((Some(ts("2024-01-01 09:00:00")), Some(1.0))))
+      assert(out(3L) == ((None, None)))
+      assert(out(4L) == ((None, None)))
+      assert(out(5L) == ((None, None)))
+    }
   }
 
   test("native as-of equals the window formulation on real data") {
@@ -50,29 +69,56 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
-    val native = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("e_ts").as("last_error_ts"))
     val window = graft.operators.Relational.lastErrorBeforePurchase(events)
-    assert(native.exceptAll(window).count() == 0 &&
-      window.exceptAll(native).count() == 0)
-    assert(native.count() > 0)
+    bothPaths {
+      val native = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("e_ts").as("last_error_ts"))
+      assert(native.exceptAll(window).count() == 0 &&
+        window.exceptAll(native).count() == 0)
+      assert(native.count() > 0)
+    }
   }
 
-  test("physical contract: AsOfJoinExec node, one Exchange per side, merge not buffer") {
+  test("merge path: AsOfJoin node, one Exchange per side, no join buffer") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val events = Tables.events(spark, dir)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = events.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      val df = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+      df.count() // force execution so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin"), plan)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 2, s"expected <=2 Exchanges, got $exchanges:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("broadcast path: stats pick BroadcastAsOfJoin, zero shuffles, left untouched") {
     val events = Tables.events(spark, dir)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    // sf0.001 errors are far under the default 10 MB threshold
     val df = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
-    df.count() // force execution so AQE finalizes the plan
+    df.count()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), plan) // nodeName strips the Exec suffix
-    val exchanges = "(?m)^\\s*[+:]?[- ]*(?:\\*\\(\\d+\\) )?Exchange".r
-      .findAllIn(plan).length
-    assert(exchanges <= 2, s"expected <=2 Exchanges, got $exchanges:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast path must not shuffle either side:\n$plan")
+    assert("(?m)^\\s*[+:][- ]*Sort ".r.findFirstIn(plan).isEmpty,
+      s"broadcast path must not sort the left side:\n$plan")
   }
 
   test("forward as-of: earliest at-or-after, shared match, tolerance bound") {
@@ -88,26 +134,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, ts("2024-01-01 09:00:00"), 1.0), // e1
       (10L, ts("2024-01-01 09:30:00"), 2.0)  // e2
     ).toDF("e_user", "e_ts", "e_val")
-    val out = graft.plans.AsOf
-      .forward(left, right, "user_id", "e_user", "ts", "e_ts")
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[Timestamp]("e_ts"))).toMap
-    assert(out(1L) == Some(ts("2024-01-01 09:00:00")))
-    assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
-    assert(out(3L) == Some(ts("2024-01-01 09:00:00")))
-    assert(out(4L) == Some(ts("2024-01-01 09:30:00")))
-    assert(out(5L).isEmpty && out(6L).isEmpty)
-    // 30-minute tolerance (micros): row 1 (gap 60 min) loses its match,
-    // rows 2-4 (gaps 30/0/15 min) keep theirs
-    val tol = graft.plans.AsOf
-      .forward(left, right, "user_id", "e_user", "ts", "e_ts",
-        tolerance = Some(30L * 60 * 1000000))
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[Timestamp]("e_ts"))).toMap
-    assert(tol(1L).isEmpty)
-    assert(tol(2L) == Some(ts("2024-01-01 09:00:00")))
-    assert(tol(3L) == Some(ts("2024-01-01 09:00:00")))
-    assert(tol(4L) == Some(ts("2024-01-01 09:30:00")))
+    bothPaths {
+      val out = AsOf.forward(left, right, "user_id", "e_user", "ts", "e_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Timestamp]("e_ts"))).toMap
+      assert(out(1L) == Some(ts("2024-01-01 09:00:00")))
+      assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
+      assert(out(3L) == Some(ts("2024-01-01 09:00:00")))
+      assert(out(4L) == Some(ts("2024-01-01 09:30:00")))
+      assert(out(5L).isEmpty && out(6L).isEmpty)
+      // 30-minute tolerance (micros): row 1 (gap 60 min) loses its match,
+      // rows 2-4 (gaps 30/0/15 min) keep theirs
+      val tol = AsOf.forward(left, right, "user_id", "e_user", "ts", "e_ts",
+          tolerance = Some(30L * 60 * 1000000))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Timestamp]("e_ts"))).toMap
+      assert(tol(1L).isEmpty)
+      assert(tol(2L) == Some(ts("2024-01-01 09:00:00")))
+      assert(tol(3L) == Some(ts("2024-01-01 09:00:00")))
+      assert(tol(4L) == Some(ts("2024-01-01 09:30:00")))
+    }
   }
 
   test("backward tolerance: stale matches drop, fresh ones survive") {
@@ -116,12 +162,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, 10L, ts("2024-01-01 09:10:00"))  // gap 10 min -> kept
     ).toDF("event_id", "user_id", "ts")
     val right = Seq((10L, ts("2024-01-01 09:00:00"))).toDF("e_user", "e_ts")
-    val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts",
-        tolerance = Some(30L * 60 * 1000000))
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[Timestamp]("e_ts"))).toMap
-    assert(out(1L).isEmpty)
-    assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
+    bothPaths {
+      val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts",
+          tolerance = Some(30L * 60 * 1000000))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Timestamp]("e_ts"))).toMap
+      assert(out(1L).isEmpty)
+      assert(out(2L) == Some(ts("2024-01-01 09:00:00")))
+    }
   }
 
   test("left-only filters push below the as-of join and reach the scan") {
@@ -132,13 +180,8 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
     val df = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
       .filter(col("event_id") < 500L && col("e_ts").isNotNull)
-    val optimized = df.queryExecution.optimizedPlan.toString
-    // the left-only conjunct sinks below the AsOfJoin node...
-    assert("AsOfJoinPlan|asofjoinplan|AsOfJoin".r.findFirstIn(optimized).isDefined, optimized)
-    assert(optimized.indexOf("event_id") > optimized.indexOf("AsOfJoin") ||
-      !optimized.substring(0, optimized.indexOf("AsOfJoin")).contains("event_id#"),
-      optimized)
-    // ...and lands as a data-source pushed filter on the left parquet scan
+    // the left-only conjunct lands as a data-source pushed filter on the
+    // left parquet scan
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("LessThan(event_id,500)"), physical)
     // the right-side conjunct must NOT reach the right child (null-extension
@@ -159,10 +202,12 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, Option(ts("2024-01-01 09:00:00"))),
       (10L, Option.empty[Timestamp])
     ).toDF("e_user", "e_ts")
-    val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
-      .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[Timestamp]("e_ts"))).toMap
-    assert(out(1L) == Some(ts("2024-01-01 09:00:00")))
-    assert(out(2L).isEmpty)
+    bothPaths {
+      val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Timestamp]("e_ts"))).toMap
+      assert(out(1L) == Some(ts("2024-01-01 09:00:00")))
+      assert(out(2L).isEmpty)
+    }
   }
 }
