@@ -156,4 +156,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("event_value_hist_quantiles: sketch path — no row-scale window, bounds broadcast") {
+    val p = plan("event_value_hist_quantiles")
+    // the whole point vs the exact percentiles: NO Window over raw rows —
+    // ranking happens on histogram rows only (post-shuffle ≤ groups·256)
+    assert(!p.contains("RunningWindowFunction") && count(p, "Window") <= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // per-type bounds and the threshold table ride broadcasts, never a
+    // shuffled join against the fact
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("user_scd2_incremental: each slice reuses ONE user exchange; no cartesian") {
+    val p = plan("user_scd2_incremental")
+    // 3 slices x (windows + run agg) plus the slice scans — but per slice
+    // the change-flag window, run-sum window, run agg, and lead window all
+    // share the user_id exchange; only the final union adds none
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
