@@ -27,7 +27,20 @@ object Smoke {
          graft_round_fixed4(avg(size(graft_tokens(text)))) AS avg_tokens
          FROM documents GROUP BY lang""").collect()
     println(s"SMOKE_SQL_ROWS=${sqlRows.length}")
+
+    // custom-operator surface: the native as-of join planned through the
+    // extension-injected strategy (broadcast path at this SF)
+    import org.apache.spark.sql.functions.col
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val asofRows = graft.plans.AsOf.backward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("ts").as("e_ts")),
+        "user_id", "e_user", "ts", "e_ts")
+      .filter(col("e_ts").isNotNull).count()
+    println(s"SMOKE_ASOF_ROWS=$asofRows")
     spark.stop()
-    if (n <= 0 || sqlRows.isEmpty) sys.exit(1)
+    if (n <= 0 || sqlRows.isEmpty || asofRows <= 0) sys.exit(1)
   }
 }
