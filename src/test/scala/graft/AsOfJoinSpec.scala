@@ -193,6 +193,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(df.count() == window.count() && df.count() > 0)
   }
 
+  test("empty sides: empty right null-extends every left row; empty left is empty") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Timestamp)].toDF("e_user", "e_ts")
+    bothPaths {
+      val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts").collect()
+      assert(out.length == 1 && out.head.getAs[Timestamp]("e_ts") == null)
+      val fwd = AsOf.forward(left, right, "user_id", "e_user", "ts", "e_ts").collect()
+      assert(fwd.length == 1 && fwd.head.getAs[Timestamp]("e_ts") == null)
+      val noLeft = AsOf.backward(
+        left.filter(col("event_id") < 0L), right.unionAll(
+          Seq((10L, ts("2024-01-01 09:00:00"))).toDF("e_user", "e_ts")),
+        "user_id", "e_user", "ts", "e_ts")
+      assert(noLeft.count() == 0)
+    }
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
