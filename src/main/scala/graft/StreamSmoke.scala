@@ -108,7 +108,27 @@ object StreamSmoke {
     val snapDiff = snapLast.exceptAll(batchInts).count() +
       batchInts.exceptAll(snapLast).count()
     println(s"SNAP_GROUPS=${snapLast.count()} SNAP_OK=${snapDiff == 0}")
+
+    // streaming histogram sketch over the same real staged stream: the
+    // maintained (type, bucket) counts must equal the batch histogram
+    // computed on the batch-read events (additivity on real data, not just
+    // the fixture spec)
+    val stream4 = StreamingEtl.readEventsStream(spark, staged.toString)
+    val q4 = StreamingEtl.valueHistogramStreaming(stream4, lo = 0.0, hi = 100.0)
+      .writeStream.format("memory").queryName("stream_hist")
+      .outputMode("update").start()
+    q4.processAllAvailable()
+    q4.stop()
+    val histLast = spark.table("stream_hist")
+      .groupBy("event_type", "bucket")
+      .agg(max(col("cnt")).as("cnt")) // update-mode: counts are monotone
+    val histBatch = StreamingEtl.valueHistogramStreaming(
+      Tables.events(spark, dir), lo = 0.0, hi = 100.0)
+    val histDiff = histLast.exceptAll(histBatch).count() +
+      histBatch.exceptAll(histLast).count()
+    println(s"HIST_GROUPS=${histLast.count()} HIST_OK=${histDiff == 0}")
     spark.stop()
-    if (diff != 0 || nStream != nBatch || snapDiff != 0) sys.exit(1)
+    if (diff != 0 || nStream != nBatch || snapDiff != 0 || histDiff != 0)
+      sys.exit(1)
   }
 }

@@ -126,18 +126,30 @@ object Tables {
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, LogicalTypeAnnotation.TimeUnit]()
   private def eventsTsUnit(spark: SparkSession, sfDir: String): LogicalTypeAnnotation.TimeUnit =
-    tsUnitCache.computeIfAbsent(sfDir, { dir =>
+    tsUnitOfPath(spark, s"$sfDir/events.parquet")
+
+  /** The `ts` logical-type unit declared by the footer of an events-shaped
+    * parquet file (or the first file of a directory) — shared by the batch
+    * reader and the streaming source, so both branch identically on the
+    * generator's encoding. */
+  private[graft] def tsUnitOfPath(spark: SparkSession,
+                                  path: String): LogicalTypeAnnotation.TimeUnit =
+    tsUnitCache.computeIfAbsent(path, { p =>
       import org.apache.hadoop.fs.Path
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(s"$dir/events.parquet")
+      val root = new Path(p)
       val fs = root.getFileSystem(conf)
       val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).head
-        else root
+        if (fs.getFileStatus(root).isDirectory) {
+          val files = fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          if (files.isEmpty) sys.error(
+            s"cannot probe ts encoding: no parquet files yet under $p — " +
+              "stage at least one file before opening the stream")
+          files.head
+        } else root
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
@@ -145,10 +157,22 @@ object Tables {
           .asPrimitiveType().getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
           case other => sys.error(
-            s"events.ts in $dir has unexpected logical type $other — testdata format changed?")
+            s"events.ts in $p has unexpected logical type $other — testdata format changed?")
         }
       } finally r.close()
     })
+
+  /** The nanos-aware read schema pair for events-shaped files, keyed by the
+    * footer: (schema to hand the reader, whether a ns→µs conversion must
+    * follow). Streaming and batch readers both use this. */
+  private[graft] def eventsReadPlan(spark: SparkSession,
+                                    path: String): (StructType, Boolean) =
+    tsUnitOfPath(spark, path) match {
+      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (eventsNanosReadSchema, true)
+      case _ => (eventsSchema, false)
+    }
 
   /** events reader, robust to the testdata generator's timestamp encoding.
     * The footer decides (drivers have regenerated the file across rounds with
@@ -160,16 +184,12 @@ object Tables {
     *     division — no double rounding). DuckDB (the driver's oracle) performs
     *     the identical ns→µs truncation, so both sides agree to the µs.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    eventsTsUnit(spark, sfDir) match {
-      case LogicalTypeAnnotation.TimeUnit.NANOS =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.schema(eventsNanosReadSchema)
-          .parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        read(spark, sfDir, "events")
-    }
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val (schema, convertNanos) = eventsReadPlan(spark, s"$sfDir/events.parquet")
+    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
+    if (convertNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")

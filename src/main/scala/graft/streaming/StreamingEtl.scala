@@ -32,17 +32,18 @@ object StreamingEtl {
 
   /** S1 streaming source analog: a file-stream over events-shaped parquet.
     * File sources need a directory; the schema is declared, never inferred
-    * (streaming requires it anyway). `ts` arrives as raw nanos (LongType)
-    * under the same legacy flag as the batch reader and is truncated to µs.
+    * (streaming requires it anyway). The ts encoding comes from the SAME
+    * footer probe as the batch reader ([[Tables.eventsReadPlan]]) — the r7
+    * testdata regen flipped TIMESTAMP(NANOS) to timestamp[us], and the
+    * streaming path must branch identically (StreamSmoke caught the
+    * unconditional ns→µs divide collapsing stream timestamps to 1970
+    * while batch was already fixed).
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = org.apache.spark.sql.types.StructType(
-      Tables.eventsSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    spark.readStream.schema(nanosSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (schema, convertNanos) = Tables.eventsReadPlan(spark, dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (convertNanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** T2/T3 declarative path: 1-day tumbling window + watermark, update mode.

@@ -25,6 +25,32 @@ class StreamingEtlSpec extends AnyFunSuite {
       .withColumnRenamed("tripType", "trip_type")
   }
 
+  test("readEventsStream decodes real testdata timestamps like the batch reader") {
+    // the r7 regen flipped events.ts from TIMESTAMP(NANOS) to timestamp[us];
+    // the streaming source must branch on the footer exactly like
+    // Tables.events (an unconditional ns->us divide collapses every stream
+    // timestamp into 1970 — caught by StreamSmoke, pinned here so sbt test
+    // fails too)
+    val dir = "/root/testdata/sf0.001"
+    val staged = java.nio.file.Files.createTempDirectory("graft-ts-probe")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamingEtl.readEventsStream(spark, staged.toString)
+      .writeStream.format("memory").queryName("ts_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val years = spark.table("ts_probe")
+        .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+        .head()
+      assert(years.getInt(0) >= 2000 && years.getInt(1) <= 2100,
+        s"stream ts years [${years.getInt(0)},${years.getInt(1)}] — encoding misread")
+      assert(spark.table("ts_probe").count() ==
+        graft.sources.Tables.events(spark, dir).count())
+    } finally q.stop()
+  }
+
   test("update-mode streaming aggregation converges to the batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
