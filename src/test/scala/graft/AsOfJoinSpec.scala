@@ -210,6 +210,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: both paths, both directions, with/without tolerance match a naive reference") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // small key/time domains force collisions, ties, and empty groups
+    val rowGen = for {
+      key <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 50L)
+    } yield (key, t)
+    val tableGen = Gen.listOfN(40, rowGen)
+
+    def naive(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long)],
+              fwd: Boolean, tol: Option[Long]): Map[Long, Option[Long]] =
+      left.map { case (id, k, t) =>
+        val cands = right.filter(_._1 == k).map(_._2)
+          .filter(rt => if (fwd) rt >= t else rt <= t)
+          .filter(rt => tol.forall(x =>
+            if (fwd) rt - t <= x else t - rt <= x))
+        id -> (if (cands.isEmpty) None
+               else Some(if (fwd) cands.min else cands.max))
+      }.toMap
+
+    val prop = Prop.forAll(tableGen, tableGen) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "user_id", "ts")
+      val right = r.toDF("e_user", "e_ts")
+      Seq((false, None), (true, None),
+        (false, Some(7L)), (true, Some(7L))).forall { case (fwd, tol) =>
+        val run = if (fwd)
+          AsOf.forward(left, right, "user_id", "e_user", "ts", "e_ts", tol)
+        else
+          AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts", tol)
+        val got = run.collect().map(row => row.getAs[Long]("event_id") ->
+          Option(row.get(row.fieldIndex("e_ts"))).map(_.asInstanceOf[Long])).toMap
+        val want = naive(
+          l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }, r, fwd, tol)
+        got == want
+      }
+    }
+    bothPaths {
+      val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
