@@ -1812,9 +1812,9 @@ object TextOps {
     * `ceil(p·n)`, the identical IEEE expression the oracle evaluates).
     * Output: (stratumCol, p, q).
     */
-  private[operators] def histQuantiles(rows: DataFrame, stratumCol: String,
-                                       valueCol: String,
-                                       ps: Seq[Double]): DataFrame = {
+  private[graft] def histQuantiles(rows: DataFrame, stratumCol: String,
+                                   valueCol: String,
+                                   ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = rows
       .groupBy(col(stratumCol), col(valueCol))

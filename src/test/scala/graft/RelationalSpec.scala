@@ -215,6 +215,58 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: scd2Incremental equals one-shot on random streams with ties") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import java.sql.Timestamp
+    import spark.implicits._
+    // tiny domains force same-user runs, same-instant ties (resolved by
+    // event_id), and users whose events all land in one slice
+    val evGen = for {
+      user <- Gen.choose(1L, 3L)
+      minute <- Gen.choose(0L, 30L)
+      typ <- Gen.oneOf("view", "click", "purchase")
+    } yield (user, minute, typ)
+    val prop = Prop.forAll(Gen.listOfN(25, evGen)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, m, t), i) =>
+        (i.toLong, new Timestamp(1704067200000L + m * 60000L), u, t, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val oneShot = Relational.scd2UserState(rows)
+      Seq(2, 4).forall { k =>
+        val inc = graft.operators.Incremental.scd2Incremental(rows, k)
+        inc.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(inc).count() == 0
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: histQuantiles picks the smallest value at cumulative >= ceil(p*n)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import spark.implicits._
+    val rowGen = for {
+      lang <- Gen.oneOf("en", "de")
+      v <- Gen.choose(0L, 12L)
+    } yield (lang, v)
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val df = rows.toDF("lang", "n_chars")
+      val got = graft.operators.TextOps.histQuantiles(df, "lang", "n_chars", ps)
+        .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("p")) ->
+          r.getAs[Long]("q")).toMap
+      rows.groupBy(_._1).forall { case (lang, g) =>
+        val sorted = g.map(_._2).sorted
+        ps.forall { p =>
+          val rank = math.ceil(p * sorted.length).toInt
+          got((lang, p)) == sorted(math.max(rank, 1) - 1)
+        }
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cube gid distinguishes subtotal NULLs; groups reconcile") {
     val out = Relational.pricingCube(Tables.lineitem(spark, dir)).collect()
     val byGid = out.groupBy(_.getAs[Long]("gid"))
