@@ -269,6 +269,9 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) =>
       TextOps.fingerprintsCanonical(Tables.documents(s, dir))),
     "doc_curation" -> ((s, dir) => TextOps.curationPipeline(Tables.documents(s, dir))),
+    // corpus datasheet (r7): the release-report profile — one scalar-agg
+    // pass stacked long, shared-histogram median, composition breakdowns
+    "doc_datasheet" -> ((s, dir) => TextOps.corpusDatasheet(Tables.documents(s, dir))),
     "doc_bpe_stats" -> ((s, dir) => TextOps.bpeTokenStats(Tables.documents(s, dir))),
     // float tfidf stays out of the oracled projection (two independent libm
     // ln()s could differ in the last ulp exactly on a rounding boundary) —
@@ -2339,6 +2342,45 @@ object SparkEntry {
                ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS BIGINT) AS rnk
            FROM tf JOIN dft USING (term) CROSS JOIN n)
          SELECT doc_id, term, tf, df, rnk FROM scored WHERE rnk <= 3""",
+    // replica of TextOps.corpusDatasheet: same scalar aggregates, same
+    // type-1 median via the histogram cumulative pick, same breakdowns
+    "doc_datasheet" ->
+      """WITH b AS (
+           SELECT lang, source, n_chars, text,
+             len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+               AS n_tokens
+           FROM documents),
+         tot AS (
+           SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(DISTINCT text) AS n_unique,
+             min(n_chars) AS cmin, max(n_chars) AS cmax
+           FROM b),
+         med AS (
+           SELECT min(n_chars) AS p50 FROM (
+             SELECT n_chars,
+               CAST(sum(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+             FROM (SELECT n_chars, count(*) AS cnt FROM b GROUP BY 1))
+           WHERE cum >= ceil(0.5 * n))
+         SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM tot
+         UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM tot
+         UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM tot
+         UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM tot
+         UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM tot
+         UNION ALL SELECT 'exact_dup_docs', CAST(n_docs - n_unique AS DOUBLE) FROM tot
+         UNION ALL SELECT 'avg_tokens_per_doc',
+           floor((CAST(total_tokens AS DOUBLE) / n_docs) * 1e4 + 0.5) / 1e4 FROM tot
+         UNION ALL SELECT 'chars_min', CAST(cmin AS DOUBLE) FROM tot
+         UNION ALL SELECT 'chars_max', CAST(cmax AS DOUBLE) FROM tot
+         UNION ALL SELECT 'chars_p50', CAST(p50 AS DOUBLE) FROM med
+         UNION ALL SELECT 'docs_lang:' || lang, CAST(count(*) AS DOUBLE)
+           FROM b GROUP BY lang
+         UNION ALL SELECT 'docs_source:' || source, CAST(count(*) AS DOUBLE)
+           FROM b GROUP BY source""",
     "doc_curation" ->
       """WITH toks AS (
            SELECT doc_id, lang, n_chars, text,

@@ -960,6 +960,64 @@ object TextOps {
       )
   }
 
+  /** Corpus DATASHEET — the one-stop profile report a dataset release ships
+    * ("Datasheets for Datasets", Gebru et al. 2018): headline counts,
+    * token/char volume, exact-duplication rate, length distribution, and
+    * per-lang/per-source composition, as one long-format (metric, value)
+    * table.
+    *
+    * Cost discipline at 100 TB: ONE corpus pass computes every scalar
+    * metric (a single hash agg; `stack` unpivots the 1-row result —
+    * metadata-scale), the median rides the shared [[histQuantiles]]
+    * histogram (its only global window runs over histogram rows, value-grid
+    * scale), and the two composition breakdowns are one group-by each.
+    * Values are doubles (counts exactly representable; the one ratio is
+    * `roundFixed`), so the whole report hash-oracles.
+    */
+  def corpusDatasheet(documents: DataFrame): DataFrame = {
+    val b = documents.select(col("lang"), col("source"), col("n_chars"),
+      col("text"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val wide = b.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(col("n_tokens")).as("total_tokens"),
+      countDistinct(col("text")).as("n_unique_texts"),
+      min(col("n_chars")).as("chars_min"),
+      max(col("n_chars")).as("chars_max"))
+    val scalar = wide.select(
+      col("n_docs").cast("double").as("n_docs"),
+      col("n_langs").cast("double").as("n_langs"),
+      col("n_sources").cast("double").as("n_sources"),
+      col("total_chars").cast("double").as("total_chars"),
+      col("total_tokens").cast("double").as("total_tokens"),
+      (col("n_docs") - col("n_unique_texts")).cast("double").as("exact_dup_docs"),
+      roundFixed(col("total_tokens").cast("double") / col("n_docs"), 4)
+        .as("avg_tokens_per_doc"),
+      col("chars_min").cast("double").as("chars_min"),
+      col("chars_max").cast("double").as("chars_max")
+    ).selectExpr(
+      """stack(9,
+           'n_docs', n_docs, 'n_langs', n_langs, 'n_sources', n_sources,
+           'total_chars', total_chars, 'total_tokens', total_tokens,
+           'exact_dup_docs', exact_dup_docs,
+           'avg_tokens_per_doc', avg_tokens_per_doc,
+           'chars_min', chars_min, 'chars_max', chars_max)
+         AS (metric, value)""")
+    val median = histQuantiles(
+      b.select(lit("all").as("stratum"), col("n_chars")),
+      "stratum", "n_chars", Seq(0.5))
+      .select(lit("chars_p50").as("metric"), col("q").cast("double").as("value"))
+    val byLang = b.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .select(concat(lit("docs_lang:"), col("lang")).as("metric"),
+        col("c").cast("double").as("value"))
+    val bySource = b.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .select(concat(lit("docs_source:"), col("source")).as("metric"),
+        col("c").cast("double").as("value"))
+    scalar.unionAll(median).unionAll(byLang).unionAll(bySource)
+  }
+
   /** Corpus vocabulary — the top-`topN` terms by document-corpus frequency
     * with a deterministic rank (count desc, term asc), the table a
     * tokenizer-training run starts from. Shaped for scale: one partial+final

@@ -684,4 +684,25 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(got.size == byLang.size * ps.size)
   }
+
+  test("datasheet metrics reconcile with direct computation") {
+    val rows = TextOps.corpusDatasheet(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    val n = docs.count().toDouble
+    assert(rows("n_docs") == n)
+    assert(rows("exact_dup_docs") ==
+      n - docs.select("text").distinct().count())
+    assert(rows("total_chars") ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0).toDouble)
+    // composition rows cover every lang and sum back to n_docs
+    val langRows = rows.filter(_._1.startsWith("docs_lang:"))
+    assert(langRows.values.sum == n)
+    assert(langRows.keySet.map(_.stripPrefix("docs_lang:")) ==
+      docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    // median is the type-1 global median of n_chars
+    val chars = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    assert(rows("chars_p50") == chars(math.ceil(0.5 * chars.length).toInt - 1).toDouble)
+    assert(rows("chars_min") == chars.head.toDouble &&
+      rows("chars_max") == chars.last.toDouble)
+  }
 }
