@@ -48,6 +48,24 @@ final case class AsOfJoinPlan(
   require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** Honest size estimate for planners ABOVE this node. Without it the
+    * stats visitor falls back to its unknown-binary-node default — the
+    * PRODUCT of the children's sizes — which makes any join stacked on an
+    * as-of result look terabyte-scale and kills its broadcast eligibility.
+    * As-of is 1:1 on left rows with right columns appended, so the output
+    * is bounded by |left| · (leftWidth + rightWidth): estimate it by
+    * scaling the left size by the width ratio (the SizeInBytesOnly
+    * discipline — row counts unknown, bytes proportional).
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val widthL = math.max(1, left.output.map(a => a.dataType.defaultSize).sum)
+    val widthR = right.output.map(a => a.dataType.defaultSize).sum
+    val size = left.stats.sizeInBytes * (widthL + widthR) / widthL
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = size.max(1), rowCount = left.stats.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)

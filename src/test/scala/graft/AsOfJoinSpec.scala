@@ -254,6 +254,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of output stats stay left-proportional, keeping downstream joins broadcastable") {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val asof = AsOf.backward(purchases, errors, "user_id", "e_user", "ts", "e_ts")
+    val node = asof.queryExecution.analyzed
+    val lSize = purchases.queryExecution.analyzed.stats.sizeInBytes
+    val rSize = errors.queryExecution.analyzed.stats.sizeInBytes
+    // the unknown-binary-node default would be the PRODUCT of the children;
+    // the override keeps it within a small multiple of the inputs' sum
+    assert(node.stats.sizeInBytes < (lSize + rSize) * 4,
+      s"asof stats ${node.stats.sizeInBytes} vs children $lSize + $rSize")
+    // consequence: a dimension joined ON TOP of the as-of result still
+    // broadcasts (the product estimate would push it over every threshold)
+    val enriched = asof.join(
+      Tables.supplier(spark, dir), col("user_id") % 10 === col("s_suppkey"))
+    enriched.count()
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension join above as-of did not broadcast:\n$plan")
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
