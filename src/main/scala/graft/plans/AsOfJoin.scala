@@ -46,6 +46,15 @@ final case class AsOfJoinPlan(
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
+  require(tolerance.isEmpty || {
+    import org.apache.spark.sql.types._
+    leftTime.dataType match {
+      case TimestampType | TimestampNTZType | DateType |
+           LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }, s"as-of tolerance needs an integral-comparable time type, " +
+    s"got ${leftTime.dataType.simpleString}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
