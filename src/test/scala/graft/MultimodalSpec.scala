@@ -388,6 +388,36 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec fuzz: corrupted compressed payloads terminate cleanly, never hang") {
+    // flip bytes in the COMPRESSED BODY (past the fixed header region —
+    // dimensions are out of scope: QOI/GIF carry no header checksum, and a
+    // flipped 16-bit dim is an allocation test, not a codec-state test) and
+    // require every parse to either succeed or throw; completing the loop
+    // at all proves no decoder state machine hangs on corrupt chunk/LZW/
+    // DEFLATE input
+    val rnd = new scala.util.Random(41)
+    val px = Array.fill(24 * 18 * 3)(rnd.nextInt(256).toByte)
+    val idx = Array.fill(24 * 18)(rnd.nextInt(256).toByte)
+    val cases = Seq[(String, Array[Byte], Int, Array[Byte] => Any)](
+      ("qoi", Multimodal.encodeQoi(24, 18, px), 14, Multimodal.parseQoi),
+      ("png", Multimodal.encodePng(24, 18, px), 8, Multimodal.parsePng),
+      ("gif", Multimodal.encodeGif(24, 18, idx), 13 + 768 + 10 + 1,
+        Multimodal.parseGif))
+    for ((name, payload, skip, parse) <- cases) {
+      var failures = 0
+      (1 to 60).foreach { _ =>
+        val pos = skip + rnd.nextInt(payload.length - skip)
+        val mutated = payload.clone()
+        mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+        try parse(mutated)
+        catch { case _: Exception => failures += 1 }
+      }
+      // the codecs are dense encodings: most single-bit body flips must be
+      // DETECTED (CRC, end-marker, pixel-count, or chunk-structure checks)
+      assert(failures > 0, s"$name: no mutation was ever rejected")
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
