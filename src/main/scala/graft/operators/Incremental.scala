@@ -104,6 +104,23 @@ object Incremental {
     val ev = events.select(
       col("user_id"), col("event_type"), col("ts"), col("event_id"))
     val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    if (bounds.isNullAt(0)) { // empty input: nothing to slice, nothing open
+      return events.sparkSession.createDataFrame(
+        events.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            events.schema("user_id").dataType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("valid_from",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("valid_to",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("is_current",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
+    }
     val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     val span = math.max(1L, (hi - lo) / slices + 1) // ms; last slice inclusive
 

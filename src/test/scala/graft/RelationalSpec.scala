@@ -121,6 +121,11 @@ class RelationalSpec extends AnyFunSuite {
     assert(graft.operators.TextOps.nearDupPairs(emptyDocs).count() == 0)
     assert(graft.operators.TextOps.curationPipeline(emptyDocs).count() == 0)
     assert(graft.operators.TextOps.fingerprints(emptyDocs).count() == 0)
+    assert(Relational.scd2UserState(emptyEvents).count() == 0)
+    assert(graft.operators.Incremental.scd2Incremental(emptyEvents).count() == 0)
+    assert(Relational.valueHistQuantiles(emptyEvents).count() == 0)
+    assert(graft.operators.TextOps.corpusDatasheet(emptyDocs)
+      .filter(col("metric") === "n_docs").head.getAs[Double]("value") == 0.0)
   }
 
   test("sessionize: boundary gap stays in-session, strict exceed splits, singleton has zero duration") {
