@@ -249,7 +249,9 @@ class AsOfJoinSpec extends AnyFunSuite {
       }
     }
     bothPaths {
-      val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+      val res = check(Parameters.default
+        .withInitialSeed(org.scalacheck.rng.Seed(42L))
+        .withMinSuccessfulTests(15), prop)
       assert(res.passed, res.status.toString)
     }
   }

@@ -242,7 +242,9 @@ class RelationalSpec extends AnyFunSuite {
         inc.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(inc).count() == 0
       }
     }
-    val res = check(Parameters.default.withMinSuccessfulTests(10), prop)
+    val res = check(Parameters.default
+        .withInitialSeed(org.scalacheck.rng.Seed(42L))
+        .withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -268,7 +270,9 @@ class RelationalSpec extends AnyFunSuite {
         }
       }
     }
-    val res = check(Parameters.default.withMinSuccessfulTests(15), prop)
+    val res = check(Parameters.default
+        .withInitialSeed(org.scalacheck.rng.Seed(42L))
+        .withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
 
