@@ -169,6 +169,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("mm_png_decode and mm_gif_decode are shuffle-free narrow codec plans") {
+    Seq("mm_png_decode", "mm_gif_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
+  test("doc_datasheet: scalar metrics come from ONE corpus pass, no per-metric rescans") {
+    val p = plan("doc_datasheet")
+    // scalar agg + median histogram (whose hist subtree feeds both the
+    // cumulative window and the totals -> 2 single-column scans) + lang +
+    // source breakdowns = at most 5 scans; a stack-less implementation
+    // would rescan the FULL width once per scalar metric (9+)
+    assert(count(p, "Scan parquet") <= 5, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("user_scd2_incremental: each slice reuses ONE user exchange; no cartesian") {
     val p = plan("user_scd2_incremental")
     // 3 slices x (windows + run agg) plus the slice scans — but per slice
