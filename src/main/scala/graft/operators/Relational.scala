@@ -263,6 +263,28 @@ object Relational {
         count(lit(1)).as("n_events")
       )
 
+  /** Count–Min frequency sketch per group (Spark's own
+    * `count_min_sketch` aggregate — mergeable O(w·d) buffers): point
+    * frequency estimates for ANY key from bounded state, the streaming/
+    * scale complement to exact GROUP BY counting and the probabilistic
+    * sibling of the exact Misra-Gries heavy-hitter path
+    * ([[heavyUsers]] — which stays the driver-oracled representative:
+    * like HLL, the CMS binary layout is engine-defined and cannot
+    * hash-oracle). The returned sketch column deserializes with
+    * `org.apache.spark.util.sketch.CountMinSketch.readFrom`;
+    * RelationalSpec bounds its estimates instead: CMS never
+    * under-counts, and over-counts by at most eps·N with confidence
+    * 1−delta.
+    */
+  def eventTypeCmsUsers(events: DataFrame, eps: Double = 0.001,
+                        confidence: Double = 0.99): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count_min_sketch(col("user_id"), lit(eps), lit(confidence),
+          lit(42)).as("cms"),
+        count(lit(1)).as("n_events"))
+
   /** Approximate distinct users per event type via a K-MINIMUM-VALUES
     * sketch — the distributed cardinality sketch that, unlike HLL (whose
     * register layout is engine-defined), is DETERMINISTIC and hash-oracled:

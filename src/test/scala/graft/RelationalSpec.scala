@@ -72,6 +72,27 @@ class RelationalSpec extends AnyFunSuite {
         .head.getAs[Double]("approx_users"))
   }
 
+  test("count-min sketch: never under-counts, over-counts within eps*N") {
+    val events = Tables.events(spark, dir)
+    val exact = events.groupBy(col("event_type"), col("user_id"))
+      .count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")) ->
+        r.getAs[Long]("count")).toMap
+    val n = events.count()
+    val eps = 0.001
+    val sketches = Relational.eventTypeCmsUsers(events, eps).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))).toMap
+    assert(sketches.nonEmpty)
+    exact.foreach { case ((typ, uid), cnt) =>
+      val est = sketches(typ).estimateCount(uid)
+      assert(est >= cnt, s"CMS under-counted $typ/$uid: $est < $cnt")
+      assert(est <= cnt + (eps * n).ceil.toLong,
+        s"CMS over-counted $typ/$uid beyond eps*N: $est vs $cnt (N=$n)")
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total rows") {
     val out = Relational.pricingRollup(Tables.lineitem(spark, dir)).collect()
     val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
