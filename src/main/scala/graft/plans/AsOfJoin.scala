@@ -365,7 +365,16 @@ object AsOf {
                leftKey: String, rightKey: String,
                leftTimeCol: String, rightTimeCol: String,
                tolerance: Option[Long] = None): DataFrame =
-    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol,
+    join(left, right, Seq(leftKey), Seq(rightKey), leftTimeCol, rightTimeCol,
+      forward = false, tolerance)
+
+  /** Multi-key backward as-of (composite equality keys — e.g. (tenant,
+    * user) — with the same latest-at-or-before time semantics). */
+  def backwardKeys(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTimeCol: String, rightTimeCol: String,
+                   tolerance: Option[Long] = None): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTimeCol, rightTimeCol,
       forward = false, tolerance)
 
   /** Forward as-of join: the EARLIEST `rightTimeCol >= leftTimeCol` (and
@@ -377,11 +386,11 @@ object AsOf {
               leftKey: String, rightKey: String,
               leftTimeCol: String, rightTimeCol: String,
               tolerance: Option[Long] = None): DataFrame =
-    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol,
+    join(left, right, Seq(leftKey), Seq(rightKey), leftTimeCol, rightTimeCol,
       forward = true, tolerance)
 
   private def join(left: DataFrame, right: DataFrame,
-                   leftKey: String, rightKey: String,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
                    leftTimeCol: String, rightTimeCol: String,
                    forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val spark = left.sparkSession
@@ -398,7 +407,7 @@ object AsOf {
         sys.error(s"as-of join: no column '$name' in [${p.output.map(_.name).mkString(", ")}]"))
     ColumnBridge.ofRows(spark, AsOfJoinPlan(
       lp, rp,
-      Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
       attr(lp, leftTimeCol), attr(rp, rightTimeCol), forward, tolerance))
   }
 }

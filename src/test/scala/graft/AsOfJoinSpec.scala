@@ -280,6 +280,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"dimension join above as-of did not broadcast:\n$plan")
   }
 
+  test("composite keys: the match requires ALL key columns to agree") {
+    val left = Seq(
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")), // (10, A) -> rA
+      (2L, 10L, "B", ts("2024-01-01 10:00:00")), // (10, B) -> rB, NOT rA
+      (3L, 20L, "A", ts("2024-01-01 10:00:00"))  // (20, A) -> null
+    ).toDF("event_id", "user_id", "region", "ts")
+    val right = Seq(
+      (10L, "A", ts("2024-01-01 09:00:00"), 1.0), // rA
+      (10L, "B", ts("2024-01-01 09:30:00"), 2.0)  // rB
+    ).toDF("r_user", "r_region", "r_ts", "r_val")
+    bothPaths {
+      val out = AsOf.backwardKeys(left, right,
+          Seq("user_id", "region"), Seq("r_user", "r_region"), "ts", "r_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("r_val"))).toMap
+      assert(out(1L) == Some(1.0))
+      assert(out(2L) == Some(2.0))
+      assert(out(3L).isEmpty)
+    }
+  }
+
   test("null times: left nulls never match, right null times are skipped") {
     val left = Seq(
       (1L, 10L, Option(ts("2024-01-01 10:00:00"))),
