@@ -131,7 +131,16 @@ final case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
     val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
     val lTimeExpr = BindReferences.bindReference(leftTime, left.output)
@@ -227,6 +236,8 @@ final case class AsOfJoinExec(
               }
             }
           }
+          numOutputRows += 1
+          if (matched) numMatched += 1
           resultProj(joined(l, if (matched) matchRow else nullRight))
         }
       }
@@ -264,7 +275,16 @@ final case class BroadcastAsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+      "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lKeyExprs = leftKeys.map(BindReferences.bindReference(_, left.output))
     val rKeyExprs = rightKeys.map(BindReferences.bindReference(_, right.output))
     val lTimeExpr = BindReferences.bindReference(leftTime, left.output)
@@ -337,6 +357,8 @@ final case class BroadcastAsOfJoinExec(
             }
           }
         }
+        numOutputRows += 1
+        if (matchRow != null) numMatched += 1
         resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
       }
     }, preservesPartitioning = true)
