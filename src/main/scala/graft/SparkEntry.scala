@@ -213,6 +213,11 @@ object SparkEntry {
     // backed mean is partition-order-proof and replays exactly in DuckDB)
     "doc_unigram_logprob" -> ((s, dir) =>
       TextOps.unigramLogProb(Tables.documents(s, dir))),
+    // bigram LM score (r7): conditional P(w2|w1) with add-one smoothing —
+    // one Markov order closer to CCNet's KenLM; log10 per DISTINCT bigram,
+    // quantized before the decimal-exact per-doc mean
+    "doc_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogProb(Tables.documents(s, dir))),
     // CCNet-style head/middle/tail quality tiers: exact per-lang logprob
     // tertiles over the discrete (1e-4-quantized) score histogram
     "doc_ppl_buckets" -> ((s, dir) =>
@@ -2142,6 +2147,43 @@ object SparkEntry {
     "doc_unigram_logprob" ->
       s"""WITH $unigramLogprobCtes
          SELECT doc_id, n_tokens, logprob FROM lpdoc""",
+    // replica of TextOps.bigramLogProb: same positional 2-grams, same
+    // add-one smoothing over (left-context total + vocab), log10 per
+    // DISTINCT bigram quantized at 1e-6 before the per-doc mean
+    "doc_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bg
+           FROM toks),
+         c12 AS (
+           SELECT bg, count(*) AS c12,
+             string_split(bg, ' ')[1] AS w1
+           FROM bi GROUP BY 1),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         v AS (
+           SELECT count(DISTINCT term) AS v FROM
+             (SELECT unnest(t) AS term FROM toks)),
+         lp AS (
+           SELECT bg,
+             floor(log10(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)) * 1e6 + 0.5) / 1e6
+               AS lp
+           FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+         perdoc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(lp AS DECIMAL(38, 10))) AS DOUBLE) AS slp
+           FROM bi JOIN lp USING (bg) GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN p.n_bigrams IS NULL THEN NULL
+             ELSE floor((p.slp / p.n_bigrams) * 1e4 + 0.5) / 1e4 END
+             AS bigram_logprob
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
     // replica of TextOps.pplBuckets: the same lpdoc relation, per-lang
     // percentile_disc tertile thresholds over the QUANTIZED logprob (the
     // lengthQuantiles histogram machinery), and the same <= bucketing

@@ -582,6 +582,47 @@ object TextOps {
           .as("logprob"))
   }
 
+  /** Bigram language-model score — the conditional-probability upgrade of
+    * [[unigramLogProb]] (one Markov order closer to CCNet's 5-gram KenLM):
+    * per-doc mean log10 P(wᵢ | wᵢ₋₁) under add-one smoothing over the
+    * corpus vocabulary, P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), where c(w₁·)
+    * is w₁'s left-context total (Σ_w c(w₁w)) so each context's smoothed
+    * distribution sums to 1.
+    *
+    * Scale shape mirrors the unigram path: ONE bigram explode feeds the
+    * bigram-count agg (vocab²-bounded but corpus-sparse — the shuffle
+    * carries distinct bigrams), the context totals derive from that
+    * relation without re-touching the corpus, V is a 1-row broadcast, and
+    * log10 is evaluated ONCE PER DISTINCT BIGRAM then quantized (1e-6)
+    * before the decimal-exact per-doc sum — never per occurrence, and no
+    * float summation-order dependence. Docs with < 2 tokens score null.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val bi = documents.select(col("doc_id"),
+      explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
+    val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = documents
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    val lp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("bg"), roundFixed(
+        log10((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")), 6).as("lp"))
+    val perDoc = bi.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.DeterministicAgg.exactSum(col("lp")).as("slp"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(roundFixed(col("slp") / col("n_bigrams"), 4))
+          .as("bigram_logprob"))
+  }
+
   /** CCNet-style perplexity bucketing — the quality-tiering step that
     * splits a corpus into head/middle/tail thirds per language by model
     * score (here the [[unigramLogProb]] proxy; a real LM score would be a

@@ -705,4 +705,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows("chars_min") == chars.head.toDouble &&
       rows("chars_max") == chars.last.toDouble)
   }
+
+  test("bigram LM: hand-computed add-one smoothed scores; short docs null") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a c", "en", "s", 3L),
+      (3L, "solo", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus bigrams: "a b"x2, "b a"x1, "a c"x1; contexts a->3, b->1; V=4
+    // (terms a,b,c,solo); lp("a b")=log10(3/7), lp("b a")=log10(2/5),
+    // lp("a c")=log10(2/7)
+    val out = TextOps.bigramLogProb(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), Option(r.getAs[Any]("bigram_logprob"))))).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val lpAB = q6(math.log10(3.0 / 7)); val lpBA = q6(math.log10(2.0 / 5))
+    val lpAC = q6(math.log10(2.0 / 7))
+    assert(out(1L) == ((3L, Some(q4((lpAB * 2 + lpBA) / 3)))))
+    assert(out(2L) == ((1L, Some(q4(lpAC)))))
+    assert(out(3L) == ((0L, None)))
+    // every smoothed probability is < 1, so every real score is negative
+    val real = TextOps.bigramLogProb(docs).collect()
+    assert(real.forall { r =>
+      Option(r.getAs[Any]("bigram_logprob")).forall(_.asInstanceOf[Double] < 0) })
+    assert(real.length == docs.count())
+  }
 }
