@@ -24,6 +24,16 @@ object Verify {
       import org.apache.spark.sql.functions.{col, max, min, year}
       val b = sources.Tables.events(spark, sfDir)
         .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi")).head()
+      // an empty or all-null events table leaves min/max NULL — that is
+      // also a refuse-to-run condition, and must surface as this FATAL
+      // diagnostic, not as an opaque NPE from getInt on a null cell
+      if (b.isNullAt(0) || b.isNullAt(1)) {
+        System.err.println(
+          "[verify] FATAL: events.ts min/max(year) is NULL — events table is " +
+            "empty or all-null ts; testdata is unusable, refusing to run")
+        spark.stop()
+        sys.exit(1)
+      }
       val (lo, hi) = (b.getInt(0), b.getInt(1))
       if (lo < 2000 || hi > 2100) {
         System.err.println(

@@ -997,7 +997,13 @@ object Multimodal {
     * Returns (w, h, gray bytes — the palette's R channel per pixel).
     */
   private[graft] def parseGif(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-    def u8(i: Int) = payload(i) & 0xff
+    // bounds-checked accessor: a payload truncated inside an extension or
+    // descriptor must fail with the same loud require contract as every
+    // other malformed-input path, not an ArrayIndexOutOfBoundsException
+    def u8(i: Int) = {
+      require(i >= 0 && i < payload.length, s"GIF truncated at offset $i")
+      payload(i) & 0xff
+    }
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     require(payload.length >= 14, "GIF too short")
     val magic = new String(payload, 0, 6, "US-ASCII")

@@ -45,6 +45,24 @@ final case class AsOfJoinPlan(
   extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  // both exec paths build orderings / hash keys from the LEFT types, so a
+  // type mismatch would compare raw internal values with different
+  // semantics (TimestampType micros vs DateType days, Long vs Int) —
+  // fail at plan construction, naming both types, instead
+  require(
+    org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time column types must match: left '${leftTime.name}' is " +
+      s"${leftTime.dataType.simpleString}, right '${rightTime.name}' is " +
+      s"${rightTime.dataType.simpleString}")
+  leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+    require(
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        lk.dataType, rk.dataType, ignoreNullability = true),
+      s"as-of join key types must match: left '${lk.name}' is " +
+        s"${lk.dataType.simpleString}, right '${rk.name}' is " +
+        s"${rk.dataType.simpleString}")
+  }
   require(tolerance.forall(_ >= 0), "as-of tolerance must be non-negative")
   require(tolerance.isEmpty || {
     import org.apache.spark.sql.types._
@@ -172,10 +190,16 @@ final case class AsOfJoinExec(
         while (rRow == null && rIter.hasNext) {
           val cand = rIter.next()
           val t = rTimeExpr.eval(cand)
-          if (t != null) { // null right times can never satisfy rt <= lt
-            rRow = cand
-            rKey = rKeyProj(cand).copy()
-            rTime = t
+          // null right times can never satisfy rt <= lt, and SQL equi-join
+          // semantics (and the DuckDB ASOF oracle) never match a NULL key —
+          // skip both here so the held row is always a legal match candidate
+          if (t != null) {
+            val k = rKeyProj(cand)
+            if (!k.anyNull) {
+              rRow = cand
+              rKey = k.copy()
+              rTime = t
+            }
           }
         }
       }
@@ -201,7 +225,9 @@ final case class AsOfJoinExec(
           val tOrd = timeOrdering.asInstanceOf[Ordering[Any]]
           var matched = false
           var matchRow: InternalRow = null
-          if (lTime != null) {
+          // a NULL left key never equals anything (SQL equi-join semantics)
+          // — emit the row null-extended without consuming right state
+          if (lTime != null && !lKey.anyNull) {
             if (forward) {
               // consume right rows strictly BEFORE (lKey, lTime) — no later
               // left row (keys/times only grow) can need them; the match is
@@ -315,7 +341,9 @@ final case class BroadcastAsOfJoinExec(
           InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
         broadcastRows.value.foreach { r =>
           val t = rTimeExpr.eval(r)
-          if (t != null) { // null times never match
+          // null times never match, and NULL keys never equal anything
+          // (SQL equi-join semantics) — keep both out of the index
+          if (t != null && !rKeyProj(r).anyNull) {
             val k = rKeyProj(r).copy()
             var buf = grouped.get(k)
             if (buf == null) {
@@ -334,8 +362,10 @@ final case class BroadcastAsOfJoinExec(
       lIter.map { l =>
         val lTime = lTimeExpr.eval(l)
         var matchRow: InternalRow = null
-        if (lTime != null) {
-          val entry = index.get(lKeyProj(l))
+        val lKey = lKeyProj(l)
+        // NULL left keys never equal anything — null-extend without lookup
+        if (lTime != null && !lKey.anyNull) {
+          val entry = index.get(lKey)
           if (entry != null) {
             val (times, rows) = entry
             // binary search: position of the first time > lTime

@@ -120,11 +120,15 @@ object Tables {
 
   /** The `ts` logical-type unit declared by the events.parquet FOOTER — a
     * driver-side metadata read, no Spark job (same machinery as
-    * [[parquetRowCount]]). Cached per directory: the testdata is immutable
-    * within a run, and [[events]] is called once per query built.
+    * [[parquetRowCount]]). Cached per (resolved file, mtime, length): a
+    * plain per-path cache would keep serving the stale read plan if the
+    * driver regenerates events.parquet with a different encoding while a
+    * long-lived JVM session is up — exactly the drift this probe exists to
+    * survive. The stat call that builds the key is a driver-side metadata
+    * round-trip, negligible next to the query it guards.
     */
   private val tsUnitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LogicalTypeAnnotation.TimeUnit]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), LogicalTypeAnnotation.TimeUnit]()
   private def eventsTsUnit(spark: SparkSession, sfDir: String): LogicalTypeAnnotation.TimeUnit =
     tsUnitOfPath(spark, s"$sfDir/events.parquet")
 
@@ -133,34 +137,36 @@ object Tables {
     * reader and the streaming source, so both branch identically on the
     * generator's encoding. */
   private[graft] def tsUnitOfPath(spark: SparkSession,
-                                  path: String): LogicalTypeAnnotation.TimeUnit =
-    tsUnitCache.computeIfAbsent(path, { p =>
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(p)
-      val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory) {
-          val files = fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-          if (files.isEmpty) sys.error(
-            s"cannot probe ts encoding: no parquet files yet under $p — " +
-              "stage at least one file before opening the stream")
-          files.head
-        } else root
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+                                  path: String): LogicalTypeAnnotation.TimeUnit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val status =
+      if (fs.getFileStatus(root).isDirectory) {
+        val files = fs.listStatus(root)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (files.isEmpty) sys.error(
+          s"cannot probe ts encoding: no parquet files yet under $path — " +
+            "stage at least one file before opening the stream")
+        files.head
+      } else fs.getFileStatus(root)
+    val key = (status.getPath.toString, status.getModificationTime, status.getLen)
+    tsUnitCache.computeIfAbsent(key, { _ =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(status.getPath, conf))
       try {
         val schema = r.getFooter.getFileMetaData.getSchema
         schema.getType(schema.getFieldIndex("ts"))
           .asPrimitiveType().getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
           case other => sys.error(
-            s"events.ts in $p has unexpected logical type $other — testdata format changed?")
+            s"events.ts in $path has unexpected logical type $other — testdata format changed?")
         }
       } finally r.close()
     })
+  }
 
   /** The nanos-aware read schema pair for events-shaped files, keyed by the
     * footer: (schema to hand the reader, whether a ns→µs conversion must

@@ -318,4 +318,65 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(out(2L).isEmpty)
     }
   }
+
+  test("null keys never match (SQL equi-join semantics), both physical paths") {
+    // NULL user_ids on BOTH sides: the DuckDB ASOF oracle's `ON l.k = r.k`
+    // never matches NULL, so neither may we — a null-keyed left row comes
+    // out null-extended even though a null-keyed right row "equals" it
+    // under a naive natural ordering / hash lookup.
+    val left = Seq(
+      (1L, Option(10L), ts("2024-01-01 10:00:00")), // normal match
+      (2L, Option.empty[Long], ts("2024-01-01 10:00:00")) // NULL key -> null-extended
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(10L), ts("2024-01-01 09:00:00"), 1.0),
+      (Option.empty[Long], ts("2024-01-01 09:30:00"), 99.0) // must match nothing
+    ).toDF("e_user", "e_ts", "e_val")
+    bothPaths {
+      val out = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("e_val"))).toMap
+      assert(out(1L) == Some(1.0))
+      assert(out(2L).isEmpty, "NULL left key must not match the NULL right key")
+    }
+  }
+
+  test("composite keys: one NULL component disqualifies the whole key") {
+    val left = Seq(
+      (1L, Option(10L), Option("A"), ts("2024-01-01 10:00:00")),
+      (2L, Option(10L), Option.empty[String], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "region", "ts")
+    val right = Seq(
+      (Option(10L), Option("A"), ts("2024-01-01 09:00:00"), 1.0),
+      (Option(10L), Option.empty[String], ts("2024-01-01 09:30:00"), 99.0)
+    ).toDF("r_user", "r_region", "r_ts", "r_val")
+    bothPaths {
+      val out = AsOf.backwardKeys(left, right,
+          Seq("user_id", "region"), Seq("r_user", "r_region"), "ts", "r_ts")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("r_val"))).toMap
+      assert(out(1L) == Some(1.0))
+      assert(out(2L).isEmpty)
+    }
+  }
+
+  test("mismatched time types fail at plan construction, naming both types") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((10L, 5L, 1.0)).toDF("rk", "rt", "v") // rt is LongType
+    val e = intercept[IllegalArgumentException] {
+      AsOf.backward(left, right, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("timestamp") && e.getMessage.contains("bigint"),
+      s"error must name both time types, got: ${e.getMessage}")
+  }
+
+  test("mismatched key types fail at plan construction, naming both types") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq((10, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "v") // rk is IntegerType
+    val e = intercept[IllegalArgumentException] {
+      AsOf.backward(left, right, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("bigint") && e.getMessage.contains("int"),
+      s"error must name both key types, got: ${e.getMessage}")
+  }
 }

@@ -370,6 +370,18 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.parseGif(enc.dropRight(1)) }
     intercept[IllegalArgumentException] {
       Multimodal.parseGif(enc.dropRight(1) :+ 0x00.toByte) }
+    // truncation INSIDE an extension block's sub-block walk must fail with
+    // the same loud require contract, not ArrayIndexOutOfBoundsException:
+    // header+GCT, then a graphic-control extension introducer cut short
+    val headerGct = enc.take(13 + 768)
+    val cutInExtension = headerGct ++ Array[Byte](0x21, 0xf9.toByte, 0x04)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parseGif(cutInExtension) }
+    assert(e.getMessage.contains("GIF truncated"), e.getMessage)
+    // truncated mid-descriptor (image separator then nothing) fails the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parseGif(headerGct :+ 0x2c.toByte) }
+    assert(e2.getMessage.contains("GIF truncated"), e2.getMessage)
   }
 
   test("GIF generate -> codec decode round-trip matches text-side pixel sums") {
