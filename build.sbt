@@ -15,6 +15,10 @@ run / fork := true
 // line as [info]: the driver scrapes Bench's one-line JSON from stdout and
 // its parser found nothing (parsed:null) while every line wore a prefix
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own "[success] Total time" epilogue, which otherwise
+// lands AFTER the JSON line and defeats a last-line stdout parse
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
