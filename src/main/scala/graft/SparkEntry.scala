@@ -476,7 +476,16 @@ object SparkEntry {
     // palette indirection; the identity palette (entry i = (i,i,i)) keeps
     // the text-side oracle exact through the index->pixel mapping
     "mm_gif_decode" -> ((s, dir) =>
-      operators.Multimodal.gifDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.gifDecodeStats(Tables.documents(s, dir))),
+    // REAL baseline-JPEG codec (r8): Annex-K Huffman + DCT/IDCT + JFIF
+    // framing. JPEG is LOSSY, so the driver payloads are the one image
+    // class the codec reproduces bit-exactly — 8x8-block-constant pixels
+    // with all-ones quant tables (DC-only blocks, integer coefficients) —
+    // which keeps the closed-form text oracle valid while the full
+    // entropy/transform pipeline really runs (lossy-parameter coverage is
+    // spec'd against the JDK's independent ImageIO codec)
+    "mm_jpeg_decode" -> ((s, dir) =>
+      operators.Multimodal.jpegDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2626,6 +2635,27 @@ object SparkEntry {
            CAST(list_sum(list_transform(
              generate_series(0, CAST(n_pixels AS INTEGER) - 1),
              p -> ascii(substr(body, p * 3 + 3, 1)))) AS BIGINT) AS sum_b
+         FROM s""",
+    // replica of Multimodal.jpegDecodeStats WITHOUT running the codec:
+    // the driver images are 8x8-block-constant with all-ones quant tables
+    // — the one class a lossy DCT codec decodes bit-exactly — so each
+    // block contributes exactly 64x its text byte to the pixel sum
+    "mm_jpeg_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h
+           FROM documents),
+         s AS (
+           SELECT doc_id, w, h, CAST(w AS BIGINT) * h AS n_pixels,
+             (w // 8) * (h // 8) AS nb,
+             rpad(t, (w // 8) * (h // 8), t) AS body
+           FROM m)
+         SELECT doc_id, w AS width, h AS height, n_pixels,
+           CAST(64 * list_sum(list_transform(
+             generate_series(1, CAST(nb AS INTEGER)),
+             p -> ascii(substr(body, p, 1)))) AS BIGINT) AS sum_px
          FROM s""",
     // replica of Multimodal.gifDecodeStats WITHOUT running the codec: LZW
     // is lossless and the grayscale palette is the identity map, so the

@@ -400,6 +400,146 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG block-constant round-trip is bit-exact (the oracle class)") {
+    // every 8x8 block constant + all-ones qtable -> DC-only blocks with
+    // integer coefficients: the full Huffman/DCT pipeline runs and the
+    // decode must reproduce the input EXACTLY
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((16, 16), (32, 24), (8, 8))) {
+      val gray = new Array[Byte](w * h)
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val v = rnd.nextInt(256).toByte
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          gray((by * 8 + yy) * w + bx * 8 + xx) = v
+      }
+      val payload = Multimodal.encodeJpeg(w, h, gray)
+      val (dw, dh, nc, px) = Multimodal.parseJpeg(payload)
+      assert((dw, dh, nc) == ((w, h, 1)))
+      assert(px.toSeq == gray.toSeq, s"${w}x$h block-constant decode drifted")
+    }
+    // non-multiple-of-8 dims: constant image, edge-replicated padding keeps
+    // every block constant -> still exact, and output is cropped to w x h
+    val (w2, h2) = (13, 10)
+    val const = Array.fill(w2 * h2)(77.toByte)
+    val (dw2, dh2, _, px2) = Multimodal.parseJpeg(Multimodal.encodeJpeg(w2, h2, const))
+    assert((dw2, dh2) == ((w2, h2)))
+    assert(px2.toSeq == const.toSeq)
+  }
+
+  test("JPEG restart intervals: RST markers emitted, consumed, still exact") {
+    val rnd = new scala.util.Random(11)
+    val w = 32; val h = 24 // 12 MCUs -> RSTs with interval 3
+    val gray = new Array[Byte](w * h)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+      val v = rnd.nextInt(256).toByte
+      for (yy <- 0 until 8; xx <- 0 until 8)
+        gray((by * 8 + yy) * w + bx * 8 + xx) = v
+    }
+    val payload = Multimodal.encodeJpeg(w, h, gray, restartInterval = 3)
+    // DRI marker present and at least one RST0-7 in the scan
+    def hasMarker(m: Int) = payload.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xdd), "missing DRI segment")
+    assert((0xd0 to 0xd7).exists(hasMarker), "no RST marker in scan")
+    val (_, _, _, px) = Multimodal.parseJpeg(payload)
+    assert(px.toSeq == gray.toSeq)
+    // the JDK's independent ImageIO decoder must agree on our restart framing
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO rejected our restart-interval JPEG")
+    val ioPx = for (y <- 0 until h; x <- 0 until w)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(ioPx.zip(px.map(_ & 0xff)).map(p => math.abs(p._1 - p._2)).max <= 1)
+  }
+
+  test("JPEG lossy path agrees with the JDK's independent codec (ImageIO)") {
+    // 1) our ENCODER's output on arbitrary content decodes identically
+    //    (within IDCT tolerance) under ImageIO — proves the emitted stream
+    //    is spec-valid baseline JPEG, not a private dialect
+    val rnd = new scala.util.Random(13)
+    val w = 24; val h = 16
+    val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val payload = Multimodal.encodeJpeg(w, h, gray, qtab = Array.fill(64)(4))
+    val (dw, dh, nc, ours) = Multimodal.parseJpeg(payload)
+    assert((dw, dh, nc) == ((w, h, 1)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO could not decode our baseline JPEG")
+    val diffs = for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(img.getRaster.getSample(x, y, 0) - (ours(y * w + x) & 0xff))
+    assert(diffs.max <= 2, s"max IDCT divergence ${diffs.max} vs ImageIO")
+
+    // 2) our DECODER handles an INDEPENDENTLY-ENCODED stream (the JDK's
+    //    writer: its own quant scaling, its own Huffman emission)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "jpg", baos))
+    val foreign = baos.toByteArray
+    val (fw, fh, fnc, fpx) = Multimodal.parseJpeg(foreign)
+    assert((fw, fh, fnc) == ((w, h, 1)))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    val fdiffs = for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(ref.getRaster.getSample(x, y, 0) - (fpx(y * w + x) & 0xff))
+    assert(fdiffs.max <= 2, s"max divergence ${fdiffs.max} on a foreign stream")
+  }
+
+  test("JPEG 3-component 4:4:4 color: decode agrees with ImageIO") {
+    val rnd = new scala.util.Random(17)
+    val w = 16; val h = 16
+    // smooth-ish content (small palette) keeps coefficients tame
+    val rgb = Array.fill(w * h * 3)((rnd.nextInt(4) * 60 + 20).toByte)
+    val payload = Multimodal.encodeJpeg(w, h, rgb, components = 3,
+      qtab = Array.fill(64)(4))
+    val (dw, dh, nc, ours) = Multimodal.parseJpeg(payload)
+    assert((dw, dh, nc) == ((w, h, 3)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img != null, "ImageIO could not decode our 4:4:4 color JPEG")
+    val diffs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+      val rgbIo = img.getRGB(x, y)
+      val io = c match {
+        case 0 => (rgbIo >> 16) & 0xff
+        case 1 => (rgbIo >> 8) & 0xff
+        case _ => rgbIo & 0xff
+      }
+      math.abs(io - (ours((y * w + x) * 3 + c) & 0xff))
+    }
+    assert(diffs.max <= 3, s"max color divergence ${diffs.max} vs ImageIO")
+  }
+
+  test("JPEG loud failures: bad SOI, progressive SOF, truncation, trailing bytes") {
+    val gray = Array.fill(16 * 16)(42.toByte)
+    val enc = Multimodal.encodeJpeg(16, 16, gray)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpeg(enc.updated(1, 0x00.toByte)) } // broken SOI
+    // patch SOF0 -> SOF2 (progressive): must be rejected loudly, not parsed
+    val sofAt = enc.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    val progressive = enc.updated(sofAt + 1, 0xc2.toByte)
+    val e = intercept[RuntimeException] { Multimodal.parseJpeg(progressive) }
+    assert(e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
+    intercept[IllegalArgumentException] { Multimodal.parseJpeg(enc.dropRight(1)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseJpeg(enc :+ 0x00.toByte) } // trailing bytes after EOI
+  }
+
+  test("JPEG generate -> decode matches the closed-form block sums") {
+    val out = Multimodal.jpegDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = ((nChars % 3 + 2) * 8).toInt
+      val hh = ((r.getAs[Long]("doc_id") % 3 + 2) * 8).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      val t = if (text == null || text.isEmpty) " " else text
+      val nb = (w / 8) * (hh / 8)
+      val sum = (0 until nb).map(i => 64L * t.charAt(i % t.length)).sum
+      assert(r.getAs[Long]("sum_px") == sum)
+    }
+  }
+
   test("codec fuzz: corrupted compressed payloads terminate cleanly, never hang") {
     // flip bytes in the COMPRESSED BODY (past the fixed header region —
     // dimensions are out of scope: QOI/GIF carry no header checksum, and a
@@ -410,11 +550,18 @@ class MultimodalSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     val px = Array.fill(24 * 18 * 3)(rnd.nextInt(256).toByte)
     val idx = Array.fill(24 * 18)(rnd.nextInt(256).toByte)
+    val jpeg = Multimodal.encodeJpeg(24, 18, idx)
+    // fuzz only the entropy-coded scan: find the SOS segment end
+    val sosAt = jpeg.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    val jpegScanStart = sosAt + 2 +
+      (((jpeg(sosAt + 2) & 0xff) << 8) | (jpeg(sosAt + 3) & 0xff))
     val cases = Seq[(String, Array[Byte], Int, Array[Byte] => Any)](
       ("qoi", Multimodal.encodeQoi(24, 18, px), 14, Multimodal.parseQoi),
       ("png", Multimodal.encodePng(24, 18, px), 8, Multimodal.parsePng),
       ("gif", Multimodal.encodeGif(24, 18, idx), 13 + 768 + 10 + 1,
-        Multimodal.parseGif))
+        Multimodal.parseGif),
+      ("jpeg", jpeg, jpegScanStart, Multimodal.parseJpeg))
     for ((name, payload, skip, parse) <- cases) {
       var failures = 0
       (1 to 60).foreach { _ =>

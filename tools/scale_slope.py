@@ -125,8 +125,15 @@ def bench(sf_dir: str, reps: int = 2) -> dict:
         # noise-floor estimator — one inflated sample must not decide a
         # slope ratio
         best: dict = {}
+        # GRAFT_BENCH_CMD overrides the sbt invocation (e.g. tools/run_main.sh
+        # graft.Bench against a classes snapshot — no sbt project lock, so a
+        # slope sweep can run concurrently with dev compiles)
+        import shlex
+        cmd = (shlex.split(os.environ["GRAFT_BENCH_CMD"])
+               if os.environ.get("GRAFT_BENCH_CMD")
+               else ["sbt", "-batch", "runMain graft.Bench"])
         for _ in range(reps):
-            subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+            subprocess.run(cmd, env=env,
                            check=True, stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
             with open("bench.json") as f:
