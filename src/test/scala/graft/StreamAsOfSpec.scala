@@ -55,4 +55,156 @@ class StreamAsOfSpec extends AnyFunSuite {
       assert(spark.table("stream_asof").count() == 5)
     } finally q.stop()
   }
+
+  /** Run `body` with the RocksDB state store provider (the
+    * transformWithState requirement), restoring the previous provider. */
+  private def withRocksDb(body: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream-stream as-of: a right row arriving AFTER its left still wins, " +
+    "and the released output equals batch AsOf.backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val purchIn = MemoryStream[(Long, Long, Timestamp)]
+      val errIn = MemoryStream[(Long, Long, Timestamp, Double)]
+      val purchases = purchIn.toDF().toDF("event_id", "user_id", "ts")
+      val errors = errIn.toDF().toDF("error_id", "user_id", "ts", "value")
+      val joined = graft.streaming.StreamAsOf.asOfEnrichStreams(
+        purchases, errors, watermark = "10 minutes")
+      val q = joined.toDF().writeStream.format("memory").queryName("ss_asof")
+        .outputMode("append").start()
+      try {
+        // batch 1: the LEFT arrives first — no matching right exists yet,
+        // and the watermark (09:50/08:50 after this batch) holds it in state
+        purchIn.addData((1L, 10L, ts("2024-01-01 10:00:00")))
+        errIn.addData((90L, 99L, ts("2024-01-01 09:00:00"), 0.5))
+        q.processAllAvailable()
+        assert(spark.table("ss_asof").isEmpty,
+          "left must be watermark-held, not emitted unmatched")
+
+        // batch 2: the matching RIGHT arrives AFTER the left it must match
+        // (09:30 < 10:00), in a later micro-batch — plus watermark movers
+        errIn.addData((50L, 10L, ts("2024-01-01 09:30:00"), 1.5),
+          (91L, 99L, ts("2024-01-01 10:40:00"), 0.5))
+        purchIn.addData((2L, 10L, ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+
+        // batches 3-4: sentinels push the watermark past both lefts (the
+        // watermark used by batch N is computed from batch N-1's data)
+        purchIn.addData((3L, 99L, ts("2024-01-01 12:00:00")))
+        errIn.addData((92L, 99L, ts("2024-01-01 12:00:00"), 0.1))
+        q.processAllAvailable()
+        purchIn.addData((4L, 99L, ts("2024-01-01 13:00:00")))
+        errIn.addData((93L, 99L, ts("2024-01-01 13:00:00"), 0.1))
+        q.processAllAvailable()
+
+        val out = spark.table("ss_asof").collect()
+          .map(r => r.getAs[Long]("eventId") ->
+            ((Option(r.getAs[Any]("errorId")), Option(r.getAs[Timestamp]("errorTs")))))
+          .toMap
+        // the cross-batch match: left 1 (10:00) joins error 50 (09:30)
+        assert(out.contains(1L), s"left 1 never released; got ${out.keySet}")
+        assert(out(1L) == ((Some(50L), Some(ts("2024-01-01 09:30:00")))))
+        // left 2 (10:30): error 50 is still its latest at-or-before
+        assert(out.contains(2L))
+        assert(out(2L) == ((Some(50L), Some(ts("2024-01-01 09:30:00")))))
+
+        // released rows ≡ batch AsOf.backward over the SAME fed data
+        val batchLefts = Seq(
+          (1L, 10L, ts("2024-01-01 10:00:00")),
+          (2L, 10L, ts("2024-01-01 10:30:00")),
+          (3L, 99L, ts("2024-01-01 12:00:00")),
+          (4L, 99L, ts("2024-01-01 13:00:00"))
+        ).toDF("event_id", "user_id", "ts")
+        val batchRights = Seq(
+          (90L, 99L, ts("2024-01-01 09:00:00"), 0.5),
+          (50L, 10L, ts("2024-01-01 09:30:00"), 1.5),
+          (91L, 99L, ts("2024-01-01 10:40:00"), 0.5),
+          (92L, 99L, ts("2024-01-01 12:00:00"), 0.1),
+          (93L, 99L, ts("2024-01-01 13:00:00"), 0.1)
+        ).toDF("error_id", "e_user", "e_ts", "value")
+        val expected = AsOf.backward(batchLefts, batchRights,
+            "user_id", "e_user", "ts", "e_ts")
+          .collect().map(r => r.getAs[Long]("event_id") ->
+            ((Option(r.getAs[Any]("error_id")), Option(r.getAs[Timestamp]("e_ts")))))
+          .toMap
+        out.foreach { case (eid, got) =>
+          assert(expected(eid) == got,
+            s"stream diverged from batch on event $eid: $got vs ${expected(eid)}")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("stream-stream as-of: dominance pruning keeps exact matches for " +
+    "future lefts, and a late left is dropped (watermark contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val purchIn = MemoryStream[(Long, Long, Timestamp)]
+      val errIn = MemoryStream[(Long, Long, Timestamp, Double)]
+      val joined = graft.streaming.StreamAsOf.asOfEnrichStreams(
+        purchIn.toDF().toDF("event_id", "user_id", "ts"),
+        errIn.toDF().toDF("error_id", "user_id", "ts", "value"),
+        watermark = "10 minutes")
+      val q = joined.toDF().writeStream.format("memory").queryName("ss_asof2")
+        .outputMode("append").start()
+      try {
+        // two rights for user 10, both destined to fall at-or-before the
+        // watermark: only the later (09:40) may be kept by the prune
+        errIn.addData((50L, 10L, ts("2024-01-01 09:20:00"), 1.0),
+          (51L, 10L, ts("2024-01-01 09:40:00"), 2.0))
+        purchIn.addData((900L, 99L, ts("2024-01-01 09:00:00")))
+        q.processAllAvailable()
+        // push the watermark well past both rights (to ~11:50) and force a
+        // timer sweep for key 10 via a left that immediately releases later
+        purchIn.addData((1L, 10L, ts("2024-01-01 10:00:00")))
+        errIn.addData((90L, 99L, ts("2024-01-01 12:00:00"), 0.1))
+        q.processAllAvailable()
+        purchIn.addData((901L, 99L, ts("2024-01-01 12:00:00")))
+        errIn.addData((91L, 99L, ts("2024-01-01 12:30:00"), 0.1))
+        q.processAllAvailable()
+        val out1 = spark.table("ss_asof2").collect()
+          .map(r => r.getAs[Long]("eventId") -> Option(r.getAs[Any]("errorId"))).toMap
+        assert(out1.get(1L) == Some(Some(51L)),
+          s"left 1 must match the dominant right 51, got $out1")
+
+        // a FUTURE left (ahead of the watermark) must still find right 51:
+        // the prune may only discard DOMINATED rows, never the latest one
+        purchIn.addData((3L, 10L, ts("2024-01-01 12:40:00")))
+        q.processAllAvailable()
+        purchIn.addData((902L, 99L, ts("2024-01-01 13:30:00")))
+        errIn.addData((93L, 99L, ts("2024-01-01 13:30:00"), 0.1))
+        q.processAllAvailable()
+        val out2 = spark.table("ss_asof2").collect()
+          .map(r => r.getAs[Long]("eventId") -> Option(r.getAs[Any]("errorId"))).toMap
+        assert(out2.get(3L) == Some(Some(51L)),
+          s"post-prune left must still match the dominant right, got $out2")
+
+        // LATE left: ts 10:30 is far behind the current watermark — the
+        // event-time filter drops it before the processor (the same
+        // contract as Spark's built-in stream-stream joins), so it never
+        // emits, matched or otherwise
+        purchIn.addData((2L, 10L, ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        purchIn.addData((903L, 99L, ts("2024-01-01 14:00:00")))
+        errIn.addData((94L, 99L, ts("2024-01-01 14:00:00"), 0.1))
+        q.processAllAvailable()
+        val out3 = spark.table("ss_asof2").collect()
+          .map(r => r.getAs[Long]("eventId") -> Option(r.getAs[Any]("errorId"))).toMap
+        assert(!out3.contains(2L),
+          s"late left must be dropped by the watermark filter, got $out3")
+      } finally q.stop()
+    }
+  }
 }
