@@ -283,16 +283,107 @@ final case class AsOfJoinExec(
   * shuffle, no sort, the same reason small dims broadcast everywhere
   * else: at 100 TB the fact side never moves. Chosen automatically by
   * [[AsOfJoinStrategy]] when right-side stats fit the broadcast
-  * threshold. */
+  * threshold.
+  *
+  * WHOLE-STAGE CODEGEN (r8): implements `CodegenSupport` in the
+  * BroadcastHashJoin pattern — the probe runs INSIDE the parent codegen
+  * stage (no InputAdapter fence, no row-at-a-time `resultProj`): the
+  * generated consume evaluates the left key/time in-register, binary-
+  * searches the per-task [[AsOfKeyIndex]] (built once in mutable-state
+  * init from the broadcast), and hands the left vars + matched right
+  * columns straight to the parent's consume. Admitted when the time type
+  * is integral-like (timestamps/dates/ints — everything the driver
+  * workload uses); exotic time types fall back to the interpreted
+  * `doExecute`, which keeps full generality. */
 final case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     forward: Boolean, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  private def timeIsIntegral: Boolean = {
+    import org.apache.spark.sql.types._
+    leftTime.dataType match {
+      case TimestampType | TimestampNTZType | DateType |
+           LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
+  override def supportCodegen: Boolean = timeIsIntegral
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  // 1:1 on left rows and matched rows are stable broadcast memory — no
+  // reused buffers escape, so the parent never needs a defensive copy on
+  // our account (the default would ask the broadcast-exchange child and
+  // ClassCastException; same override Spark's own broadcast joins make)
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].needCopyResult
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{
+      CodeGenerator, ExprCode, GenerateUnsafeProjection, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    // driver side: materialize the broadcast + build recipe as references
+    val broadcast = right.executeBroadcast[Array[InternalRow]]()
+    val spec = AsOfIndexSpec(
+      rightKeys.map(BindReferences.bindReference(_, right.output)),
+      BindReferences.bindReference(rightTime, right.output),
+      forward, tolerance.getOrElse(-1L))
+    val broadcastRef = ctx.addReferenceObj("asofBroadcast", broadcast,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val specRef = ctx.addReferenceObj("asofIndexSpec", spec,
+      classOf[AsOfIndexSpec].getName)
+    val rowCls = classOf[InternalRow].getName
+    val idxCls = classOf[AsOfKeyIndex].getName
+    // per-task index build in mutable-state init — once per partition
+    val idxTerm = ctx.addMutableState(idxCls, "asofIndex",
+      v => s"$v = $specRef.buildIndex(($rowCls[]) $broadcastRef.value());")
+
+    ctx.currentVars = input
+    val keyEv = GenerateUnsafeProjection.createCode(
+      ctx, leftKeys.map(BindReferences.bindReference(_, left.output)))
+    val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      ExprCode(
+        code"""
+          |boolean $isNull = ($matched == null) || $matched.isNullAt($i);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |$rowCls $matched = null;
+       |if (!${timeEv.isNull} && !${keyEv.value}.anyNull()) {
+       |  $matched = $idxTerm.lookup(${keyEv.value}, (long)(${timeEv.value}));
+       |}
+       |$numOutputRows.add(1);
+       |if ($matched != null) $numMatched.add(1);
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
 
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil

@@ -360,6 +360,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast as-of runs INSIDE whole-stage codegen — no fence, forced loud") {
+    val conf = spark.conf
+    val savedFallback = conf.getOption("spark.sql.codegen.fallback")
+    // fallback off: a Janino compile error in our generated consume would
+    // FAIL the query instead of silently reverting to the interpreted path
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val left = Seq(
+        (1L, 10L, ts("2024-01-01 10:00:00")),
+        (2L, 10L, ts("2024-01-01 09:00:00")),
+        (3L, 20L, ts("2024-01-01 12:00:00"))
+      ).toDF("event_id", "user_id", "ts")
+      val right = Seq(
+        (10L, ts("2024-01-01 09:00:00"), 1.0),
+        (10L, ts("2024-01-01 09:30:00"), 2.0)
+      ).toDF("e_user", "e_ts", "e_val")
+      val joined = AsOf.backward(left, right, "user_id", "e_user", "ts", "e_ts")
+        .filter(col("event_id") > 0) // a parent stage to fuse into
+      // execute FIRST: under AQE the codegen-collapsed final plan only
+      // exists after the run (fallback=false above makes a Janino failure
+      // in our generated consume abort this collect loudly)
+      val out = joined.collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("e_val"))).toMap
+      assert(out == Map(1L -> Some(2.0), 2L -> Some(1.0), 3L -> None))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the codegen'd operator is starred inside a WholeStageCodegen span
+      assert("""\*\(\d+\) BroadcastAsOfJoin""".r.findFirstIn(plan).isDefined,
+        s"BroadcastAsOfJoin not inside WholeStageCodegen:\n$plan")
+    } finally savedFallback match {
+      case Some(v) => conf.set("spark.sql.codegen.fallback", v)
+      case None => conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("mismatched time types fail at plan construction, naming both types") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
     val right = Seq((10L, 5L, 1.0)).toDF("rk", "rt", "v") // rt is LongType
