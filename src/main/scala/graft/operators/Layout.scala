@@ -131,4 +131,98 @@ object Layout {
     import spark.implicits._
     assigned.toSeq.toDF("file", "bytes", "group_id")
   }
+
+  /** Deterministic output-file name for a compaction group — a content
+    * address over the member file NAMES, so a restarted run recomputes the
+    * identical name and can detect a group whose rewrite already landed. */
+  private[graft] def compactOutName(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    files.sorted.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+    "compact-" + md.digest().map("%02x".format(_)).mkString.take(16) + ".parquet"
+  }
+
+  /** EXECUTE the [[compactionPlan]]: rewrite each multi-file group into one
+    * parquet file, restartable per group. The protocol a 100 TB nightly
+    * compactor needs, in miniature:
+    *
+    *  1. The plan is PERSISTED to `dir/_compact_plan` before any rewrite —
+    *     a restart resumes the SAME plan (re-planning mid-flight would see
+    *     half-compacted output and regroup differently).
+    *  2. Each group's output name is a content address of its member names
+    *     ([[compactOutName]]), so "did this group already land?" is one
+    *     `fs.exists` — no journal.
+    *  3. Per group: write to `dir/_compact_tmp/<out>`, atomically RENAME the
+    *     part file to `dir/<out>`, then delete the sources. A crash before
+    *     the rename leaves sources intact (tmp is garbage, re-created);
+    *     a crash after it is detected by step 2 and only the leftover
+    *     source deletes replay. No window loses or duplicates rows.
+    *  4. Groups are independent jobs — a cluster runs them concurrently
+    *     (each is its own read→write); this executor runs them in sequence
+    *     for deterministic local testing.
+    *
+    * Singleton groups (oversized or already-big files) keep their file
+    * untouched. Returns the per-group summary
+    * `(group_id, files_in, bytes_in, out_file, action)` with action one of
+    * `rewritten | kept | resumed`.
+    */
+  def executeCompaction(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val planPath = new Path(root, "_compact_plan")
+    val tmpRoot = new Path(root, "_compact_tmp")
+
+    // 1. persist-or-resume the plan
+    val plan: Seq[(String, Long, Long)] =
+      if (fs.exists(planPath)) {
+        spark.read.parquet(planPath.toString)
+          .select("file", "bytes", "group_id").as[(String, Long, Long)]
+          .collect().toSeq
+      } else {
+        val p = compactionPlan(spark, dir, targetBytes)
+        p.coalesce(1).write.mode("overwrite").parquet(planPath.toString)
+        p.select("file", "bytes", "group_id").as[(String, Long, Long)]
+          .collect().toSeq
+      }
+
+    val summary = plan.groupBy(_._3).toSeq.sortBy(_._1).map { case (gid, members) =>
+      val names = members.map(_._1)
+      val bytes = members.map(_._2).sum
+      if (members.length == 1) {
+        (gid, 1, bytes, names.head, "kept")
+      } else {
+        val outName = compactOutName(names)
+        val outPath = new Path(root, outName)
+        val action = if (fs.exists(outPath)) {
+          // group already landed in a previous run — replay only the deletes
+          names.foreach { n =>
+            val src = new Path(root, n)
+            if (fs.exists(src)) fs.delete(src, false)
+          }
+          "resumed"
+        } else {
+          val tmp = new Path(tmpRoot, outName)
+          if (fs.exists(tmp)) fs.delete(tmp, true) // garbage from a crash
+          spark.read.parquet(names.map(n => new Path(root, n).toString): _*)
+            .coalesce(1).write.parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"compaction group $gid wrote no parquet part"))
+          require(fs.rename(part, outPath),
+            s"compaction: atomic rename $part -> $outPath failed")
+          names.foreach(n => fs.delete(new Path(root, n), false))
+          fs.delete(tmp, true)
+          "rewritten"
+        }
+        (gid, members.length, bytes, outName, action)
+      }
+    }
+    // 4. all groups landed — retire the plan and tmp area
+    fs.delete(planPath, true)
+    if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+    summary.toDF("group_id", "files_in", "bytes_in", "out_file", "action")
+  }
 }

@@ -250,6 +250,90 @@ class StreamingEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("TWS punctuation query killed under fire recovers exactly-once state from its checkpoint") {
+    import spark.implicits._
+    val conf = spark.conf
+    val savedProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-chaos-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chaos-ckpt").toString
+    // durable FILE source (not MemoryStream): offsets name files, so the
+    // restart is deterministic no matter where the kill lands — a file is
+    // either committed (skipped on recovery) or not (reprocessed), never half
+    def addFile(rows: TripStation*): Unit =
+      rows.toSeq.toDS().coalesce(1).write.mode("append").parquet(srcDir)
+    val emissions = new scala.collection.mutable.ArrayBuffer[graft.model.AggregatedInfo]()
+    def sink(ds: org.apache.spark.sql.Dataset[graft.model.AggregatedInfo], id: Long): Unit =
+      emissions.synchronized { emissions ++= ds.collect() }
+    def start() =
+      StreamingEtl.punctuatedFullSnapshotAggTws(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[TripStation].schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir).as[TripStation],
+        punctuateEveryMs = 300000L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink _)
+        .start()
+
+    val aAndB = Seq(
+      TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      TripStation("A", ts("2024-01-01 11:00:00"), "purchase", 30.0),
+      TripStation("B", ts("2024-01-01 10:30:00"), "view", 4.0),
+      TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 20.0))
+    try {
+      val q1 = start()
+      addFile(aAndB(0), aAndB(1), aAndB(2))
+      q1.processAllAvailable() // file 1 committed: A=2 trips, B=1 in state
+      // KILL UNDER FIRE: drop file 2 in and stop immediately — the batch may
+      // be mid-flight, committed, or not-yet-started when stop() lands; the
+      // recovery contract is that ALL THREE races converge to the same state
+      addFile(aAndB(3))
+      q1.stop()
+
+      val q2 = start()
+      q2.processAllAvailable() // file 2 lands exactly once (or was committed)
+      // flush: push the watermark past day 1 so every surviving group emits
+      // its final snapshot through the timer sweep, then evicts
+      addFile(TripStation("Z", ts("2024-01-05 00:00:00"), "view", 1.0))
+      q2.processAllAvailable()
+      addFile(TripStation("Z", ts("2024-01-05 06:00:00"), "view", 1.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      // the LAST emission per station is the final snapshot; it must equal
+      // the batch aggregate over the full input — state survived the kill,
+      // and the refire neither lost file 2 nor double-counted it
+      val last = emissions.synchronized {
+        emissions.filter(e => Set("A", "B")(e.stationName))
+          .groupBy(_.stationName).map { case (k, es) => k -> es.last }
+      }
+      val batch = TripEtl.stationDayAgg(enrichedDf(aAndB)).collect()
+        .map(r => r.getAs[String]("station_name") -> r).toMap
+      assert(last.keySet == batch.keySet, s"${last.keySet} vs ${batch.keySet}")
+      last.foreach { case (k, got) =>
+        val want = batch(k)
+        assert(got.startedTrips == want.getAs[Long]("started_trips"), k)
+        assert(got.endedTrips == want.getAs[Long]("ended_trips"), k)
+        assert(got.avgTemperature == want.getAs[Double]("avg_temperature"), k)
+        assert(got.updateTime == want.getAs[Timestamp]("update_time"), k)
+      }
+      // and no intermediate emission ever OVERSHOT the true total (the
+      // double-count signature a replayed file would leave)
+      emissions.synchronized {
+        emissions.filter(_.stationName == "A").foreach { e =>
+          assert(e.startedTrips <= 3L, e)
+        }
+      }
+    } finally {
+      savedProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming window anomalies emit scored windows (anomalies-topic path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
