@@ -485,7 +485,20 @@ object SparkEntry {
     // entropy/transform pipeline really runs (lossy-parameter coverage is
     // spec'd against the JDK's independent ImageIO codec)
     "mm_jpeg_decode" -> ((s, dir) =>
-      operators.Multimodal.jpegDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.jpegDecodeStats(Tables.documents(s, dir))),
+    // REAL video decode (r8): MJPEG stream in a real AVI/RIFF container —
+    // container chunk walk + EVERY frame through the full baseline-JPEG
+    // pipeline; frame k cycles the text from offset k so adjacent frames
+    // differ the way video frames do, and the per-frame closed-form text
+    // oracle stays valid. Stub scope shrinks to inter-frame-compressed
+    // (H.264-class) formats only.
+    "mm_mjpeg_decode" -> ((s, dir) =>
+      operators.Multimodal.mjpegDecodeStats(Tables.documents(s, dir))),
+    // the video-ingest access pattern: sample frames FIRST (stride 2),
+    // entropy-decode only what survives — container walk still validates
+    // every chunk, the expensive JPEG decode runs on half the frames
+    "mm_mjpeg_sample" -> ((s, dir) =>
+      operators.Multimodal.mjpegDecodeStats(Tables.documents(s, dir), stride = 2))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2657,6 +2670,58 @@ object SparkEntry {
              generate_series(1, CAST(nb AS INTEGER)),
              p -> ascii(substr(body, p, 1)))) AS BIGINT) AS sum_px
          FROM s""",
+    // replica of Multimodal.mjpegDecodeStats WITHOUT running the codec:
+    // every MJPEG frame is the same DC-only-recoverable class as
+    // mm_jpeg_decode, with frame k's block i reading text byte (k+i) % len
+    "mm_mjpeg_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
+             CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, nf, (w // 8) * (h // 8) AS nb,
+             t, length(t) AS tl,
+             unnest(generate_series(0, nf - 1)) AS k
+           FROM m),
+         b AS (
+           SELECT doc_id, w, h, nf,
+             list_sum(list_transform(
+               generate_series(0, CAST(nb AS INTEGER) - 1),
+               i -> ascii(substr(t, CAST((k + i) % tl AS INTEGER) + 1, 1)))) AS bsum
+           FROM f)
+         SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+           CAST(w AS BIGINT) * h * nf AS n_pixels,
+           CAST(64 * sum(bsum) AS BIGINT) AS sum_px
+         FROM b GROUP BY doc_id, w, h, nf""",
+    // stride-2 frame sampling over the same videos: only even frames are
+    // entropy-decoded (and therefore counted/summed)
+    "mm_mjpeg_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
+             CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb,
+             t, length(t) AS tl,
+             unnest(generate_series(0, nf - 1)) AS k
+           FROM m),
+         b AS (
+           SELECT doc_id, w, h, k,
+             list_sum(list_transform(
+               generate_series(0, CAST(nb AS INTEGER) - 1),
+               i -> ascii(substr(t, CAST((k + i) % tl AS INTEGER) + 1, 1)))) AS bsum
+           FROM f WHERE k % 2 = 0)
+         SELECT doc_id, w AS width, h AS height,
+           CAST(count(*) AS INTEGER) AS n_frames,
+           CAST(w AS BIGINT) * h * count(*) AS n_pixels,
+           CAST(64 * sum(bsum) AS BIGINT) AS sum_px
+         FROM b GROUP BY doc_id, w, h""",
     // replica of Multimodal.gifDecodeStats WITHOUT running the codec: LZW
     // is lossless and the grayscale palette is the identity map, so the
     // decoded pixel stream equals the text cycled to w*h bytes

@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   * reconstruction and per-chunk CRC32 validation), and GIF
   * ([[Multimodal.decodeGifStats]] — variable-width LZW dictionary coder
   * with KwKwK reconstruction, table reset, palette indirection) — so the
-  * stub scope is lossy-transform-codec formats only (JPEG/H.264-class):
-  * this container has no codec libraries, so
+  * stub scope is INTER-FRAME-compressed video only (H.264-class motion
+  * compensation): stills all decode for real (PPM, BMP, QOI, PNG, GIF,
+  * JPEG — [[Multimodal.decodeJpegStats]], full Huffman + IDCT), audio
+  * decodes for real (WAV PCM), and intra-only video decodes for real
+  * (MJPEG in an AVI/RIFF container, [[Multimodal.decodeAviStats]] —
+  * every frame through the complete JPEG pipeline). This container has
+  * no codec libraries, so for the remaining H.264-class formats
+  * [[Multimodal.decodeFeatures]] runs a deterministic
+  * fake (header parse + byte histogram) in place of a real pixel decode. The
   * [[Multimodal.decodeFeatures]] runs a deterministic
   * fake (header parse + byte histogram) in place of a real pixel decode. The
   * Spark-side plumbing is real and tested: binary column construction,
@@ -1714,26 +1721,36 @@ object Multimodal {
       .as[(Long, String, Int, Int)]
     base.mapPartitions { rows =>
       rows.map { case (docId, t, w, h) =>
-        val tb = t.getBytes("UTF-8")
-        val bwn = w / 8; val bhn = h / 8
-        val gray = new Array[Byte](w * h)
-        var bi = 0
-        while (bi < bwn * bhn) {
-          val v = tb(bi % tb.length)
-          val x0 = (bi % bwn) * 8; val y0 = (bi / bwn) * 8
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) { gray((y0 + yy) * w + x0 + xx) = v; xx += 1 }
-            yy += 1
-          }
-          bi += 1
-        }
-        val payload = encodeJpeg(w, h, gray)
+        val payload = encodeJpeg(w, h, blockConstantGray(w, h, t.getBytes("UTF-8"), 0))
         MediaFile(docId, payload,
           MediaMeta("image/jpeg", w, h, payload.length.toLong))
       }
     }.toDF("docId", "payload", "meta")
+  }
+
+  /** 8×8-block-constant grayscale raster: block i takes text byte
+    * `(off + i) % len` — the one image class a lossy DCT codec with
+    * all-ones quant tables reproduces bit-exactly (DC-only blocks,
+    * integer coefficients), which keeps the closed-form text oracle
+    * valid while the full entropy/transform pipeline really runs.
+    * `off` shifts the cycle per video frame. */
+  private[graft] def blockConstantGray(w: Int, h: Int, tb: Array[Byte],
+                                       off: Int): Array[Byte] = {
+    val bwn = w / 8; val bhn = h / 8
+    val gray = new Array[Byte](w * h)
+    var bi = 0
+    while (bi < bwn * bhn) {
+      val v = tb((off + bi) % tb.length)
+      val x0 = (bi % bwn) * 8; val y0 = (bi / bwn) * 8
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) { gray((y0 + yy) * w + x0 + xx) = v; xx += 1 }
+        yy += 1
+      }
+      bi += 1
+    }
+    gray
   }
 
   /** Pixel-sum stats over a REAL baseline-JPEG decode. */
@@ -1761,9 +1778,234 @@ object Multimodal {
         col("nPixels").as("n_pixels"), col("sumPx").as("sum_px"))
   }
 
+  // ─────────────── MJPEG video in an AVI (RIFF) container ───────────────
+
+  /** Integer-exact stats from a REAL video decode: every frame of an
+    * MJPEG stream runs through the full baseline-JPEG pipeline. */
+  final case class AviStats(docId: Long, width: Int, height: Int,
+                            nFrames: Int, nPixels: Long, sumPx: Long)
+
+  /** REAL AVI (RIFF) writer carrying an MJPEG video stream — each frame
+    * is a standalone baseline JPEG ([[encodeJpeg]]), the classic
+    * intra-only video codec (and the normal form security cameras and
+    * browsers still emit). Container per the public AVI RIFF spec:
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    * 00dc...) idx1)`, chunks word-aligned, `AVIF_HASINDEX` set and a
+    * keyframe `idx1` written (every MJPEG frame is a keyframe). */
+  private[graft] def encodeAvi(w: Int, h: Int, frames: Array[Array[Byte]],
+                               usPerFrame: Int = 100000): Array[Byte] = {
+    require(frames.nonEmpty, "AVI needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val n = frames.length
+    val maxFrame = frames.map(_.length).max
+    val pad = frames.map(f => f.length & 1)
+    val moviSize = 4 + frames.indices.map(i => 8 + frames(i).length + pad(i)).sum
+    val idx1Size = 16 * n
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+
+    fourcc("RIFF"); le32(riffSize); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(usPerFrame); le32(maxFrame * (1000000 / usPerFrame).max(1))
+    le32(0) /* padding granularity */ ; le32(0x10) // AVIF_HASINDEX
+    le32(n); le32(0) /* initial frames */ ; le32(1) /* streams */
+    le32(maxFrame); le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    fourcc("LIST"); le32(strlSize); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc("MJPG")
+    le32(0) /* flags */ ; le16(0) /* priority */ ; le16(0) /* language */
+    le32(0) /* initial frames */
+    le32(usPerFrame) /* scale */ ; le32(1000000) /* rate: fps = rate/scale */
+    le32(0) /* start */ ; le32(n) /* length in frames */
+    le32(maxFrame) /* suggested buffer */ ; le32(-1) /* default quality */
+    le32(0) /* sample size: varies per frame */
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    fourcc("strf"); le32(40) // BITMAPINFOHEADER
+    le32(40); le32(w); le32(h); le16(1) /* planes */ ; le16(24)
+    fourcc("MJPG") /* biCompression */ ; le32(w * h * 3)
+    le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    val chunkOffsets = new Array[Int](n) // relative to the 'movi' fourcc
+    var off = 4
+    frames.indices.foreach { i =>
+      chunkOffsets(i) = off
+      fourcc("00dc"); le32(frames(i).length); out.write(frames(i))
+      if (pad(i) == 1) out.write(0)
+      off += 8 + frames(i).length + pad(i)
+    }
+    fourcc("idx1"); le32(idx1Size)
+    frames.indices.foreach { i =>
+      fourcc("00dc"); le32(0x10) /* AVIIF_KEYFRAME */
+      le32(chunkOffsets(i)); le32(frames(i).length)
+    }
+    out.toByteArray
+  }
+
+  /** REAL AVI container parse — not a stub: validates the RIFF magic and
+    * EXACT declared size, walks the top-level chunk list with bounds
+    * checks on every read (truncation fails loudly, same contract as the
+    * other codecs), requires one `vids`/`MJPG` stream, reads the frame
+    * count + dimensions from `avih`, collects every `00dc`/`00db` chunk
+    * of the `movi` list (skipping `JUNK`/unknown chunks per the RIFF
+    * spec, honoring word alignment), and cross-checks the collected
+    * frame count against the header's. Returns (width, height, frames —
+    * each a standalone JPEG payload for [[parseJpeg]]). */
+  private[graft] def parseAvi(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    def in(pos: Int, nBytes: Int): Unit =
+      require(pos >= 0 && pos + nBytes <= payload.length,
+        s"AVI truncated: need $nBytes bytes at $pos of ${payload.length}")
+    def u8(i: Int) = { in(i, 1); payload(i) & 0xff }
+    def le32(i: Int) = { in(i, 4)
+      (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24) }
+    def cc(i: Int): String = { in(i, 4)
+      new String(payload, i, 4, "US-ASCII") }
+    require(cc(0) == "RIFF", s"not a RIFF file: ${cc(0)}")
+    val riffSize = le32(4)
+    require(riffSize >= 4 && riffSize + 8 == payload.length,
+      s"RIFF size $riffSize disagrees with payload ${payload.length}")
+    require(cc(8) == "AVI ", s"RIFF form ${cc(8)} is not AVI")
+
+    var width = -1; var height = -1; var declaredFrames = -1
+    var streamOk = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+
+    // one recursive-descent chunk walk; `limit` is the parent's end
+    def walk(start: Int, limit: Int): Unit = {
+      var pos = start
+      while (pos < limit) {
+        val id = cc(pos); val size = le32(pos + 4)
+        require(size >= 0 && pos + 8 + size <= limit,
+          s"chunk $id size $size overruns parent at $pos")
+        id match {
+          case "LIST" =>
+            val listType = cc(pos + 8)
+            listType match {
+              case "hdrl" | "strl" => walk(pos + 12, pos + 8 + size)
+              case "movi" =>
+                var p = pos + 12
+                while (p < pos + 8 + size) {
+                  val cid = cc(p); val csz = le32(p + 4)
+                  require(csz >= 0 && p + 8 + csz <= pos + 8 + size,
+                    s"movi chunk $cid size $csz overruns list at $p")
+                  if (cid == "00dc" || cid == "00db") {
+                    in(p + 8, csz)
+                    frames += java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + csz)
+                  } // skip rec LISTs/JUNK/other streams
+                  p += 8 + csz + (csz & 1)
+                }
+              case _ => () // unknown list: skip
+            }
+          case "avih" =>
+            require(size >= 40, s"avih segment too short: $size")
+            declaredFrames = le32(pos + 8 + 16)
+            width = le32(pos + 8 + 32)
+            height = le32(pos + 8 + 36)
+          case "strh" =>
+            require(size >= 8, s"strh segment too short: $size")
+            if (cc(pos + 8) == "vids") {
+              val handler = cc(pos + 12)
+              require(handler == "MJPG",
+                s"unsupported video handler $handler (MJPEG only)")
+              streamOk = true
+            }
+          case _ => () // JUNK / idx1 / unknown: skip (RIFF contract)
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, 8 + riffSize)
+    require(streamOk, "no vids/MJPG stream header found")
+    require(width > 0 && height > 0, s"bad AVI dimensions ${width}x$height")
+    require(declaredFrames == frames.length,
+      s"avih declares $declaredFrames frames, movi holds ${frames.length}")
+    (width, height, frames.toArray)
+  }
+
+  /** Synthesize REAL MJPEG/AVI videos from `documents`: `doc_id % 4 + 2`
+    * frames of the same 8×8-block-constant grayscale scheme as
+    * [[jpegFromDocuments]], with frame k's blocks reading the text cycled
+    * from OFFSET k — adjacent frames differ the way adjacent video frames
+    * do (slightly), and the lossless-round-trip property that makes the
+    * closed-form text oracle valid per frame is preserved. */
+  def aviFromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(
+      col("doc_id"),
+      when(col("text").isNull || col("text") === "", lit(" "))
+        .otherwise(col("text")).as("t"),
+      ((col("n_chars") % 3 + 2) * 8).cast("int").as("w"),
+      ((col("doc_id") % 3 + 2) * 8).cast("int").as("h"),
+      (col("doc_id") % 4 + 2).cast("int").as("nf"))
+      .as[(Long, String, Int, Int, Int)]
+    base.mapPartitions { rows =>
+      rows.map { case (docId, t, w, h, nf) =>
+        val tb = t.getBytes("UTF-8")
+        val frames = Array.tabulate(nf) { k =>
+          encodeJpeg(w, h, blockConstantGray(w, h, tb, k))
+        }
+        val payload = encodeAvi(w, h, frames)
+        MediaFile(docId, payload,
+          MediaMeta("video/x-msvideo", w, h, payload.length.toLong))
+      }
+    }.toDF("docId", "payload", "meta")
+  }
+
+  /** Full-decode stats over a REAL MJPEG video: container walk, then
+    * EVERY frame through the complete Huffman + IDCT JPEG pipeline;
+    * frame dimensions are cross-checked against the container header
+    * (a mismatch is corruption and must fail the task). `stride` > 1
+    * decodes only every stride-th frame — the video-ingest access
+    * pattern (sample first, decode only what survives): the container
+    * walk still touches every chunk header, but the expensive entropy
+    * decode runs solely on kept frames. */
+  def decodeAviStats(media: Dataset[MediaFile], stride: Int = 1): Dataset[AviStats] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, frames) = parseAvi(m.payload)
+        var s = 0L; var kept = 0
+        var k = 0
+        while (k < frames.length) {
+          if (k % stride == 0) {
+            val (fw, fh, ncomp, px) = parseJpeg(frames(k))
+            require(fw == w && fh == h,
+              s"frame $k is ${fw}x$fh but container says ${w}x$h")
+            require(ncomp == 1, s"expected grayscale driver payloads, got $ncomp")
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            kept += 1
+          }
+          k += 1
+        }
+        AviStats(m.docId, w, h, kept, w.toLong * h * kept, s)
+      }
+    }
+  }
+
+  /** Driver-facing query over the video path: real MJPEG/AVI payloads
+    * from `documents`, every frame fully decoded, integer-exact pixel
+    * sums across frames. */
+  def mjpegDecodeStats(documents: DataFrame, stride: Int = 1): DataFrame = {
+    val media = asMediaDataset(aviFromDocuments(documents))
+    decodeAviStats(media, stride).toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        col("nFrames").as("n_frames"), col("nPixels").as("n_pixels"),
+        col("sumPx").as("sum_px"))
+  }
+
   /** STUB DECODE — deterministic fake in place of a real decode, now
-    * scoped to VIDEO-class formats only (H.264 etc.; stills all have real
-    * codecs above: PPM, BMP, WAV, QOI, PNG, GIF, JPEG). Parses the 8-byte
+    * scoped to INTER-FRAME-compressed video only (H.264-class; stills,
+    * audio, and intra-only MJPEG video all have real codecs above:
+    * PPM, BMP, WAV, QOI, PNG, GIF, JPEG, AVI/MJPEG). Parses the 8-byte
     * header and computes a 16-bin byte histogram + mean byte over the
     * body, standing in for frame-level features. `mapPartitions`
     * processes a whole partition per call — the batch shape a vectorized

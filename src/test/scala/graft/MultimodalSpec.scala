@@ -540,6 +540,108 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI/MJPEG: container round-trips frames bit-exactly, tolerates JUNK chunks") {
+    val rnd = new scala.util.Random(23)
+    val (w, h) = (24, 16)
+    val grays = Array.tabulate(3) { _ =>
+      val g = new Array[Byte](w * h)
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val v = rnd.nextInt(256).toByte
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          g((by * 8 + yy) * w + bx * 8 + xx) = v
+      }
+      g
+    }
+    val frames = grays.map(g => Multimodal.encodeJpeg(w, h, g))
+    val avi = Multimodal.encodeAvi(w, h, frames)
+    val (dw, dh, got) = Multimodal.parseAvi(avi)
+    assert((dw, dh) == ((w, h)))
+    assert(got.length == 3)
+    got.indices.foreach { i =>
+      assert(java.util.Arrays.equals(got(i), frames(i)), s"frame $i drifted")
+      // and each extracted frame still decodes to its source raster
+      val (_, _, _, px) = Multimodal.parseJpeg(got(i))
+      assert(px.toSeq == grays(i).toSeq)
+    }
+
+    // real AVIs carry JUNK alignment chunks — splice one in before the
+    // movi list (adjusting the RIFF size) and require the walk to skip it
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val moviAt = {
+      var p = 12; var found = -1
+      while (found < 0) {
+        val id = new String(avi, p, 4, "US-ASCII")
+        val size = java.nio.ByteBuffer.wrap(avi, p + 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        if (id == "LIST" && new String(avi, p + 8, 4, "US-ASCII") == "movi") found = p
+        else p += 8 + size + (size & 1)
+      }
+      found
+    }
+    val spliced = avi.take(moviAt) ++ junk ++ avi.drop(moviAt)
+    val newSize = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(spliced.length - 8).array()
+    System.arraycopy(newSize, 0, spliced, 4, 4)
+    val (_, _, viaJunk) = Multimodal.parseAvi(spliced)
+    assert(viaJunk.length == 3 && java.util.Arrays.equals(viaJunk(1), frames(1)))
+  }
+
+  test("AVI loud failures: bad magic, size drift, truncation, frame-count mismatch") {
+    val frames = Array.tabulate(2)(k =>
+      Multimodal.encodeJpeg(8, 8, Array.fill(64)((60 + k).toByte)))
+    val avi = Multimodal.encodeAvi(8, 8, frames)
+    def boom(mut: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException](Multimodal.parseAvi(mut(avi.clone())))
+    boom { a => a(0) = 'X'.toByte; a }                    // not RIFF
+    boom { a => a(8) = 'W'.toByte; a }                    // not the AVI form
+    boom { a => a(4) = (a(4) + 1).toByte; a }             // declared size drift
+    boom(_.dropRight(12))                                  // truncated tail
+    boom(_.take(40))                                       // truncated mid-header
+    // declared frame count vs movi payloads must reconcile
+    boom { a =>
+      // avih totalFrames field: 12(RIFF)+12(LIST hdrl)+8(avih hdr)+16
+      val at = 12 + 12 + 8 + 16
+      a(at) = (a(at) + 1).toByte; a
+    }
+    // a non-MJPG video handler is refused
+    boom { a =>
+      val at = a.indexOfSlice("MJPG".getBytes("US-ASCII"))
+      a(at) = 'H'.toByte; a
+    }
+  }
+
+  test("AVI generate -> full video decode matches the closed-form per-frame sums") {
+    val out = Multimodal.mjpegDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val docId = r.getAs[Long]("doc_id")
+      val (text, nChars) = texts(docId)
+      val w = ((nChars % 3 + 2) * 8).toInt
+      val hh = ((docId % 3 + 2) * 8).toInt
+      val nf = (docId % 4 + 2).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      assert(r.getAs[Int]("n_frames") == nf)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * hh * nf)
+      val t = if (text == null || text.isEmpty) " " else text
+      val nb = (w / 8) * (hh / 8)
+      val sum = (0 until nf).flatMap(k =>
+        (0 until nb).map(i => 64L * t.charAt((k + i) % t.length))).sum
+      assert(r.getAs[Long]("sum_px") == sum, s"doc $docId")
+    }
+    // stride-2 sampling decodes only even frames; sums restrict accordingly
+    val sampled = Multimodal.mjpegDecodeStats(docs, stride = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (r <- out) {
+      val docId = r.getAs[Long]("doc_id")
+      val s = sampled(docId)
+      val nf = (docId % 4 + 2).toInt
+      assert(s.getAs[Int]("n_frames") == (nf + 1) / 2)
+      assert(s.getAs[Long]("sum_px") <= r.getAs[Long]("sum_px"))
+    }
+  }
+
   test("codec fuzz: corrupted compressed payloads terminate cleanly, never hang") {
     // flip bytes in the COMPRESSED BODY (past the fixed header region —
     // dimensions are out of scope: QOI/GIF carry no header checksum, and a
@@ -561,7 +663,14 @@ class MultimodalSpec extends AnyFunSuite {
       ("png", Multimodal.encodePng(24, 18, px), 8, Multimodal.parsePng),
       ("gif", Multimodal.encodeGif(24, 18, idx), 13 + 768 + 10 + 1,
         Multimodal.parseGif),
-      ("jpeg", jpeg, jpegScanStart, Multimodal.parseJpeg))
+      ("jpeg", jpeg, jpegScanStart, Multimodal.parseJpeg),
+      // full video pipeline: container walk + every frame entropy-decoded
+      ("avi", Multimodal.encodeAvi(24, 18,
+        Array(jpeg, Multimodal.encodeJpeg(24, 18, idx))), 12 + 12 + 64,
+        (b: Array[Byte]) => {
+          val (_, _, fs) = Multimodal.parseAvi(b)
+          fs.foreach(Multimodal.parseJpeg)
+        }))
     for ((name, payload, skip, parse) <- cases) {
       var failures = 0
       (1 to 60).foreach { _ =>
