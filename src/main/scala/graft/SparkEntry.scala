@@ -112,6 +112,12 @@ object SparkEntry {
     // (never CartesianProduct); oracle runs the naive BETWEEN theta join
     "events_in_windows" -> ((s, dir) =>
       Relational.eventsInIncidentWindows(Tables.events(s, dir))),
+    // the LINEAR scale path for the count metrics of events_in_windows:
+    // cumulative-rank differences (per-bin window + metadata-scale bin
+    // prefix), join output O(N) where the pair form's is TH(N^2/T) —
+    // SCALE.md 100x addendum measures the pair blow-up at x100/decade
+    "events_in_windows_ranked" -> ((s, dir) =>
+      Relational.eventsInIncidentWindowsRanked(Tables.events(s, dir))),
     // PIVOT with a DECLARED value list (no plan-time collect-distinct scan)
     "event_type_pivot" -> ((s, dir) =>
       Relational.eventTypePivot(Tables.events(s, dir))),
@@ -1812,6 +1818,22 @@ object SparkEntry {
            FROM events WHERE event_type = 'error' AND user_id % 50 = 0)
          SELECT interval_id, win_start, count(*) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_errors
+         FROM events e JOIN iv
+           ON e.ts >= iv.win_start AND e.ts < iv.win_end
+         GROUP BY 1, 2""",
+    // replica of Relational.eventsInIncidentWindowsRanked via the SAME
+    // naive range join (counts only): the hash match proves the rank-
+    // difference plan computes exactly what pair enumeration computes.
+    // Inner join loses no interval: each contains its seed error at
+    // win_start (inclusive), so every interval has >= 1 event.
+    "events_in_windows_ranked" ->
+      """WITH iv AS (
+           SELECT event_id AS interval_id, ts AS win_start,
+             ts + INTERVAL 30 MINUTE AS win_end
+           FROM events WHERE event_type = 'error' AND user_id % 50 = 0)
+         SELECT interval_id, win_start, count(*) AS n_events,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              AS BIGINT) AS n_errors
          FROM events e JOIN iv

@@ -756,4 +756,91 @@ object Relational {
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .as("n_errors"))
   }
+
+  /** The 100 TB scale path for [[eventsInIncidentWindows]]'s COUNT
+    * metrics: per-interval `n_events`/`n_errors` by CUMULATIVE-RANK
+    * DIFFERENCES instead of pair enumeration.
+    *
+    * Why it exists (SCALE.md 100× addendum): the pair-based form's join
+    * output is inherently quadratic in corpus DENSITY — events-per-window
+    * and window count both grow with N over a fixed time range, so
+    * matching pairs grow ×100 per ×10 data (measured exactly: 30 k → 3.0 M
+    * → 302 M). That cost is unavoidable for per-pair metrics like
+    * `countDistinct(user_id)`, but pure counts need only
+    * `rank(win_end) − rank(win_start)` where `rank(t)` = events strictly
+    * before `t`.
+    *
+    * Plan: one union of events and interval boundaries, per-BIN window
+    * ranks (partitioned by the fixed 30-minute bins — no global sort, no
+    * row-scale single-partition window), plus a bin-level cumulative
+    * offset over the METADATA-scale bin relation (one row per bin of the
+    * corpus's time range — the broadcast/collected-codebook class). Join
+    * output is LINEAR in N; total cost O((N + I) · log per-bin) vs the
+    * pair form's Θ(N²/T). Intervals are never empty (each contains its
+    * seed error at `win_start`, inclusive), so inner-join oracles see
+    * every interval.
+    */
+  def eventsInIncidentWindowsRanked(events: DataFrame, windowMinutes: Int = 30,
+                                    userMod: Long = 50): DataFrame = {
+    val binUs = windowMinutes.toLong * 60L * 1000000L
+    val ev = events.filter(col("ts").isNotNull) // SQL join semantics: null ts never matches
+    val intervals = ev
+      .filter(col("event_type") === "error" &&
+        pmod(col("user_id"), lit(userMod)) === 0)
+      .select(col("event_id").as("interval_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $windowMinutes MINUTES")).as("win_end"))
+    val evTagged = ev.select(
+      col("ts"), lit(1L).as("is_ev"),
+      when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"),
+      lit(null).cast("long").as("interval_id"),
+      lit(null).cast("string").as("kind"))
+    def boundary(tsCol: String, kind: String) = intervals.select(
+      col(tsCol).as("ts"), lit(0L).as("is_ev"), lit(0L).as("is_err"),
+      col("interval_id"), lit(kind).as("kind"))
+    val tagged = evTagged
+      .unionByName(boundary("win_start", "s"))
+      .unionByName(boundary("win_end", "e"))
+      .withColumn("bin", expr(s"unix_micros(ts) div ${binUs}L"))
+
+    // within-bin running counts; boundaries (is_ev = 0) sort BEFORE events
+    // at the same instant, so a boundary's running sum counts exactly the
+    // events strictly before its ts — start inclusive / end exclusive falls
+    // out of the tie order, no epsilon arithmetic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("ts"), col("is_ev"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = tagged
+      .withColumn("local_ev", sum(col("is_ev")).over(w))
+      .withColumn("local_err", sum(col("is_err")).over(w))
+
+    // bin-level prefix totals: ONE ROW PER BIN of the corpus time range —
+    // metadata-scale by construction (fixed calendar / bin width), so the
+    // ordered cumulative window over it is the collected-codebook class,
+    // not a row-scale global sort; it then rides a broadcast join back
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binCum = tagged.groupBy(col("bin"))
+      .agg(sum(col("is_ev")).as("bin_ev"), sum(col("is_err")).as("bin_err"))
+      .select(col("bin"),
+        coalesce(sum(col("bin_ev")).over(wb), lit(0L)).as("cum_ev"),
+        coalesce(sum(col("bin_err")).over(wb), lit(0L)).as("cum_err"))
+
+    val bounds = ranked.filter(col("kind").isNotNull)
+      .join(broadcast(binCum), Seq("bin"))
+      .select(col("interval_id"), col("kind"), col("ts"),
+        (col("cum_ev") + col("local_ev")).as("rank_ev"),
+        (col("cum_err") + col("local_err")).as("rank_err"))
+
+    bounds.groupBy(col("interval_id"))
+      .agg(
+        max(when(col("kind") === "s", col("ts"))).as("win_start"),
+        (max(when(col("kind") === "e", col("rank_ev"))) -
+          max(when(col("kind") === "s", col("rank_ev")))).as("n_events"),
+        (max(when(col("kind") === "e", col("rank_err"))) -
+          max(when(col("kind") === "s", col("rank_err")))).as("n_errors"))
+      .select(col("interval_id"), col("win_start"), col("n_events"),
+        col("n_errors"))
+  }
 }

@@ -536,4 +536,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("ranked incident-window counts equal the pair-enumerating form, with no pair join") {
+    val events = graft.sources.Tables.events(spark, dir)
+    val pairForm = Relational.eventsInIncidentWindows(events)
+      .select(col("interval_id"), col("win_start"), col("n_events"), col("n_errors"))
+    val ranked = Relational.eventsInIncidentWindowsRanked(events)
+    // exact multiset equality on the count metrics (the ones rank
+    // differences can compute without enumerating event-interval pairs)
+    assert(ranked.count() == pairForm.count() && ranked.count() > 0)
+    assert(ranked.exceptAll(pairForm).count() == 0 &&
+      pairForm.exceptAll(ranked).count() == 0)
+    // the scale claim: the ONLY join is the broadcast of the metadata-scale
+    // bin-prefix relation — no event-x-interval equi/theta join anywhere,
+    // so join output is linear in the corpus instead of TH(N^2/T)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
