@@ -155,4 +155,109 @@ object StreamAsOf {
       .transformWithState(new StreamAsOfProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Forward-join output: left columns plus the EARLIEST right at-or-after
+    * within tolerance (None when no right lands in the window). */
+  final case class StreamAsOfFwdJoined(
+      userId: Long, eventId: Long, ts: Timestamp,
+      matchedId: Option[Long], matchedTs: Option[Timestamp],
+      matchedValue: Option[Double])
+
+  /** STREAM–STREAM FORWARD as-of (earliest right at-or-after, bounded by
+    * `tolMs`) — completing the direction matrix. The tolerance is
+    * MANDATORY here, and that is a semantic necessity, not a shortcut:
+    * "earliest at-or-after" with no bound is only decidable at stream end
+    * (a right with a smaller timestamp than any seen candidate may arrive
+    * arbitrarily late), exactly why Spark's own stream–stream joins demand
+    * a time-range condition. With the bound, a left is decidable once the
+    * watermark passes `leftTs + tol` (its timer), and a right is dead once
+    * `rightTs <= wm − tol` (no pending left's window can reach it) — both
+    * sides' state stays bounded by tolerance × arrival rate. */
+  class StreamAsOfForwardProcessor(tolMs: Long)
+      extends StatefulProcessor[Long, AsOfStreamEvent, StreamAsOfFwdJoined] {
+    @transient private var lefts: ListState[BufLeft] = _
+    @transient private var rights: ListState[BufRight] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[BufLeft]("lefts",
+        Encoders.product[BufLeft], TTLConfig.NONE)
+      rights = getHandle.getListState[BufRight]("rights",
+        Encoders.product[BufRight], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfStreamEvent],
+                                 timers: TimerValues): Iterator[StreamAsOfFwdJoined] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      rows.foreach { e =>
+        if (e.isLeft) {
+          lefts.appendValue(BufLeft(e.ts.getTime, e.id))
+          // decidable once the watermark passes the end of its window
+          getHandle.registerTimer(math.max(e.ts.getTime + tolMs, wm + 1L))
+        } else {
+          rights.appendValue(BufRight(e.ts.getTime, e.id, e.value))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[StreamAsOfFwdJoined] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val allRights = rights.get().toArray.sortBy(r => (r.tsMs, r.errorId))
+      val allLefts = lefts.get().toArray
+      val (ready, pending) = allLefts.partition(_.tsMs + tolMs <= wm)
+      val out = ready.sortBy(l => (l.tsMs, l.eventId)).iterator.map { l =>
+        // earliest right in [l.ts, l.ts + tol]: first index at-or-after
+        var lo = 0; var hi = allRights.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (allRights(mid).tsMs < l.tsMs) lo = mid + 1 else hi = mid
+        }
+        val m = if (lo < allRights.length && allRights(lo).tsMs <= l.tsMs + tolMs)
+          Some(allRights(lo)) else None
+        StreamAsOfFwdJoined(key, l.eventId, new Timestamp(l.tsMs),
+          m.map(_.errorId), m.map(r => new Timestamp(r.tsMs)), m.map(_.value))
+      }.toArray
+      if (ready.nonEmpty) {
+        lefts.clear()
+        if (pending.nonEmpty) lefts.put(pending)
+      }
+      // time-cutoff prune: a right at-or-before wm − tol is out of every
+      // pending or future left's window (pending lefts have ts > wm − tol)
+      val keep = allRights.filter(_.tsMs > wm - tolMs)
+      if (keep.length != allRights.length) {
+        rights.clear()
+        if (keep.nonEmpty) rights.put(keep)
+      }
+      out.iterator
+    }
+  }
+
+  /** Public API: forward as-of enrichment — each left event matched to the
+    * EARLIEST right within `(toleranceMs)` after it, cross-batch; the
+    * streaming twin of the batch `asof_next_purchase` query
+    * ([[graft.plans.AsOf.forward]] with tolerance), so the spec can assert
+    * stream ≡ batch on identical data.
+    */
+  def asOfNextStreams(lefts: DataFrame, rights: DataFrame,
+                      toleranceMs: Long,
+                      watermark: String = "10 minutes"): Dataset[StreamAsOfFwdJoined] = {
+    require(toleranceMs > 0, "forward stream-stream as-of needs a positive tolerance")
+    val spark = lefts.sparkSession
+    import spark.implicits._
+    val l = lefts.select(
+      col("user_id").cast("long").as("userId"), lit(true).as("isLeft"),
+      col("event_id").cast("long").as("id"), col("ts"),
+      lit(0.0).as("value"))
+      .withWatermark("ts", watermark)
+    val r = rights.select(
+      col("user_id").cast("long").as("userId"), lit(false).as("isLeft"),
+      col("event_id").cast("long").as("id"), col("ts"),
+      col("value").cast("double").as("value"))
+      .withWatermark("ts", watermark)
+    l.unionByName(r).as[AsOfStreamEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new StreamAsOfForwardProcessor(toleranceMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -8,14 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.AsOf
 
-/** Streaming as-of enrichment: the custom operator planning INSIDE a
-  * micro-batch streaming query. The supported shape is stream-left ⟕asof
-  * static-right (a rate table, config history, dimension snapshot): the
-  * operator is stateless per micro-batch, so appending the latest
-  * at-or-before right row to each streamed event is exactly the batch
-  * semantics, batch by batch. (Stream–stream as-of would need cross-batch
-  * state and is deliberately NOT claimed — the window formulation plus
-  * watermarks covers that territory.)
+/** Streaming as-of, three shapes:
+  *  1. stream-left ⟕asof static-right — the custom operator planning
+  *     INSIDE a micro-batch query, stateless per batch (rate tables,
+  *     config history, dimension snapshots);
+  *  2. STREAM–STREAM backward (r8, StreamAsOf.asOfEnrichStreams):
+  *     cross-batch right-side state on transformWithState, lefts released
+  *     by the watermark, rights dominance-pruned;
+  *  3. STREAM–STREAM forward with mandatory tolerance (r8,
+  *     StreamAsOf.asOfNextStreams): earliest right at-or-after within the
+  *     bound — the tolerance is what makes the join decidable and the
+  *     state bounded (same reason Spark's stream–stream joins demand a
+  *     time-range condition).
+  * Each stream–stream test pins output ≡ the batch operator on the same
+  * fed data, plus the late-data (watermark-drop) contract.
   */
 class StreamAsOfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -141,6 +147,85 @@ class StreamAsOfSpec extends AnyFunSuite {
         out.foreach { case (eid, got) =>
           assert(expected(eid) == got,
             s"stream diverged from batch on event $eid: $got vs ${expected(eid)}")
+        }
+      } finally q.stop()
+    }
+  }
+
+  test("stream-stream FORWARD as-of: earliest right within tolerance wins across " +
+    "batches; tolerance expiry null-extends; output equals batch AsOf.forward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val leftIn = MemoryStream[(Long, Long, Timestamp)]
+      val rightIn = MemoryStream[(Long, Long, Timestamp, Double)]
+      val tolMs = 30L * 60L * 1000L // 30 minutes
+      val joined = graft.streaming.StreamAsOf.asOfNextStreams(
+        leftIn.toDF().toDF("event_id", "user_id", "ts"),
+        rightIn.toDF().toDF("event_id", "user_id", "ts", "value"),
+        toleranceMs = tolMs, watermark = "10 minutes")
+      val q = joined.toDF().writeStream.format("memory").queryName("ss_fwd")
+        .outputMode("append").start()
+      try {
+        // batch 1: LEFT first (10:00); its window is [10:00, 10:30] and no
+        // right exists yet — must be held, not emitted
+        leftIn.addData((1L, 10L, ts("2024-01-01 10:00:00")))
+        rightIn.addData((900L, 99L, ts("2024-01-01 09:00:00"), 0.5))
+        q.processAllAvailable()
+        assert(spark.table("ss_fwd").isEmpty,
+          "left must wait out its tolerance window before deciding")
+
+        // batch 2: two in-window rights arrive LATER than the left —
+        // the EARLIEST (10:20), not the first-arrived, must win
+        rightIn.addData((51L, 10L, ts("2024-01-01 10:25:00"), 2.0),
+          (50L, 10L, ts("2024-01-01 10:20:00"), 1.0))
+        // a second left whose window [11:00, 11:30] will stay EMPTY
+        leftIn.addData((2L, 10L, ts("2024-01-01 11:00:00")))
+        q.processAllAvailable()
+
+        // sentinels: walk the watermark past 10:30 (left 1 decidable) and
+        // then past 11:30 (left 2 decidable, unmatched)
+        for (h <- Seq("12:10", "12:20", "12:30")) {
+          val hid = h.replace(":", "").toLong
+          leftIn.addData((8000L + hid, 99L, ts(s"2024-01-01 $h:00")))
+          rightIn.addData((7000L + hid, 99L, ts(s"2024-01-01 $h:00"), 0.1))
+          q.processAllAvailable()
+        }
+
+        val out = spark.table("ss_fwd").collect()
+          .map(r => r.getAs[Long]("eventId") ->
+            ((Option(r.getAs[Any]("matchedId")), Option(r.getAs[Timestamp]("matchedTs")))))
+          .toMap
+        assert(out.contains(1L), s"left 1 never released; got ${out.keySet}")
+        assert(out(1L) == ((Some(50L), Some(ts("2024-01-01 10:20:00")))),
+          s"earliest in-window right must win: ${out(1L)}")
+        assert(out.contains(2L), "empty-window left must still release")
+        assert(out(2L) == ((None, None)), s"left 2 must null-extend: ${out(2L)}")
+
+        // released rows ≡ batch AsOf.forward (same tolerance) on the SAME data
+        val batchLefts = Seq(
+          (1L, 10L, ts("2024-01-01 10:00:00")),
+          (2L, 10L, ts("2024-01-01 11:00:00")),
+          (9210L, 99L, ts("2024-01-01 12:10:00")),
+          (9220L, 99L, ts("2024-01-01 12:20:00")),
+          (9230L, 99L, ts("2024-01-01 12:30:00"))
+        ).toDF("event_id", "user_id", "ts")
+        val batchRights = Seq(
+          (900L, 99L, ts("2024-01-01 09:00:00"), 0.5),
+          (50L, 10L, ts("2024-01-01 10:20:00"), 1.0),
+          (51L, 10L, ts("2024-01-01 10:25:00"), 2.0),
+          (8210L, 99L, ts("2024-01-01 12:10:00"), 0.1),
+          (8220L, 99L, ts("2024-01-01 12:20:00"), 0.1),
+          (8230L, 99L, ts("2024-01-01 12:30:00"), 0.1)
+        ).toDF("r_id", "r_user", "r_ts", "value")
+        val expected = AsOf.forward(batchLefts, batchRights,
+            "user_id", "r_user", "ts", "r_ts",
+            tolerance = Some(tolMs * 1000L)) // micros for timestamp columns
+          .collect().map(r => r.getAs[Long]("event_id") ->
+            Option(r.getAs[Timestamp]("r_ts"))).toMap
+        Seq(1L, 2L).foreach { eid =>
+          assert(expected(eid) == out(eid)._2,
+            s"stream diverged from batch on event $eid")
         }
       } finally q.stop()
     }
