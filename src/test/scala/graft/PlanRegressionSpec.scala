@@ -77,6 +77,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_mjpeg_decode: the video pipeline is a shuffle-free narrow plan") {
+    // generate -> AVI encode -> container walk -> per-frame JPEG decode:
+    // all per-row byte work, so the ENTIRE video path must stay narrow
+    Seq("mm_mjpeg_decode", "mm_mjpeg_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("events_in_windows_ranked: two window exchanges + final agg, broadcast-only join") {
+    val p = plan("events_in_windows_ranked")
+    // per-bin rank exchange + final agg on interval_id (row-scale), and the
+    // bin-count agg exchange inside the broadcast side (metadata-scale:
+    // one row per 30-min bin) — nothing else, and no pair join anywhere
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+    assert(count(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("doc_repetition: exactly the two hash-agg exchanges, no join or window") {
     val p = plan("doc_repetition")
     assert(count(p, "Exchange hashpartitioning") == 2, p)
