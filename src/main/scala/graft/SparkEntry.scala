@@ -164,6 +164,12 @@ object SparkEntry {
     // stream ≡ batch equivalence proof (r6 verdict #6)
     "user_scd2_incremental" -> ((s, dir) =>
       operators.Incremental.scd2Incremental(Tables.events(s, dir))),
+    // POINT-IN-TIME lookup against the SCD2 dimension via the NATIVE
+    // as-of join (runs chain contiguously, so latest-start-at-or-before
+    // IS containment — no interval explode, no BETWEEN theta join); the
+    // 1-hour probe offset makes the state genuinely vary
+    "user_state_before_purchase" -> ((s, dir) =>
+      Relational.purchaseStateBefore(Tables.events(s, dir))),
     // EXACT heavy hitters at bounded state: Misra-Gries candidates (O(k)
     // buffers) -> exact re-count of candidates only -> real threshold.
     // Runs over the planted-skew union (the corpus is frequency-uniform,
@@ -1908,6 +1914,38 @@ object SparkEntry {
            (lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) IS NULL)
              AS is_current
          FROM a""",
+    // replica of Relational.purchaseStateBefore via the NAIVE interval-
+    // containment LEFT JOIN the as-of composition must equal (runs chain
+    // contiguously per user, so latest-start-at-or-before == containment)
+    "user_state_before_purchase" ->
+      """WITH o AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         s AS (
+           SELECT user_id, event_type, ts,
+             CAST(sum(CASE WHEN prev_type IS NULL
+                 OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+           FROM o),
+         a AS (
+           SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from
+           FROM s GROUP BY 1, 2),
+         d AS (
+           SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+           FROM a)
+         SELECT f.event_id, f.user_id, CAST(f.ts AS TIMESTAMP) AS ts,
+           d.event_type AS state_type, d.valid_from AS state_since
+         FROM events f LEFT JOIN d
+           ON f.user_id = d.user_id
+           AND CAST(f.ts AS TIMESTAMP) - INTERVAL 1 HOUR >= d.valid_from
+           AND (d.valid_to IS NULL
+             OR CAST(f.ts AS TIMESTAMP) - INTERVAL 1 HOUR < d.valid_to)
+         WHERE f.event_type = 'purchase'""",
     "event_value_percentiles" ->
       """WITH ranked AS (
            SELECT event_type, value,

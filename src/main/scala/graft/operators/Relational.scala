@@ -235,6 +235,35 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** POINT-IN-TIME lookup against the [[scd2UserState]] dimension — the
+    * classic versioned-dimension join every warehouse needs: each purchase
+    * is enriched with the state its user was in ONE HOUR BEFORE the
+    * purchase (the offset is what makes the lookup non-trivial: the run
+    * containing the purchase itself is by construction a 'purchase' run).
+    *
+    * Implemented as the NATIVE as-of join ([[graft.plans.AsOf.backward]])
+    * against `valid_from`: SCD2 runs chain contiguously per user with the
+    * last interval open-ended, so "latest interval starting at-or-before
+    * t" IS interval containment — no BETWEEN theta join, no interval
+    * explode; the as-of exec's O(1)-state merge (or broadcast probe) does
+    * the whole lookup. Purchases earlier than the user's first state (or
+    * whose probe time precedes it) null-extend, matching the LEFT JOIN
+    * oracle. Also composition evidence: the custom operator consumes a
+    * DERIVED relation (window + agg output), not just scans.
+    */
+  def purchaseStateBefore(events: DataFrame, offsetHours: Int = 1): DataFrame = {
+    val dim = scd2UserState(events).select(
+      col("user_id").as("d_user"), col("event_type").as("state_type"),
+      col("valid_from").as("state_since"))
+    val facts = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("ts") - expr(s"INTERVAL $offsetHours HOURS")).as("probe_ts"))
+    graft.plans.AsOf.backward(facts, dim,
+        "user_id", "d_user", "probe_ts", "state_since")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state_type"), col("state_since"))
+  }
+
   /** Full CUBE with grouping ids (§2.8 breadth next to [[pricingRollup]]):
     * all four grouping sets in one Expand + single hash aggregation; the
     * grouping id disambiguates subtotal NULLs from data NULLs.

@@ -537,6 +537,28 @@ class RelationalSpec extends AnyFunSuite {
       plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("point-in-time SCD2 lookup: probe state varies, pre-history purchases null-extend") {
+    val events = graft.sources.Tables.events(spark, dir)
+    val pit = Relational.purchaseStateBefore(events).collect()
+    assert(pit.length == events.filter(col("event_type") === "purchase").count())
+    // the 1-hour offset makes the lookup non-vacuous: states other than
+    // 'purchase' (and misses) must both occur on real data
+    val states = pit.map(r => Option(r.getAs[String]("state_type"))).toSet
+    assert(states.exists(_.exists(_ != "purchase")), s"only: $states")
+    // a purchase whose probe time precedes the user's first event has no
+    // containing interval -> null-extended, never dropped
+    val firstTs = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[java.sql.Timestamp]("first_ts")).toMap
+    pit.foreach { r =>
+      // Instant math keeps the sub-millisecond digits Timestamp.getTime drops
+      val probe = r.getAs[java.sql.Timestamp]("ts").toInstant.minusSeconds(3600L)
+      val preHistory = probe.isBefore(firstTs(r.getAs[Long]("user_id")).toInstant)
+      assert(preHistory == (r.getAs[String]("state_type") == null),
+        s"null-extension contract broken for ${r}")
+    }
+  }
+
   test("ranked incident-window counts equal the pair-enumerating form, with no pair join") {
     val events = graft.sources.Tables.events(spark, dir)
     val pairForm = Relational.eventsInIncidentWindows(events)
