@@ -510,7 +510,14 @@ object SparkEntry {
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
     "mm_mjpeg_sample" -> ((s, dir) =>
-      operators.Multimodal.mjpegDecodeStats(Tables.documents(s, dir), stride = 2))
+      operators.Multimodal.mjpegDecodeStats(Tables.documents(s, dir), stride = 2)),
+    // REAL companded-audio codec (r8): ITU-T G.711 mu-law in a WAVE
+    // container (format tag 7 + fact chunk). The mu-law CODE stream is the
+    // text cycled, so the oracle maps each byte through the integer expand
+    // formula while the codec genuinely runs; all 256 codes are verified
+    // against the JDK's independent javax.sound codec in MultimodalSpec
+    "mm_ulaw_decode" -> ((s, dir) =>
+      operators.Multimodal.muLawDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2782,6 +2789,27 @@ object SparkEntry {
            CAST(w AS BIGINT) * h * count(*) AS n_pixels,
            CAST(64 * sum(bsum) AS BIGINT) AS sum_px
          FROM b GROUP BY doc_id, w, h""",
+    // replica of Multimodal.muLawDecodeStats WITHOUT running the codec:
+    // the G.711 expand formula is pure integer algebra, applied to each
+    // text byte (ASCII < 0x80 means the complemented code's sign bit is
+    // always set, so the negative branch 0x84 - t applies throughout)
+    "mm_ulaw_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 32 + 16 AS INTEGER) AS n
+           FROM documents),
+         d AS (
+           SELECT doc_id, n,
+             list_transform(
+               list_transform(generate_series(1, n),
+                 p -> 255 - ascii(substr(rpad(t, n, t), CAST(p AS INTEGER), 1))),
+               u -> 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))) AS lins
+           FROM m)
+         SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(lins) AS BIGINT) AS sum_pcm,
+           CAST(list_min(lins) AS INTEGER) AS min_pcm
+         FROM d""",
     // replica of Multimodal.gifDecodeStats WITHOUT running the codec: LZW
     // is lossless and the grayscale palette is the identity map, so the
     // decoded pixel stream equals the text cycled to w*h bytes

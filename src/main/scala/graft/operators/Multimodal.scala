@@ -423,6 +423,145 @@ object Multimodal {
         col("maxSample").as("max_sample"))
   }
 
+  // ─────────────── G.711 µ-law (companded audio, ITU-T) ───────────────
+
+  /** ITU-T G.711 µ-law compress: 16-bit linear PCM → 8-bit code
+    * (bias 0x84, clip 32635, segment exponent + 4-bit mantissa, ones'
+    * complement). Table-free — the algorithm IS the spec; MultimodalSpec
+    * verifies all 256 codes against the JDK's independent codec. */
+  private[graft] def muLawEncode(s: Short): Byte = {
+    val BIAS = 0x84; val CLIP = 32635
+    var x = s.toInt
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > CLIP) x = CLIP
+    x += BIAS
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (x >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  /** G.711 µ-law expand: 8-bit code → 16-bit linear PCM. */
+  private[graft] def muLawDecode(b: Byte): Short = {
+    val u = (~b) & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** Synthesize REAL G.711 µ-law WAVE files from `documents` — the first
+    * LOSSY-companded audio format (WAVE format tag 7, 8 bits/sample, with
+    * the `fact` chunk the spec requires for non-PCM streams). The µ-law
+    * CODE STREAM is the document text cycled to `n_samples` bytes, so the
+    * closed-form oracle maps each text byte through the (integer-exact)
+    * expand formula — the codec genuinely runs while the text-side replica
+    * stays algebraic. */
+  def muLawFromDocuments(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val base = documents.select(
+      col("doc_id"),
+      when(col("text").isNull || col("text") === "", lit(" "))
+        .otherwise(col("text")).as("t"),
+      (col("n_chars") % 32 + 16).cast("int").as("n_samples"))
+    val body = expr("rpad(t, n_samples, t)")
+    val header = concat(
+      encode(lit("RIFF"), "UTF-8"), le(col("n_samples") + 50, 4),
+      encode(lit("WAVE"), "UTF-8"),
+      encode(lit("fmt "), "UTF-8"), le(lit(18), 4),
+      le(lit(7), 2),                   // WAVE_FORMAT_MULAW
+      le(lit(1), 2),                   // mono
+      le(lit(sampleRate), 4),
+      le(lit(sampleRate), 4),          // byte rate = rate · blockAlign(1)
+      le(lit(1), 2),                   // block align
+      le(lit(8), 2),                   // bits per sample
+      le(lit(0), 2),                   // cbSize (no codec extension)
+      encode(lit("fact"), "UTF-8"), le(lit(4), 4),
+      le(col("n_samples"), 4),         // decoded frame count
+      encode(lit("data"), "UTF-8"), le(col("n_samples"), 4))
+    val payload = concat(header, encode(body, "UTF-8"))
+    base.select(
+      col("doc_id").as("docId"),
+      payload.as("payload"),
+      struct(
+        lit("audio/basic").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(payload).cast("long").as("nBytes")).as("meta"))
+  }
+
+  /** Parse a µ-law WAVE container: same RIFF walk contract as [[parseWav]]
+    * but requiring format tag 7 / 8-bit / mono, and cross-checking the
+    * `fact` chunk's frame count against the data size (one byte per
+    * sample). Returns (sampleRate, raw µ-law codes). */
+  private[graft] def parseWavMuLaw(payload: Array[Byte]): (Int, Array[Byte]) = {
+    def u8(i: Int) = payload(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    require(le32(4) == payload.length - 8,
+      s"RIFF size ${le32(4)} != payload length - 8 (${payload.length - 8})")
+    var pos = 12
+    var rate = -1; var dataAt = -1; var dataLen = -1; var factFrames = -1
+    while (pos + 8 <= payload.length) {
+      val id = tag(pos); val size = le32(pos + 4)
+      require(size >= 0 && pos + 8 + size <= payload.length,
+        s"RIFF chunk '$id' overruns the payload")
+      if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too small ($size)")
+        require(le16(pos + 8) == 7, "expected WAVE_FORMAT_MULAW (7)")
+        require(le16(pos + 10) == 1, "only mono supported")
+        require(le16(pos + 22) == 8, "mu-law samples are 8-bit")
+        rate = le32(pos + 12)
+        require(rate > 0, s"malformed sample rate $rate")
+      } else if (id == "fact") {
+        require(size >= 4, "fact chunk too small")
+        factFrames = le32(pos + 8)
+      } else if (id == "data") {
+        dataAt = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(dataAt > 0, "missing data chunk")
+    require(factFrames >= 0, "missing fact chunk (required for non-PCM)")
+    require(factFrames == dataLen,
+      s"fact declares $factFrames frames, data holds $dataLen mu-law bytes")
+    (rate, java.util.Arrays.copyOfRange(payload, dataAt, dataAt + dataLen))
+  }
+
+  /** Integer-exact stats from a REAL companded-audio decode. */
+  final case class MuLawStats(docId: Long, sampleRate: Int, nSamples: Long,
+                              sumPcm: Long, minPcm: Int)
+
+  /** Container walk + full µ-law expansion of every sample. */
+  def decodeMuLawStats(media: Dataset[MediaFile]): Dataset[MuLawStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (rate, codes) = parseWavMuLaw(m.payload)
+        var sum = 0L; var mn = Int.MaxValue
+        var i = 0
+        while (i < codes.length) {
+          val s = muLawDecode(codes(i)).toInt
+          sum += s; if (s < mn) mn = s
+          i += 1
+        }
+        MuLawStats(m.docId, rate, codes.length.toLong, sum,
+          if (codes.isEmpty) 0 else mn)
+      }
+    }
+  }
+
+  /** Driver-facing query over the companded-audio path. */
+  def muLawDecodeStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(muLawFromDocuments(documents))
+    decodeMuLawStats(media).toDF()
+      .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"), col("sumPcm").as("sum_pcm"),
+        col("minPcm").as("min_pcm"))
+  }
+
   /** Driver-facing query over the second REAL decode path: generate BMP
     * payloads from `documents`, binary-parse them back, report
     * integer-exact per-channel sums. */

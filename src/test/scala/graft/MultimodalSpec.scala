@@ -213,6 +213,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mu-law expand matches the JDK's independent G.711 codec on all 256 codes") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val srcFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val dstFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), srcFmt, codes.length.toLong)
+    val converted = AudioSystem.getAudioInputStream(dstFmt, in)
+    val buf = converted.readAllBytes()
+    assert(buf.length == 512)
+    (0 until 256).foreach { i =>
+      val jdk = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+      assert(Multimodal.muLawDecode(codes(i)) == jdk,
+        s"code $i: ours ${Multimodal.muLawDecode(codes(i))} vs JDK $jdk")
+    }
+    // compress(expand(code)) is the identity on codes — except 0x7f/0xff,
+    // the two encodings of zero, which both re-encode to 0xff (G.711's
+    // documented +0/-0 alias)
+    (0 until 256).foreach { i =>
+      val c = codes(i)
+      val re = Multimodal.muLawEncode(Multimodal.muLawDecode(c))
+      if ((c & 0xff) == 0x7f) assert((re & 0xff) == 0xff)
+      else assert(re == c, s"code $i re-encoded to ${re & 0xff}")
+    }
+    // and compression actually quantizes: a dense linear sweep collapses
+    // onto the <= 255 distinct decoded levels
+    val levels = (Short.MinValue to Short.MaxValue).by(7)
+      .map(s => Multimodal.muLawDecode(Multimodal.muLawEncode(s.toShort))).toSet
+    assert(levels.size > 200 && levels.size <= 255)
+  }
+
+  test("mu-law WAVE generate -> container walk -> expand matches text-side algebra, fails loudly") {
+    val out = Multimodal.muLawDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val t = if (text == null || text.isEmpty) " " else text
+      val n = (nChars % 32 + 16).toInt
+      val decoded = (0 until n)
+        .map(i => Multimodal.muLawDecode(t.charAt(i % t.length).toByte).toInt)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("sum_pcm") == decoded.map(_.toLong).sum)
+      assert(r.getAs[Int]("min_pcm") == decoded.min)
+    }
+    // loud failures: PCM format tag, fact/data mismatch, truncation
+    val media = Multimodal.muLawFromDocuments(docs).limit(1).collect().head
+    val payload = media.getAs[Array[Byte]]("payload")
+    def boom(mut: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException](Multimodal.parseWavMuLaw(mut(payload.clone())))
+    boom { a => a(20) = 1; a }      // format tag 7 -> 1 (PCM): refused
+    boom { a => a(46) = (a(46) + 1).toByte; a } // fact frame count drifts
+    boom(_.dropRight(3))             // truncation breaks the declared size
+    val (_, codes) = Multimodal.parseWavMuLaw(payload)
+    assert(codes.length == (texts(media.getAs[Long]("docId"))._2 % 32 + 16).toInt)
+  }
+
   test("QOI: hand-built chunk stream decodes through every op type") {
     // 3x2 image exercising RGB, RUN, DIFF, LUMA, INDEX in that order
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
