@@ -231,6 +231,75 @@ class StreamAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream as-of killed under fire: buffered lefts, right state, and " +
+    "timers all survive the checkpoint restart; output equals batch") {
+    import spark.implicits._
+    withRocksDb {
+      val pDir = java.nio.file.Files.createTempDirectory("graft-ssasof-p").toString
+      val eDir = java.nio.file.Files.createTempDirectory("graft-ssasof-e").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ssasof-ck").toString
+      def addP(rows: (Long, Long, Timestamp)*): Unit =
+        rows.toSeq.toDF("event_id", "user_id", "ts")
+          .coalesce(1).write.mode("append").parquet(pDir)
+      def addE(rows: (Long, Long, Timestamp, Double)*): Unit =
+        rows.toSeq.toDF("error_id", "user_id", "ts", "value")
+          .coalesce(1).write.mode("append").parquet(eDir)
+      val pSchema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+      val eSchema = "error_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+      val emissions = new scala.collection.mutable.ArrayBuffer[
+        graft.streaming.StreamAsOf.StreamAsOfJoined]()
+      def start() =
+        graft.streaming.StreamAsOf.asOfEnrichStreams(
+            spark.readStream.schema(pSchema).parquet(pDir),
+            spark.readStream.schema(eSchema).parquet(eDir),
+            watermark = "10 minutes")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (ds: org.apache.spark.sql.Dataset[
+            graft.streaming.StreamAsOf.StreamAsOfJoined], id: Long) =>
+            emissions.synchronized { emissions ++= ds.collect() }; ()
+          }
+          .start()
+
+      val q1 = start()
+      // committed state: a buffered left (awaits both its match and the
+      // watermark) plus a right that must survive dominance pruning
+      addP((1L, 10L, ts("2024-01-01 10:00:00")))
+      addE((40L, 10L, ts("2024-01-01 09:10:00"), 9.0))
+      q1.processAllAvailable()
+      // KILL UNDER FIRE: the decisive right (09:30, later than 09:10 —
+      // must win) lands as a pending uncommitted file when stop() hits
+      addE((50L, 10L, ts("2024-01-01 09:30:00"), 1.5))
+      q1.stop()
+
+      val q2 = start()
+      q2.processAllAvailable()
+      // sentinels walk the watermark past the buffered left — two batches,
+      // because batch N uses the watermark computed from batch N-1
+      for (h <- Seq("12:00", "13:00", "14:00")) {
+        addP((8000L + h.take(2).toLong, 99L, ts(s"2024-01-01 $h:00")))
+        addE((7000L + h.take(2).toLong, 99L, ts(s"2024-01-01 $h:00"), 0.1))
+        q2.processAllAvailable()
+      }
+      q2.stop()
+
+      val got = emissions.synchronized {
+        emissions.filter(_.userId == 10L)
+          .map(e => e.eventId -> ((e.errorId, e.errorTs))).toMap
+      }
+      // the pre-kill left survived the restart AND matched the right that
+      // arrived in the killed batch — not the older committed right
+      assert(got.get(1L).isDefined, s"left 1 lost across restart: $emissions")
+      assert(got(1L) == ((Some(50L), Some(ts("2024-01-01 09:30:00")))), got)
+      // each left decided exactly once (no timer double-fire after restart)
+      emissions.synchronized {
+        val perLeft = emissions.groupBy(e => e.eventId)
+          .map { case (k, es) => k -> es.map(e => e.errorId).distinct.size }
+        assert(perLeft.values.forall(_ == 1), s"conflicting re-decisions: $perLeft")
+      }
+    }
+  }
+
   test("stream-stream as-of: dominance pruning keeps exact matches for " +
     "future lefts, and a late left is dropped (watermark contract)") {
     import spark.implicits._
