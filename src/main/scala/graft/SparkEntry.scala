@@ -517,7 +517,11 @@ object SparkEntry {
     // formula while the codec genuinely runs; all 256 codes are verified
     // against the JDK's independent javax.sound codec in MultimodalSpec
     "mm_ulaw_decode" -> ((s, dir) =>
-      operators.Multimodal.muLawDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.muLawDecodeStats(Tables.documents(s, dir))),
+    // the A-law half of G.711 (WAVE format tag 6) — same container
+    // discipline, different companding curve, same JDK cross-verification
+    "mm_alaw_decode" -> ((s, dir) =>
+      operators.Multimodal.aLawDecodeStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2805,6 +2809,29 @@ object SparkEntry {
                list_transform(generate_series(1, n),
                  p -> 255 - ascii(substr(rpad(t, n, t), CAST(p AS INTEGER), 1))),
                u -> 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))) AS lins
+           FROM m)
+         SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(lins) AS BIGINT) AS sum_pcm,
+           CAST(list_min(lins) AS INTEGER) AS min_pcm
+         FROM d""",
+    // replica of Multimodal.aLawDecodeStats: the A-law expand curve (even
+    // bits inverted via xor 0x55, segment 0 adds 8, higher segments add
+    // 0x108 then shift) — ASCII keeps the sign bit clear, so every sample
+    // takes the negative branch
+    "mm_alaw_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 32 + 16 AS INTEGER) AS n
+           FROM documents),
+         d AS (
+           SELECT doc_id, n,
+             list_transform(
+               list_transform(generate_series(1, n),
+                 p -> xor(ascii(substr(rpad(t, n, t), CAST(p AS INTEGER), 1)), 85)),
+               a -> CASE WHEN ((a // 16) % 8) = 0 THEN -(((a % 16) * 16) + 8)
+                    ELSE -((((a % 16) * 16) + 264) * (1 << (((a // 16) % 8) - 1)))
+                    END) AS lins
            FROM m)
          SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
            CAST(list_sum(lins) AS BIGINT) AS sum_pcm,

@@ -450,6 +450,31 @@ object Multimodal {
     (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
   }
 
+  /** ITU-T G.711 A-law compress: 16-bit linear → 8-bit code (13-bit
+    * precision, segment/mantissa, even-bit inversion 0x55). Same
+    * table-free discipline as [[muLawEncode]]; JDK-cross-verified. */
+  private[graft] def aLawEncode(s: Short): Byte = {
+    var x = s.toInt >> 3 // 16-bit -> 13-bit
+    val mask = if (x >= 0) 0xd5 else { x = -x - 1; 0x55 }
+    val segEnds = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+    var seg = 0
+    while (seg < 8 && x > segEnds(seg)) seg += 1
+    val aval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | (if (seg < 2) (x >> 1) & 0x0f else (x >> seg) & 0x0f)
+    (aval ^ mask).toByte
+  }
+
+  /** G.711 A-law expand: 8-bit code → 16-bit linear. */
+  private[graft] def aLawDecode(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= seg - 1 }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
   /** Synthesize REAL G.711 µ-law WAVE files from `documents` — the first
     * LOSSY-companded audio format (WAVE format tag 7, 8 bits/sample, with
     * the `fact` chunk the spec requires for non-PCM streams). The µ-law
@@ -457,7 +482,16 @@ object Multimodal {
     * closed-form oracle maps each text byte through the (integer-exact)
     * expand formula — the codec genuinely runs while the text-side replica
     * stays algebraic. */
-  def muLawFromDocuments(documents: DataFrame, sampleRate: Int = 8000): DataFrame = {
+  def muLawFromDocuments(documents: DataFrame, sampleRate: Int = 8000): DataFrame =
+    compandedWavFromDocuments(documents, sampleRate, formatTag = 7)
+
+  /** [[muLawFromDocuments]] with the A-law format tag (6): the CODE stream
+    * is the same cycled text, decoded through [[aLawDecode]] instead. */
+  def aLawFromDocuments(documents: DataFrame, sampleRate: Int = 8000): DataFrame =
+    compandedWavFromDocuments(documents, sampleRate, formatTag = 6)
+
+  private def compandedWavFromDocuments(documents: DataFrame, sampleRate: Int,
+                                        formatTag: Int): DataFrame = {
     val base = documents.select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
@@ -468,7 +502,7 @@ object Multimodal {
       encode(lit("RIFF"), "UTF-8"), le(col("n_samples") + 50, 4),
       encode(lit("WAVE"), "UTF-8"),
       encode(lit("fmt "), "UTF-8"), le(lit(18), 4),
-      le(lit(7), 2),                   // WAVE_FORMAT_MULAW
+      le(lit(formatTag), 2),           // WAVE_FORMAT_MULAW (7) / ALAW (6)
       le(lit(1), 2),                   // mono
       le(lit(sampleRate), 4),
       le(lit(sampleRate), 4),          // byte rate = rate · blockAlign(1)
@@ -492,7 +526,8 @@ object Multimodal {
     * but requiring format tag 7 / 8-bit / mono, and cross-checking the
     * `fact` chunk's frame count against the data size (one byte per
     * sample). Returns (sampleRate, raw µ-law codes). */
-  private[graft] def parseWavMuLaw(payload: Array[Byte]): (Int, Array[Byte]) = {
+  private[graft] def parseWavMuLaw(payload: Array[Byte],
+                                   formatTag: Int = 7): (Int, Array[Byte]) = {
     def u8(i: Int) = payload(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -509,7 +544,8 @@ object Multimodal {
         s"RIFF chunk '$id' overruns the payload")
       if (id == "fmt ") {
         require(size >= 16, s"fmt chunk too small ($size)")
-        require(le16(pos + 8) == 7, "expected WAVE_FORMAT_MULAW (7)")
+        require(le16(pos + 8) == formatTag,
+          s"expected WAVE format tag $formatTag, got ${le16(pos + 8)}")
         require(le16(pos + 10) == 1, "only mono supported")
         require(le16(pos + 22) == 8, "mu-law samples are 8-bit")
         rate = le32(pos + 12)
@@ -553,10 +589,38 @@ object Multimodal {
     }
   }
 
+  /** Container walk + full A-law expansion of every sample. */
+  def decodeALawStats(media: Dataset[MediaFile]): Dataset[MuLawStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (rate, codes) = parseWavMuLaw(m.payload, formatTag = 6)
+        var sum = 0L; var mn = Int.MaxValue
+        var i = 0
+        while (i < codes.length) {
+          val s = aLawDecode(codes(i)).toInt
+          sum += s; if (s < mn) mn = s
+          i += 1
+        }
+        MuLawStats(m.docId, rate, codes.length.toLong, sum,
+          if (codes.isEmpty) 0 else mn)
+      }
+    }
+  }
+
   /** Driver-facing query over the companded-audio path. */
   def muLawDecodeStats(documents: DataFrame): DataFrame = {
     val media = asMediaDataset(muLawFromDocuments(documents))
     decodeMuLawStats(media).toDF()
+      .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"), col("sumPcm").as("sum_pcm"),
+        col("minPcm").as("min_pcm"))
+  }
+
+  /** Driver-facing query over the A-law path. */
+  def aLawDecodeStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(aLawFromDocuments(documents))
+    decodeALawStats(media).toDF()
       .select(col("docId").as("doc_id"), col("sampleRate").as("sample_rate"),
         col("nSamples").as("n_samples"), col("sumPcm").as("sum_pcm"),
         col("minPcm").as("min_pcm"))

@@ -244,6 +244,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(levels.size > 200 && levels.size <= 255)
   }
 
+  test("A-law expand matches the JDK codec on all 256 codes; container round-trips") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val srcFmt = new AudioFormat(AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false)
+    val dstFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val converted = AudioSystem.getAudioInputStream(dstFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(codes), srcFmt, 256L))
+    val buf = converted.readAllBytes()
+    (0 until 256).foreach { i =>
+      val jdk = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+      assert(Multimodal.aLawDecode(codes(i)) == jdk,
+        s"code $i: ours ${Multimodal.aLawDecode(codes(i))} vs JDK $jdk")
+      // compress(expand(code)) is the identity on every A-law code (A-law
+      // has no +0/-0 alias: segment 0 decodes to +-8 minimum, never 0)
+      assert(Multimodal.aLawEncode(Multimodal.aLawDecode(codes(i))) == codes(i),
+        s"code $i did not re-encode to itself")
+    }
+    // generated format-6 containers decode through the same walk and match
+    // the per-byte expand exactly
+    val out = Multimodal.aLawDecodeStats(docs).collect()
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val t = if (text == null || text.isEmpty) " " else text
+      val n = (nChars % 32 + 16).toInt
+      val decoded = (0 until n)
+        .map(i => Multimodal.aLawDecode(t.charAt(i % t.length).toByte).toInt)
+      assert(r.getAs[Long]("sum_pcm") == decoded.map(_.toLong).sum)
+      assert(r.getAs[Int]("min_pcm") == decoded.min)
+    }
+    // a mu-law payload fed to the A-law parser is refused (tag mismatch)
+    val mu = Multimodal.muLawFromDocuments(docs).limit(1).collect()
+      .head.getAs[Array[Byte]]("payload")
+    intercept[IllegalArgumentException](Multimodal.parseWavMuLaw(mu, formatTag = 6))
+  }
+
   test("mu-law WAVE generate -> container walk -> expand matches text-side algebra, fails loudly") {
     val out = Multimodal.muLawDecodeStats(docs).collect()
     assert(out.length == docs.count())
