@@ -189,6 +189,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(files.length == summary.length)
   }
 
+  test("runtime bloom-filter pushdown: a selective dim filter row-filters the fact scan") {
+    import spark.implicits._
+    // the 100 TB lever this pins: when a dimension side carries a selective
+    // predicate and the join is too big to broadcast, Catalyst injects a
+    // runtime bloom filter on the fact side's join key — rows that cannot
+    // match are dropped AT THE SCAN, before the shuffle. Local thresholds
+    // are tuned for clusters (10 GB application side), so the spec lowers
+    // them to demonstrate the mechanism on testdata.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // no broadcast: the bloom case
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = Tables.orders(spark, dir)
+      val customer = Tables.customer(spark, dir)
+        .filter($"c_mktsegment" === "BUILDING") // the selective creation side
+      val joined = orders.join(customer, $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.linesIterator.take(40).mkString("\n")}")
+      // and the filter is transparent: same result as with it disabled
+      val n = joined.count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == orders.join(customer, $"o_custkey" === $"c_custkey").count())
+      assert(n > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero Exchange (co-located sort-merge join)") {
     import spark.implicits._
     val conf = spark.conf
