@@ -521,7 +521,23 @@ object SparkEntry {
     // the A-law half of G.711 (WAVE format tag 6) — same container
     // discipline, different companding curve, same JDK cross-verification
     "mm_alaw_decode" -> ((s, dir) =>
-      operators.Multimodal.aLawDecodeStats(Tables.documents(s, dir)))
+      operators.Multimodal.aLawDecodeStats(Tables.documents(s, dir))),
+    // REAL INTER-frame video coding (r8): GIF89a animation — frame 0
+    // intact, later frames stored as transparent-index deltas inside
+    // changed-region bounding boxes (disposal "do not dispose" carries
+    // the canvas). The decoder composites every frame through the delta
+    // chain; the ticker evolution (one row repainted per frame) keeps
+    // the closed-form text oracle exact through palette + LZW +
+    // transparency + compositing. Stub scope shrinks again: only
+    // lossy motion-compensated video (H.264-class) remains faked.
+    "mm_gif_anim_decode" -> ((s, dir) =>
+      operators.Multimodal.gifAnimDecodeStats(Tables.documents(s, dir))),
+    // poster-frame access pattern: stats over the FINAL composited frame
+    // only — but inter-frame deltas force decoding every predecessor
+    // (the deliberate contrast with mm_mjpeg_sample, where intra-only
+    // frames make skipping free)
+    "mm_gif_anim_poster" -> ((s, dir) =>
+      operators.Multimodal.gifAnimPosterStats(Tables.documents(s, dir)))
   )
 
   /** THE portable-hash contract in SQL — the DuckDB replica of
@@ -2837,6 +2853,63 @@ object SparkEntry {
            CAST(list_sum(lins) AS BIGINT) AS sum_pcm,
            CAST(list_min(lins) AS INTEGER) AS min_pcm
          FROM d""",
+    // replica of Multimodal.gifAnimDecodeStats WITHOUT running the codec:
+    // delta coding + compositing are lossless, so composited frame k is
+    // the ticker closed form — row r reads the text cycled from offset
+    // w*(r + h*max(0, floor((k-r)/h))) (frame j>=1 repaints row j%h with
+    // offset w*j; the floor/clamp agrees with Scala's truncation because
+    // k-r > -h)
+    "mm_gif_anim_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 14 + 6 AS INTEGER) AS w,
+             CAST(doc_id % 9 + 6 AS INTEGER) AS h,
+             CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, nf, t, length(t) AS tl,
+             unnest(generate_series(0, nf - 1)) AS k
+           FROM m),
+         r AS (
+           SELECT doc_id, w, h, nf, t, tl, k,
+             unnest(generate_series(0, h - 1)) AS rw
+           FROM f),
+         s AS (
+           SELECT doc_id, w, h, nf, k,
+             list_sum(list_transform(generate_series(0, w - 1),
+               c -> ascii(substr(t,
+                 CAST((w * (rw + h * greatest(0, (k - rw) // h)) + c) % tl
+                   AS INTEGER) + 1, 1)))) AS rowsum
+           FROM r)
+         SELECT doc_id, w AS width, h AS height, CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS BIGINT) * h * nf AS n_pixels,
+           CAST(sum(rowsum) AS BIGINT) AS sum_px
+         FROM s GROUP BY doc_id, w, h, nf""",
+    // poster variant: the LAST composited frame only (k = nf-1)
+    "mm_gif_anim_poster" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 14 + 6 AS INTEGER) AS w,
+             CAST(doc_id % 9 + 6 AS INTEGER) AS h,
+             CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+           FROM documents),
+         r AS (
+           SELECT doc_id, w, h, nf, t, length(t) AS tl,
+             unnest(generate_series(0, h - 1)) AS rw
+           FROM m),
+         s AS (
+           SELECT doc_id, w, h, nf,
+             list_sum(list_transform(generate_series(0, w - 1),
+               c -> ascii(substr(t,
+                 CAST((w * (rw + h * greatest(0, (nf - 1 - rw) // h)) + c) % tl
+                   AS INTEGER) + 1, 1)))) AS rowsum
+           FROM r)
+         SELECT doc_id, w AS width, h AS height, CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS BIGINT) * h AS n_pixels,
+           CAST(sum(rowsum) AS BIGINT) AS sum_px
+         FROM s GROUP BY doc_id, w, h, nf""",
     // replica of Multimodal.gifDecodeStats WITHOUT running the codec: LZW
     // is lossless and the grayscale palette is the identity map, so the
     // decoded pixel stream equals the text cycled to w*h bytes

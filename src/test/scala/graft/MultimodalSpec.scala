@@ -495,6 +495,110 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF: delta frames composite back to the exact inputs") {
+    // sparse evolution: frame k+1 changes a handful of pixels; the writer
+    // must store only bounding-box deltas, the reader must composite them
+    val rnd = new scala.util.Random(17)
+    val w = 23; val h = 11
+    val f0 = Array.fill(w * h)((rnd.nextInt(200)).toByte) // indices < 200: 255 stays free
+    val frames = Iterator.iterate(f0) { prev =>
+      val next = prev.clone()
+      (1 to 5).foreach { _ =>
+        next(rnd.nextInt(w * h)) = rnd.nextInt(200).toByte }
+      next
+    }.take(6).toArray
+    val enc = Multimodal.encodeGifAnim(w, h, frames)
+    val (bw, bh, back, deltaFrames) = Multimodal.parseGifAnim(enc)
+    assert(bw == w && bh == h && back.length == 6)
+    frames.zip(back).zipWithIndex.foreach { case ((exp, got), k) =>
+      assert(got.toSeq == exp.toSeq, s"frame $k composites wrong") }
+    assert(deltaFrames == 5, s"expected 5 delta frames, got $deltaFrames")
+    // delta coding must beat storing every frame intact: the animation is
+    // one full frame plus five deltas of <=5 changed pixels, so each delta
+    // must cost a small bounded number of bytes, not a full-frame body
+    val singleFull = Multimodal.encodeGif(w, h, f0).length
+    assert(enc.length < singleFull + 5 * 80,
+      s"${enc.length} bytes: deltas cost full-frame bodies (one intra = $singleFull)")
+    // an unchanged consecutive frame encodes as a 1x1 transparent delta
+    val still = Multimodal.encodeGifAnim(w, h, Array(f0, f0.clone()))
+    val (_, _, backStill, _) = Multimodal.parseGifAnim(still)
+    assert(backStill.length == 2 && backStill(1).toSeq == backStill(0).toSeq)
+    // bounded animation overhead: NETSCAPE ext (19B) + two GCEs (2x8B) +
+    // the 1x1 transparent delta frame (~16B) on top of one intra frame
+    assert(still.length < Multimodal.encodeGif(w, h, f0).length + 64)
+  }
+
+  test("animated GIF: all-256-index frames fall back to intra coding") {
+    val w = 16; val h = 16
+    val a = Array.tabulate(w * h)(i => i.toByte)         // uses all 256 values
+    val b = a.clone(); b(7) = ((a(7) + 1) & 0xff).toByte // one changed pixel
+    val enc = Multimodal.encodeGifAnim(w, h, Array(a, b))
+    val (_, _, back, deltaFrames) = Multimodal.parseGifAnim(enc)
+    assert(back.length == 2)
+    assert(back(0).toSeq == a.toSeq && back(1).toSeq == b.toSeq)
+    assert(deltaFrames == 0, "no transparent index exists, so no delta frames")
+  }
+
+  test("animated GIF: loud failures on disposal, trailer, and truncation") {
+    val w = 9; val h = 7
+    val frames = Array(
+      Array.fill(w * h)(3.toByte),
+      Array.tabulate(w * h)(i => (i % 5).toByte))
+    val enc = Multimodal.encodeGifAnim(w, h, frames)
+    // unsupported disposal method (restore-to-background = 2) in the GCE:
+    // the first GCE's packed byte sits right after the NETSCAPE extension
+    val gcePacked = enc.indexOfSlice(Seq[Byte](0x21, 0xf9.toByte, 0x04))
+    assert(gcePacked > 0)
+    val badDisposal = enc.clone()
+    badDisposal(gcePacked + 3) = (2 << 2).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.parseGifAnim(badDisposal) }
+    assert(e.getMessage.contains("disposal"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGifAnim(enc :+ 0x00.toByte) } // trailing bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGifAnim(enc.dropRight(1)) }   // missing trailer
+    // truncation inside the NETSCAPE application extension
+    intercept[IllegalArgumentException] {
+      Multimodal.parseGifAnim(enc.take(13 + 768 + 5)) }
+  }
+
+  test("animated GIF generate -> decode matches the ticker-scheme oracle") {
+    val out = Multimodal.gifAnimDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    def tickerSum(t: String, w: Int, h: Int, upToK: Int, fromK: Int): Long =
+      (fromK to upToK).map { k =>
+        (0 until h).map { r =>
+          val j = r + h * math.max(0, (k - r) / h)
+          (0 until w).map(c => t.charAt((w * j + c) % t.length).toLong).sum
+        }.sum
+      }.sum
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = (nChars % 14 + 6).toInt
+      val hh = (r.getAs[Long]("doc_id") % 9 + 6).toInt
+      val nf = (r.getAs[Long]("doc_id") % 4 + 2).toInt
+      val t = if (text == null || text.isEmpty) " " else text
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == hh)
+      assert(r.getAs[Int]("n_frames") == nf)
+      assert(r.getAs[Long]("n_pixels") == w.toLong * hh * nf)
+      assert(r.getAs[Long]("sum_px") == tickerSum(t, w, hh, nf - 1, 0))
+    }
+    // poster variant: the LAST composited frame only
+    val poster = Multimodal.gifAnimPosterStats(docs).collect()
+    for (r <- poster) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val w = (nChars % 14 + 6).toInt
+      val hh = (r.getAs[Long]("doc_id") % 9 + 6).toInt
+      val nf = (r.getAs[Long]("doc_id") % 4 + 2).toInt
+      val t = if (text == null || text.isEmpty) " " else text
+      assert(r.getAs[Long]("n_pixels") == w.toLong * hh)
+      assert(r.getAs[Long]("sum_px") == tickerSum(t, w, hh, nf - 1, nf - 1))
+    }
+  }
+
   test("JPEG block-constant round-trip is bit-exact (the oracle class)") {
     // every 8x8 block constant + all-ones qtable -> DC-only blocks with
     // integer coefficients: the full Huffman/DCT pipeline runs and the
@@ -758,6 +862,11 @@ class MultimodalSpec extends AnyFunSuite {
       ("png", Multimodal.encodePng(24, 18, px), 8, Multimodal.parsePng),
       ("gif", Multimodal.encodeGif(24, 18, idx), 13 + 768 + 10 + 1,
         Multimodal.parseGif),
+      // inter-frame path: compositing + transparency + sub-rect descriptors
+      ("gif_anim", Multimodal.encodeGifAnim(24, 18, Array(
+        idx.map(b => (b & 0x7f).toByte),
+        idx.map(b => ((b & 0x7f) ^ 3).toByte))), 13 + 768 + 19 + 8 + 10 + 1,
+        Multimodal.parseGifAnim),
       ("jpeg", jpeg, jpegScanStart, Multimodal.parseJpeg),
       // full video pipeline: container walk + every frame entropy-decoded
       ("avi", Multimodal.encodeAvi(24, 18,
