@@ -522,6 +522,15 @@ object SparkEntry {
     // discipline, different companding curve, same JDK cross-verification
     "mm_alaw_decode" -> ((s, dir) =>
       operators.Multimodal.aLawDecodeStats(Tables.documents(s, dir))),
+    // REAL PREDICTIVE audio codec (r8): IMA/DVI ADPCM (WAVE format tag
+    // 0x11) — 4 bits/sample with decoder STATE (predictor + step index)
+    // threaded through the stream; no sample decodes without every
+    // nibble before it. The code stream is the text cycled, so the
+    // oracle replays the same integer state machine as a DuckDB
+    // list_reduce fold; the real encoder half is spec-tested against
+    // this decoder and an independently computed reference vector.
+    "mm_adpcm_decode" -> ((s, dir) =>
+      operators.Multimodal.imaAdpcmDecodeStats(Tables.documents(s, dir))),
     // REAL INTER-frame video coding (r8): GIF89a animation — frame 0
     // intact, later frames stored as transparent-index deltas inside
     // changed-region bounding boxes (disposal "do not dispose" carries
@@ -2852,6 +2861,47 @@ object SparkEntry {
          SELECT doc_id, 8000 AS sample_rate, CAST(n AS BIGINT) AS n_samples,
            CAST(list_sum(lins) AS BIGINT) AS sum_pcm,
            CAST(list_min(lins) AS INTEGER) AS min_pcm
+         FROM d""",
+    // replica of Multimodal.imaAdpcmDecodeStats WITHOUT running the codec:
+    // the IMA decoder is a pure-integer state machine, replayed here as a
+    // list_reduce fold — accumulator [stepIndex, sample0, sample1, ...]
+    // (current predictor = last element), nibbles low-first from each
+    // text byte, step/index tables inline from the public IMA spec
+    "mm_adpcm_decode" ->
+      s"""WITH tabs AS (SELECT [${graft.operators.Multimodal.imaStepTable.mkString(",")}] AS steps,
+             [-1,-1,-1,-1,2,4,6,8] AS itab),
+         m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 24 + 12 AS INTEGER) AS nb
+           FROM documents),
+         n AS (
+           SELECT doc_id, nb,
+             flatten(list_transform(generate_series(1, nb),
+               p -> [CAST(ascii(substr(rpad(t, nb, t), CAST(p AS INTEGER), 1)) % 16 AS BIGINT),
+                     CAST(ascii(substr(rpad(t, nb, t), CAST(p AS INTEGER), 1)) // 16 AS BIGINT)])) AS nibs
+           FROM m),
+         d AS (
+           SELECT doc_id, nb,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                            list_transform(nibs, x -> [x])),
+               (a, x) -> list_append(
+                 list_prepend(
+                   CAST(greatest(0, least(88, a[1] + itab[CAST(x[1] % 8 AS INTEGER) + 1])) AS BIGINT),
+                   a[2:]),
+                 greatest(-32768, least(32767,
+                   a[-1] + CASE WHEN x[1] >= 8 THEN -1 ELSE 1 END *
+                     (steps[CAST(a[1] AS INTEGER) + 1] // 8
+                      + CASE WHEN x[1] % 2 = 1 THEN steps[CAST(a[1] AS INTEGER) + 1] // 4 ELSE 0 END
+                      + CASE WHEN (x[1] // 2) % 2 = 1 THEN steps[CAST(a[1] AS INTEGER) + 1] // 2 ELSE 0 END
+                      + CASE WHEN (x[1] // 4) % 2 = 1 THEN steps[CAST(a[1] AS INTEGER) + 1] ELSE 0 END)))
+               )) AS r
+           FROM n, tabs)
+         SELECT doc_id, 8000 AS sample_rate,
+           CAST(2 * nb + 1 AS BIGINT) AS n_samples,
+           CAST(list_sum(r[2:]) AS BIGINT) AS sum_pcm,
+           CAST(list_min(r[2:]) AS INTEGER) AS min_pcm
          FROM d""",
     // replica of Multimodal.gifAnimDecodeStats WITHOUT running the codec:
     // delta coding + compositing are lossless, so composited frame k is

@@ -688,7 +688,14 @@ object Multimodal {
     val perBlock = (blockAlign - 4) * 2 + 1
     val nBlocks = (samples.length + perBlock - 1) / perBlock
     val out = new Array[Byte](nBlocks * blockAlign)
+    // seed the step index from the first delta (any 0..88 header value is
+    // spec-legal) — avoids the slope-overload attack transient a cold
+    // start at step 7 would smear over the first dozens of samples
     var idx = 0
+    if (samples.length > 1) {
+      val d0 = math.abs(samples(1) - samples(0))
+      while (idx < 88 && imaStepTable(idx) < d0) idx += 1
+    }
     var block = 0
     while (block < nBlocks) {
       val base = block * perBlock

@@ -308,6 +308,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(codes.length == (texts(media.getAs[Long]("docId"))._2 % 32 + 16).toInt)
   }
 
+  test("IMA ADPCM: decoder matches an independently computed reference vector") {
+    // expected samples computed OUTSIDE this codebase from the public IMA
+    // spec (step/index tables + clamp rules) for the nibble stream of the
+    // bytes "Hello, ADPCM!" (low nibble first), state (pred=0, idx=0)
+    val body = "Hello, ADPCM!".getBytes("US-ASCII")
+    val expected = Array[Short](0, 0, 7, 19, 39, 14, 59, 3, 100, -99, 274,
+      -185, 123, 179, 434, 572, 951, 1410, 1965, 2039, 2787, 3483, 4297,
+      3093, 4535, 5117, 5998)
+    val got = Multimodal.imaAdpcmDecodeNibbles(0, 0, body, 0, body.length * 2)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("IMA ADPCM: encoder tracks the decoder; round-trip error is step-bounded") {
+    // a gentle 8 kHz-ish sine: successive deltas stay well inside the
+    // adaptive step range, so reconstruction must track closely
+    val n = 2048
+    val sine = Array.tabulate(n)(i =>
+      (8000 * math.sin(2 * math.Pi * i / 64)).toInt.toShort)
+    val wav = Multimodal.encodeWavImaAdpcm(sine, 8000, blockAlign = 256)
+    val (rate, back) = Multimodal.parseWavImaAdpcm(wav)
+    assert(rate == 8000 && back.length == n)
+    // block boundaries restart from an exact sample, so error cannot
+    // accumulate; the per-sample bound is the local quantizer step
+    val maxErr = sine.zip(back).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 512, s"max reconstruction error $maxErr")
+    val sigPow = sine.map(s => s.toLong * s).sum
+    val errPow = sine.zip(back).map { case (a, b) =>
+      val d = (a - b).toLong; d * d }.sum
+    assert(errPow * 50 < sigPow, s"SNR below 17 dB: err=$errPow sig=$sigPow")
+    // 4 bits/sample: the data chunk must be ~4x smaller than PCM16
+    assert(wav.length < n * 2 / 3, s"ADPCM did not compress: ${wav.length}")
+    // multi-block with padding: n not a multiple of samplesPerBlock
+    val odd = sine.take(1000) // 256-byte blocks hold 505 samples
+    val wav2 = Multimodal.encodeWavImaAdpcm(odd, 8000, blockAlign = 256)
+    val (_, back2) = Multimodal.parseWavImaAdpcm(wav2)
+    assert(back2.length == 1000, s"fact truncation failed: ${back2.length}")
+    assert(odd.zip(back2).map { case (a, b) => math.abs(a - b) }.max < 512)
+  }
+
+  test("IMA ADPCM WAVE generate -> stateful decode matches the fold replica, fails loudly") {
+    val out = Multimodal.imaAdpcmDecodeStats(docs).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    for (r <- out) {
+      val (text, nChars) = texts(r.getAs[Long]("doc_id"))
+      val t = if (text == null || text.isEmpty) " " else text
+      val nb = (nChars % 24 + 12).toInt
+      val body = Array.tabulate(nb)(i => t.charAt(i % t.length).toByte)
+      val decoded = Multimodal.imaAdpcmDecodeNibbles(0, 0, body, 0, nb * 2)
+      assert(r.getAs[Long]("n_samples") == (2 * nb + 1).toLong)
+      assert(r.getAs[Long]("sum_pcm") == decoded.map(_.toLong).sum)
+      assert(r.getAs[Int]("min_pcm") == decoded.map(_.toInt).min)
+    }
+    // loud failures: PCM tag, inconsistent samplesPerBlock, step index
+    // out of range, ragged data, fact drift, truncation
+    val media = Multimodal.imaAdpcmFromDocuments(docs).limit(1).collect().head
+    val payload = media.getAs[Array[Byte]]("payload")
+    def boom(mut: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException](Multimodal.parseWavImaAdpcm(mut(payload.clone())))
+    boom { a => a(20) = 1; a }                  // format tag 0x11 -> PCM
+    boom { a => a(38) = (a(38) + 1).toByte; a } // samplesPerBlock drifts
+    boom { a => a(62) = 89; a }                 // block step index > 88
+    boom { a => a(48) = (a(48) + 1).toByte; a } // fact count drifts
+    boom(_.dropRight(3))                        // truncation breaks sizes
+  }
+
   test("QOI: hand-built chunk stream decodes through every op type") {
     // 3x2 image exercising RGB, RUN, DIFF, LUMA, INDEX in that order
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
