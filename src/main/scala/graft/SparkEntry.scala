@@ -326,6 +326,16 @@ object SparkEntry {
     // packGreedy's inverse; narrow bounded explode, no shuffle
     "doc_chunks" -> ((s, dir) =>
       TextOps.chunkDocuments(Tables.documents(s, dir))),
+    // CONTENT-DEFINED chunking (FastCDC-style rolling hash): boundaries
+    // survive edits — the dedup-store cut discipline; narrow HOF fold,
+    // no shuffle, no state
+    "doc_cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunkStats(Tables.documents(s, dir))),
+    // chunk-level dedup over the CDC cuts: one hash aggregation on
+    // bounded (<=256-char) chunk keys; at 100 TB the key is the chunk's
+    // portable hash (8-byte shuffle rows)
+    "doc_cdc_dedup" -> ((s, dir) =>
+      TextOps.cdcDedup(Tables.documents(s, dir))),
     // BM25 keyword retrieval: posting-list equi-join, one corpus shuffle,
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
@@ -554,6 +564,41 @@ object SparkEntry {
     * folded to a bigint). Single-sourced: every oracle that recomputes the
     * portable hash interpolates this one string, so the contract cannot
     * drift per-oracle. */
+  /** Shared CTE chain for the CDC-chunking oracles: the DuckDB replica of
+    * [[graft.operators.TextOps.withCdcBounds]] — same windowed polynomial
+    * hash (powers single-sourced from TextOps.cdcPows), same min/max/mask
+    * cut fold. `rb` is the boundary list DESCENDING with a trailing 0, so
+    * chunk k spans (rb[k+1], rb[k]]. The fold's elements are
+    * self-contained [position, hash-fires] pairs and the no-cut branch
+    * returns a SLICED copy (`a[1:]`) — DuckDB 1.0.0's list_reduce
+    * mis-threads an accumulator returned unmodified from a CASE branch. */
+  private def cdcCtes: String = {
+    val pows = graft.operators.TextOps.cdcPows.mkString("[", ",", "]")
+    s"""pw AS (SELECT $pows AS pows),
+       m AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+             WHERE text IS NOT NULL AND text <> ''),
+       h AS (SELECT doc_id, t, n,
+         list_transform(generate_series(1, n),
+           i -> CASE WHEN i >= 16 AND
+                  list_sum(list_transform(generate_series(0, 15),
+                    j -> ascii(substr(t, CAST(i - j AS INTEGER), 1))
+                         * pows[CAST(j + 1 AS INTEGER)]))
+                  % 1000003 % 64 = 63
+                THEN [CAST(i AS BIGINT), CAST(1 AS BIGINT)]
+                ELSE [CAST(i AS BIGINT), CAST(0 AS BIGINT)] END) AS elems
+         FROM m, pw),
+       c AS (SELECT doc_id, t, n,
+         list_reduce(list_prepend([CAST(0 AS BIGINT)], elems),
+           (a, x) -> CASE WHEN ((x[2] = 1 AND x[1] - a[1] >= 16)
+                                OR x[1] - a[1] >= 256)
+                     THEN list_prepend(x[1], a) ELSE a[1:] END) AS rcuts
+         FROM h),
+       b AS (SELECT doc_id, t, n,
+         CASE WHEN rcuts[1] = n THEN rcuts
+              ELSE list_prepend(CAST(n AS BIGINT), rcuts) END AS rb
+         FROM c)"""
+  }
+
   private def shaFoldSql(arg: String): String =
     s"""list_reduce(list_transform(string_split(substr(sha256($arg), 1, 15), ''),
        c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"""
@@ -1466,6 +1511,29 @@ object SparkEntry {
          FROM documents d LEFT JOIN agg USING (doc_id)""",
     // replica of TextOps.chunkDocuments: same chunk-count formula, same
     // stride starts, same window slices
+    // replica of TextOps.cdcChunkStats: boundaries from the shared fold,
+    // chunk lengths as adjacent diffs of the descending rb list
+    "doc_cdc_chunks" ->
+      s"""WITH $cdcCtes
+         SELECT doc_id, CAST(len(rb) - 1 AS BIGINT) AS n_chunks,
+           CAST(list_max(list_transform(generate_series(1, len(rb) - 1),
+             k -> rb[k] - rb[k + 1])) AS BIGINT) AS max_chunk_len,
+           CAST(list_sum(rb) - rb[1] AS BIGINT) AS cut_sum
+         FROM b""",
+    // replica of TextOps.cdcDedup: unnest the chunk substrings, group by
+    // content, fold the multiplicity stats
+    "doc_cdc_dedup" ->
+      s"""WITH $cdcCtes,
+         ch AS (SELECT unnest(list_transform(generate_series(1, len(rb) - 1),
+             k -> substr(t, CAST(rb[k + 1] + 1 AS INTEGER),
+                         CAST(rb[k] - rb[k + 1] AS INTEGER)))) AS chunk
+           FROM b),
+         g AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY chunk)
+         SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+           CAST(count(*) AS BIGINT) AS distinct_chunks,
+           CAST(max(cnt) AS BIGINT) AS max_dup,
+           CAST(sum((cnt - 1) * length(chunk)) AS BIGINT) AS dup_bytes
+         FROM g""",
     "doc_chunks" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -1703,6 +1703,116 @@ object TextOps {
           lit(window))).as("chunk_text"))
   }
 
+  // --------------------------- content-defined chunking (FastCDC-style)
+
+  // Rolling-hash chunking parameters, shared VERBATIM with the DuckDB
+  // oracle: a 16-char windowed polynomial hash (base 33 mod 1000003 — the
+  // window is what makes boundaries CONTENT-defined: an edit shifts only
+  // the cuts within one window of it, unlike fixed-size chunking where
+  // one insertion re-frames the whole tail), cut when hash ≡ 63 (mod 64)
+  // and the chunk has ≥16 chars, forced cut at 256 (FastCDC's min/max
+  // discipline). Expected chunk ≈ 64+16 chars at these doc lengths.
+  private val cdcPrime = 1000003L
+  private val cdcWindow = 16
+  private val cdcMin = 16
+  private val cdcMax = 256
+  private val cdcMask = 64
+  private[graft] val cdcPows: Array[Long] = {
+    var p = 1L
+    Array.fill(cdcWindow) { val r = p; p = p * 33 % cdcPrime; r }
+  }
+
+  /** Per-document CDC boundary machinery: returns (doc_id, text, n,
+    * bounds) where `bounds` is the ascending list of 1-based inclusive
+    * chunk end positions (the final position n always closes the last
+    * chunk). All-HOF Catalyst (`transform`/`aggregate` fold), no UDFs.
+    *
+    * The window hash is built by zipping 16 SHIFTED SLICES of the
+    * per-char code array — the [[positionalShingles]] lesson, which
+    * bit this function's first draft: an outer array referenced inside
+    * a lambda body is INLINED by CollapseProject and re-evaluated PER
+    * ELEMENT, so `element_at(codes, i - j)` inside the fold re-ran the
+    * whole O(n) char transform for each of the 16·n window terms —
+    * O(n³) per document (minutes on 500 rows). The zip form evaluates
+    * `codes` 16 times per row total and every lambda below touches
+    * only its own arguments. Positions 1..15 can never cut (min chunk
+    * 16 > any reachable forced-cut distance), so the fold runs over
+    * window END positions 16..n only — same cuts, 15 fewer elements.
+    * Null/empty documents produce no row — mirrored in the oracle's
+    * WHERE. */
+  private[graft] def withCdcBounds(documents: DataFrame): DataFrame = {
+    val codes = documents
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("codes",
+        transform(sequence(lit(1), col("n")),
+          i => ascii(col("text").substr(i, lit(1)))))
+    // zipped[k] (0-based k): chars at positions k+1 .. k+16, i.e. the
+    // window ENDING at i = k+16; field m holds code(k+1+m), whose
+    // weight in the original Σ_j code(i−j)·pow(j) form is pow(15−m)
+    val shifted = (0 until cdcWindow).map(j =>
+      slice(col("codes"), lit(j + 1), col("n") - (cdcWindow - 1)))
+    val elems = when(col("n") >= cdcWindow,
+      transform(arrays_zip(shifted: _*), (s, idx) =>
+        struct((idx + cdcWindow).cast("int").as("i"),
+          ((0 until cdcWindow).map(m =>
+            s.getField(m.toString).cast("long") *
+              lit(cdcPows(cdcWindow - 1 - m))).reduce(_ + _)
+            % cdcPrime % cdcMask === cdcMask - 1).as("ok"))))
+      .otherwise(array().cast("array<struct<i:int,ok:boolean>>"))
+    val folded = aggregate(elems,
+      struct(lit(0).as("last"), array().cast("array<int>").as("cuts")),
+      (acc, x) => when(
+        (x("ok") && x("i") - acc("last") >= cdcMin) ||
+          (x("i") - acc("last") >= cdcMax),
+        struct(x("i").as("last"),
+          concat(acc("cuts"), array(x("i"))).as("cuts")))
+        .otherwise(acc))
+    codes
+      .withColumn("folded", folded)
+      .withColumn("bounds",
+        when(col("folded.last") === col("n"), col("folded.cuts"))
+          .otherwise(concat(col("folded.cuts"), array(col("n")))))
+      .drop("codes", "folded")
+  }
+
+  /** CONTENT-DEFINED chunking stats per document: chunk count, longest
+    * chunk, and the interior-cut checksum. Narrow per-row HOFs end to
+    * end — no shuffle, no state; at 100 TB this is a pure map over the
+    * corpus scan. */
+  def cdcChunkStats(documents: DataFrame): DataFrame =
+    withCdcBounds(documents).select(
+      col("doc_id"),
+      size(col("bounds")).cast("long").as("n_chunks"),
+      array_max(transform(col("bounds"), (b, idx) =>
+        b - when(idx === 0, lit(0)).otherwise(element_at(col("bounds"), idx))))
+        .cast("long").as("max_chunk_len"),
+      (aggregate(col("bounds"), lit(0L), (s, b) => s + b) -
+        element_at(col("bounds"), -1)).as("cut_sum"))
+
+  /** Corpus-level CDC chunk DEDUP: explode every document into its
+    * content-defined chunks and measure repetition — total vs distinct
+    * chunks, the hottest chunk's multiplicity, and the byte volume a
+    * chunk-level dedup store would save (sum over chunks of
+    * (copies−1)·len). The scale shape: grouping keys are the chunk
+    * CONTENTS (bounded ≤ 256 chars by cdcMax — at 100 TB group by
+    * [[portableHash64]] of the chunk instead so the shuffle carries
+    * 8-byte keys; contents-vs-hash is count-identical short of a 2^-60
+    * collision); one hash aggregation, no pairs, no windows. */
+  def cdcDedup(documents: DataFrame): DataFrame =
+    withCdcBounds(documents)
+      .select(explode(transform(col("bounds"), (b, idx) =>
+        col("text").substr(
+          when(idx === 0, lit(0)).otherwise(element_at(col("bounds"), idx)) + 1,
+          b - when(idx === 0, lit(0)).otherwise(element_at(col("bounds"), idx)))))
+        .as("chunk"))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        max(col("cnt")).as("max_dup"),
+        sum((col("cnt") - 1) * length(col("chunk"))).as("dup_bytes"))
+
   // --------------------------------------------- weighted sampling
 
   /** Deterministic WEIGHTED sampling without replacement — the

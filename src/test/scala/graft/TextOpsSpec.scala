@@ -732,4 +732,60 @@ class TextOpsSpec extends AnyFunSuite {
       Option(r.getAs[Any]("bigram_logprob")).forall(_.asInstanceOf[Double] < 0) })
     assert(real.length == docs.count())
   }
+
+  test("CDC chunking: bounds honor min/max and reconstruct the document") {
+    val bounds = TextOps.withCdcBounds(docs)
+      .select(col("doc_id"), col("text"), col("bounds")).collect()
+    assert(bounds.length == docs.filter(col("text").isNotNull &&
+      col("text") =!= "").count())
+    for (r <- bounds) {
+      val t = r.getAs[String]("text")
+      val b = r.getSeq[Int](r.fieldIndex("bounds")).toList
+      assert(b.nonEmpty && b.last == t.length, s"doc ${r.getLong(0)}: no closing bound")
+      assert(b == b.sorted && b.distinct == b, "bounds must be strictly ascending")
+      val lens = (0 +: b).sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(lens.forall(_ <= 256), s"chunk above cdcMax: $lens")
+      // every chunk except the document tail respects the minimum
+      assert(lens.dropRight(1).forall(_ >= 16), s"interior chunk below cdcMin: $lens")
+    }
+  }
+
+  test("CDC chunking is content-defined: a prefix edit leaves suffix chunks intact") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog again and again. " * 12
+    val edited = "XXXXX-INSERTED-PREFIX-XXXXX " + base
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    def chunksOf(id: Long): Seq[String] = {
+      val r = TextOps.withCdcBounds(df.filter(col("doc_id") === id))
+        .select(col("text"), col("bounds")).collect().head
+      val t = r.getAs[String]("text")
+      val b = r.getSeq[Int](r.fieldIndex("bounds")).toList
+      (0 +: b).sliding(2).map(p => t.substring(p(0), p(1))).toSeq
+    }
+    val c1 = chunksOf(1L); val c2 = chunksOf(2L)
+    // fixed-size chunking would shift EVERY boundary; content-defined
+    // cuts resynchronize within a window, so the tails coincide
+    val shared = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(shared >= c1.length - 2,
+      s"only $shared/${c1.length} suffix chunks survived a prefix edit")
+    assert(c1.length > 3, "test corpus must produce several chunks")
+  }
+
+  test("CDC dedup: shared sections across docs surface as duplicate chunks") {
+    import spark.implicits._
+    val shared = "this long shared passage repeats verbatim across documents " * 8
+    val df = Seq(
+      (1L, "unique head one. " + shared + " unique tail one."),
+      (2L, "a different opening entirely! " + shared + " another ending."),
+      (3L, "fully unrelated text with no repetition at all here."))
+      .toDF("doc_id", "text")
+    val stats = TextOps.cdcDedup(df).collect().head
+    assert(stats.getAs[Long]("max_dup") >= 2L,
+      s"shared passage produced no duplicate chunk: $stats")
+    assert(stats.getAs[Long]("dup_bytes") > 0L)
+    assert(stats.getAs[Long]("total_chunks") > stats.getAs[Long]("distinct_chunks"))
+    // per-doc stats stay narrow: no Exchange in the chunk-stats plan
+    val plan = TextOps.cdcChunkStats(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cdcChunkStats must not shuffle:\n$plan")
+  }
 }
