@@ -219,6 +219,17 @@ object SparkEntry {
       TextOps.simhashDocsPortable(Tables.documents(s, dir))),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // MODEL-BASED quality filter (DCLM/FineWeb-style): train a linear
+    // classifier by full-batch gradient descent — each of the 16
+    // iterations is ONE aggregation-only corpus pass (4 decimal-exact
+    // gradient sums; driver state is 4 doubles), the treeAggregate shape
+    // of distributed LR; the oracle replays the unrolled iterations
+    "doc_model_train" -> ((s, dir) =>
+      TextOps.trainQualityModel(Tables.documents(s, dir))),
+    // ...then the filter pass: score every document with the trained
+    // weights — a pure map (weights are literals in the projection)
+    "doc_model_score" -> ((s, dir) =>
+      TextOps.scoreWithQualityModel(Tables.documents(s, dir))),
     // CCNet-style perplexity filter: mean unigram log10-prob of each doc's
     // tokens under the corpus's own unigram distribution (log10 evaluated
     // once per DISTINCT term and 1e-6-quantized pre-sum, so the decimal-
@@ -597,6 +608,66 @@ object SparkEntry {
          CASE WHEN rcuts[1] = n THEN rcuts
               ELSE list_prepend(CAST(n AS BIGINT), rcuts) END AS rb
          FROM c)"""
+  }
+
+  /** CTE chain for the trained-quality-model oracles: the DuckDB replica
+    * of [[graft.operators.TextOps.trainQualityModel]] — the same feature
+    * table and the same `qmIters` gradient-descent steps UNROLLED as
+    * chained one-row CTEs (standard SQL recursion cannot aggregate in the
+    * recursive term, so the loop is generated). Every arithmetic op is
+    * IEEE-exact (rational fast sigmoid — no exp), per-row gradient terms
+    * are 1e-6-quantized before the DECIMAL(38,10) sum, so the weight
+    * trajectory is bit-identical to the Spark trainer's. */
+  private def qmCtes: String = {
+    val (iters, lr, cut) = (graft.operators.TextOps.qmIters,
+      graft.operators.TextOps.qmLr, graft.operators.TextOps.qmLabelCut)
+    def rf(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def z(w: String) = s"($w.w0 + $w.w1 * x1 + $w.w2 * x2 + $w.w3 * x3)"
+    def sig(zz: String) = s"(0.5 + ($zz) / (2.0 * (1.0 + abs($zz))))"
+    def sigd(zz: String) =
+      s"(1.0 / (2.0 * (1.0 + abs($zz)) * (1.0 + abs($zz))))"
+    val feats =
+      s"""feats AS (
+         SELECT doc_id,
+           least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) AS x1,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS x2,
+           least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE))) AS x3,
+           CASE WHEN (0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0)
+                    + 0.3 * (CAST(n_distinct AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE))
+                    + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)))) > $cut
+                THEN 1.0 ELSE 0.0 END AS y
+         FROM (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
+           FROM (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+             FROM documents WHERE text IS NOT NULL AND text <> ''))
+         WHERE n_tokens >= 1)"""
+    val steps = (1 to iters).map { t =>
+      val p = s"it${t - 1}"
+      val zz = z(p)
+      val com = s"((${sig(zz)} - y) * ${sigd(zz)})"
+      val gs = Seq("1.0", "x1", "x2", "x3").zipWithIndex.map { case (xj, j) =>
+        s"CAST(SUM(CAST(${rf(s"$com * $xj")} AS DECIMAL(38,10))) AS DOUBLE) AS g$j"
+      }.mkString(", ")
+      s"""it$t AS (SELECT
+           w0 - $lr * g0 / CAST(n AS DOUBLE) AS w0,
+           w1 - $lr * g1 / CAST(n AS DOUBLE) AS w1,
+           w2 - $lr * g2 / CAST(n AS DOUBLE) AS w2,
+           w3 - $lr * g3 / CAST(n AS DOUBLE) AS w3
+         FROM (SELECT $gs, count(*) AS n,
+             max($p.w0) AS w0, max($p.w1) AS w1,
+             max($p.w2) AS w2, max($p.w3) AS w3
+           FROM feats, $p))"""
+    }
+    (feats +: "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
+      +: steps).mkString(",\n")
   }
 
   private def shaFoldSql(arg: String): String =
@@ -2292,6 +2363,36 @@ object SparkEntry {
            FROM (SELECT doc_id, lang,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
+    // replica of TextOps.trainQualityModel: same unrolled GD trajectory
+    // (qmCtes), same accuracy definition, weights quantized at output
+    "doc_model_train" -> {
+      val n = graft.operators.TextOps.qmIters
+      s"""WITH $qmCtes
+         SELECT count(*) AS n_docs,
+           floor((CAST(SUM(CASE WHEN ((0.5 + (it$n.w0 + it$n.w1 * x1 + it$n.w2 * x2 + it$n.w3 * x3)
+                     / (2.0 * (1.0 + abs(it$n.w0 + it$n.w1 * x1 + it$n.w2 * x2 + it$n.w3 * x3)))) > 0.5)
+                   = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS accuracy,
+           floor(max(it$n.w0) * 1e6 + 0.5) / 1e6 AS w_bias,
+           floor(max(it$n.w1) * 1e6 + 0.5) / 1e6 AS w_len,
+           floor(max(it$n.w2) * 1e6 + 0.5) / 1e6 AS w_div,
+           floor(max(it$n.w3) * 1e6 + 0.5) / 1e6 AS w_stop
+         FROM feats, it$n"""
+    },
+    // replica of TextOps.scoreWithQualityModel: the trained weights score
+    // every document — same margin, same rounded fast-sigmoid
+    "doc_model_score" -> {
+      val n = graft.operators.TextOps.qmIters
+      s"""WITH $qmCtes,
+         sc AS (SELECT doc_id,
+             (it$n.w0 + it$n.w1 * x1 + it$n.w2 * x2 + it$n.w3 * x3) AS z, y
+           FROM feats, it$n)
+         SELECT doc_id,
+           floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1e6 + 0.5) / 1e6 AS score,
+           (0.5 + z / (2.0 * (1.0 + abs(z)))) > 0.5 AS pred,
+           y AS label
+         FROM sc"""
+    },
     "doc_quality" ->
       """SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
            floor((CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS stop_ratio,

@@ -1813,6 +1813,135 @@ object TextOps {
         max(col("cnt")).as("max_dup"),
         sum((col("cnt") - 1) * length(col("chunk"))).as("dup_bytes"))
 
+  // ------------------ model-based quality filtering (trained classifier)
+
+  // Hyperparameters of the trained quality filter, shared VERBATIM with
+  // the DuckDB oracle (the oracle unrolls the same iteration count with
+  // the same learning rate). The label threshold is the sf0.01 corpus's
+  // median heuristic quality — classes are ~balanced, so accuracy is a
+  // meaningful training signal (majority baseline ≈ 0.50).
+  private[graft] val qmIters = 16
+  private[graft] val qmLr = 8.0
+  private[graft] val qmLabelCut = 0.413
+  private val qmStops = Seq("the", "a", "of")
+
+  /** Feature/label table for the trained quality filter: x1 length
+    * sufficiency, x2 lexical diversity, x3 saturating stopword ratio
+    * (each in [0,1]), and the planted label y = [heuristic quality >
+    * median] — the same composite [[qualityScore]] computes, so the
+    * classifier's job is to recover a known linear concept from its own
+    * inputs (a controlled, fully-deterministic stand-in for "labels from
+    * an LLM judge" in a DCLM/FineWeb-style model-based filter). */
+  private def qmFeatures(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        countIn(col("toks"), qmStops).cast("long").as("stop_cnt"))
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"),
+        least(lit(1.0), col("n_tokens").cast("double") / lit(128.0)).as("x1"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("x2"),
+        least(lit(1.0), lit(5.0) *
+          (col("stop_cnt").cast("double") / col("n_tokens").cast("double")))
+          .as("x3"))
+      .withColumn("y",
+        when(lit(0.4) * col("x1") + lit(0.3) * col("x2") +
+          lit(0.3) * col("x3") > qmLabelCut, lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** Rational "fast sigmoid" 0.5 + z/(2(1+|z|)) and its derivative
+    * 1/(2(1+|z|)²) — chosen over the logistic exp form because every op
+    * (+, −, ×, ÷, abs) is exactly specified by IEEE 754, so Spark (JVM)
+    * and DuckDB (C++) produce BIT-IDENTICAL doubles from identical
+    * inputs; `exp` carries no such guarantee across libm builds and one
+    * ulp at a rounding boundary would flip the oracle hash. */
+  private def qmSig(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+  private def qmSigD(z: Column): Column =
+    lit(1.0) / (lit(2.0) * (lit(1.0) + abs(z)) * (lit(1.0) + abs(z)))
+  private def qmMargin(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+
+  /** Trained-model quality filtering — the MODEL-BASED member of the
+    * curation family ([[qualityScore]] is hand-tuned heuristics; this
+    * TRAINS the weights): full-batch gradient descent on a linear
+    * classifier under squared fast-sigmoid loss, run AS AGGREGATION —
+    * per iteration one corpus pass computing four decimal-exact partial
+    * sums (the gradient), driver state is 4 doubles. That is the
+    * treeAggregate shape distributed LR trainers use: at 100 TB each
+    * pass is map-side feature extraction + a 32-byte-per-partition
+    * combine, the corpus never moves, and `qmIters` sequential jobs
+    * amortize over the downstream score-and-filter pass they replace.
+    * Every per-row gradient term is quantized to the 1e-6 grid
+    * ([[graft.functions.DeterministicAgg.roundFixed]]) before the
+    * decimal sum, so partition order cannot perturb the trajectory, and
+    * the DuckDB oracle replays the identical unrolled iterations
+    * hash-exactly (same discipline as the k-means trainer,
+    * Similarity.scala kmeansRows).
+    *
+    * Returns one row: corpus size, train accuracy, and the four weights.
+    */
+  def trainQualityModel(documents: DataFrame): DataFrame = {
+    val feats = qmFeatures(documents)
+    val w = qmTrainedWeights(feats)
+    val z = qmMargin(w)
+    val correct = (qmSig(z) > 0.5) === (col("y") === 1.0)
+    feats.agg(
+      count(lit(1)).as("n_docs"),
+      roundFixed(sum(when(correct, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("accuracy"),
+      roundFixed(max(lit(w(0))), 6).as("w_bias"),
+      roundFixed(max(lit(w(1))), 6).as("w_len"),
+      roundFixed(max(lit(w(2))), 6).as("w_div"),
+      roundFixed(max(lit(w(3))), 6).as("w_stop"))
+  }
+
+  /** Score every document with the trained model: the filter pass a
+    * model-based curation pipeline runs after training — a pure map over
+    * the corpus (weights are literals folded into the scan projection).
+    * `score` is the fast-sigmoid probability, `pred` the keep decision,
+    * `label` the planted ground truth. */
+  def scoreWithQualityModel(documents: DataFrame): DataFrame = {
+    val feats = qmFeatures(documents)
+    val w = qmTrainedWeights(feats)
+    val z = qmMargin(w)
+    feats.select(
+      col("doc_id"),
+      roundFixed(qmSig(z), 6).as("score"),
+      (qmSig(z) > 0.5).as("pred"),
+      col("y").as("label"))
+  }
+
+  /** The gradient-descent loop itself: `qmIters` aggregation-only corpus
+    * passes; weights never touch an RDD. Gradient of the squared
+    * fast-sigmoid loss, constant 2 folded into the learning rate. */
+  private def qmTrainedWeights(feats: DataFrame): Array[Double] = {
+    import graft.functions.DeterministicAgg.exactSum
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to qmIters) {
+      val z = qmMargin(w)
+      val com = (qmSig(z) - col("y")) * qmSigD(z)
+      val g = feats.agg(
+        exactSum(roundFixed(com, 6)).as("g0"),
+        exactSum(roundFixed(com * col("x1"), 6)).as("g1"),
+        exactSum(roundFixed(com * col("x2"), 6)).as("g2"),
+        exactSum(roundFixed(com * col("x3"), 6)).as("g3"),
+        count(lit(1)).as("n")).head()
+      // empty corpus: no gradient, weights stay zero (empty-input
+      // degradation — the queries still return their schema)
+      if (g.getLong(4) == 0L) return w
+      val n = g.getLong(4).toDouble
+      w = Array.tabulate(4)(j => w(j) - qmLr * g.getDouble(j) / n)
+    }
+    w
+  }
+
   // --------------------------------------------- weighted sampling
 
   /** Deterministic WEIGHTED sampling without replacement — the

@@ -733,6 +733,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(real.length == docs.count())
   }
 
+  test("trained quality model: GD learns the planted concept above the majority baseline") {
+    val row = TextOps.trainQualityModel(docs).collect().head
+    val scored = TextOps.scoreWithQualityModel(docs).collect()
+    assert(row.getAs[Long]("n_docs") == scored.length.toLong)
+    val posRate = scored.count(_.getAs[Double]("label") == 1.0).toDouble / scored.length
+    val majority = math.max(posRate, 1 - posRate)
+    val acc = row.getAs[Double]("accuracy")
+    assert(acc > majority + 0.05,
+      s"training must beat the majority baseline: acc=$acc majority=$majority")
+    // the model actually moved: no weight left at its zero init
+    for (w <- Seq("w_bias", "w_len", "w_div", "w_stop"))
+      assert(row.getAs[Double](w) != 0.0, s"$w never updated")
+    // scores are probabilities; accuracy recomputed from the score table
+    // matches the trainer's summary row
+    assert(scored.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0 })
+    val recomputed = scored.count(r =>
+      r.getAs[Boolean]("pred") == (r.getAs[Double]("label") == 1.0))
+      .toDouble / scored.length
+    assert(math.abs(recomputed - acc) < 1e-6)
+  }
+
+  test("trained quality model: empty corpus degrades to the zero model") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = TextOps.trainQualityModel(empty).collect().head
+    assert(row.getAs[Long]("n_docs") == 0L)
+    for (w <- Seq("w_bias", "w_len", "w_div", "w_stop"))
+      assert(row.getAs[Double](w) == 0.0)
+    assert(TextOps.scoreWithQualityModel(empty).collect().isEmpty)
+  }
+
   test("CDC chunking: bounds honor min/max and reconstruct the document") {
     val bounds = TextOps.withCdcBounds(docs)
       .select(col("doc_id"), col("text"), col("bounds")).collect()
