@@ -219,6 +219,12 @@ object SparkEntry {
       TextOps.simhashDocsPortable(Tables.documents(s, dir))),
     "doc_language_id" -> ((s, dir) => TextOps.languageId(Tables.documents(s, dir))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    // EDIT-DISTANCE similarity join over the vocabulary (spell-correction
+    // / entity-variant shape): q-gram count filter (provably complete) +
+    // length-bucketed short leg, exact levenshtein verify — all
+    // vocab-scale after one corpus explode+agg
+    "doc_typo_pairs" -> ((s, dir) =>
+      TextOps.typoPairs(Tables.documents(s, dir))),
     // MODEL-BASED quality filter (DCLM/FineWeb-style): train a linear
     // classifier by full-batch gradient descent — each of the 16
     // iterations is ONE aggregation-only corpus pass (4 decimal-exact
@@ -2363,6 +2369,21 @@ object SparkEntry {
            FROM (SELECT doc_id, lang,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              FROM documents))""",
+    // replica of TextOps.typoPairs: the BRUTE-FORCE edit-distance join —
+    // the candidate-filtered Spark plan must lose nothing against it
+    "doc_typo_pairs" ->
+      """WITH v AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS w
+             FROM documents WHERE text IS NOT NULL AND text <> '')
+           GROUP BY w),
+         f AS (SELECT w, cnt FROM v WHERE length(w) >= 3)
+         SELECT a.w AS w_a, b.w AS w_b,
+           CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+         FROM f a, f b
+         WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 2""",
     // replica of TextOps.trainQualityModel: same unrolled GD trajectory
     // (qmCtes), same accuracy definition, weights quantized at output
     "doc_model_train" -> {

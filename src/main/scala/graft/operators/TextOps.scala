@@ -1813,6 +1813,93 @@ object TextOps {
         max(col("cnt")).as("max_dup"),
         sum((col("cnt") - 1) * length(col("chunk"))).as("dup_bytes"))
 
+  // ------------------------------- edit-distance (typo) similarity join
+
+  /** Fuzzy string join over the corpus VOCABULARY: word pairs within
+    * Levenshtein distance `k` — the spell-correction / entity-variant
+    * detection shape (q-gram count filtering, Gravano et al., "Approximate
+    * String Joins in a Database (Almost) for Free", VLDB 2001). Output is
+    * (w_a, w_b, dist, cnt_a, cnt_b), w_a < w_b, with corpus occurrence
+    * counts.
+    *
+    * Completeness (the oracle is the BRUTE-FORCE join, so the candidate
+    * set must provably lose nothing): strings within edit distance k
+    * share ≥ max(n1,n2) − (q−1) − q·k positional q-grams as a MULTISET
+    * (each edit destroys at most q grams). Two legs:
+    *  - LONG leg (max(n1,n2) ≥ `longCut` = q·k + q + 1 + 1): the bound is
+    *    ≥ 2 > 0, so the q-gram inverted-index equi-join with an occurrence
+    *    index (multiset semantics via row_number per (word, gram)) plus
+    *    the count filter is lossless.
+    *  - SHORT leg (both ≤ longCut − 1): the bound can hit 0 where a true
+    *    pair shares NO gram ("abc"/"xbz"), so short words pair via a
+    *    length-bucketed equi-join (|len diff| ≤ k, implied by distance k)
+    *    — the ≤(longCut−1)-char vocabulary is alphabet-bounded, a
+    *    constant-ish set at any corpus scale, and the bucket key keeps it
+    *    an equi-join (no cartesian node).
+    * Legs are disjoint by the max-length split; both verify with the
+    * exact `levenshtein`. Everything is vocab-scale — the corpus
+    * contributes one explode + hash agg, then pair work never touches
+    * documents again. */
+  def typoPairs(documents: DataFrame, k: Int = 2, q: Int = 2,
+                minLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val longCut = q * k + q + 2
+    val vocab = documents
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= minLen)
+      .withColumn("n", length(col("w")))
+
+    // SHORT leg: length-bucketed self-join. The left side emits its word
+    // under every bucket n..n+k; the right stays at its own length, so a
+    // pair with n_a < n_b matches exactly once (at bucket n_b) and equal
+    // lengths dedupe on the lexical tie-break.
+    val short = vocab.filter(col("n") < longCut)
+    val shortA = short.select(col("w").as("w_a"), col("n").as("n_a"),
+      explode(sequence(col("n"), col("n") + k)).as("bucket"))
+    val shortB = short.select(col("w").as("w_b"), col("n").as("n_b"),
+      col("n").as("bucket"))
+    val shortPairs = shortA.join(shortB, Seq("bucket"))
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("w_a") < col("w_b")))
+      .select(col("w_a"), col("w_b"))
+
+    // LONG leg: positional q-grams with an occurrence index — joining on
+    // (gram, occ) counts min(multiplicities), i.e. the multiset
+    // intersection the bound speaks about.
+    val grams = vocab.filter(col("n") >= minLen)
+      .select(col("w"), col("n"),
+        posexplode(transform(sequence(lit(1), col("n") - (q - 1)),
+          i => col("w").substr(i, lit(q)))).as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("w"), col("gram")).orderBy(col("pos"))))
+      .select(col("w"), col("n"), col("gram"), col("occ"))
+    val longPairs = grams.select(col("w").as("w_a"), col("n").as("n_a"),
+        col("gram"), col("occ"))
+      .join(grams.select(col("w").as("w_b"), col("n").as("n_b"),
+        col("gram"), col("occ")), Seq("gram", "occ"))
+      .filter(col("w_a") < col("w_b") &&
+        greatest(col("n_a"), col("n_b")) >= longCut &&
+        abs(col("n_a") - col("n_b")) <= k)
+      .groupBy(col("w_a"), col("w_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >=
+        greatest(col("n_a"), col("n_b")) - (q - 1) - q * k)
+      .select(col("w_a"), col("w_b"))
+
+    val counts = vocab.select(col("w"), col("cnt"))
+    shortPairs.unionByName(longPairs)
+      .withColumn("dist", levenshtein(col("w_a"), col("w_b")))
+      .filter(col("dist") <= k)
+      .join(counts.withColumnRenamed("w", "w_a")
+        .withColumnRenamed("cnt", "cnt_a"), Seq("w_a"))
+      .join(counts.withColumnRenamed("w", "w_b")
+        .withColumnRenamed("cnt", "cnt_b"), Seq("w_b"))
+      .select(col("w_a"), col("w_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+  }
+
   // ------------------ model-based quality filtering (trained classifier)
 
   // Hyperparameters of the trained quality filter, shared VERBATIM with

@@ -733,6 +733,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(real.length == docs.count())
   }
 
+  test("typo pairs: candidate filtering loses nothing vs brute force, incl. gram-free short pairs") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // "abc"/"xbz" is the short-leg witness: distance 2 but ZERO shared
+    // 2-grams — a pure gram-filtered plan would silently drop it
+    val df = Seq(
+      (1L, "abc xbz transformer transformex pipeline pipelined"),
+      (2L, "abc transformer catalog catalogs unrelatedword"),
+      (3L, "zzz catalogue onlyhere"))
+      .toDF("doc_id", "text")
+    val got = TextOps.typoPairs(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val vocab = df.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).filter(_.length >= 3).distinct
+    val want = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want, s"got ${got -- want} extra, missing ${want -- got}")
+    assert(want.contains(("abc", "xbz", 2)), "short-leg witness must be a true pair")
+    assert(want.exists(p => p._1 == "transformer"), "long-leg pair must exist")
+    // counts ride through: every output row carries both corpus counts
+    assert(TextOps.typoPairs(df).columns.toSeq ==
+      Seq("w_a", "w_b", "dist", "cnt_a", "cnt_b"))
+  }
+
   test("trained quality model: GD learns the planted concept above the majority baseline") {
     val row = TextOps.trainQualityModel(docs).collect().head
     val scored = TextOps.scoreWithQualityModel(docs).collect()
