@@ -62,6 +62,11 @@ object SparkEntry {
 
     // --- relational coverage (SURVEY.md §2.8) / bench headliners ---
     "pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    // TPC-H Q17 shape: correlated scalar subquery (quantity below 20% of
+    // the part's own average) — Catalyst decorrelates to one per-part
+    // aggregate + join; SAME SQL text runs on both engines
+    "part_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -1784,6 +1789,11 @@ object SparkEntry {
            t -> strftime(t, '%Y-%m-%d %H:%M:%S.%f')), ',') AS event_times
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2, 3, 4""",
+    // the SAME SQL text the Spark side runs (Relational.smallQuantitySql)
+    // — one definition, two engines; the hash match proves Catalyst's
+    // subquery decorrelation preserves semantics
+    "part_small_qty_revenue" ->
+      graft.operators.Relational.smallQuantitySql("lineitem", "part"),
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

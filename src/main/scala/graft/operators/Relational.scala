@@ -872,4 +872,38 @@ object Relational {
       .select(col("interval_id"), col("win_start"), col("n_events"),
         col("n_errors"))
   }
+
+  /** The Q17 ("small-quantity order revenue") SQL, written ONCE and shared
+    * verbatim by the Spark query (over temp views) and the DuckDB oracle
+    * (over the parquet views) — the correlated-scalar-subquery surface:
+    * per-brand revenue from lineitems below 20% of their part's average
+    * quantity. The per-part average is decimal-exact (partition-order-
+    * proof) and the revenue sum is rounded on the shared 1e-4 grid. */
+  private[graft] def smallQuantitySql(lineitem: String, part: String): String =
+    s"""SELECT p_brand,
+       floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+              / 7.0) * 1e4 + 0.5) / 1e4 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+     FROM $lineitem l JOIN $part p ON p.p_partkey = l.l_partkey
+     WHERE l.l_quantity < (
+       SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+                     / COUNT(*))
+       FROM $lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+     GROUP BY p_brand"""
+
+  /** TPC-H Q17 shape — the CORRELATED SCALAR SUBQUERY the engine's SQL
+    * surface must decorrelate: "revenue lost to small-quantity orders",
+    * where "small" is relative to each part's own average. Catalyst
+    * rewrites the per-row subquery into ONE per-part aggregate joined
+    * back (RewriteCorrelatedScalarSubquery) — the spec pins that the
+    * physical plan carries no subquery node and exactly the two hash
+    * joins + two aggregates the rewrite promises. At 100 TB that is the
+    * difference between |lineitem| subquery executions and one extra
+    * shuffle-free-ish aggregate over the same scan. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_q17_lineitem")
+    part.createOrReplaceTempView("graft_q17_part")
+    spark.sql(smallQuantitySql("graft_q17_lineitem", "graft_q17_part"))
+  }
 }

@@ -578,4 +578,32 @@ class RelationalSpec extends AnyFunSuite {
       plan.linesIterator.take(40).mkString("\n"))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("Q17 correlated scalar subquery decorrelates into one per-part aggregate + join") {
+    val lineitem = graft.sources.Tables.lineitem(spark, dir)
+    val part = graft.sources.Tables.part(spark, dir)
+    val q = Relational.smallQuantityRevenue(lineitem, part)
+    // semantics: identical to the hand-decorrelated DataFrame form
+    val avgQ = lineitem.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast("decimal(38,10)")).cast("double") /
+        count(col("l_quantity"))).as("avg_qty"))
+    val byHand = lineitem
+      .join(avgQ, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(part, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        graft.functions.DeterministicAgg.roundFixed(
+          sum(col("l_extendedprice").cast("decimal(38,10)")).cast("double") /
+            lit(7.0), 4).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+    assert(q.count() > 0)
+    assert(q.exceptAll(byHand).count() == 0 && byHand.exceptAll(q).count() == 0)
+    // the plan claim: NO per-row subquery survives — the correlated scalar
+    // subquery is rewritten into a per-part aggregate joined back
+    // (RewriteCorrelatedScalarSubquery), so the plan is joins + aggregates
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("subquery"), plan.take(2000))
+    assert(plan.contains("HashAggregate"))
+  }
 }
