@@ -62,6 +62,14 @@ object SparkEntry {
 
     // --- relational coverage (SURVEY.md §2.8) / bench headliners ---
     "pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    // JOIN-view incremental maintenance (delta rules): stored-view rows
+    // with untouched dims pass through an anti join, only affected facts
+    // re-derive against the dim upsert, new facts join the post-upsert
+    // dim — oracle is the FULL recompute, so the hash match proves the
+    // delta algebra loses and invents nothing
+    "orders_view_maintain" -> ((s, dir) =>
+      operators.Incremental.maintainOrdersView(
+        Tables.orders(s, dir), Tables.customer(s, dir))),
     // TPC-H Q17 shape: correlated scalar subquery (quantity below 20% of
     // the part's own average) — Catalyst decorrelates to one per-part
     // aggregate + join; SAME SQL text runs on both engines
@@ -1789,6 +1797,19 @@ object SparkEntry {
            t -> strftime(t, '%Y-%m-%d %H:%M:%S.%f')), ',') AS event_times
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2, 3, 4""",
+    // replica of Incremental.maintainOrdersView: the FULL recompute over
+    // the post-upsert dimension — deliberately NOT the delta algebra
+    "orders_view_maintain" ->
+      """WITH dim AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 20 = 0 THEN 'REV-' || c_mktsegment
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 20 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM customer)
+         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           c_name, c_mktsegment, c_acctbal
+         FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey""",
     // the SAME SQL text the Spark side runs (Relational.smallQuantitySql)
     // — one definition, two engines; the hash match proves Catalyst's
     // subquery decorrelation preserves semantics

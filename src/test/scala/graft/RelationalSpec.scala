@@ -579,6 +579,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("join-view maintenance: delta rules equal full recompute, legs disjoint") {
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val customer = graft.sources.Tables.customer(spark, dir)
+    val maintained = graft.operators.Incremental.maintainOrdersView(orders, customer)
+    // full recompute over the post-upsert dimension (the oracle's shape)
+    val dimNew = customer
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 20 === 0, concat(lit("REV-"), col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 20 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")))
+    val full = orders.join(dimNew, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    assert(maintained.count() == orders.count(),
+      "every order appears exactly once in the maintained view")
+    assert(maintained.exceptAll(full).count() == 0 &&
+      full.exceptAll(maintained).count() == 0)
+    // revised customers really flow through the re-derive leg
+    val revised = maintained.filter(col("c_mktsegment").startsWith("REV-"))
+    assert(revised.count() > 0)
+    assert(revised.filter(col("o_custkey") % 20 =!= 0).count() == 0)
+  }
+
   test("Q17 correlated scalar subquery decorrelates into one per-part aggregate + join") {
     val lineitem = graft.sources.Tables.lineitem(spark, dir)
     val part = graft.sources.Tables.part(spark, dir)
