@@ -105,6 +105,12 @@ object VectorExpressions {
   def simhashPortableNative(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), portable = true))
 
+  /** Column form of [[CdcBounds]]: content-defined chunk end positions. */
+  def cdcBoundsNative(text: Column, window: Int, minLen: Int, maxLen: Int,
+                      mask: Int, prime: Long, pows: Seq[Long]): Column =
+    ColumnBridge.column(CdcBounds(ColumnBridge.expression(text), window,
+      minLen, maxLen, mask, prime, pows.toIndexedSeq))
+
   /** Column form of [[WordGramHashes]] with the portable sha-prefix hash. */
   def gramShaHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(WordGramHashes(ColumnBridge.expression(tokens), k, sha = true))
@@ -141,6 +147,94 @@ object VectorExpressions {
       ColumnBridge.expression(v), cb.map(_._1).toVector,
       cb.flatMap(_._2).toVector, cb.map(_._3).toVector, dim, l2, keep))
   }
+}
+
+/** JVM kernel for [[CdcBounds]] — the FastCDC-style content-defined
+  * chunking scan as one tight primitive loop: windowed polynomial hash
+  * over CODE POINTS (the `ascii`-per-character semantics the DuckDB
+  * oracle replays), min/max cut discipline, O(n) per document with one
+  * int-array allocation. Replaces an interpreted HOF pipeline
+  * (16 slices + arrays_zip + struct fold) that cost ~6 ms per document —
+  * row-count-linear but a 45× wall-clock slope on a single-split input
+  * (SCALE.md r8 note). */
+object CdcUtil {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def cdcBounds(s: UTF8String, window: Int, minLen: Int, maxLen: Int,
+                mask: Int, prime: Long, pows: Array[Long]): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val codes = new Array[Long](n)
+    var ci = 0
+    var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      codes(ci) = cp.toLong
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int](n / minLen + 1)
+    var last = 0
+    var i = window // 1-based window END position is i, i >= window
+    while (i <= n) {
+      // hash = Σ_{j=0..window-1} code(i−j)·pows(j)  (1-based positions)
+      var h = 0L
+      var j = 0
+      while (j < window) { h += codes(i - 1 - j) * pows(j); j += 1 }
+      val fires = h % prime % mask == mask - 1
+      if ((fires && i - last >= minLen) || i - last >= maxLen) {
+        cuts += i
+        last = i
+      }
+      i += 1
+    }
+    // forced cuts can also fire at positions below `window` only if
+    // maxLen < window — excluded by construction (maxLen >= window)
+    if (cuts.isEmpty || cuts.last != n) cuts += n
+    new GenericArrayData(cuts.toArray)
+  }
+}
+
+/** Content-defined chunk boundaries as ONE native expression — the fused
+  * kernel for the [[graft.operators.TextOps.withCdcBounds]] scan. Output
+  * is the ascending array of 1-based inclusive chunk-end positions (the
+  * final position always closes the last chunk; empty/whitespace-free
+  * handling mirrors the HOF form: an empty string yields an empty array,
+  * which the caller never sees because empty texts are filtered). Parity
+  * with the declarative HOF fold is asserted in VectorExpressionsSpec. */
+case class CdcBounds(child: Expression, window: Int, minLen: Int,
+                     maxLen: Int, mask: Int, prime: Long,
+                     pows: IndexedSeq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(maxLen >= window && minLen >= 1 && window >= 1,
+    "cdc bounds need maxLen >= window >= 1 and minLen >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc bounds expect string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val powArr: Array[Long] = pows.toArray
+
+  override def nullSafeEval(s: Any): Any =
+    CdcUtil.cdcBounds(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      window, minLen, maxLen, mask, prime, powArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val powsRef = ctx.addReferenceObj("cdcPows", powArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcUtil.cdcBounds($c, $window, $minLen, $maxLen, " +
+        s"$mask, ${prime}L, $powsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Shared portable-hash primitive: the leading 15 hex nibbles of a sha256

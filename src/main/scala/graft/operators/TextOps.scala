@@ -1725,28 +1725,44 @@ object TextOps {
   /** Per-document CDC boundary machinery: returns (doc_id, text, n,
     * bounds) where `bounds` is the ascending list of 1-based inclusive
     * chunk end positions (the final position n always closes the last
-    * chunk). All-HOF Catalyst (`transform`/`aggregate` fold), no UDFs.
-    *
-    * The window hash is built by zipping 16 SHIFTED SLICES of the
-    * per-char code array — the [[positionalShingles]] lesson, which
-    * bit this function's first draft: an outer array referenced inside
-    * a lambda body is INLINED by CollapseProject and re-evaluated PER
-    * ELEMENT, so `element_at(codes, i - j)` inside the fold re-ran the
-    * whole O(n) char transform for each of the 16·n window terms —
-    * O(n³) per document (minutes on 500 rows). The zip form evaluates
-    * `codes` 16 times per row total and every lambda below touches
-    * only its own arguments. Positions 1..15 can never cut (min chunk
-    * 16 > any reachable forced-cut distance), so the fold runs over
-    * window END positions 16..n only — same cuts, 15 fewer elements.
-    * Null/empty documents produce no row — mirrored in the oracle's
-    * WHERE. */
-  private[graft] def withCdcBounds(documents: DataFrame): DataFrame = {
+    * chunk). The boundary scan is the NATIVE codegen'd
+    * [[graft.functions.CdcBounds]] expression — one O(n) primitive loop
+    * per document. Null/empty documents produce no row — mirrored in
+    * the oracle's WHERE. */
+  private[graft] def withCdcBounds(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("bounds",
+        graft.functions.VectorExpressions.cdcBoundsNative(col("text"),
+          cdcWindow, cdcMin, cdcMax, cdcMask, cdcPrime, cdcPows.toSeq))
+
+  /** The declarative-HOF form of the boundary scan, kept as the parity
+    * witness for the native kernel (VectorExpressionsSpec asserts
+    * bit-identical bounds on real and adversarial texts) and as the
+    * record of TWO performance traps it hit:
+    *  1. an outer array referenced inside a lambda body is INLINED by
+    *     CollapseProject and re-evaluated PER ELEMENT (`element_at(codes,
+    *     i - j)` re-ran the O(n) char transform for each of the 16·n
+    *     window terms — O(n³) per document, minutes on 500 rows); the zip
+    *     of 16 SHIFTED SLICES fixes that ([[positionalShingles]] lesson);
+    *  2. `substr(i, 1)` walks the UTF8String head per call (O(i) per
+    *     character, O(n²) per document) — `split(text, "")` is one O(n)
+    *     pass;
+    * and even with both fixed, the interpreted HOF pipeline costs ~6 ms
+    * per document in struct/boxing overhead — ~1000× the native loop.
+    * Positions 1..15 can never cut (min chunk 16 > any reachable
+    * forced-cut distance), so the fold runs over window END positions
+    * 16..n only — same cuts, 15 fewer elements. */
+  private[graft] def withCdcBoundsHof(documents: DataFrame): DataFrame = {
+    // chars via ONE split, not substr-per-position: UTF8String.substring
+    // walks from the string head, so `substr(i, 1)` inside a transform is
+    // O(i) per character — O(n²) per document, an 85× 10×-slope in the
+    // first draft (SCALE.md r8 note); split("") is a single O(n) pass
     val codes = documents
       .filter(col("text").isNotNull && col("text") =!= "")
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .withColumn("codes",
-        transform(sequence(lit(1), col("n")),
-          i => ascii(col("text").substr(i, lit(1)))))
+      .withColumn("codes", transform(split(col("text"), ""), c => ascii(c)))
     // zipped[k] (0-based k): chars at positions k+1 .. k+16, i.e. the
     // window ENDING at i = k+16; field m holds code(k+1+m), whose
     // weight in the original Σ_j code(i−j)·pow(j) form is pow(15−m)

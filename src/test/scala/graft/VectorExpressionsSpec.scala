@@ -190,6 +190,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(out(4L) == List(3L, 5L))       // all-NaN ties -> id-ascending
   }
 
+  test("native CDC bounds equal the HOF fold on real docs and edge texts") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def collectBounds(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.select(col("doc_id"), col("bounds")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(collectBounds(TextOps.withCdcBounds(real)) ==
+      collectBounds(TextOps.withCdcBoundsHof(real)))
+    // adversarial shapes: below/at the window, forced-cut boundary at
+    // exactly cdcMax, repetitive text (many hash fires), BMP unicode
+    val edge = Seq(
+      (1L, "a"), (2L, "a" * 15), (3L, "a" * 16), (4L, "a" * 17),
+      (5L, "x" * 256), (6L, "x" * 257), (7L, "ab" * 300),
+      (8L, "the quick brown fox " * 40), (9L, "héllo wörld 愛" * 30))
+      .toDF("doc_id", "text")
+    assert(collectBounds(TextOps.withCdcBounds(edge)) ==
+      collectBounds(TextOps.withCdcBoundsHof(edge)))
+    // and the native scan is inside whole-stage codegen
+    val plan = TextOps.withCdcBounds(real).queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.toLowerCase.contains("cdcbounds")).get
+    assert(line.trim.startsWith("*("), plan)
+  }
+
   test("the expression runs inside WholeStageCodegen (not interpreted fallback)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
