@@ -75,6 +75,22 @@ object SparkEntry {
     // aggregate + join; SAME SQL text runs on both engines
     "part_small_qty_revenue" -> ((s, dir) =>
       Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q18 shape: HAVING-filtered derived table as broadcast filter
+    "large_orders" -> ((s, dir) =>
+      Relational.largeOrders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), 250.0)),
+    // TPC-H Q15 shape: revenue view + its own max folded back as a filter
+    "top_revenue_suppliers" -> ((s, dir) =>
+      Relational.topRevenueSuppliers(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), "1998-01-01", "1998-04-01")),
+    // TPC-H Q21 shape: EXISTS/NOT-EXISTS pair as left-semi + left-anti
+    "supplier_wait_blame" -> ((s, dir) =>
+      Relational.waitingSupplierBlame(Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), 90)),
+    // TPC-H Q22 shape: scalar-subquery gate + anti join on recent orders
+    "rich_idle_customers" -> ((s, dir) =>
+      Relational.richIdleCustomers(Tables.customer(s, dir),
+        Tables.orders(s, dir), "2001-01-01")),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -1815,6 +1831,53 @@ object SparkEntry {
     // subquery decorrelation preserves semantics
     "part_small_qty_revenue" ->
       graft.operators.Relational.smallQuantitySql("lineitem", "part"),
+    "large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         floor(o.o_totalprice * 1e2 + 0.5) / 1e2 AS total_price, q.sum_qty
+         FROM orders o
+         JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250.0) q
+           ON o.o_orderkey = q.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "top_revenue_suppliers" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             floor((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1998-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "supplier_wait_blame" ->
+      """WITH late AS (
+           SELECT l.l_orderkey, l.l_suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+         WHERE EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM late l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey)
+         GROUP BY 1""",
+    "rich_idle_customers" ->
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+         floor((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_bal
+         FROM customer c
+         WHERE c.c_acctbal > (
+             SELECT floor((CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(c2.c_acctbal)) * 1e4 + 0.5) / 1e4
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY 1""",
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

@@ -906,4 +906,109 @@ object Relational {
     part.createOrReplaceTempView("graft_q17_part")
     spark.sql(smallQuantitySql("graft_q17_lineitem", "graft_q17_part"))
   }
+
+  /** TPC-H Q18 shape — large-volume orders: the GROUP-BY-HAVING derived
+    * table used as a semi-join filter. The qualifying order set (orders
+    * whose total line quantity exceeds `minQty`) is computed by ONE hash
+    * aggregation over lineitem's two relevant columns, and — being
+    * HAVING-filtered to a tiny fraction of orders — rides a BROADCAST
+    * semi join back onto orders; customer is a broadcast dim. At 100 TB
+    * the aggregate shuffles only (orderkey, partial-sum) pairs with
+    * map-side combine, and nothing re-scans lineitem twice: the sum is
+    * carried out of the derived table instead of recomputed. */
+  def largeOrders(customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, minQty: Double): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .join(broadcast(bigOrders), orders("o_orderkey") === bigOrders("l_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), roundFixed(col("o_totalprice"), 2).as("total_price"),
+        col("sum_qty"))
+  }
+
+  /** TPC-H Q15 shape — "the top supplier(s)": a revenue view consumed
+    * twice, once per supplier and once reduced to its global max, with
+    * the max folded back as an equality filter. The per-supplier revenue
+    * is ONE hash agg over the date-pruned lineitem scan (filter reaches
+    * the parquet scan; two data columns read); the global max is a
+    * second agg over that supplier-count-sized result — metadata scale —
+    * and joins back in as a single-row broadcast. Revenue is rounded on
+    * the shared decimal grid BEFORE the max comparison, so the
+    * tie/equality semantics are bit-identical to the oracle's. */
+  def topRevenueSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                          fromDate: String, untilDate: String): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(fromDate)) &&
+        col("l_shipdate") < to_timestamp(lit(untilDate)))
+      .groupBy(col("l_suppkey"))
+      .agg(sumRounded(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        .as("total_revenue"))
+    val maxRevenue = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue
+      .join(broadcast(maxRevenue), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": the
+    * EXISTS / NOT-EXISTS pair over the SAME fact table, expressed as the
+    * left-semi + left-anti joins Catalyst would decorrelate the
+    * subqueries into. A line is late when it shipped more than
+    * `lateDays` after its order date. A late line l1 is *blamed* on its
+    * supplier when the order has another supplier's line (EXISTS — the
+    * order genuinely had alternatives) but no OTHER supplier's late line
+    * (NOT EXISTS — this supplier alone held it up). Both probe sides are
+    * lineitem projected to (orderkey, suppkey) — at scale each is a
+    * shuffled semi/anti hash join on orderkey, and the `exists` legs
+    * carry two slim columns, never the full fact row. */
+  def waitingSupplierBlame(supplier: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, lateDays: Int): DataFrame = {
+    val lines = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = lines
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l1 = late.select(col("l_orderkey").as("o1"), col("l_suppkey").as("s1"))
+    // EXISTS: another supplier has any line on the same order
+    val others = lines.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val withAlt = l1.join(others,
+      col("o1") === col("o2") && col("s1") =!= col("s2"), "leftsemi")
+    // NOT EXISTS: no other supplier was ALSO late on that order
+    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val soleBlame = withAlt.join(lateOthers,
+      col("o1") === col("o3") && col("s1") =!= col("s3"), "leftanti")
+    soleBlame
+      .join(broadcast(supplier), col("s1") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape — "rich but idle customers": an uncorrelated scalar
+    * subquery (the average positive account balance) gating the probe
+    * side, then an anti join against recent orders, then a small rollup
+    * by market segment. The scalar average is decimal-exact and rides in
+    * as a single-row broadcast; the anti join's build side is orders
+    * pre-filtered to the recency window (date filter pushed to the scan,
+    * one column read), so at 100 TB the build input is the recent slice,
+    * not order history. */
+  def richIdleCustomers(customer: DataFrame, orders: DataFrame,
+                        sinceDate: String): DataFrame = {
+    val avgBal = customer
+      .filter(col("c_acctbal") > 0.0)
+      .agg(avgRounded(col("c_acctbal"), 4).as("avg_bal"))
+    val recent = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(sinceDate)))
+      .select(col("o_custkey"))
+    customer
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sumRounded(col("c_acctbal"), 2).as("total_bal"))
+  }
 }

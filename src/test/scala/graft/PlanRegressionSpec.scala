@@ -215,4 +215,38 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("large_orders: the HAVING-filtered order set and customer both broadcast") {
+    val p = plan("large_orders")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // lineitem's agg leg reads exactly (l_orderkey, l_quantity)
+    assert(p.contains("[l_orderkey#") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("top_revenue_suppliers: date filter reaches the scan; max folds back as a broadcast") {
+    val p = plan("top_revenue_suppliers")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val scan = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(
+      SparkEntry.queries("top_revenue_suppliers")(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    assert(scan.exists(_.contains("GreaterThanOrEqual(l_shipdate")), scan)
+  }
+
+  test("supplier_wait_blame: EXISTS is a semi join, NOT EXISTS an anti join, no cartesian") {
+    val p = plan("supplier_wait_blame")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rich_idle_customers: scalar gate is a 1-row broadcast; recent orders anti-join") {
+    val p = plan("rich_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the only nested-loop join is the single-row scalar-average gate
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
 }
