@@ -91,6 +91,13 @@ object SparkEntry {
     "rich_idle_customers" -> ((s, dir) =>
       Relational.richIdleCustomers(Tables.customer(s, dir),
         Tables.orders(s, dir), "2001-01-01")),
+    // WebDataset shard round-trip: pack documents into tar shards (one
+    // writer per shard after a shard_id shuffle), read them back through
+    // the DSv2 connector (graft.sources.TarDataSource), aggregate per
+    // shard; the oracle recomputes the same aggregates from `documents`
+    // directly, so the hash match proves the tar write+read is lossless
+    "wds_roundtrip" -> ((s, dir) =>
+      graft.sources.TarShards.roundTrip(s, Tables.documents(s, dir), 8)),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -1866,6 +1873,12 @@ object SparkEntry {
              WHERE l3.l_orderkey = l1.l_orderkey
                AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY 1""",
+    "wds_roundtrip" ->
+      s"""SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         bit_xor(${shaFoldSql("text")}) AS content_hash
+         FROM documents GROUP BY 1""",
     "rich_idle_customers" ->
       """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
          floor((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_bal

@@ -1,0 +1,151 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{TarIO, TarShards}
+
+/** The WebDataset shard surface: ustar codec round-trips and loud
+  * failures, the DSv2 connector's three scale levers (shard-level
+  * planning-time pruning, payload-skipping column pruning, member-name
+  * pushdown), and write→read losslessness on the real corpus. */
+class TarSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+
+  private def tarOf(members: (String, Array[Byte])*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    TarIO.write(members.iterator, out)
+    out.toByteArray
+  }
+
+  test("ustar codec: members round-trip bit-exactly, incl. unpadded sizes and unicode names") {
+    val members = Seq(
+      "a.txt" -> bytes("hello"),
+      "empty.bin" -> Array.empty[Byte],
+      "exactly-512" -> Array.fill[Byte](512)(7),
+      "héllo-愛.txt" -> bytes("unicode payload"),
+      "b/nested/name.json" -> bytes("""{"k":1}"""))
+    val decoded = TarIO.read(new ByteArrayInputStream(tarOf(members: _*)),
+      readBytes = true).toList
+    assert(decoded.map(_.name) == members.map(_._1))
+    decoded.zip(members).foreach { case (m, (_, b)) =>
+      assert(m.size == b.length && java.util.Arrays.equals(m.bytes, b), m.name)
+    }
+  }
+
+  test("ustar codec: archives are byte-deterministic and GNU tar readable shape (magic+chksum)") {
+    val a1 = tarOf("x" -> bytes("payload"))
+    val a2 = tarOf("x" -> bytes("payload"))
+    assert(java.util.Arrays.equals(a1, a2))
+    assert(new String(a1, 257, 5, StandardCharsets.US_ASCII) == "ustar")
+  }
+
+  test("ustar codec: corruption fails loudly — checksum, magic, truncation, non-file member") {
+    val good = tarOf("x" -> bytes("payload"))
+    val badSum = good.clone(); badSum(0) = 'y'.toByte // name change breaks chksum
+    val e1 = intercept[IllegalArgumentException] {
+      TarIO.read(new ByteArrayInputStream(badSum), readBytes = true).toList
+    }
+    assert(e1.getMessage.contains("checksum"))
+    val badMagic = good.clone(); badMagic(257) = 'X'.toByte
+    // magic is checked before (and independently of) the checksum
+    assert(intercept[IllegalArgumentException] {
+      TarIO.read(new ByteArrayInputStream(badMagic), readBytes = true).toList
+    }.getMessage.contains("magic"))
+    val truncated = good.take(600) // header + partial payload block
+    assert(intercept[java.io.EOFException] {
+      TarIO.read(new ByteArrayInputStream(truncated), readBytes = true).toList
+    }.getMessage.contains("truncated"))
+    val dirMember = good.clone(); dirMember(156) = '5'.toByte // directory typeflag
+    // repair checksum so the typeflag check itself is what fires
+    locally {
+      java.util.Arrays.fill(dirMember, 148, 156, ' '.toByte)
+      var sum = 0L; (0 until 512).foreach(i => sum += (dirMember(i) & 0xff))
+      val oct = "%06o".format(sum).getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(oct, 0, dirMember, 148, 6)
+      dirMember(154) = 0; dirMember(155) = ' '.toByte
+    }
+    assert(intercept[IllegalArgumentException] {
+      TarIO.read(new ByteArrayInputStream(dirMember), readBytes = true).toList
+    }.getMessage.contains("regular files"))
+  }
+
+  test("connector: write->read is lossless on the real corpus (bytes equal per doc)") {
+    val docs = sources.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val tmp = Files.createTempDirectory("graft_tar_spec").toString
+    TarShards.writeShards(
+      docs.select(pmod(col("doc_id"), lit(4)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content")),
+      tmp, 4)
+    val back = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .select(regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text_back"))
+    val joined = docs.join(back, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("text") =!= col("text_back")).count() == 0)
+    // every doc landed in its keyed shard: 4 files, deterministic names
+    val files = Files.list(Paths.get(tmp)).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filter(_.endsWith(".tar")).toList.sorted
+    assert(names == (0 until 4).map(i => f"shard-$i%05d.tar").toList)
+  }
+
+  test("connector: shard equality filter prunes partitions at PLANNING time") {
+    val tmp = writeCorpusShards(8)
+    val all = spark.read.format("graft.sources.TarDataSource").load(tmp)
+    assert(all.rdd.getNumPartitions == 8)
+    val one = all.filter(col("shard") === "shard-00003.tar")
+    assert(one.rdd.getNumPartitions == 1, "shard filter must prune files before reading")
+    assert(one.select(countDistinct(col("shard"))).head.getLong(0) == 1)
+    // prefix pruning too
+    assert(all.filter(col("shard").startsWith("shard-0000"))
+      .rdd.getNumPartitions == 8)
+    assert(all.filter(col("shard") === "no-such.tar").rdd.getNumPartitions == 0)
+  }
+
+  test("connector: column pruning drops `content` from the scan; name pushdown is visible") {
+    val tmp = writeCorpusShards(4)
+    val meta = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .filter(col("name").endsWith(".txt"))
+      .select(col("shard"), col("size"))
+    val plan = meta.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan"))
+      .getOrElse(fail(s"no BatchScan in:\n$plan"))
+    assert(!scanLine.contains("content"), scanLine)
+    val described = meta.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString("\n")
+    // pushed filter list from TarScan.description surfaces in the scan node
+    assert(described.contains("StringEndsWith") || plan.contains("StringEndsWith"),
+      described)
+    // and the metadata scan still returns correct sizes (headers only)
+    assert(meta.agg(sum(col("size"))).head.getLong(0) > 0)
+  }
+
+  test("connector: empty directory and missing directory read as zero rows, not errors") {
+    val tmp = Files.createTempDirectory("graft_tar_empty").toString
+    assert(spark.read.format("graft.sources.TarDataSource").load(tmp).count() == 0)
+    assert(spark.read.format("graft.sources.TarDataSource")
+      .load(tmp + "/definitely-missing").count() == 0)
+  }
+
+  private def writeCorpusShards(n: Int): String = {
+    val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val tmp = Files.createTempDirectory("graft_tar_prune").toString
+    TarShards.writeShards(
+      docs.select(pmod(col("doc_id"), lit(n)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content")),
+      tmp, n)
+    tmp
+  }
+}
