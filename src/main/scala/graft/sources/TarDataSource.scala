@@ -65,7 +65,7 @@ class TarTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft-tar:$dir"
   override def schema(): StructType = TarTable.SCHEMA
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(dir)
 }
@@ -119,11 +119,25 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      streaming.MicroBatchStream =
+    new TarMicroBatchStream(dir, requiredSchema, filters)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushed=[${filters.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    TarScan.listShards(dir, filters)
+      .map { case (full, base) => TarInputPartition(full, base): InputPartition }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory(requiredSchema, filters)
+}
+
+object TarScan {
+  /** (fullPath, basename) of every shard file passing the shard filters,
+    * name-sorted for deterministic partition order. */
+  def listShards(dir: String, filters: Array[Filter]): Array[(String, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
     val shards: Array[FileStatus] =
@@ -132,12 +146,64 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter])
     shards
       .map(s => (s.getPath.toString, s.getPath.getName))
       .filter { case (_, base) => TarFilters.accepts(filters.toSeq, "shard", base) }
-      .sortBy(_._2) // deterministic partition order
+      .sortBy(_._2)
+  }
+}
+
+/** Streaming shard ingest: the micro-batch offset is the SET OF SHARD
+  * FILES seen so far (the FileStreamSource model, scoped to `.tar`).
+  * Each micro-batch plans exactly the newly-arrived shards — one
+  * partition per new shard — so a shard is read EXACTLY ONCE across the
+  * life of the checkpoint, including restarts. Shards must be immutable
+  * once visible (the WebDataset contract: writers create under a temp
+  * name and rename); appends to an already-consumed shard are NOT
+  * re-read, by design.
+  *
+  * Offsets serialize as a sorted JSON array of shard basenames. That
+  * keeps the offset log human-auditable; at 100 TB the shard COUNT
+  * (not size) bounds the offset — thousands of entries, trivially small
+  * next to the data. */
+class TarMicroBatchStream(dir: String, requiredSchema: StructType,
+                          filters: Array[Filter])
+    extends streaming.MicroBatchStream {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private def offsetOf(names: Seq[String]) =
+    TarShardSetOffset(scala.collection.immutable.SortedSet.from(names))
+
+  override def initialOffset(): streaming.Offset = offsetOf(Nil)
+
+  override def latestOffset(): streaming.Offset =
+    offsetOf(TarScan.listShards(dir, filters).map(_._2).toSeq)
+
+  override def deserializeOffset(json: String): streaming.Offset = {
+    val arr = new ObjectMapper().readValue(json, classOf[Array[String]])
+    offsetOf(arr.toSeq)
+  }
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TarShardSetOffset].shards
+    val target = end.asInstanceOf[TarShardSetOffset].shards
+    val fresh = target -- seen
+    TarScan.listShards(dir, filters)
+      .filter { case (_, base) => fresh.contains(base) }
       .map { case (full, base) => TarInputPartition(full, base): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TarReaderFactory(requiredSchema, filters)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class TarShardSetOffset(shards: scala.collection.immutable.SortedSet[String])
+    extends streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(shards.toArray)
+  }
 }
 
 class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter])

@@ -138,6 +138,53 @@ class TarSourceSpec extends AnyFunSuite {
       .load(tmp + "/definitely-missing").count() == 0)
   }
 
+  test("streaming: new shards are consumed exactly once, incl. across a checkpoint restart") {
+    val tmp = Files.createTempDirectory("graft_tar_stream").toString
+    val ckpt = Files.createTempDirectory("graft_tar_ckpt").toString
+    def addShard(i: Int, docs: (String, String)*): Unit = {
+      val out = new java.io.FileOutputStream(s"$tmp/shard-$i.tar")
+      TarIO.write(docs.iterator.map { case (n, t) => n -> bytes(t) }, out)
+      out.close()
+    }
+    val outDir = Files.createTempDirectory("graft_tar_out").toString
+    addShard(0, "a.txt" -> "alpha", "b.txt" -> "beta")
+    addShard(1, "c.txt" -> "gamma")
+    // parquet sink: fault-tolerant, so the checkpoint restart leg is real
+    def startQuery() = spark.readStream
+      .format("graft.sources.TarDataSource").load(tmp)
+      .select(col("name"), decode(col("content"), "UTF-8").as("text"))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def sunk(): List[String] = spark.read.parquet(outDir)
+      .select("text").collect().map(_.getString(0)).sorted.toList
+    val q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(sunk() == List("alpha", "beta", "gamma"))
+      addShard(2, "d.txt" -> "delta")
+      q.processAllAvailable()
+      assert(sunk() == List("alpha", "beta", "delta", "gamma"))
+    } finally q.stop()
+    // restart from the checkpoint: ONLY the shard added while down arrives,
+    // nothing replays — each text stays exactly-once in the sink
+    addShard(3, "e.txt" -> "epsilon")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      assert(sunk() == List("alpha", "beta", "delta", "epsilon", "gamma"))
+    } finally q2.stop()
+  }
+
+  test("streaming: offsets serialize as a sorted JSON shard array and round-trip") {
+    import graft.sources.{TarMicroBatchStream, TarShardSetOffset}
+    val s = new TarMicroBatchStream("/nonexistent", null, Array.empty)
+    val o = TarShardSetOffset(scala.collection.immutable.SortedSet("b.tar", "a.tar"))
+    assert(o.json() == """["a.tar","b.tar"]""")
+    assert(s.deserializeOffset(o.json()) == o)
+    assert(s.initialOffset() == TarShardSetOffset(
+      scala.collection.immutable.SortedSet.empty[String]))
+  }
+
   private def writeCorpusShards(n: Int): String = {
     val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
     val tmp = Files.createTempDirectory("graft_tar_prune").toString
