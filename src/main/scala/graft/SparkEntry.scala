@@ -98,6 +98,11 @@ object SparkEntry {
     // directly, so the hash match proves the tar write+read is lossless
     "wds_roundtrip" -> ((s, dir) =>
       graft.sources.TarShards.roundTrip(s, Tables.documents(s, dir), 8)),
+    // WebDataset SAMPLE grouping: two members per doc (<id>.txt, <id>.meta)
+    // packed, read back, reassembled into one row per sample — a txt/meta
+    // pairing mistake between docs would flip the per-language XOR
+    "wds_samples" -> ((s, dir) =>
+      graft.sources.TarShards.sampleRoundTrip(s, Tables.documents(s, dir), 8)),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -1879,6 +1884,12 @@ object SparkEntry {
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          bit_xor(${shaFoldSql("text")}) AS content_hash
          FROM documents GROUP BY 1""",
+    "wds_samples" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         bit_xor(${shaFoldSql("text")}) AS text_hash
+         FROM documents
+         WHERE text IS NOT NULL AND lang IS NOT NULL
+         GROUP BY 1""",
     "rich_idle_customers" ->
       """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
          floor((CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_bal

@@ -85,6 +85,59 @@ object TarShards {
           .as("content_hash"))
   }
 
+  /** WebDataset SAMPLE GROUPING: members named `<key>.<ext>` are the
+    * fields of one logical sample (img.jpg + img.cls + img.json …), and
+    * training wants the sample as ONE row. Input is the connector's
+    * (shard, name, size, content) shape; output is one row per key with
+    * a binary column per requested extension (null when the member is
+    * absent — callers decide whether that is an error).
+    *
+    * One hash aggregation on the sample key — conditional `max(when)`
+    * per extension, so members collapse map-side and no join or pivot
+    * shuffle appears. Samples are whole within their shard by the
+    * WebDataset contract, so the key agg is shard-local data that a
+    * 100 TB run could even pre-aggregate per partition; the global
+    * shuffle only carries one slim row per sample. */
+  def samples(members: DataFrame, exts: Seq[String]): DataFrame = {
+    require(exts.nonEmpty, "sample grouping needs at least one extension")
+    val key = regexp_extract(col("name"), "^([^.]*)\\.", 1)
+    val ext = regexp_extract(col("name"), "^[^.]*\\.(.*)$", 1)
+    members
+      .select(key.as("key"), ext.as("ext"), col("content"))
+      .groupBy(col("key"))
+      .agg(
+        exts.map(e => max(when(col("ext") === e, col("content"))).as(e)).head,
+        exts.map(e => max(when(col("ext") === e, col("content"))).as(e)).tail: _*)
+  }
+
+  /** Multi-member round-trip proof: pack TWO members per document
+    * (`<id>.txt` = text, `<id>.meta` = language tag), read the shards
+    * back, reassemble samples with [[samples]], and aggregate per
+    * decoded language — count + order-independent XOR of the portable
+    * text hash. The oracle computes the same from `documents` directly,
+    * so the hash match proves sample reassembly pairs the right members
+    * (a txt/meta mix-up between docs flips the XOR). */
+  def sampleRoundTrip(spark: SparkSession, documents: DataFrame,
+                      nShards: Int): DataFrame = {
+    val dir = shardDir(documents) + "_samples"
+    val base = documents.filter(col("text").isNotNull && col("lang").isNotNull)
+    val txt = base.select(
+      pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+      concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+      encode(col("text"), "UTF-8").as("content"))
+    val meta = base.select(
+      pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+      concat(col("doc_id").cast("string"), lit(".meta")).as("name"),
+      encode(col("lang"), "UTF-8").as("content"))
+    writeShards(txt.unionByName(meta), dir, nShards)
+    val back = spark.read.format("graft.sources.TarDataSource").load(dir)
+    samples(back, Seq("txt", "meta"))
+      .select(decode(col("meta"), "UTF-8").as("lang"),
+        graft.operators.TextOps.portableHash64(col("txt")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), bit_xor(col("h")).as("text_hash"))
+  }
+
   /** Scratch dir keyed by the input's first file path, so concurrent runs
     * on different scale factors never collide. */
   private def shardDir(documents: DataFrame): String = {

@@ -185,6 +185,23 @@ class TarSourceSpec extends AnyFunSuite {
       scala.collection.immutable.SortedSet.empty[String]))
   }
 
+  test("sample grouping: members pair by key, dotted extensions stay whole, absent members are null") {
+    import spark.implicits._
+    val members = Seq(
+      ("s.tar", "doc1.txt", 1L, bytes("one")),
+      ("s.tar", "doc1.meta.json", 1L, bytes("m1")),
+      ("s.tar", "doc2.txt", 1L, bytes("two")),
+      ("t.tar", "doc3.meta.json", 1L, bytes("m3")))
+      .toDF("shard", "name", "size", "content")
+    val out = TarShards.samples(members, Seq("txt", "meta.json"))
+      .select(col("key"), decode(col("txt"), "UTF-8").as("txt"),
+        decode(col("`meta.json`"), "UTF-8").as("meta"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toList
+    assert(out == List(("doc1", "one", "m1"), ("doc2", "two", null),
+      ("doc3", null, "m3")))
+  }
+
   private def writeCorpusShards(n: Int): String = {
     val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
     val tmp = Files.createTempDirectory("graft_tar_prune").toString
