@@ -574,6 +574,16 @@ object SparkEntry {
     // (H.264-class) formats only.
     "mm_mjpeg_decode" -> ((s, dir) =>
       operators.Multimodal.mjpegDecodeStats(Tables.documents(s, dir))),
+    // REAL MOTION-COMPENSATED video (r8, retires the last stub): I/P
+    // frames, full-search block motion estimation against the
+    // reconstructed reference, SKIP/INTER/INTRA modes, H.264-style 4x4
+    // integer transform in its LOSSLESS configuration (integer-exact
+    // inverse, loud on any remainder) — so reconstruction sums equal the
+    // generated-frame closed form the oracle recomputes, for arbitrary
+    // content, while frame k+1 = frame k shifted one block means motion
+    // search really collapses most P-blocks to SKIPs
+    "mm_mc_video_decode" -> ((s, dir) =>
+      operators.Multimodal.mcVideoDecodeStats(Tables.documents(s, dir))),
     // the video-ingest access pattern: sample frames FIRST (stride 2),
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
@@ -3084,6 +3094,32 @@ object SparkEntry {
              CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
              CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
              CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, nf, (w // 8) * (h // 8) AS nb,
+             t, length(t) AS tl,
+             unnest(generate_series(0, nf - 1)) AS k
+           FROM m),
+         b AS (
+           SELECT doc_id, w, h, nf,
+             list_sum(list_transform(
+               generate_series(0, CAST(nb AS INTEGER) - 1),
+               i -> ascii(substr(t, CAST((k + i) % tl AS INTEGER) + 1, 1)))) AS bsum
+           FROM f)
+         SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+           CAST(w AS BIGINT) * h * nf AS n_pixels,
+           CAST(64 * sum(bsum) AS BIGINT) AS sum_px
+         FROM b GROUP BY doc_id, w, h, nf""",
+    // replica of Multimodal.mcVideoDecodeStats WITHOUT running the codec:
+    // the lossless transform makes reconstruction == source, so the sum is
+    // the same closed form as the MJPEG videos with nf = doc_id % 3 + 3
+    "mm_mc_video_decode" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
+             CAST(doc_id % 3 + 3 AS INTEGER) AS nf
            FROM documents),
          f AS (
            SELECT doc_id, w, h, nf, (w // 8) * (h // 8) AS nb,

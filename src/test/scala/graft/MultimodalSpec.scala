@@ -957,6 +957,90 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MC video: lossless round-trip on arbitrary content, real motion, real compression") {
+    // arbitrary (pseudo-random) frames: the lossless-transform claim must
+    // hold for ANY content, not just the block-constant oracle class
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (16, 12)
+    val noise = Array.fill(4)(Array.fill[Byte](w * h)(rnd.nextInt(256).toByte))
+    val (dw, dh, _, back) = Multimodal.parseMcVideo(
+      Multimodal.encodeMcVideo(w, h, noise))
+    assert(dw == w && dh == h && back.length == 4)
+    back.zip(noise).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+
+    // translating content: frame k+1 == frame k shifted 4px left (content
+    // wraps), so motion search must find exact inter predictions and
+    // collapse interior blocks to SKIPs — and the stream must be SMALLER
+    // than the same frames coded all-intra (frame 0 repeated style)
+    val base = Array.tabulate(w * h)(i => ((i * 37 + i / w * 11) % 251).toByte)
+    val moving = Array.tabulate(5) { k =>
+      Array.tabulate(h * w) { i =>
+        val y = i / w; val x = i % w
+        base(y * w + (x + 4 * k) % w)
+      }
+    }
+    val stream = Multimodal.encodeMcVideo(w, h, moving)
+    val (_, _, skips, dec) = Multimodal.parseMcVideo(stream)
+    dec.zip(moving).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    assert(skips > 0, "exact translation found no SKIP blocks — motion search broken")
+    // static video: 4 all-SKIP P-frames cost <= 3 bytes/block + 1 type byte
+    val still = Multimodal.encodeMcVideo(w, h, Array.fill(5)(moving(0)))
+    val intraOnly = Multimodal.encodeMcVideo(w, h, Array(moving(0)))
+    val skipBound = 4 * (1 + 3 * (w / 4) * (h / 4))
+    assert(still.length <= intraOnly.length + skipBound,
+      s"static P-frames cost ${still.length - intraOnly.length}, bound $skipBound")
+    assert(stream.length < 5 * intraOnly.length,
+      s"P-frames (${stream.length}) should beat 5x intra (${5 * intraOnly.length})")
+  }
+
+  test("MC video: corruption fails loudly (magic, truncation, mode, coefficient order)") {
+    val frames = Array.tabulate(3)(k =>
+      Array.tabulate[Byte](8 * 8)(i => ((i + k * 17) % 200).toByte))
+    val good = Multimodal.encodeMcVideo(8, 8, frames)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.parseMcVideo(badMagic)
+    }.getMessage.contains("magic"))
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMcVideo(good.take(good.length / 2))
+    }
+    // every single-byte truncation of the tail must be detected too
+    (1 to 8).foreach { cut =>
+      intercept[IllegalArgumentException] {
+        Multimodal.parseMcVideo(good.take(good.length - cut))
+      }
+    }
+  }
+
+  test("MC video: driver stats equal the MJPEG-class closed form on real docs") {
+    // the lossless reconstruction makes sum_px the generated-frame sum —
+    // cross-check against an independent in-test computation
+    val out = Multimodal.mcVideoDecodeStats(docs.limit(20))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(5))).toMap
+    val src = docs.limit(20).select("doc_id", "text", "n_chars").collect()
+    assert(src.nonEmpty)
+    src.foreach { r =>
+      val id = r.getLong(0)
+      val t = Option(r.getString(1)).filter(_.nonEmpty).getOrElse(" ")
+      val nChars = r.getLong(2)
+      val w = ((nChars % 3 + 2) * 8).toInt
+      val h = ((id % 3 + 2) * 8).toInt
+      val nf = (id % 3 + 3).toInt
+      val tb = t.getBytes("UTF-8")
+      val nb = (w / 8) * (h / 8)
+      var sum = 0L
+      (0 until nf).foreach { k =>
+        (0 until nb).foreach { i => sum += 64L * (tb((k + i) % tb.length) & 0xff) }
+      }
+      assert(out(id) == ((w, h, nf, sum)), s"doc $id")
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
