@@ -116,9 +116,27 @@ object TarFilters {
 case class TarInputPartition(path: String, shard: String) extends InputPartition
 
 class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Honest size statistics for the optimizer, measured AFTER shard
+    * pruning: the summed length of exactly the files this scan will
+    * read. That is what lets Catalyst broadcast a small pruned shard
+    * selection into a join instead of shuffling the other side. Row
+    * count stays empty — tar has no index, and a guessed row count is
+    * worse than none. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total: Long = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(new Configuration())
+      TarScan.listShards(dir, filters).map { case (full, _) =>
+        fs.getFileStatus(new Path(full)).getLen
+      }.sum
+    }
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream =
     new TarMicroBatchStream(dir, requiredSchema, filters)

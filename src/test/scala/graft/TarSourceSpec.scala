@@ -175,6 +175,29 @@ class TarSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("statistics: pruned scans report pruned sizes; a small shard selection broadcasts") {
+    import graft.sources.TarScan
+    val tmp = writeCorpusShards(8)
+    val all = new TarScan(tmp, graft.sources.TarTable.SCHEMA, Array.empty)
+    val one = new TarScan(tmp, graft.sources.TarTable.SCHEMA,
+      Array(org.apache.spark.sql.sources.EqualTo("shard", "shard-00003.tar")))
+    val allSize = all.estimateStatistics().sizeInBytes().getAsLong
+    val oneSize = one.estimateStatistics().sizeInBytes().getAsLong
+    assert(allSize > 0 && oneSize > 0 && oneSize < allSize / 4,
+      s"one-shard stats $oneSize should be well under full $allSize")
+    assert(!all.estimateStatistics().numRows().isPresent,
+      "tar has no index — a guessed row count would be dishonest")
+    // and the optimizer consumes them: joining the one-shard selection
+    // against the full corpus table broadcasts the TAR side
+    val tarSide = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .filter(col("shard") === "shard-00003.tar")
+      .select(regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"))
+    val joined = sources.Tables.documents(spark, dir).join(tarSide, "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() > 0)
+  }
+
   test("streaming: offsets serialize as a sorted JSON shard array and round-trip") {
     import graft.sources.{TarMicroBatchStream, TarShardSetOffset}
     val s = new TarMicroBatchStream("/nonexistent", null, Array.empty)
