@@ -997,6 +997,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"P-frames (${stream.length}) should beat 5x intra (${5 * intraOnly.length})")
   }
 
+  test("property: MC video reconstructs ANY frame sequence bit-exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // mixes of flat regions (SKIP-friendly), shifted copies (INTER), and
+    // noise (INTRA) — every mode boundary gets exercised
+    val (w, h) = (12, 8)
+    val frameGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.choose(0, 255).map(v => Array.fill[Byte](w * h)(v.toByte)),
+      Gen.choose(0, 1000).map(seed =>
+        Array.tabulate[Byte](w * h)(i => ((i * 31 + seed) % 256).toByte)),
+      Gen.listOfN(w * h, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    val prop = Prop.forAll(Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, frameGen))) { frames =>
+      val arr = frames.toArray
+      val (dw, dh, _, back) = Multimodal.parseMcVideo(
+        Multimodal.encodeMcVideo(w, h, arr))
+      dw == w && dh == h && back.length == arr.length &&
+        back.zip(arr).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }
+    val res = check(Parameters.default
+      .withInitialSeed(org.scalacheck.rng.Seed(11L))
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MC video: corruption fails loudly (magic, truncation, mode, coefficient order)") {
     val frames = Array.tabulate(3)(k =>
       Array.tabulate[Byte](8 * 8)(i => ((i + k * 17) % 200).toByte))

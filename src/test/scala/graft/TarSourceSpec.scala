@@ -225,6 +225,32 @@ class TarSourceSpec extends AnyFunSuite {
       ("doc3", null, "m3")))
   }
 
+  test("property: any member list round-trips the ustar codec byte-exactly") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val memberGen = for {
+      nameLen <- Gen.choose(1, 40)
+      name <- Gen.listOfN(nameLen,
+        Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const('.'),
+          1 -> Gen.const('/'))).map(_.mkString)
+      size <- Gen.frequency(3 -> Gen.choose(0, 50), 2 -> Gen.choose(500, 600),
+        1 -> Gen.const(512)) // straddle the block boundary deliberately
+      body <- Gen.listOfN(size, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (name, body.toArray)
+    val prop = Prop.forAll(Gen.listOfN(6, memberGen)) { members =>
+      val decoded = TarIO.read(
+        new ByteArrayInputStream(tarOf(members: _*)), readBytes = true).toList
+      decoded.map(_.name) == members.map(_._1) &&
+        decoded.zip(members).forall { case (m, (_, b)) =>
+          java.util.Arrays.equals(m.bytes, b)
+        }
+    }
+    val res = check(Parameters.default
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+      .withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def writeCorpusShards(n: Int): String = {
     val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
     val tmp = Files.createTempDirectory("graft_tar_prune").toString

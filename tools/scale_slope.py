@@ -42,7 +42,7 @@ ID_STRIDE = 1_000_000
 # (mm_ queries are documents-derived, so they scale with the corpus too),
 # plus the event-time family (r7: slopes were never measured on real
 # timestamps — the r6 numbers predate the events replica entirely)
-PREFIXES = "doc_,emb_,mm_,station_,window_,user_,event,trip_,asof_"
+PREFIXES = "doc_,emb_,mm_,station_,window_,user_,event,trip_,asof_,wds_"
 
 
 def build_corpus(base: str, out: str) -> None:
