@@ -1893,7 +1893,7 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          bit_xor(${shaFoldSql("text")}) AS content_hash
-         FROM documents GROUP BY 1""",
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
     "wds_samples" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          bit_xor(${shaFoldSql("text")}) AS text_hash

@@ -3185,6 +3185,8 @@ object Multimodal {
       ref = recon
       recon
     }
+    require(in.pos == payload.length,
+      s"${payload.length - in.pos} trailing bytes after the last MC frame")
     (w, h, skips, frames)
   }
 

@@ -5,7 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -15,6 +16,7 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for directories of WebDataset-style `.tar` shards —
   * the engine's "training-shard scan" operator, built on Spark's connector
@@ -36,9 +38,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (a metadata scan of a petabyte corpus reads headers only). Member
   *    `name` filters short-circuit at read time the same way.
   *
+  * Filesystem access goes through the SESSION's Hadoop configuration
+  * (captured at scan-build time on the driver, shipped to readers as a
+  * [[SerializableConfiguration]]) so `spark.hadoop.*` settings — s3a
+  * credentials, defaultFS, nameservices — apply exactly as they do to
+  * Spark's own file sources.
+  *
   * Filters are ALSO left in the post-scan plan (pushFilters returns its
   * input), the same belt-and-braces contract Spark's own parquet source
   * uses — pruning is an optimization, never the correctness boundary.
+  *
+  * Reference analog: the reference's source corpus is a directory of
+  * record files walked and streamed in bulk (KafkaProducer.kt:37-48);
+  * this is that contract in the shard format LLM pipelines actually use.
   */
 class TarDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -59,6 +71,10 @@ object TarTable {
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
+
+  /** The session's Hadoop conf, serializable for executor-side use. */
+  private[sources] def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
 }
 
 class TarTable(dir: String) extends Table with SupportsRead {
@@ -67,10 +83,10 @@ class TarTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(dir)
+    new TarScanBuilder(dir, TarTable.sessionConf())
 }
 
-class TarScanBuilder(dir: String)
+class TarScanBuilder(dir: String, conf: SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -86,7 +102,7 @@ class TarScanBuilder(dir: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TarScan(dir, requiredSchema, pushed)
+  override def build(): Scan = new TarScan(dir, requiredSchema, pushed, conf)
 }
 
 /** The serializable member-filter subset: shard-level predicates prune
@@ -115,56 +131,60 @@ object TarFilters {
 
 case class TarInputPartition(path: String, shard: String) extends InputPartition
 
-class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter])
+/** One listed shard: full path, basename, byte length (the length rides
+  * along from listStatus so statistics never re-fetch file metadata). */
+case class TarShardFile(path: String, shard: String, len: Long)
+
+class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
+              conf: SerializableConfiguration)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
-
-  /** Honest size statistics for the optimizer, measured AFTER shard
-    * pruning: the summed length of exactly the files this scan will
-    * read. That is what lets Catalyst broadcast a small pruned shard
-    * selection into a join instead of shuffling the other side. Row
-    * count stays empty — tar has no index, and a guessed row count is
-    * worse than none. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val total: Long = {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(new Configuration())
-      TarScan.listShards(dir, filters).map { case (full, _) =>
-        fs.getFileStatus(new Path(full)).getLen
-      }.sum
-    }
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
-  }
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream =
-    new TarMicroBatchStream(dir, requiredSchema, filters)
+    new TarMicroBatchStream(dir, requiredSchema, filters, conf)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushed=[${filters.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    TarScan.listShards(dir, filters)
-      .map { case (full, base) => TarInputPartition(full, base): InputPartition }
+    TarScan.listShards(dir, filters, conf.value)
+      .map(s => TarInputPartition(s.path, s.shard): InputPartition)
+
+  /** Honest size statistics for the optimizer, measured AFTER shard
+    * pruning: the summed length of exactly the files this scan will read
+    * (lengths come from the one listStatus call — no per-file re-fetch).
+    * That is what lets Catalyst broadcast a small pruned shard selection
+    * into a join instead of shuffling the other side. Row count stays
+    * empty — tar has no index, and a guessed row count is worse than
+    * none. */
+  override def estimateStatistics(): Statistics = {
+    val total = TarScan.listShards(dir, filters, conf.value).map(_.len).sum
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
+      override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(requiredSchema, filters)
+    new TarReaderFactory(requiredSchema, filters, conf)
 }
 
 object TarScan {
-  /** (fullPath, basename) of every shard file passing the shard filters,
-    * name-sorted for deterministic partition order. */
-  def listShards(dir: String, filters: Array[Filter]): Array[(String, String)] = {
+  /** Every shard file passing the shard filters, name-sorted for
+    * deterministic partition order. In-progress sink files (no `.tar`
+    * suffix until the atomic rename) are invisible by construction. */
+  def listShards(dir: String, filters: Array[Filter],
+                 hadoopConf: Configuration): Array[TarShardFile] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
-    val shards: Array[FileStatus] =
-      if (!fs.exists(p)) Array.empty
+    val fs = p.getFileSystem(hadoopConf)
+    val shards =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".tar"))
     shards
-      .map(s => (s.getPath.toString, s.getPath.getName))
-      .filter { case (_, base) => TarFilters.accepts(filters.toSeq, "shard", base) }
-      .sortBy(_._2)
+      .map(s => TarShardFile(s.getPath.toString, s.getPath.getName, s.getLen))
+      .filter(s => TarFilters.accepts(filters.toSeq, "shard", s.shard))
+      .sortBy(_.shard)
   }
 }
 
@@ -173,16 +193,17 @@ object TarScan {
   * Each micro-batch plans exactly the newly-arrived shards — one
   * partition per new shard — so a shard is read EXACTLY ONCE across the
   * life of the checkpoint, including restarts. Shards must be immutable
-  * once visible (the WebDataset contract: writers create under a temp
-  * name and rename); appends to an already-consumed shard are NOT
-  * re-read, by design.
+  * once visible; [[TarShards.writeShards]] honors that by writing under
+  * an in-progress name and atomically renaming to `.tar`. Appends to an
+  * already-consumed shard are NOT re-read, by design.
   *
   * Offsets serialize as a sorted JSON array of shard basenames. That
   * keeps the offset log human-auditable; at 100 TB the shard COUNT
   * (not size) bounds the offset — thousands of entries, trivially small
   * next to the data. */
 class TarMicroBatchStream(dir: String, requiredSchema: StructType,
-                          filters: Array[Filter])
+                          filters: Array[Filter],
+                          conf: SerializableConfiguration)
     extends streaming.MicroBatchStream {
   import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -192,7 +213,7 @@ class TarMicroBatchStream(dir: String, requiredSchema: StructType,
   override def initialOffset(): streaming.Offset = offsetOf(Nil)
 
   override def latestOffset(): streaming.Offset =
-    offsetOf(TarScan.listShards(dir, filters).map(_._2).toSeq)
+    offsetOf(TarScan.listShards(dir, filters, conf.value).map(_.shard).toSeq)
 
   override def deserializeOffset(json: String): streaming.Offset = {
     val arr = new ObjectMapper().readValue(json, classOf[Array[String]])
@@ -204,13 +225,13 @@ class TarMicroBatchStream(dir: String, requiredSchema: StructType,
     val seen = start.asInstanceOf[TarShardSetOffset].shards
     val target = end.asInstanceOf[TarShardSetOffset].shards
     val fresh = target -- seen
-    TarScan.listShards(dir, filters)
-      .filter { case (_, base) => fresh.contains(base) }
-      .map { case (full, base) => TarInputPartition(full, base): InputPartition }
+    TarScan.listShards(dir, filters, conf.value)
+      .filter(s => fresh.contains(s.shard))
+      .map(s => TarInputPartition(s.path, s.shard): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(requiredSchema, filters)
+    new TarReaderFactory(requiredSchema, filters, conf)
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -224,22 +245,25 @@ case class TarShardSetOffset(shards: scala.collection.immutable.SortedSet[String
   }
 }
 
-class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter])
+class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter],
+                       conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TarPartitionReader(partition.asInstanceOf[TarInputPartition],
-      requiredSchema, filters)
+      requiredSchema, filters, conf)
 }
 
 class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
-                         filters: Array[Filter])
+                         filters: Array[Filter],
+                         conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val needContent = requiredSchema.fieldNames.contains("content")
+  private val filterSeq = filters.toSeq // hoisted out of the per-member loop
   private val shardUtf8 = UTF8String.fromString(part.shard)
   private val in = {
     val p = new Path(part.path)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(conf.value).open(p)
   }
   private val members = TarIO.read(in, readBytes = needContent)
   private var current: TarIO.TarMember = null
@@ -248,7 +272,7 @@ class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
     current = null
     while (current == null && members.hasNext) {
       val m = members.next()
-      if (TarFilters.accepts(filters.toSeq, "name", m.name)) current = m
+      if (TarFilters.accepts(filterSeq, "name", m.name)) current = m
     }
     current != null
   }

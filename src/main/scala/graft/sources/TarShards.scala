@@ -1,11 +1,10 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** WebDataset-style shard SINK + the shard round-trip proof query.
+/** WebDataset-style shard SINK + the shard round-trip proof queries.
   *
   * `writeShards` packs (shard_id, name, content) rows into one `.tar` file
   * per shard id. The layout move is the whole design: `repartition(n,
@@ -17,7 +16,14 @@ import org.apache.spark.sql.functions._
   * sequential writes — the same shape Spark's own file committers use.
   *
   * Writers stream row-by-row (one member buffered at a time), so task
-  * memory is O(largest member), not O(shard).
+  * memory is O(largest member) — and they write under an IN-PROGRESS name
+  * (`shard-XXXXX.tar.inprogress-<attempt>`), renaming to `.tar` only after
+  * the trailer is flushed. Readers and the streaming source list `.tar`
+  * files only, so a shard is either absent or complete — the immutability
+  * contract [[TarMicroBatchStream]] depends on — and speculative duplicate
+  * attempts collide on the rename, not on the bytes (first rename wins,
+  * the loser's temp file is deleted; both attempts wrote identical
+  * content, so either outcome is correct).
   */
 object TarShards {
 
@@ -25,8 +31,9 @@ object TarShards {
     * (shard_id int, name string, content binary); rows are written in
     * (shard_id, name) order, so shard bytes are deterministic. */
   def writeShards(packed: DataFrame, outDir: String, nShards: Int): Unit = {
+    val serConf = TarTable.sessionConf()
     val out = new Path(outDir)
-    val fs = out.getFileSystem(new Configuration())
+    val fs = out.getFileSystem(serConf.value)
     fs.delete(out, true)
     fs.mkdirs(out)
     packed
@@ -34,55 +41,40 @@ object TarShards {
       .repartition(nShards, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("name"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new Configuration()
+        val conf = serConf.value
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var currentShard = -1
         var stream: java.io.OutputStream = null
+        var tmpPath: Path = null
+        var finalPath: Path = null
         def closeShard(): Unit = if (stream != null) {
           TarIO.writeTrailer(stream)
           stream.close(); stream = null
+          val pfs = finalPath.getFileSystem(conf)
+          // atomic publish; a lost race means a twin attempt already
+          // published identical bytes — drop ours
+          if (!pfs.rename(tmpPath, finalPath)) {
+            require(pfs.exists(finalPath),
+              s"rename $tmpPath -> $finalPath failed with no winner")
+            pfs.delete(tmpPath, false)
+          }
         }
         rows.foreach { r =>
           val sid = r.getInt(0)
           if (sid != currentShard) {
             closeShard()
             currentShard = sid
-            val p = new Path(outDir, f"shard-$sid%05d.tar")
-            val pfs = p.getFileSystem(conf)
+            finalPath = new Path(outDir, f"shard-$sid%05d.tar")
+            tmpPath = new Path(outDir, f"shard-$sid%05d.tar.inprogress-$attempt")
+            val pfs = tmpPath.getFileSystem(conf)
             pfs.setWriteChecksum(false) // no .crc sidecars next to shards
-            stream = new java.io.BufferedOutputStream(pfs.create(p, true))
+            stream = new java.io.BufferedOutputStream(pfs.create(tmpPath, true))
           }
           TarIO.writeMember(stream, r.getString(1), r.getAs[Array[Byte]](2))
         }
         closeShard()
       }
-  }
-
-  /** The round-trip proof, as ONE self-contained driver query: pack the
-    * document corpus into `nShards` tar shards (doc_id-keyed, so the
-    * layout is reproducible), read the directory back through the
-    * [[TarDataSource]] connector, and aggregate per shard — member count,
-    * total payload bytes (from tar HEADERS, so a size-field corruption
-    * would flip the hash), and an order-independent XOR of the
-    * engine-portable content hashes. The DuckDB oracle computes the same
-    * three aggregates from `documents` directly: a hash match proves
-    * write → tar bytes → connector read is lossless end to end. */
-  def roundTrip(spark: SparkSession, documents: DataFrame,
-                nShards: Int): DataFrame = {
-    val dir = shardDir(documents)
-    val packed = documents
-      .select(
-        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
-        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
-        encode(col("text"), "UTF-8").as("content"))
-    writeShards(packed, dir, nShards)
-    spark.read.format("graft.sources.TarDataSource").load(dir)
-      .groupBy(col("shard"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("size")).as("total_bytes"),
-        // XOR, not SUM: order-independent and overflow-free under ANSI
-        bit_xor(graft.operators.TextOps.portableHash64(col("content")))
-          .as("content_hash"))
   }
 
   /** WebDataset SAMPLE GROUPING: members named `<key>.<ext>` are the
@@ -102,12 +94,42 @@ object TarShards {
     require(exts.nonEmpty, "sample grouping needs at least one extension")
     val key = regexp_extract(col("name"), "^([^.]*)\\.", 1)
     val ext = regexp_extract(col("name"), "^[^.]*\\.(.*)$", 1)
+    val aggs = exts.map(e => max(when(col("ext") === e, col("content"))).as(e))
     members
       .select(key.as("key"), ext.as("ext"), col("content"))
       .groupBy(col("key"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The round-trip proof, as ONE self-contained driver query: pack the
+    * document corpus into `nShards` tar shards (doc_id-keyed, so the
+    * layout is reproducible), read the directory back through the
+    * [[TarDataSource]] connector, and aggregate per shard — member count,
+    * total payload bytes (from tar HEADERS, so a size-field corruption
+    * would flip the hash), and an order-independent XOR of the
+    * engine-portable content hashes. The DuckDB oracle computes the same
+    * three aggregates from `documents` directly: a hash match proves
+    * write → tar bytes → connector read is lossless end to end.
+    * Null-text documents are excluded on BOTH sides (a tar member cannot
+    * carry a null payload — absence is the WebDataset convention). */
+  def roundTrip(spark: SparkSession, documents: DataFrame,
+                nShards: Int): DataFrame = {
+    val dir = shardDir(documents)
+    val packed = documents
+      .filter(col("text").isNotNull)
+      .select(
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+    writeShards(packed, dir, nShards)
+    spark.read.format("graft.sources.TarDataSource").load(dir)
+      .groupBy(col("shard"))
       .agg(
-        exts.map(e => max(when(col("ext") === e, col("content"))).as(e)).head,
-        exts.map(e => max(when(col("ext") === e, col("content"))).as(e)).tail: _*)
+        count(lit(1)).as("n_docs"),
+        sum(col("size")).as("total_bytes"),
+        // XOR, not SUM: order-independent and overflow-free under ANSI
+        bit_xor(graft.operators.TextOps.portableHash64(col("content")))
+          .as("content_hash"))
   }
 
   /** Multi-member round-trip proof: pack TWO members per document

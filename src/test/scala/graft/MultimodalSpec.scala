@@ -1039,6 +1039,10 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.parseMcVideo(good.take(good.length - cut))
       }
     }
+    // and trailing garbage after the last frame is rejected, not ignored
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.parseMcVideo(good ++ Array[Byte](1, 2, 3))
+    }.getMessage.contains("trailing"))
   }
 
   test("MC video: driver stats equal the MJPEG-class closed form on real docs") {

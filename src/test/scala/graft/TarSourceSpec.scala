@@ -95,9 +95,12 @@ class TarSourceSpec extends AnyFunSuite {
     assert(joined.filter(col("text") =!= col("text_back")).count() == 0)
     // every doc landed in its keyed shard: 4 files, deterministic names
     val files = Files.list(Paths.get(tmp)).iterator()
-    val names = Iterator.continually(files).takeWhile(_.hasNext)
-      .map(_.next().getFileName.toString).filter(_.endsWith(".tar")).toList.sorted
-    assert(names == (0 until 4).map(i => f"shard-$i%05d.tar").toList)
+    val all = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toList.sorted
+    assert(all.filter(_.endsWith(".tar")) ==
+      (0 until 4).map(i => f"shard-$i%05d.tar").toList)
+    // the atomic-publish discipline leaves no in-progress temp files behind
+    assert(!all.exists(_.contains("inprogress")), all.toString)
   }
 
   test("connector: shard equality filter prunes partitions at PLANNING time") {
@@ -178,9 +181,11 @@ class TarSourceSpec extends AnyFunSuite {
   test("statistics: pruned scans report pruned sizes; a small shard selection broadcasts") {
     import graft.sources.TarScan
     val tmp = writeCorpusShards(8)
-    val all = new TarScan(tmp, graft.sources.TarTable.SCHEMA, Array.empty)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val all = new TarScan(tmp, graft.sources.TarTable.SCHEMA, Array.empty, conf)
     val one = new TarScan(tmp, graft.sources.TarTable.SCHEMA,
-      Array(org.apache.spark.sql.sources.EqualTo("shard", "shard-00003.tar")))
+      Array(org.apache.spark.sql.sources.EqualTo("shard", "shard-00003.tar")), conf)
     val allSize = all.estimateStatistics().sizeInBytes().getAsLong
     val oneSize = one.estimateStatistics().sizeInBytes().getAsLong
     assert(allSize > 0 && oneSize > 0 && oneSize < allSize / 4,
@@ -200,7 +205,9 @@ class TarSourceSpec extends AnyFunSuite {
 
   test("streaming: offsets serialize as a sorted JSON shard array and round-trip") {
     import graft.sources.{TarMicroBatchStream, TarShardSetOffset}
-    val s = new TarMicroBatchStream("/nonexistent", null, Array.empty)
+    val s = new TarMicroBatchStream("/nonexistent", null, Array.empty,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val o = TarShardSetOffset(scala.collection.immutable.SortedSet("b.tar", "a.tar"))
     assert(o.json() == """["a.tar","b.tar"]""")
     assert(s.deserializeOffset(o.json()) == o)
