@@ -88,10 +88,11 @@ class TarTable(dir: String) extends Table with SupportsRead {
 
 class TarScanBuilder(dir: String, conf: SerializableConfiguration)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = TarTable.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -102,7 +103,17 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TarScan(dir, requiredSchema, pushed, conf)
+  /** LIMIT pushdown: readers stop walking a shard after `limit` matching
+    * members — tar is sequential, so an early stop saves exactly the
+    * unread tail's IO. Per-PARTITION cap only, hence partially pushed:
+    * Spark keeps its global limit on top. */
+  override def pushLimit(limit: Int): Boolean = {
+    this.limit = limit
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new TarScan(dir, requiredSchema, pushed, conf, limit)
 }
 
 /** The serializable member-filter subset: shard-level predicates prune
@@ -136,7 +147,7 @@ case class TarInputPartition(path: String, shard: String) extends InputPartition
 case class TarShardFile(path: String, shard: String, len: Long)
 
 class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
-              conf: SerializableConfiguration)
+              conf: SerializableConfiguration, limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -145,7 +156,7 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
     new TarMicroBatchStream(dir, requiredSchema, filters, conf)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
-      s"pushed=[${filters.mkString(",")}]"
+      s"pushed=[${filters.mkString(",")}], limit=$limit"
 
   override def planInputPartitions(): Array[InputPartition] =
     TarScan.listShards(dir, filters, conf.value)
@@ -167,7 +178,7 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(requiredSchema, filters, conf)
+    new TarReaderFactory(requiredSchema, filters, conf, limit)
 }
 
 object TarScan {
@@ -246,16 +257,16 @@ case class TarShardSetOffset(shards: scala.collection.immutable.SortedSet[String
 }
 
 class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter],
-                       conf: SerializableConfiguration)
+                       conf: SerializableConfiguration, limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TarPartitionReader(partition.asInstanceOf[TarInputPartition],
-      requiredSchema, filters, conf)
+      requiredSchema, filters, conf, limit)
 }
 
 class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
                          filters: Array[Filter],
-                         conf: SerializableConfiguration)
+                         conf: SerializableConfiguration, limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val needContent = requiredSchema.fieldNames.contains("content")
@@ -267,13 +278,16 @@ class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
   }
   private val members = TarIO.read(in, readBytes = needContent)
   private var current: TarIO.TarMember = null
+  private var emitted = 0
 
   override def next(): Boolean = {
     current = null
+    if (limit >= 0 && emitted >= limit) return false // stop mid-shard: IO saved
     while (current == null && members.hasNext) {
       val m = members.next()
       if (TarFilters.accepts(filterSeq, "name", m.name)) current = m
     }
+    if (current != null) emitted += 1
     current != null
   }
 

@@ -203,6 +203,21 @@ class TarSourceSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("limit pushdown: readers stop mid-shard; the pushed limit is visible in the scan") {
+    val tmp = writeCorpusShards(4)
+    val limited = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .select(col("name")).limit(3)
+    assert(limited.collect().length == 3)
+    val leaves = limited.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("limit=3"), leaves)
+    // unlimited scans advertise no cap
+    val full = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .select(col("name"))
+    assert(full.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString.contains("limit=-1"))
+  }
+
   test("streaming: offsets serialize as a sorted JSON shard array and round-trip") {
     import graft.sources.{TarMicroBatchStream, TarShardSetOffset}
     val s = new TarMicroBatchStream("/nonexistent", null, Array.empty,
