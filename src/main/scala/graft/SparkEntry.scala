@@ -584,6 +584,15 @@ object SparkEntry {
     // search really collapses most P-blocks to SKIPs
     "mm_mc_video_decode" -> ((s, dir) =>
       operators.Multimodal.mcVideoDecodeStats(Tables.documents(s, dir))),
+    // GOP-SAMPLED sparse decode over the same codec: keyframe every 2
+    // frames, sample every 2nd frame -> samples are exactly the I-frames
+    // and every P-frame's bytes are byte-skipped through the header's
+    // frame-length index without entropy decode. n_decoded == n_kept is
+    // the oracle-checked proof that the sparse path really decodes only
+    // the keyframes (inter-frame coding: the GOP interval, not the
+    // stride, decides decode cost)
+    "mm_mc_gop_sample" -> ((s, dir) =>
+      operators.Multimodal.mcVideoGopSampleStats(Tables.documents(s, dir))),
     // the video-ingest access pattern: sample frames FIRST (stride 2),
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
@@ -3135,6 +3144,34 @@ object SparkEntry {
          SELECT doc_id, w AS width, h AS height, nf AS n_frames,
            CAST(w AS BIGINT) * h * nf AS n_pixels,
            CAST(64 * sum(bsum) AS BIGINT) AS sum_px
+         FROM b GROUP BY doc_id, w, h, nf""",
+    // replica of Multimodal.mcVideoGopSampleStats: only even frames are
+    // sampled (they are the gop=2 keyframes), so the sums run over
+    // generate_series step 2 and both count columns are ceil(nf/2)
+    "mm_mc_gop_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
+             CAST(doc_id % 3 + 3 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, nf, (w // 8) * (h // 8) AS nb,
+             t, length(t) AS tl,
+             unnest(generate_series(0, nf - 1, 2)) AS k
+           FROM m),
+         b AS (
+           SELECT doc_id, w, h, nf,
+             list_sum(list_transform(
+               generate_series(0, CAST(nb AS INTEGER) - 1),
+               i -> ascii(substr(t, CAST((k + i) % tl AS INTEGER) + 1, 1)))) AS bsum
+           FROM f)
+         SELECT doc_id, w AS width, h AS height,
+           CAST((nf + 1) // 2 AS INTEGER) AS n_kept,
+           CAST(w AS BIGINT) * h * ((nf + 1) // 2) AS n_pixels_kept,
+           CAST(64 * sum(bsum) AS BIGINT) AS sum_px,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_decoded
          FROM b GROUP BY doc_id, w, h, nf""",
     // stride-2 frame sampling over the same videos: only even frames are
     // entropy-decoded (and therefore counted/summed)

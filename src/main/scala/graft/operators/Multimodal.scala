@@ -3002,23 +3002,29 @@ object Multimodal {
       v | (b << shift)
     }
     def svarint(): Int = { val z = varint(); (z >>> 1) ^ -(z & 1) }
+    def skip(n: Int): Unit = {
+      require(n >= 0 && pos + n <= payload.length,
+        s"MC bitstream truncated: cannot skip $n bytes at $pos")
+      pos += n
+    }
   }
 
-  /** Encode grayscale frames into the GMC1 bitstream. Frame 0 is an
-    * I-frame (all-INTRA); every later frame is a P-frame whose blocks
-    * choose SKIP / INTER / INTRA per the best full-search motion match
-    * (±8 px, clamped, first-best deterministic order) against the
-    * reconstructed previous frame. The encoder reconstructs every block
+  /** Encode grayscale frames into the GMC2 bitstream. Frame layout is a
+    * GOP structure: frame fi is an I-frame (all-INTRA, no reference) when
+    * fi == 0 or, with `gop > 0`, when fi % gop == 0; every other frame is
+    * a P-frame whose blocks choose SKIP / INTER / INTRA per the best
+    * full-search motion match (±8 px, clamped, first-best deterministic
+    * order) against the reconstructed previous frame. The header carries
+    * a PER-FRAME BYTE-LENGTH INDEX — what makes the sequential stream
+    * seekable, so a sampled decode ([[decodeMcVideoSampled]]) byte-skips
+    * whole GOPs it does not need. The encoder reconstructs every block
     * through the DECODER's inverse path and `require`s it equals the
     * source — the no-drift discipline the ADPCM codec established. */
-  private[graft] def encodeMcVideo(w: Int, h: Int,
-                                   frames: Array[Array[Byte]]): Array[Byte] = {
+  private[graft] def encodeMcVideo(w: Int, h: Int, frames: Array[Array[Byte]],
+                                   gop: Int = 0): Array[Byte] = {
     require(frames.nonEmpty, "MC video needs at least one frame")
     require(w % 4 == 0 && h % 4 == 0, s"MC frame ${w}x$h not 4x4-aligned")
-    val out = new java.io.ByteArrayOutputStream()
-    out.write('G'); out.write('M'); out.write('C'); out.write('1')
-    mcVarint(out, w); mcVarint(out, h); mcVarint(out, frames.length)
-    var ref: Array[Byte] = null // reconstructed previous frame
+    require(gop >= 0, s"bad GOP size $gop")
 
     def residualBlock(cur: Array[Byte], bx: Int, by: Int,
                       pred: (Int, Int) => Int): Array[Int] = {
@@ -3034,7 +3040,7 @@ object Multimodal {
       }
       r
     }
-    def writeCoeffs(y: Array[Int]): Unit = {
+    def writeCoeffs(out: java.io.ByteArrayOutputStream, y: Array[Int]): Unit = {
       var nnz = 0
       var i = 0
       while (i < 16) { if (y(McZigzag4(i)) != 0) nnz += 1; i += 1 }
@@ -3047,17 +3053,20 @@ object Multimodal {
       }
     }
 
-    frames.zipWithIndex.foreach { case (cur, fi) =>
+    var ref: Array[Byte] = null // reconstructed previous frame
+    val coded = frames.zipWithIndex.map { case (cur, fi) =>
       require(cur.length == w * h, s"frame $fi is ${cur.length} bytes, want ${w * h}")
+      val isI = fi == 0 || (gop > 0 && fi % gop == 0)
+      val fout = new java.io.ByteArrayOutputStream()
       val recon = new Array[Byte](w * h)
-      out.write(if (fi == 0) 'I' else 'P')
+      fout.write(if (isI) 'I' else 'P')
       var by = 0
       while (by < h) {
         var bx = 0
         while (bx < w) {
           // motion search (P-frames): best SAD in ±8, deterministic order
           var bestSad = Int.MaxValue; var bestDx = 0; var bestDy = 0
-          if (fi > 0) {
+          if (!isI) {
             var my = math.max(-8, -by)
             val myMax = math.min(8, h - 4 - by)
             while (my <= myMax && bestSad != 0) {
@@ -3089,15 +3098,15 @@ object Multimodal {
             i += 1
           }
           val (mode, pred: ((Int, Int) => Int)) =
-            if (fi > 0 && bestSad == 0) (0, (dx: Int, dy: Int) =>
+            if (!isI && bestSad == 0) (0, (dx: Int, dy: Int) =>
               ref((by + bestDy + dy) * w + bx + bestDx + dx) & 0xff)
-            else if (fi > 0 && bestSad <= intraSad) (1, (dx: Int, dy: Int) =>
+            else if (!isI && bestSad <= intraSad) (1, (dx: Int, dy: Int) =>
               ref((by + bestDy + dy) * w + bx + bestDx + dx) & 0xff)
             else (2, (_: Int, _: Int) => 128)
-          if (fi > 0) out.write(mode)
-          if (mode != 2) { mcSvarint(out, bestDx); mcSvarint(out, bestDy) }
+          if (!isI) fout.write(mode)
+          if (mode != 2) { mcSvarint(fout, bestDx); mcSvarint(fout, bestDy) }
           val res = residualBlock(cur, bx, by, pred)
-          if (mode != 0) writeCoeffs(mcForward(res))
+          if (mode != 0) writeCoeffs(fout, mcForward(res))
           // reconstruct through the decoder's path; must be drift-free
           val back = if (mode == 0) new Array[Int](16)
                      else mcInverse(mcForward(res))
@@ -3114,74 +3123,108 @@ object Multimodal {
         by += 4
       }
       ref = recon
+      fout.toByteArray
     }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('M'); out.write('C'); out.write('2')
+    mcVarint(out, w); mcVarint(out, h); mcVarint(out, frames.length)
+    mcVarint(out, gop)
+    coded.foreach(f => mcVarint(out, f.length)) // the seek index
+    coded.foreach(out.write)
     out.toByteArray
   }
 
-  /** Decode the GMC1 bitstream: returns (w, h, skip-block count, frames
-    * as reconstructed grayscale rasters). Every structural violation
-    * (magic, truncation, bad mode, inexact inverse) fails loudly. */
-  private[graft] def parseMcVideo(payload: Array[Byte]):
-      (Int, Int, Long, Array[Array[Byte]]) = {
-    val in = new McReader(payload)
-    require(in.u8() == 'G' && in.u8() == 'M' && in.u8() == 'C' && in.u8() == '1',
+  /** Shared GMC2 header walk: (w, h, nf, gop, per-frame byte lengths). */
+  private def mcHeader(in: McReader): (Int, Int, Int, Int, Array[Int]) = {
+    require(in.u8() == 'G' && in.u8() == 'M' && in.u8() == 'C' && in.u8() == '2',
       "bad MC video magic")
     val w = in.varint(); val h = in.varint(); val nf = in.varint()
+    val gop = in.varint()
     require(w > 0 && h > 0 && w % 4 == 0 && h % 4 == 0,
       s"bad MC dimensions ${w}x$h")
     require(nf >= 1, "MC video with zero frames")
+    require(gop >= 0, s"bad MC GOP $gop")
+    val lens = Array.fill(nf)(in.varint())
+    lens.foreach(l => require(l >= 1, "bad MC frame length"))
+    (w, h, nf, gop, lens)
+  }
+
+  /** Decode ONE coded frame in place; returns the reconstruction and
+    * bumps the caller's skip counter. `ref` is null iff the frame must
+    * be an I-frame. */
+  private def decodeMcFrame(in: McReader, w: Int, h: Int, expectI: Boolean,
+                            ref: Array[Byte], addSkips: Long => Unit): Array[Byte] = {
+    val ft = in.u8()
+    require((expectI && ft == 'I') || (!expectI && ft == 'P'),
+      s"frame type ${ft.toChar} where ${if (expectI) 'I' else 'P'} expected")
+    val recon = new Array[Byte](w * h)
+    var skips = 0L
+    var by = 0
+    while (by < h) {
+      var bx = 0
+      while (bx < w) {
+        val mode = if (expectI) 2 else in.u8()
+        require(mode >= 0 && mode <= 2, s"bad MC block mode $mode")
+        val (mvx, mvy) =
+          if (mode != 2) (in.svarint(), in.svarint()) else (0, 0)
+        if (mode != 2) {
+          require(by + mvy >= 0 && by + mvy + 4 <= h &&
+            bx + mvx >= 0 && bx + mvx + 4 <= w,
+            s"MC motion vector ($mvx,$mvy) out of frame at ($bx,$by)")
+        }
+        val back =
+          if (mode == 0) { skips += 1; new Array[Int](16) }
+          else {
+            val y = new Array[Int](16)
+            val nnz = in.varint()
+            require(nnz <= 16, s"bad MC coefficient count $nnz")
+            var j = 0
+            var lastPos = -1
+            while (j < nnz) {
+              val p = in.varint()
+              require(p > lastPos && p < 16, s"bad MC coefficient position $p")
+              lastPos = p
+              y(McZigzag4(p)) = in.svarint()
+              j += 1
+            }
+            mcInverse(y)
+          }
+        var i = 0
+        while (i < 16) {
+          val pred =
+            if (mode == 2) 128
+            else ref((by + mvy + i / 4) * w + bx + mvx + i % 4) & 0xff
+          val v = pred + back(i)
+          require(v >= 0 && v <= 255,
+            s"MC reconstruction $v out of pixel range — corrupt stream")
+          recon((by + i / 4) * w + bx + i % 4) = v.toByte
+          i += 1
+        }
+        bx += 4
+      }
+      by += 4
+    }
+    addSkips(skips)
+    recon
+  }
+
+  /** Decode the full GMC2 bitstream: returns (w, h, skip-block count,
+    * frames as reconstructed grayscale rasters). Every structural
+    * violation (magic, truncation, bad mode, inexact inverse, frame
+    * length drift, trailing bytes) fails loudly. */
+  private[graft] def parseMcVideo(payload: Array[Byte]):
+      (Int, Int, Long, Array[Array[Byte]]) = {
+    val in = new McReader(payload)
+    val (w, h, nf, gop, lens) = mcHeader(in)
     var skips = 0L
     var ref: Array[Byte] = null
     val frames = Array.tabulate(nf) { fi =>
-      val ft = in.u8()
-      require((fi == 0 && ft == 'I') || (fi > 0 && ft == 'P'),
-        s"frame $fi has type ${ft.toChar}")
-      val recon = new Array[Byte](w * h)
-      var by = 0
-      while (by < h) {
-        var bx = 0
-        while (bx < w) {
-          val mode = if (fi == 0) 2 else in.u8()
-          require(mode >= 0 && mode <= 2, s"bad MC block mode $mode")
-          val (mvx, mvy) =
-            if (mode != 2) (in.svarint(), in.svarint()) else (0, 0)
-          if (mode != 2) {
-            require(by + mvy >= 0 && by + mvy + 4 <= h &&
-              bx + mvx >= 0 && bx + mvx + 4 <= w,
-              s"MC motion vector ($mvx,$mvy) out of frame at ($bx,$by)")
-          }
-          val back =
-            if (mode == 0) { skips += 1; new Array[Int](16) }
-            else {
-              val y = new Array[Int](16)
-              val nnz = in.varint()
-              require(nnz <= 16, s"bad MC coefficient count $nnz")
-              var j = 0
-              var lastPos = -1
-              while (j < nnz) {
-                val p = in.varint()
-                require(p > lastPos && p < 16, s"bad MC coefficient position $p")
-                lastPos = p
-                y(McZigzag4(p)) = in.svarint()
-                j += 1
-              }
-              mcInverse(y)
-            }
-          var i = 0
-          while (i < 16) {
-            val pred =
-              if (mode == 2) 128
-              else ref((by + mvy + i / 4) * w + bx + mvx + i % 4) & 0xff
-            val v = pred + back(i)
-            require(v >= 0 && v <= 255,
-              s"MC reconstruction $v out of pixel range — corrupt stream")
-            recon((by + i / 4) * w + bx + i % 4) = v.toByte
-            i += 1
-          }
-          bx += 4
-        }
-        by += 4
-      }
+      val isI = fi == 0 || (gop > 0 && fi % gop == 0)
+      val start = in.pos
+      val recon = decodeMcFrame(in, w, h, isI, ref, skips += _)
+      require(in.pos - start == lens(fi),
+        s"frame $fi consumed ${in.pos - start} bytes, index says ${lens(fi)}")
       ref = recon
       recon
     }
@@ -3190,13 +3233,66 @@ object Multimodal {
     (w, h, skips, frames)
   }
 
+  /** SPARSE decode: reconstruct only every `stride`-th frame, using the
+    * GOP structure + the header's frame-length index to BYTE-SKIP every
+    * GOP that contains no sampled frame and to stop each needed GOP at
+    * its last sampled frame. This is the video-ingest access pattern the
+    * MJPEG stride sampler can't have: with inter-frame coding a frame
+    * needs its references, so the keyframe interval — not the stride —
+    * decides the real decode cost. Returns (w, h, framesDecoded,
+    * sampled (index, pixelSum) pairs). */
+  private[graft] def decodeMcVideoSampled(payload: Array[Byte], stride: Int):
+      (Int, Int, Int, Array[(Int, Long)]) = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val in = new McReader(payload)
+    val (w, h, nf, gop, lens) = mcHeader(in)
+    val gopLen = if (gop > 0) gop else nf
+    var decoded = 0
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var g = 0
+    while (g * gopLen < nf) {
+      val start = g * gopLen
+      val end = math.min(start + gopLen, nf)
+      // last sampled frame in this GOP, or -1
+      var lastNeeded = -1
+      var k = start
+      while (k < end) { if (k % stride == 0) lastNeeded = k; k += 1 }
+      if (lastNeeded < 0) {
+        // no sample here: byte-skip the whole GOP through the index
+        var i = start
+        while (i < end) { in.skip(lens(i)); i += 1 }
+      } else {
+        var ref: Array[Byte] = null
+        var fi = start
+        while (fi <= lastNeeded) {
+          val fs = in.pos
+          ref = decodeMcFrame(in, w, h, fi == start, ref, _ => ())
+          require(in.pos - fs == lens(fi),
+            s"frame $fi consumed ${in.pos - fs} bytes, index says ${lens(fi)}")
+          decoded += 1
+          if (fi % stride == 0) {
+            var s = 0L; var i = 0
+            while (i < ref.length) { s += ref(i) & 0xff; i += 1 }
+            out += ((fi, s))
+          }
+          fi += 1
+        }
+        while (fi < end) { in.skip(lens(fi)); fi += 1 }
+      }
+      g += 1
+    }
+    require(in.pos == payload.length,
+      s"${payload.length - in.pos} trailing bytes after the last MC frame")
+    (w, h, decoded, out.toArray)
+  }
+
   /** Driver generator: same block-constant frame class as the MJPEG
     * videos (frame k's block i reads text byte (k+i) mod len), so the
     * closed-form oracle carries over — but the codec path is the full
     * motion-compensated I/P pipeline, and because frame k+1's blocks are
     * frame k's shifted one block left, motion search really finds exact
     * inter predictions and most of each P-frame collapses to SKIPs. */
-  def mcVideoFromDocuments(documents: DataFrame): DataFrame = {
+  def mcVideoFromDocuments(documents: DataFrame, gop: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val base = documents.select(
@@ -3211,7 +3307,7 @@ object Multimodal {
       rows.map { case (docId, t, w, h, nf) =>
         val tb = t.getBytes("UTF-8")
         val frames = Array.tabulate(nf)(k => blockConstantGray(w, h, tb, k))
-        val payload = encodeMcVideo(w, h, frames)
+        val payload = encodeMcVideo(w, h, frames, gop)
         MediaFile(docId, payload,
           MediaMeta("video/x-graft-mc", w, h, payload.length.toLong))
       }
@@ -3241,5 +3337,32 @@ object Multimodal {
       .select(col("docId").as("doc_id"), col("width"), col("height"),
         col("nFrames").as("n_frames"), col("nPixels").as("n_pixels"),
         col("sumPx").as("sum_px"))
+  }
+
+  /** GOP-sampled decode stats: encode with a keyframe every `gop` frames,
+    * then reconstruct only every `stride`-th frame through
+    * [[decodeMcVideoSampled]]. With stride == gop the sampled frames are
+    * exactly the I-frames, so every P-frame's bytes are SKIPPED through
+    * the index without entropy decode — the inter-frame analog of the
+    * MJPEG stride sampler, and the honest statement of sampled-decode
+    * cost under inter-frame coding (the keyframe interval, not the
+    * stride, is what you pay). */
+  def mcVideoGopSampleStats(documents: DataFrame, gop: Int = 2,
+                            stride: Int = 2): DataFrame = {
+    val media = asMediaDataset(mcVideoFromDocuments(documents, gop))
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, decoded, sampled) = decodeMcVideoSampled(m.payload, stride)
+        require(w == m.meta.width && h == m.meta.height,
+          s"container says ${m.meta.width}x${m.meta.height}, stream ${w}x$h")
+        val sum = sampled.map(_._2).sum
+        McVideoStats(m.docId, w, h, sampled.length,
+          w.toLong * h * sampled.length, sum, 0L, decoded.toLong)
+      }
+    }.toDF()
+      .select(col("docId").as("doc_id"), col("width"), col("height"),
+        col("nFrames").as("n_kept"), col("nPixels").as("n_pixels_kept"),
+        col("sumPx").as("sum_px"), col("payloadBytes").as("n_decoded"))
   }
 }

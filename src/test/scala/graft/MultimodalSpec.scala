@@ -987,10 +987,11 @@ class MultimodalSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(a, b))
     }
     assert(skips > 0, "exact translation found no SKIP blocks — motion search broken")
-    // static video: 4 all-SKIP P-frames cost <= 3 bytes/block + 1 type byte
+    // static video: 4 all-SKIP P-frames cost <= 3 bytes/block + 1 type
+    // byte + (up to 2 bytes each in the header's frame-length index)
     val still = Multimodal.encodeMcVideo(w, h, Array.fill(5)(moving(0)))
     val intraOnly = Multimodal.encodeMcVideo(w, h, Array(moving(0)))
-    val skipBound = 4 * (1 + 3 * (w / 4) * (h / 4))
+    val skipBound = 4 * (3 + 3 * (w / 4) * (h / 4))
     assert(still.length <= intraOnly.length + skipBound,
       s"static P-frames cost ${still.length - intraOnly.length}, bound $skipBound")
     assert(stream.length < 5 * intraOnly.length,
@@ -1020,6 +1021,40 @@ class MultimodalSpec extends AnyFunSuite {
       .withInitialSeed(org.scalacheck.rng.Seed(11L))
       .withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("MC video: GOP sampling decodes only needed keyframe groups, byte-skipping the rest") {
+    val (w, h) = (16, 8)
+    val rnd = new scala.util.Random(3)
+    val frames = Array.fill(7)(Array.fill[Byte](w * h)(rnd.nextInt(256).toByte))
+    def sums(fs: Array[Array[Byte]]): Array[Long] =
+      fs.map(_.foldLeft(0L)((a, b) => a + (b & 0xff)))
+    val full = sums(frames)
+
+    // gop=2, stride=2: samples are exactly the I-frames -> P-frames never decode
+    val g2 = Multimodal.encodeMcVideo(w, h, frames, gop = 2)
+    val (dw, dh, decoded, sampled) = Multimodal.decodeMcVideoSampled(g2, 2)
+    assert(dw == w && dh == h)
+    assert(sampled.map(_._1).toList == List(0, 2, 4, 6))
+    sampled.foreach { case (k, s) => assert(s == full(k), s"frame $k") }
+    assert(decoded == 4, s"gop==stride must decode ONLY keyframes, decoded $decoded")
+
+    // gop=0 (single GOP): the chain forces decoding up to the last sample
+    val g0 = Multimodal.encodeMcVideo(w, h, frames, gop = 0)
+    val (_, _, decoded0, sampled0) = Multimodal.decodeMcVideoSampled(g0, 3)
+    assert(sampled0.map(_._1).toList == List(0, 3, 6))
+    sampled0.foreach { case (k, s) => assert(s == full(k)) }
+    assert(decoded0 == 7, "single-GOP sampling cannot skip reference frames")
+
+    // stride larger than the sequence: only frame 0, only GOP 0 decoded
+    val (_, _, decodedWide, sampledWide) = Multimodal.decodeMcVideoSampled(g2, 100)
+    assert(sampledWide.map(_._1).toList == List(0) && decodedWide == 1)
+
+    // and the gop'd stream still full-decodes losslessly
+    val (_, _, _, back) = Multimodal.parseMcVideo(g2)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
   }
 
   test("MC video: corruption fails loudly (magic, truncation, mode, coefficient order)") {
