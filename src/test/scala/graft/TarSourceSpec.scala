@@ -273,6 +273,43 @@ class TarSourceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("re-shard pipeline: landing shards stream through dedup into balanced output shards, exactly once") {
+    import graft.streaming.ShardPipeline
+    val landing = Files.createTempDirectory("graft_pipe_in").toString
+    val outDir = Files.createTempDirectory("graft_pipe_out").toString
+    val ckpt = Files.createTempDirectory("graft_pipe_ckpt").toString
+    def land(shard: String, docs: (String, String)*): Unit = {
+      val out = new java.io.FileOutputStream(s"$landing/$shard.tar")
+      TarIO.write(docs.iterator.map { case (n, t) => n -> bytes(t) }, out)
+      out.close()
+    }
+    def curated(): List[String] = {
+      val dirs = Files.list(Paths.get(outDir)).iterator()
+      Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next()).flatMap { d =>
+        spark.read.format("graft.sources.TarDataSource").load(d.toString)
+          .select(decode(col("content"), "UTF-8")).collect().map(_.getString(0))
+      }.toList.sorted
+    }
+    // batch 1: an intra-batch duplicate collapses
+    land("a", "1.txt" -> "alpha", "2.txt" -> "beta", "3.txt" -> "alpha")
+    val q = ShardPipeline.reshardDeduped(spark, landing, outDir, ckpt, 4)
+    try {
+      q.processAllAvailable()
+      assert(curated() == List("alpha", "beta"))
+      // batch 2: cross-batch duplicates drop through streaming state
+      land("b", "4.txt" -> "beta", "5.txt" -> "gamma")
+      q.processAllAvailable()
+      assert(curated() == List("alpha", "beta", "gamma"))
+    } finally q.stop()
+    // restart from the checkpoint: dedup state survives, only novelty lands
+    land("c", "6.txt" -> "gamma", "7.txt" -> "delta")
+    val q2 = ShardPipeline.reshardDeduped(spark, landing, outDir, ckpt, 4)
+    try {
+      q2.processAllAvailable()
+      assert(curated() == List("alpha", "beta", "delta", "gamma"))
+    } finally q2.stop()
+  }
+
   private def writeCorpusShards(n: Int): String = {
     val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
     val tmp = Files.createTempDirectory("graft_tar_prune").toString
