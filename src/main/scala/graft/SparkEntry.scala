@@ -593,6 +593,11 @@ object SparkEntry {
     // stride, decides decode cost)
     "mm_mc_gop_sample" -> ((s, dir) =>
       operators.Multimodal.mcVideoGopSampleStats(Tables.documents(s, dir))),
+    // REAL pixel resize: 2x2 box-filter downscale of the PPM rasters,
+    // re-encoded to P6 and RE-DECODED before stats (the full
+    // decode->filter->encode->decode chain is what the sums prove)
+    "mm_resize_stats" -> ((s, dir) =>
+      operators.Multimodal.resizeStats(Tables.documents(s, dir))),
     // the video-ingest access pattern: sample frames FIRST (stride 2),
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
@@ -3145,6 +3150,40 @@ object SparkEntry {
            CAST(w AS BIGINT) * h * nf AS n_pixels,
            CAST(64 * sum(bsum) AS BIGINT) AS sum_px
          FROM b GROUP BY doc_id, w, h, nf""",
+    // replica of Multimodal.resizeStats WITHOUT running the codec: the
+    // PPM raster is the text cycled byte-for-byte, so each resized
+    // channel value is the floor-average of its four source bytes,
+    // recomputed per output pixel straight from the text
+    "mm_resize_stats" -> {
+      def src(yExpr: String, xExpr: String, c: Int) =
+        s"ascii(substr(t, CAST((3 * (($yExpr) * w + ($xExpr)) + $c) % tl + 1 AS INTEGER), 1))"
+      def ch(c: Int) =
+        s"""(${src("2*(pix//ow)", "2*(pix%ow)", c)}
+            + ${src("2*(pix//ow)", "2*(pix%ow)+1", c)}
+            + ${src("2*(pix//ow)+1", "2*(pix%ow)", c)}
+            + ${src("2*(pix//ow)+1", "2*(pix%ow)+1", c)}) // 4"""
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 16 + 8 AS INTEGER) AS w,
+             CAST(doc_id % 12 + 8 AS INTEGER) AS h
+           FROM documents),
+         p AS (
+           SELECT doc_id, w, w // 2 AS ow, h // 2 AS oh, t, length(t) AS tl,
+             unnest(generate_series(0, (w // 2) * (h // 2) - 1)) AS pix
+           FROM m),
+         q AS (
+           SELECT doc_id, ow, oh,
+             ${ch(0)} AS v0, ${ch(1)} AS v1, ${ch(2)} AS v2
+           FROM p)
+         SELECT doc_id, CAST(ow AS INTEGER) AS out_w,
+           CAST(oh AS INTEGER) AS out_h,
+           CAST(ow AS BIGINT) * oh AS n_pixels,
+           CAST(SUM(v0) AS BIGINT) AS sum_r,
+           CAST(SUM(v1) AS BIGINT) AS sum_g,
+           CAST(SUM(v2) AS BIGINT) AS sum_b
+         FROM q GROUP BY doc_id, ow, oh"""
+    },
     // replica of Multimodal.mcVideoGopSampleStats: only even frames are
     // sampled (they are the gop=2 keyframes), so the sums run over
     // generate_series step 2 and both count columns are ceil(nf/2)

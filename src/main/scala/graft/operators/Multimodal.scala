@@ -183,6 +183,69 @@ object Multimodal {
         col("sumG").as("sum_g"), col("sumB").as("sum_b"))
   }
 
+  /** REAL image resize — pixels, not metadata: 2x2 box-filter downscale
+    * of a P6 PPM raster (each output channel is the floor-average of its
+    * four source bytes; odd trailing rows/columns are cropped, the
+    * convention box filters use), then a RE-ENCODE back to P6. The
+    * whole decode → filter → encode chain runs per row inside one
+    * narrow mapPartitions — the batch shape a vectorized image pipeline
+    * needs, no shuffle, partitioning preserved. */
+  private[graft] def resizePpmHalf(payload: Array[Byte]): Array[Byte] = {
+    val (w, h, body) = parsePpm(payload)
+    val ow = w / 2; val oh = h / 2
+    require(ow >= 1 && oh >= 1, s"image ${w}x$h too small to halve")
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        while (c < 3) {
+          val i00 = 3 * ((2 * oy) * w + 2 * ox) + c
+          val i01 = 3 * ((2 * oy) * w + 2 * ox + 1) + c
+          val i10 = 3 * ((2 * oy + 1) * w + 2 * ox) + c
+          val i11 = 3 * ((2 * oy + 1) * w + 2 * ox + 1) + c
+          val v = ((body(i00) & 0xff) + (body(i01) & 0xff) +
+            (body(i10) & 0xff) + (body(i11) & 0xff)) / 4
+          out(3 * (oy * ow + ox) + c) = v.toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    val header = s"P6\n$ow $oh\n255\n".getBytes("US-ASCII")
+    val full = new Array[Byte](header.length + out.length)
+    System.arraycopy(header, 0, full, 0, header.length)
+    System.arraycopy(out, 0, full, header.length, out.length)
+    full
+  }
+
+  /** Driver query for the resize: generate PPMs, halve them, RE-DECODE
+    * the re-encoded output (so the emitted stats prove the full
+    * decode → filter → encode → decode chain), and report the resized
+    * channel sums the oracle recomputes pixel-by-pixel in SQL. */
+  def resizeStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(ppmFromDocuments(documents))
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val resized = resizePpmHalf(m.payload)
+        val (ow, oh, body) = parsePpm(resized)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var i = 0
+        while (i + 2 < body.length) {
+          sr += body(i) & 0xff; sg += body(i + 1) & 0xff; sb += body(i + 2) & 0xff
+          i += 3
+        }
+        PpmStats(m.docId, ow, oh, ow.toLong * oh, sr, sg, sb)
+      }
+    }.toDF()
+      .select(col("docId").as("doc_id"), col("width").as("out_w"),
+        col("height").as("out_h"), col("nPixels").as("n_pixels"),
+        col("sumR").as("sum_r"), col("sumG").as("sum_g"), col("sumB").as("sum_b"))
+  }
+
   /** Little-endian integer column as `nBytes` raw bytes — the BMP header
     * word shape, built from pure column ops (hex/lpad/unhex per byte) so
     * payload generation stays a narrow codegen'd projection. */

@@ -1105,6 +1105,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizePpmHalf: real pixel downscale — box averages, odd-edge crop, loud failures") {
+    // 3x3 image with known channel values; odd row/col must crop away
+    val w = 3; val h = 3
+    val body = Array.tabulate[Byte](w * h * 3)(i => (i * 10).toByte)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val img = header ++ body
+    val (ow, oh, out) = Multimodal.parsePpm(Multimodal.resizePpmHalf(img))
+    assert(ow == 1 && oh == 1)
+    // channel c of the single output pixel = floor(mean of the 2x2 corner)
+    (0 until 3).foreach { c =>
+      val expect = ((body(c) & 0xff) + (body(3 + c) & 0xff) +
+        (body(3 * w + c) & 0xff) + (body(3 * w + 3 + c) & 0xff)) / 4
+      assert((out(c) & 0xff) == expect, s"channel $c")
+    }
+    // 1x1 cannot halve
+    val tiny = "P6\n1 1\n255\nabc".getBytes("US-ASCII")
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.resizePpmHalf(tiny)
+    }.getMessage.contains("too small"))
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
