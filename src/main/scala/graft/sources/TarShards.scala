@@ -160,6 +160,40 @@ object TarShards {
       .agg(count(lit(1)).as("n_docs"), bit_xor(col("h")).as("text_hash"))
   }
 
+  /** Shard FSCK — the validation sweep a landing directory needs before
+    * shards enter training: one row per `.tar` file with the full-walk
+    * verdict (header checksums, member structure, end-of-archive marker
+    * all verified by [[TarIO.read]]'s loud contract, payloads skipped —
+    * this is a METADATA-ONLY pass). The connector itself fails loudly on
+    * corruption by design; this operator is the complement that turns
+    * "which shards would fail?" into a queryable table instead of a
+    * dead executor. One task per shard, no shuffle. */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val serConf = TarTable.sessionConf()
+    val shards = TarScan
+      .listShards(dir, Array.empty, serConf.value)
+      .map(s => (s.path, s.shard, s.len)).toSeq
+    spark.createDataset(shards)
+      .repartition(math.max(1, math.min(shards.size, 64)))
+      .map { case (path, shard, len) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(serConf.value).open(p)
+        try {
+          var members = 0L
+          var bytes = 0L
+          TarIO.read(in, readBytes = false).foreach { m =>
+            members += 1; bytes += m.size
+          }
+          (shard, len, true, members, bytes, null: String)
+        } catch {
+          case e: Exception =>
+            (shard, len, false, -1L, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        } finally in.close()
+      }
+      .toDF("shard", "file_bytes", "ok", "n_members", "payload_bytes", "error")
+  }
+
   /** Scratch dir keyed by the input's first file path, so concurrent runs
     * on different scale factors never collide. */
   private def shardDir(documents: DataFrame): String = {

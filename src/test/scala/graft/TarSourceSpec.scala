@@ -310,6 +310,23 @@ class TarSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("fsck: a corrupted shard is flagged with its error while healthy shards pass") {
+    val tmp = writeCorpusShards(4)
+    val clean = TarShards.fsck(spark, tmp).collect()
+    assert(clean.length == 4 && clean.forall(_.getBoolean(2)))
+    assert(clean.forall(r => r.getLong(3) > 0 && r.getLong(4) > 0))
+    // flip a byte inside the victim's first header: checksum must trip
+    val victim = Paths.get(tmp, "shard-00002.tar")
+    val raw = Files.readAllBytes(victim)
+    raw(0) = (raw(0) ^ 0x01).toByte
+    Files.write(victim, raw)
+    val swept = TarShards.fsck(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!swept("shard-00002.tar").getBoolean(2))
+    assert(swept("shard-00002.tar").getString(5).contains("checksum"))
+    assert(swept.filterKeys(_ != "shard-00002.tar").values.forall(_.getBoolean(2)))
+  }
+
   private def writeCorpusShards(n: Int): String = {
     val docs = sources.Tables.documents(spark, dir).filter(col("text").isNotNull)
     val tmp = Files.createTempDirectory("graft_tar_prune").toString
