@@ -103,6 +103,12 @@ object SparkEntry {
     // pairing mistake between docs would flip the per-language XOR
     "wds_samples" -> ((s, dir) =>
       graft.sources.TarShards.sampleRoundTrip(s, Tables.documents(s, dir), 8)),
+    // shard fsck as an oracled query: the validation sweep's file sizes
+    // are tar arithmetic (512-byte header + 512-padded payload per
+    // member + 1024-byte end marker), recomputed closed-form in DuckDB —
+    // any writer drift in headers, padding, or trailer flips the hash
+    "wds_fsck" -> ((s, dir) =>
+      graft.sources.TarShards.fsckQuery(s, Tables.documents(s, dir), 8)),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -1907,6 +1913,15 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          bit_xor(${shaFoldSql("text")}) AS content_hash
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    "wds_fsck" ->
+      """SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
+         CAST(SUM(512 + ((octet_length(encode(text)) + 511) // 512) * 512)
+              + 1024 AS BIGINT) AS file_bytes,
+         CAST(TRUE AS BOOLEAN) AS ok,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+         CAST(NULL AS VARCHAR) AS error
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
     "wds_samples" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -194,6 +194,25 @@ object TarShards {
       .toDF("shard", "file_bytes", "ok", "n_members", "payload_bytes", "error")
   }
 
+  /** Driver query: pack the corpus (the [[roundTrip]] layout) and fsck
+    * the result. Every column is closed-form from the documents table —
+    * tar arithmetic included: a member costs 512 header bytes plus its
+    * payload padded to 512, a shard ends with the 1024-byte marker — so
+    * the oracle recomputes file sizes byte-exactly, and any header/
+    * padding/trailer drift in the writer flips the hash. */
+  def fsckQuery(spark: SparkSession, documents: DataFrame,
+                nShards: Int): DataFrame = {
+    val dir = shardDir(documents) + "_fsck"
+    val packed = documents
+      .filter(col("text").isNotNull)
+      .select(
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+    writeShards(packed, dir, nShards)
+    fsck(spark, dir)
+  }
+
   /** Scratch dir keyed by the input's first file path, so concurrent runs
     * on different scale factors never collide. */
   private def shardDir(documents: DataFrame): String = {
