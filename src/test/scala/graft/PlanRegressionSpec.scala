@@ -249,4 +249,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     // the only nested-loop join is the single-row scalar-average gate
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
   }
+
+  test("wds queries: shard scans aggregate on ONE exchange, no joins") {
+    Seq("wds_roundtrip", "wds_fsck").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), q)
+      assert(count(p, "Exchange hashpartitioning") <= 1, s"$q:\n$p")
+    }
+    // sample reassembly: one key agg; still join-free
+    val p = plan("wds_samples")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("mm_resize_stats and mm_mc queries are shuffle-free narrow codec plans") {
+    Seq("mm_resize_stats", "mm_mc_video_decode", "mm_mc_gop_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+  }
 }
