@@ -52,7 +52,13 @@ import org.apache.spark.util.SerializableConfiguration
   * record files walked and streamed in bulk (KafkaProducer.kt:37-48);
   * this is that contract in the shard format LLM pipelines actually use.
   */
-class TarDataSource extends TableProvider {
+class TarDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** Short name for `.format("graft-tar")` and SQL `USING graft-tar`
+    * (registered in META-INF/services per the DataSourceRegister
+    * contract). */
+  override def shortName(): String = "graft-tar"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TarTable.SCHEMA
 

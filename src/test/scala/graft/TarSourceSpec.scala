@@ -310,6 +310,28 @@ class TarSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("SQL surface: the graft-tar short name works in DataFrame reads AND CREATE TABLE ... USING") {
+    val tmp = writeCorpusShards(4)
+    // short-name format resolution via the DataSourceRegister service file
+    val viaShort = spark.read.format("graft-tar").load(tmp)
+    assert(viaShort.count() > 0)
+    assert(viaShort.schema.fieldNames.toSeq == Seq("shard", "name", "size", "content"))
+    // SQL DDL surface: a named table over the shard directory
+    spark.sql("DROP TABLE IF EXISTS graft_tar_sql_test")
+    spark.sql(
+      s"CREATE TABLE graft_tar_sql_test USING `graft-tar` OPTIONS (path '$tmp')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_tar_sql_test WHERE name LIKE '%.txt'")
+        .head().getLong(0)
+      assert(n == viaShort.count())
+      // shard pruning works through the SQL surface too
+      val pruned = spark.sql(
+        "SELECT * FROM graft_tar_sql_test WHERE shard = 'shard-00001.tar'")
+      assert(pruned.rdd.getNumPartitions == 1, "planning-time pruning through SQL")
+    } finally spark.sql("DROP TABLE graft_tar_sql_test")
+  }
+
   test("fsck: a corrupted shard is flagged with its error while healthy shards pass") {
     val tmp = writeCorpusShards(4)
     val clean = TarShards.fsck(spark, tmp).collect()
