@@ -604,6 +604,15 @@ object SparkEntry {
     // decode->filter->encode->decode chain is what the sums prove)
     "mm_resize_stats" -> ((s, dir) =>
       operators.Multimodal.resizeStats(Tables.documents(s, dir))),
+    // IMAGE near-dup: perceptual average-hash (8x8 box downscale of the
+    // decoded raster, mean threshold -> 64 bits as two 32-bit halves) +
+    // banded Hamming join (8 bands of 8 bits — provably complete for
+    // distance <= 7 by pigeonhole). Planted noisy twins (every 50th doc,
+    // every 97th byte +16) are the expected pairs; the oracle is the
+    // BRUTE-FORCE all-pairs join, so the hash match is the lossless-
+    // filtering proof (the typo-join discipline, on images)
+    "mm_image_near_dup" -> ((s, dir) =>
+      operators.Multimodal.imageNearDupPairs(Tables.documents(s, dir))),
     // the video-ingest access pattern: sample frames FIRST (stride 2),
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
@@ -3198,6 +3207,49 @@ object SparkEntry {
            CAST(SUM(v1) AS BIGINT) AS sum_g,
            CAST(SUM(v2) AS BIGINT) AS sum_b
          FROM q GROUP BY doc_id, ow, oh"""
+    },
+    // replica of Multimodal.imageNearDupPairs as the BRUTE-FORCE join:
+    // the same aHash (16x16 raster, 2x2 box cells, integer mean
+    // threshold, two 32-bit halves) computed per image + planted twin,
+    // then every pair compared — the banded Spark plan must lose nothing
+    "mm_image_near_dup" -> {
+      def byteAt(j: String) =
+        s"""((ascii(substr(t, CAST(($j) % tl + 1 AS INTEGER), 1))
+            + CASE WHEN twin AND ($j) % 97 = 0 THEN 16 ELSE 0 END) % 256)"""
+      def cell =
+        s"""(${byteAt("3*((2*(i//8))*16 + 2*(i%8))")}
+            + ${byteAt("3*((2*(i//8))*16 + 2*(i%8)+1)")}
+            + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8))")}
+            + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8)+1)")}) // 4"""
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+           FROM documents),
+         imgs AS (
+           SELECT doc_id AS img_id, t, length(t) AS tl, FALSE AS twin FROM m
+           UNION ALL
+           SELECT doc_id + 1000000, t, length(t), TRUE FROM m
+           WHERE doc_id % 50 = 0),
+         cells AS (
+           SELECT img_id,
+             list_transform(generate_series(0, 63), i -> $cell) AS v
+           FROM imgs),
+         means AS (SELECT img_id, v, list_sum(v) // 64 AS mean FROM cells),
+         bits AS (
+           SELECT img_id,
+             CAST(list_sum(list_transform(generate_series(1, 32),
+               k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 1))
+                    ELSE 0 END)) AS BIGINT) AS hash_lo,
+             CAST(list_sum(list_transform(generate_series(33, 64),
+               k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 33))
+                    ELSE 0 END)) AS BIGINT) AS hash_hi
+           FROM means)
+         SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(bit_count(xor(a.hash_lo, b.hash_lo))
+             + bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
+         FROM bits a JOIN bits b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+             + bit_count(xor(a.hash_hi, b.hash_hi)) <= 6"""
     },
     // replica of Multimodal.mcVideoGopSampleStats: only even frames are
     // sampled (they are the gop=2 keyframes), so the sums run over

@@ -246,6 +246,115 @@ object Multimodal {
         col("sumR").as("sum_r"), col("sumG").as("sum_g"), col("sumB").as("sum_b"))
   }
 
+  // ───────── IMAGE near-dup via perceptual average-hash (aHash) ─────────
+  //
+  // The multimodal half of the dedup story: hash IMAGES (not text) into
+  // 64 bits — 8x8 box-downscale of the decoded raster's first channel,
+  // threshold each cell against the integer mean — then find near-dups
+  // with a BANDED Hamming join. 8 bands of 8 bits give PROVABLE recall
+  // for distance ≤ 7 (pigeonhole: 7 differing bits cannot touch all 8
+  // bands), the typo-join completeness discipline; candidates are
+  // band-bucket joins, never all-pairs. The hash travels as two 32-bit
+  // halves (lo, hi) because a 1<<63 BIGINT shift overflows in ANSI
+  // engines — both engines compare halves, so the oracle replays
+  // bit_count(xor(lo)) + bit_count(xor(hi)) exactly.
+
+  /** 16x16 PPM per document (fixed dims — position-stable rasters), plus
+    * a PLANTED noisy twin (img_id = doc_id + 1000000, every 97th body
+    * byte +16 mod 256) for every doc_id % 50 == 0: the pair-finder gate
+    * must surface exactly the twins (twin hamming ≤ 1 measured, nearest
+    * cross-pair ≥ 14 — a wide margin around the ≤ 6 threshold). */
+  private val AHashW = 16
+  private val AHashH = 16
+
+  def imageAHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val base = documents.select(
+      col("doc_id"),
+      when(col("text").isNull || col("text") === "", lit(" "))
+        .otherwise(col("text")).as("t"))
+      .as[(Long, String)]
+    base.mapPartitions { rows =>
+      rows.flatMap { case (docId, t) =>
+        val s = t.getBytes("UTF-8")
+        val n = AHashW * AHashH * 3
+        val body = Array.tabulate[Byte](n)(j => s(j % s.length))
+        val orig = (docId, ahashOfBody(body))
+        if (docId % 50 == 0) {
+          val tb = body.clone()
+          var j = 0
+          while (j < n) { tb(j) = ((tb(j) & 0xff) + 16).toByte; j += 97 }
+          Seq(orig, (docId + 1000000L, ahashOfBody(tb)))
+        } else Seq(orig)
+      }
+    }.map { case (id, (lo, hi)) => (id, lo, hi) }
+      .toDF("img_id", "hash_lo", "hash_hi")
+  }
+
+  /** aHash of a 16x16 RGB body — THROUGH the codec: the body is encoded
+    * to P6 and re-decoded before hashing, so the hash pipeline exercises
+    * the same parse path real payloads take. */
+  private def ahashOfBody(body: Array[Byte]): (Long, Long) = {
+    val header = s"P6\n$AHashW $AHashH\n255\n".getBytes("US-ASCII")
+    val (w, h, px) = parsePpm(header ++ body)
+    require(w == AHashW && h == AHashH, "ahash ppm round-trip drift")
+    val v = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val ox = i % 8; val oy = i / 8
+      var sm = 0L
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          sm += px(3 * ((2 * oy + dy) * w + 2 * ox + dx)) & 0xff
+          dx += 1
+        }
+        dy += 1
+      }
+      v(i) = sm / 4
+      i += 1
+    }
+    val mean = v.sum / 64
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (v(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
+  /** Banded Hamming near-dup join over the image hashes: explode each
+    * hash into 8 one-byte bands, bucket-join on (band index, band
+    * value), then exact-verify candidates with bit_count. Complete for
+    * `maxHamming` ≤ 7 by pigeonhole; the DuckDB oracle is the
+    * brute-force all-pairs join, so the hash match IS the lossless-
+    * filtering proof. */
+  def imageNearDupPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, s"8x8-banding is only complete for hamming <= 7")
+    val hashes = imageAHashes(documents)
+    val bands = hashes.select(col("img_id"), col("hash_lo"), col("hash_hi"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("band_val", expr(
+        "CASE WHEN band < 4 THEN shiftright(hash_lo, band * 8) " +
+          "ELSE shiftright(hash_hi, (band - 4) * 8) END & 255"))
+    val a = bands.select(col("img_id").as("img_a"), col("hash_lo").as("lo_a"),
+      col("hash_hi").as("hi_a"), col("band"), col("band_val"))
+    val b = bands.select(col("img_id").as("img_b"), col("hash_lo").as("lo_b"),
+      col("hash_hi").as("hi_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("img_a") < col("img_b"))
+      .select(col("img_a"), col("img_b"),
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Little-endian integer column as `nBytes` raw bytes — the BMP header
     * word shape, built from pure column ops (hex/lpad/unhex per byte) so
     * payload generation stays a narrow codegen'd projection. */

@@ -1126,6 +1126,32 @@ class MultimodalSpec extends AnyFunSuite {
     }.getMessage.contains("too small"))
   }
 
+  test("image aHash near-dup: planted twins surface, nothing else; halves stay 32-bit") {
+    val hashes = Multimodal.imageAHashes(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two 32-bit halves, never negative, never above 2^32
+    hashes.values.foreach { case (lo, hi) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    val twins = hashes.keys.filter(_ >= 1000000L).toSeq
+    assert(twins.nonEmpty)
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    twins.foreach { t =>
+      assert(ham(hashes(t), hashes(t - 1000000L)) <= 6, s"twin $t over threshold")
+    }
+    val pairs = Multimodal.imageNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the planted twins, each at its measured distance
+    assert(pairs.map(p => (p._1, p._2)).sorted.toList ==
+      twins.map(t => (t - 1000000L, t)).sorted.toList)
+    pairs.foreach { case (a, b, d) => assert(d == ham(hashes(a), hashes(b))) }
+    // the completeness guarantee is a hard boundary, not a suggestion
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(docs, maxHamming = 8)
+    }
+  }
+
   test("resizeMeta halves dimensions without touching the payload") {
     val r = Multimodal.resizeMeta(media, 2)
       .select(col("meta.width").as("w2"), col("payload")).collect().head
