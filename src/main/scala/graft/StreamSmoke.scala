@@ -127,8 +127,35 @@ object StreamSmoke {
     val histDiff = histLast.exceptAll(histBatch).count() +
       histBatch.exceptAll(histLast).count()
     println(s"HIST_GROUPS=${histLast.count()} HIST_OK=${histDiff == 0}")
+
+    // tar-shard streaming ingest over real docs: pack the corpus into
+    // shards, stream-read the directory through the DSv2 connector, and
+    // require stream == batch on member count, total bytes, and the
+    // order-independent content-hash XOR — the same invariants the
+    // wds_roundtrip oracle pins, here guarding the STREAMING read path
+    val wdsDir = java.nio.file.Files.createTempDirectory("graft-wds-smoke").toString
+    graft.sources.TarShards.writeShards(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(pmod(col("doc_id"), lit(4)).cast("int").as("shard_id"),
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          encode(col("text"), "UTF-8").as("content")),
+      wdsDir, 4)
+    def wdsSummary(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"),
+        bit_xor(graft.operators.TextOps.portableHash64(col("content"))).as("x"))
+    val q5 = spark.readStream.format("graft-tar").load(wdsDir)
+      .writeStream.format("memory").queryName("stream_wds")
+      .outputMode("append").start()
+    q5.processAllAvailable()
+    q5.stop()
+    val sRow = wdsSummary(spark.table("stream_wds")).head()
+    val bRow = wdsSummary(spark.read.format("graft-tar").load(wdsDir)).head()
+    val wdsOk = sRow == bRow
+    println(s"WDS_STREAM_MEMBERS=${sRow.getLong(0)} WDS_BATCH_MEMBERS=${bRow.getLong(0)} WDS_OK=$wdsOk")
     spark.stop()
-    if (diff != 0 || nStream != nBatch || snapDiff != 0 || histDiff != 0)
+    if (diff != 0 || nStream != nBatch || snapDiff != 0 || histDiff != 0 ||
+        !wdsOk)
       sys.exit(1)
   }
 }
