@@ -613,6 +613,10 @@ object SparkEntry {
     // filtering proof (the typo-join discipline, on images)
     "mm_image_near_dup" -> ((s, dir) =>
       operators.Multimodal.imageNearDupPairs(Tables.documents(s, dir))),
+    // AUDIO DSP features over the real WAV decode: 8-sample windowed
+    // short-time energy + zero-crossing counts, all integer-exact
+    "mm_audio_features" -> ((s, dir) =>
+      operators.Multimodal.audioFeatureStats(Tables.documents(s, dir))),
     // the video-ingest access pattern: sample frames FIRST (stride 2),
     // entropy-decode only what survives — container walk still validates
     // every chunk, the expensive JPEG decode runs on half the frames
@@ -3207,6 +3211,43 @@ object SparkEntry {
            CAST(SUM(v1) AS BIGINT) AS sum_g,
            CAST(SUM(v2) AS BIGINT) AS sum_b
          FROM q GROUP BY doc_id, ow, oh"""
+    },
+    // replica of Multimodal.audioFeatureStats: 16-bit LE samples from the
+    // cycled text (sign via the high byte), 8-sample windows, Σ s² energy
+    // and strict sign-flip counts — all integer arithmetic on both engines
+    "mm_audio_features" -> {
+      def b(j: String) =
+        s"ascii(substr(t, CAST(($j) % tl + 1 AS INTEGER), 1))"
+      def s(i: String) =
+        s"""(${b(s"2*($i)")} + 256 * ${b(s"2*($i)+1")}
+            - CASE WHEN ${b(s"2*($i)+1")} >= 128 THEN 65536 ELSE 0 END)"""
+      s"""WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST(n_chars % 32 + 16 AS INTEGER) AS ns
+           FROM documents),
+         w AS (
+           SELECT doc_id, ns, t, length(t) AS tl,
+             unnest(generate_series(0, ns // 8 - 1)) AS k
+           FROM m),
+         f AS (
+           SELECT doc_id, ns,
+             list_transform(generate_series(0, 7), j -> ${s("8*k+j")}) AS sw
+           FROM w),
+         g AS (
+           SELECT doc_id, ns,
+             list_sum(list_transform(sw, x -> x * x)) AS energy,
+             list_sum(list_transform(generate_series(1, 7),
+               j -> CASE WHEN sw[CAST(j AS INTEGER)]
+                         * sw[CAST(j AS INTEGER) + 1] < 0
+                    THEN 1 ELSE 0 END)) AS zcr
+           FROM f)
+         SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zcr) AS BIGINT) AS total_zcr,
+           CAST(MAX(energy) AS BIGINT) AS max_energy
+         FROM g GROUP BY doc_id, ns"""
     },
     // replica of Multimodal.imageNearDupPairs as the BRUTE-FORCE join:
     // the same aHash (16x16 raster, 2x2 box cells, integer mean

@@ -246,6 +246,50 @@ object Multimodal {
         col("sumR").as("sum_r"), col("sumG").as("sum_g"), col("sumB").as("sum_b"))
   }
 
+  /** AUDIO feature extraction — the DSP pass an audio-data pipeline runs
+    * after decode: non-overlapping 8-sample windows over the REAL
+    * `parseWav` output, per-window short-time ENERGY (Σ s², the exact
+    * integer form of frame power) and ZERO-CROSSING count (strict sign
+    * flips between in-window neighbors — the classic voiced/unvoiced,
+    * silence-vs-content discriminator). Everything stays in integer
+    * arithmetic, so the DuckDB oracle replays it exactly; trailing
+    * samples short of a full window are dropped, the standard framing
+    * convention. One narrow mapPartitions, no shuffle. */
+  def audioFeatureStats(documents: DataFrame): DataFrame = {
+    val media = asMediaDataset(wavFromDocuments(documents))
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (_, samples) = parseWav(m.payload)
+        val win = 8
+        val nw = samples.length / win
+        var totalEnergy = 0L
+        var totalZcr = 0L
+        var maxEnergy = 0L
+        var k = 0
+        while (k < nw) {
+          var e = 0L
+          var z = 0L
+          var j = 0
+          while (j < win) {
+            val s = samples(k * win + j).toLong
+            e += s * s
+            if (j < win - 1 &&
+              s * samples(k * win + j + 1).toLong < 0) z += 1
+            j += 1
+          }
+          totalEnergy += e
+          totalZcr += z
+          if (e > maxEnergy) maxEnergy = e
+          k += 1
+        }
+        (m.docId, samples.length.toLong, nw.toLong, totalEnergy, totalZcr,
+          maxEnergy)
+      }
+    }.toDF("doc_id", "n_samples", "n_windows", "total_energy", "total_zcr",
+      "max_energy")
+  }
+
   // ───────── IMAGE near-dup via perceptual average-hash (aHash) ─────────
   //
   // The multimodal half of the dedup story: hash IMAGES (not text) into
