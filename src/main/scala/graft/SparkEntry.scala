@@ -3269,7 +3269,7 @@ object SparkEntry {
          imgs AS (
            SELECT doc_id AS img_id, t, length(t) AS tl, FALSE AS twin FROM m
            UNION ALL
-           SELECT doc_id + 1000000, t, length(t), TRUE FROM m
+           SELECT -doc_id - 1, t, length(t), TRUE FROM m
            WHERE doc_id % 50 = 0),
          cells AS (
            SELECT img_id,

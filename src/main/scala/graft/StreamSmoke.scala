@@ -133,7 +133,8 @@ object StreamSmoke {
     // require stream == batch on member count, total bytes, and the
     // order-independent content-hash XOR — the same invariants the
     // wds_roundtrip oracle pins, here guarding the STREAMING read path
-    val wdsDir = java.nio.file.Files.createTempDirectory("graft-wds-smoke").toString
+    val wdsDirPath = java.nio.file.Files.createTempDirectory("graft-wds-smoke")
+    val wdsDir = wdsDirPath.toString
     graft.sources.TarShards.writeShards(
       Tables.documents(spark, dir)
         .filter(col("text").isNotNull)
@@ -144,15 +145,24 @@ object StreamSmoke {
     def wdsSummary(df: org.apache.spark.sql.DataFrame) = df
       .agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"),
         bit_xor(graft.operators.TextOps.portableHash64(col("content"))).as("x"))
-    val q5 = spark.readStream.format("graft-tar").load(wdsDir)
-      .writeStream.format("memory").queryName("stream_wds")
-      .outputMode("append").start()
-    q5.processAllAvailable()
-    q5.stop()
-    val sRow = wdsSummary(spark.table("stream_wds")).head()
-    val bRow = wdsSummary(spark.read.format("graft-tar").load(wdsDir)).head()
-    val wdsOk = sRow == bRow
-    println(s"WDS_STREAM_MEMBERS=${sRow.getLong(0)} WDS_BATCH_MEMBERS=${bRow.getLong(0)} WDS_OK=$wdsOk")
+    val wdsOk = try {
+      val q5 = spark.readStream.format("graft-tar").load(wdsDir)
+        .writeStream.format("memory").queryName("stream_wds")
+        .outputMode("append").start()
+      q5.processAllAvailable()
+      q5.stop()
+      val sRow = wdsSummary(spark.table("stream_wds")).head()
+      val bRow = wdsSummary(spark.read.format("graft-tar").load(wdsDir)).head()
+      val ok = sRow == bRow
+      println(s"WDS_STREAM_MEMBERS=${sRow.getLong(0)} WDS_BATCH_MEMBERS=${bRow.getLong(0)} WDS_OK=$ok")
+      ok
+    } finally {
+      // a standalone tool must clean its own packed corpus copy
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wdsDirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     spark.stop()
     if (diff != 0 || nStream != nBatch || snapDiff != 0 || histDiff != 0 ||
         !wdsOk)

@@ -261,33 +261,44 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { m =>
         val (_, samples) = parseWav(m.payload)
-        val win = 8
-        val nw = samples.length / win
-        var totalEnergy = 0L
-        var totalZcr = 0L
-        var maxEnergy = 0L
-        var k = 0
-        while (k < nw) {
-          var e = 0L
-          var z = 0L
-          var j = 0
-          while (j < win) {
-            val s = samples(k * win + j).toLong
-            e += s * s
-            if (j < win - 1 &&
-              s * samples(k * win + j + 1).toLong < 0) z += 1
-            j += 1
-          }
-          totalEnergy += e
-          totalZcr += z
-          if (e > maxEnergy) maxEnergy = e
-          k += 1
-        }
-        (m.docId, samples.length.toLong, nw.toLong, totalEnergy, totalZcr,
-          maxEnergy)
+        val (totalEnergy, totalZcr, maxEnergy) = audioWindowFeatures(samples, 8)
+        (m.docId, samples.length.toLong, (samples.length / 8).toLong,
+          totalEnergy, totalZcr, maxEnergy)
       }
     }.toDF("doc_id", "n_samples", "n_windows", "total_energy", "total_zcr",
       "max_energy")
+  }
+
+  /** The windowed-DSP kernel itself — exposed so the SIGN path of the
+    * zero-crossing count is unit-testable with crafted signals: the
+    * ASCII-derived driver corpus never produces a negative sample (high
+    * byte < 0x80), so an end-to-end check alone would let a broken sign
+    * test ship. Returns (total energy, total crossings, max window
+    * energy). */
+  private[graft] def audioWindowFeatures(samples: Array[Short],
+                                         win: Int): (Long, Long, Long) = {
+    val nw = samples.length / win
+    var totalEnergy = 0L
+    var totalZcr = 0L
+    var maxEnergy = 0L
+    var k = 0
+    while (k < nw) {
+      var e = 0L
+      var z = 0L
+      var j = 0
+      while (j < win) {
+        val s = samples(k * win + j).toLong
+        e += s * s
+        if (j < win - 1 &&
+          s * samples(k * win + j + 1).toLong < 0) z += 1
+        j += 1
+      }
+      totalEnergy += e
+      totalZcr += z
+      if (e > maxEnergy) maxEnergy = e
+      k += 1
+    }
+    (totalEnergy, totalZcr, maxEnergy)
   }
 
   // ───────── IMAGE near-dup via perceptual average-hash (aHash) ─────────
@@ -304,7 +315,8 @@ object Multimodal {
   // bit_count(xor(lo)) + bit_count(xor(hi)) exactly.
 
   /** 16x16 PPM per document (fixed dims — position-stable rasters), plus
-    * a PLANTED noisy twin (img_id = doc_id + 1000000, every 97th body
+    * a PLANTED noisy twin (img_id = -doc_id - 1, the negative id space —
+    * disjoint from real doc_ids at any corpus size; every 97th body
     * byte +16 mod 256) for every doc_id % 50 == 0: the pair-finder gate
     * must surface exactly the twins (twin hamming ≤ 1 measured, nearest
     * cross-pair ≥ 14 — a wide margin around the ≤ 6 threshold). */
@@ -329,7 +341,10 @@ object Multimodal {
           val tb = body.clone()
           var j = 0
           while (j < n) { tb(j) = ((tb(j) & 0xff) + 16).toByte; j += 97 }
-          Seq(orig, (docId + 1000000L, ahashOfBody(tb)))
+          // twin ids live in the NEGATIVE id space (-doc_id - 1): disjoint
+          // from real doc_ids at ANY corpus size — an additive offset
+          // would collide once the corpus outgrows it
+          Seq(orig, (-docId - 1L, ahashOfBody(tb)))
         } else Seq(orig)
       }
     }.map { case (id, (lo, hi)) => (id, lo, hi) }
@@ -3573,12 +3588,10 @@ object Multimodal {
         require(w == m.meta.width && h == m.meta.height,
           s"container says ${m.meta.width}x${m.meta.height}, stream ${w}x$h")
         val sum = sampled.map(_._2).sum
-        McVideoStats(m.docId, w, h, sampled.length,
-          w.toLong * h * sampled.length, sum, 0L, decoded.toLong)
+        (m.docId, w, h, sampled.length, w.toLong * h * sampled.length, sum,
+          decoded.toLong)
       }
-    }.toDF()
-      .select(col("docId").as("doc_id"), col("width"), col("height"),
-        col("nFrames").as("n_kept"), col("nPixels").as("n_pixels_kept"),
-        col("sumPx").as("sum_px"), col("payloadBytes").as("n_decoded"))
+    }.toDF("doc_id", "width", "height", "n_kept", "n_pixels_kept", "sum_px",
+      "n_decoded")
   }
 }

@@ -177,9 +177,13 @@ object TarShards {
     spark.createDataset(shards)
       .repartition(math.max(1, math.min(shards.size, 64)))
       .map { case (path, shard, len) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val in = p.getFileSystem(serConf.value).open(p)
+        // open() sits INSIDE the try: a shard deleted between listing and
+        // task execution becomes an error ROW, not a dead job — which is
+        // this operator's whole contract
+        var in: java.io.InputStream = null
         try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          in = p.getFileSystem(serConf.value).open(p)
           var members = 0L
           var bytes = 0L
           TarIO.read(in, readBytes = false).foreach { m =>
@@ -189,7 +193,7 @@ object TarShards {
         } catch {
           case e: Exception =>
             (shard, len, false, -1L, -1L, s"${e.getClass.getSimpleName}: ${e.getMessage}")
-        } finally in.close()
+        } finally if (in != null) in.close()
       }
       .toDF("shard", "file_bytes", "ok", "n_members", "payload_bytes", "error")
   }

@@ -47,14 +47,19 @@ object ShardPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          TarShards.writeShards(
-            batch.select(
-              pmod(abs(xxhash64(col("content_hash"))), lit(nShards))
-                .cast("int").as("shard_id"),
-              col("name"), col("content")),
-            s"$outDir/batch-$batchId", nShards)
-        }
+        // persist: the emptiness probe and the shard write would otherwise
+        // each re-read every landed tar and re-run the dedup state lookup
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            TarShards.writeShards(
+              batch.select(
+                pmod(abs(xxhash64(col("content_hash"))), lit(nShards))
+                  .cast("int").as("shard_id"),
+                col("name"), col("content")),
+              s"$outDir/batch-$batchId", nShards)
+          }
+        } finally batch.unpersist()
       }
       .start()
 }

@@ -1133,18 +1133,18 @@ class MultimodalSpec extends AnyFunSuite {
     hashes.values.foreach { case (lo, hi) =>
       assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
     }
-    val twins = hashes.keys.filter(_ >= 1000000L).toSeq
+    val twins = hashes.keys.filter(_ < 0L).toSeq
     assert(twins.nonEmpty)
     def ham(a: (Long, Long), b: (Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     twins.foreach { t =>
-      assert(ham(hashes(t), hashes(t - 1000000L)) <= 6, s"twin $t over threshold")
+      assert(ham(hashes(t), hashes(-t - 1L)) <= 6, s"twin $t over threshold")
     }
     val pairs = Multimodal.imageNearDupPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // exactly the planted twins, each at its measured distance
+    // exactly the planted twins (negative twin id sorts first in each pair)
     assert(pairs.map(p => (p._1, p._2)).sorted.toList ==
-      twins.map(t => (t - 1000000L, t)).sorted.toList)
+      twins.map(t => (t, -t - 1L)).sorted.toList)
     pairs.foreach { case (a, b, d) => assert(d == ham(hashes(a), hashes(b))) }
     // the completeness guarantee is a hard boundary, not a suggestion
     intercept[IllegalArgumentException] {
@@ -1162,19 +1162,17 @@ class MultimodalSpec extends AnyFunSuite {
       bytes(2 * i) = (s & 0xff).toByte
       bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
     }
-    // hand-build the WAV through the generator's own header math by
-    // crafting a doc whose cycled "text" IS the sample bytes — but the
-    // bytes aren't valid UTF-8, so test the kernel arithmetic directly
-    // on the decoded samples path instead: 2 windows, 7 crossings each
-    var totalE = 0L; var totalZ = 0L
-    (0 until 2).foreach { k =>
-      (0 until 8).foreach { j =>
-        val s = samples(8 * k + j).toLong
-        totalE += s * s
-        if (j < 7 && s * samples(8 * k + j + 1).toLong < 0) totalZ += 1
-      }
-    }
-    assert(totalE == 16L * 1000 * 1000 && totalZ == 14)
+    // the PRODUCTION kernel must count the sign flips (the ASCII driver
+    // corpus never produces a negative sample, so only a crafted signal
+    // exercises this path): 2 windows, 7 strict crossings each
+    val (totalE, totalZ, maxE) = Multimodal.audioWindowFeatures(samples, 8)
+    assert(totalE == 16L * 1000 * 1000 && totalZ == 14 && maxE == 8L * 1000 * 1000)
+    // zeros are not sign changes (strict product < 0), window boundaries
+    // don't pair, and trailing partials drop
+    val edge = Array[Short](5, 0, -5, 3, -3, 3, -3, 3, /* window 2 */ 1, 1)
+    val (_, zEdge, _) = Multimodal.audioWindowFeatures(edge, 8)
+    assert(zEdge == 5, s"got $zEdge: 0 breaks both adjacent pairs, 5 true flips")
+    assert(bytes.length == 32) // the hand signal really is 16 samples
     // and the driver query on real docs is self-consistent: window count
     // is n_samples/8 and max window energy never exceeds the total
     val out = Multimodal.audioFeatureStats(docs).collect()
