@@ -89,10 +89,12 @@ class TarTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TarScanBuilder(dir, TarTable.sessionConf())
+    new TarScanBuilder(dir, TarTable.sessionConf(),
+      options.getInt("maxShardsPerTrigger", -1))
 }
 
-class TarScanBuilder(dir: String, conf: SerializableConfiguration)
+class TarScanBuilder(dir: String, conf: SerializableConfiguration,
+                     maxShardsPerTrigger: Int = -1)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
 
@@ -119,7 +121,8 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration)
   }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new TarScan(dir, requiredSchema, pushed, conf, limit)
+  override def build(): Scan =
+    new TarScan(dir, requiredSchema, pushed, conf, limit, maxShardsPerTrigger)
 }
 
 /** The serializable member-filter subset: shard-level predicates prune
@@ -153,13 +156,15 @@ case class TarInputPartition(path: String, shard: String) extends InputPartition
 case class TarShardFile(path: String, shard: String, len: Long)
 
 class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
-              conf: SerializableConfiguration, limit: Int = -1)
+              conf: SerializableConfiguration, limit: Int = -1,
+              maxShardsPerTrigger: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream =
-    new TarMicroBatchStream(dir, requiredSchema, filters, conf)
+    new TarMicroBatchStream(dir, requiredSchema, filters, conf,
+      maxShardsPerTrigger)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushed=[${filters.mkString(",")}], limit=$limit"
@@ -220,15 +225,39 @@ object TarScan {
   * next to the data. */
 class TarMicroBatchStream(dir: String, requiredSchema: StructType,
                           filters: Array[Filter],
-                          conf: SerializableConfiguration)
-    extends streaming.MicroBatchStream {
+                          conf: SerializableConfiguration,
+                          maxShardsPerTrigger: Int = -1)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
   import com.fasterxml.jackson.databind.ObjectMapper
 
-  private def offsetOf(names: Seq[String]) =
+  private def offsetOf(names: Iterable[String]) =
     TarShardSetOffset(scala.collection.immutable.SortedSet.from(names))
 
   override def initialOffset(): streaming.Offset = offsetOf(Nil)
 
+  /** Backpressure (the maxFilesPerTrigger model): with
+    * `maxShardsPerTrigger` set, each micro-batch admits at most that
+    * many NEW shards, name-ordered — a burst of landed shards drains as
+    * a sequence of bounded batches instead of one giant one. */
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    if (maxShardsPerTrigger > 0) streaming.ReadLimit.maxFiles(maxShardsPerTrigger)
+    else streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val seen = start.asInstanceOf[TarShardSetOffset].shards
+    val fresh = TarScan.listShards(dir, filters, conf.value).map(_.shard)
+      .filterNot(seen.contains)
+    val admitted = limit match {
+      case m: streaming.ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    offsetOf(seen ++ admitted)
+  }
+
+  // legacy single-arg form: unbounded (Spark uses the admission-control
+  // overload above when SupportsAdmissionControl is implemented)
   override def latestOffset(): streaming.Offset =
     offsetOf(TarScan.listShards(dir, filters, conf.value).map(_.shard).toSeq)
 

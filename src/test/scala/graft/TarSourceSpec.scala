@@ -273,6 +273,28 @@ class TarSourceSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("streaming backpressure: maxShardsPerTrigger drains a burst as bounded micro-batches") {
+    val tmp = Files.createTempDirectory("graft_tar_bp").toString
+    val ckpt = Files.createTempDirectory("graft_tar_bp_ckpt").toString
+    (0 until 5).foreach { i =>
+      val out = new java.io.FileOutputStream(s"$tmp/s$i.tar")
+      TarIO.write(Iterator(s"d$i.txt" -> bytes(s"doc$i")), out)
+      out.close()
+    }
+    val q = spark.readStream.format("graft-tar")
+      .option("maxShardsPerTrigger", 2).load(tmp)
+      .writeStream.format("memory").queryName("tar_bp")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tar_bp").count() == 5, "every shard still arrives")
+      // 5 shards at <= 2 per trigger need at least 3 non-empty batches
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sizes.length >= 3 && sizes.max <= 2,
+        s"batch sizes ${sizes.toList}: expected <= 2 shards per trigger")
+    } finally q.stop()
+  }
+
   test("re-shard pipeline: landing shards stream through dedup into balanced output shards, exactly once") {
     import graft.streaming.ShardPipeline
     val landing = Files.createTempDirectory("graft_pipe_in").toString
