@@ -261,11 +261,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
-  test("mm_resize_stats and mm_mc queries are shuffle-free narrow codec plans") {
-    Seq("mm_resize_stats", "mm_mc_video_decode", "mm_mc_gop_sample").foreach { q =>
+  test("mm_resize_stats, mm_audio_features, mm_mc queries are shuffle-free narrow codec plans") {
+    Seq("mm_resize_stats", "mm_audio_features", "mm_mc_video_decode",
+      "mm_mc_gop_sample").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
       assert(!p.contains("Join"), q)
     }
+  }
+
+  test("mm_image_near_dup: band-bucket join, never a cartesian product") {
+    val p = plan("mm_image_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), "the candidate join must exist")
   }
 }
