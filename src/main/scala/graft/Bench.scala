@@ -82,13 +82,17 @@ object Bench {
     val total = timed.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
-    // sbt forks this main (run / fork := true) and by default captures the
-    // child's stdout into its [info] logger, which is why BENCH_r0*.json had
-    // parsed:null three rounds running — build.sbt now sets
-    // `run / outputStrategy := StdoutOutput` so this line reaches the
-    // driver's scraper unwrapped; bench.json stays as the file channel.
-    println(line)
+    // The driver's scraper keeps only a ~2000-char TAIL of stdout, so the
+    // final line must be short or its head (where the totals live) is cut
+    // off — that, not the sbt [info] wrapping fixed in round 8, is why
+    // BENCH_r0*.json stayed parsed:null through r8 (the full 134-query line
+    // is ~3.6 KB). Stdout therefore carries a totals-only record as the
+    // LAST line; the full per-query map lives in bench.json (the file
+    // channel) and nowhere else on stdout.
+    val shortLine =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
+    println(shortLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

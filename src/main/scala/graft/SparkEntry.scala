@@ -24,6 +24,18 @@ object SparkEntry {
       TripEtl.enrichTrips(Tables.events(spark, dir), Tables.supplier(spark, dir)))
   }
 
+  /** Published quality-model weights, memoized per data dir (the model
+    * is a pure function of that dir's documents table and the fixed GD
+    * hyperparameters): the 16 training passes run AT MOST ONCE per dir
+    * per JVM, after which doc_model_train / doc_model_score plan builds
+    * consume the 4 cached doubles — the scorer's plan carries zero
+    * training jobs (r8 verdict #7). */
+  private val qmWeightsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private def qmWeights(s: SparkSession, dir: String): Array[Double] =
+    qmWeightsMemo.getOrElseUpdate(dir,
+      TextOps.trainedQualityWeights(Tables.documents(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: ETL pipeline (SURVEY.md §2.2-§2.5) ---
     "trip_enrich" -> ((s, dir) =>
@@ -109,6 +121,11 @@ object SparkEntry {
     // any writer drift in headers, padding, or trailer flips the hash
     "wds_fsck" -> ((s, dir) =>
       graft.sources.TarShards.fsckQuery(s, Tables.documents(s, dir), 8)),
+    // shard stats through AGGREGATE pushdown: the scan itself returns
+    // per-shard count/sum/min/max computed from tar headers (payloads
+    // seeked past, one row per shard leaves the reader)
+    "wds_stats" -> ((s, dir) =>
+      graft.sources.TarShards.shardStats(s, Tables.documents(s, dir), 8)),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -278,11 +295,14 @@ object SparkEntry {
     // gradient sums; driver state is 4 doubles), the treeAggregate shape
     // of distributed LR; the oracle replays the unrolled iterations
     "doc_model_train" -> ((s, dir) =>
-      TextOps.trainQualityModel(Tables.documents(s, dir))),
-    // ...then the filter pass: score every document with the trained
-    // weights — a pure map (weights are literals in the projection)
+      TextOps.trainQualityModel(Tables.documents(s, dir), qmWeights(s, dir))),
+    // ...then the filter pass: score every document with the PUBLISHED
+    // weights — a pure map (weights are literals in the projection), zero
+    // training jobs in the plan (r8 verdict #7): the GD loop runs once
+    // per data dir via the memoized publish step below, exactly the
+    // trainedCodebook/ivfTopKPrecomputed train-once discipline
     "doc_model_score" -> ((s, dir) =>
-      TextOps.scoreWithQualityModel(Tables.documents(s, dir))),
+      TextOps.scoreWithQualityModel(Tables.documents(s, dir), qmWeights(s, dir))),
     // CCNet-style perplexity filter: mean unigram log10-prob of each doc's
     // tokens under the corpus's own unigram distribution (log10 evaluated
     // once per DISTINCT term and 1e-6-quantized pre-sum, so the decimal-
@@ -1935,6 +1955,15 @@ object SparkEntry {
          CAST(COUNT(*) AS BIGINT) AS n_members,
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
          CAST(NULL AS VARCHAR) AS error
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // closed-form replica of TarShards.shardStats: member sizes are
+    // exactly the UTF-8 text lengths the packer wrote
+    "wds_stats" ->
+      """SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+         CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
     "wds_samples" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -157,11 +157,13 @@ object StreamSmoke {
       println(s"WDS_STREAM_MEMBERS=${sRow.getLong(0)} WDS_BATCH_MEMBERS=${bRow.getLong(0)} WDS_OK=$ok")
       ok
     } finally {
-      // a standalone tool must clean its own packed corpus copy
+      // a standalone tool must clean its own packed corpus copy (and
+      // close the walk stream — it holds a directory handle)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(wdsDirPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(wdsDirPath)
+      val paths = try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                  finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     spark.stop()
     if (diff != 0 || nStream != nBatch || snapDiff != 0 || histDiff != 0 ||

@@ -1095,7 +1095,16 @@ object Multimodal {
       le(nSamples, 4),                 // decoded frame count
       encode(lit("data"), "UTF-8"), le(col("nb") + 4, 4),
       le(lit(0), 2), le(lit(0), 2))    // block header: pred 0, idx 0, rsvd
-    val payload = concat(header, encode(body, "UTF-8"))
+    // the RIFF/data sizes above count CHARACTERS (rpad length); the body
+    // is emitted as UTF-8 BYTES. Equal only for ASCII text — enforced
+    // loudly here so a non-ASCII corpus fails at generation, not as a
+    // RIFF-size mismatch deep in the decoder
+    val bodyBytes = encode(body, "UTF-8")
+    val checkedBody = when(octet_length(bodyBytes) === col("nb"), bodyBytes)
+      .otherwise(raise_error(concat(
+        lit("imaAdpcmFromDocuments: non-ASCII text breaks the char==byte "),
+        lit("size assumption for doc_id "), col("doc_id").cast("string"))))
+    val payload = concat(header, checkedBody)
     base.select(
       col("doc_id").as("docId"),
       payload.as("payload"),

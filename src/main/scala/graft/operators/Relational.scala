@@ -912,10 +912,20 @@ object Relational {
     * whose total line quantity exceeds `minQty`) is computed by ONE hash
     * aggregation over lineitem's two relevant columns, and — being
     * HAVING-filtered to a tiny fraction of orders — rides a BROADCAST
-    * semi join back onto orders; customer is a broadcast dim. At 100 TB
+    * semi join back onto orders; customer joins WITHOUT a hint. At 100 TB
     * the aggregate shuffles only (orderkey, partial-sum) pairs with
     * map-side combine, and nothing re-scans lineitem twice: the sum is
-    * carried out of the derived table instead of recomputed. */
+    * carried out of the derived table instead of recomputed.
+    *
+    * Broadcast discipline (round-8 verdict #3): `bigOrders` keeps an
+    * explicit hint because its size is a SELECTIVITY property (the
+    * HAVING cut admits a handful of orders at any SF) that planning-time
+    * file stats cannot see. `customer` grows linearly with SF, so it
+    * gets NO hint — Spark's stats gate (sizeInBytes vs
+    * autoBroadcastJoinThreshold, re-checked at runtime by AQE) picks
+    * BHJ while it fits and degrades to a shuffle join when it doesn't,
+    * instead of an executor OOM. PlanRegressionSpec pins that the
+    * unhinted side still broadcasts at test SF. */
   def largeOrders(customer: DataFrame, orders: DataFrame,
                   lineitem: DataFrame, minQty: Double): DataFrame = {
     val bigOrders = lineitem
@@ -924,7 +934,7 @@ object Relational {
       .filter(col("sum_qty") > minQty)
     orders
       .join(broadcast(bigOrders), orders("o_orderkey") === bigOrders("l_orderkey"))
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), roundFixed(col("o_totalprice"), 2).as("total_price"),
         col("sum_qty"))
@@ -948,9 +958,11 @@ object Relational {
       .agg(sumRounded(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
         .as("total_revenue"))
     val maxRevenue = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    // maxRevenue is provably one row -> hint stays; supplier grows with
+    // SF -> no hint, stats-gated by Spark/AQE (round-8 verdict #3)
     revenue
       .join(broadcast(maxRevenue), col("total_revenue") === col("max_revenue"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
@@ -983,7 +995,7 @@ object Relational {
     val soleBlame = withAlt.join(lateOthers,
       col("o1") === col("o3") && col("s1") =!= col("s3"), "leftanti")
     soleBlame
-      .join(broadcast(supplier), col("s1") === col("s_suppkey"))
+      .join(supplier, col("s1") === col("s_suppkey"))  // SF-growing dim: stats-gated, no hint
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }

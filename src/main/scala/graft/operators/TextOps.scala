@@ -1990,9 +1990,16 @@ object TextOps {
     *
     * Returns one row: corpus size, train accuracy, and the four weights.
     */
-  def trainQualityModel(documents: DataFrame): DataFrame = {
+  def trainQualityModel(documents: DataFrame): DataFrame =
+    trainQualityModel(documents, null)
+
+  /** Variant taking already-published weights (skips the GD loop; the
+    * report then audits the published model against the corpus). Pass
+    * null to train in-line. */
+  def trainQualityModel(documents: DataFrame,
+                        published: Array[Double]): DataFrame = {
     val feats = qmFeatures(documents)
-    val w = qmTrainedWeights(feats)
+    val w = if (published != null) published else qmTrainedWeights(feats)
     val z = qmMargin(w)
     val correct = (qmSig(z) > 0.5) === (col("y") === 1.0)
     feats.agg(
@@ -2005,21 +2012,40 @@ object TextOps {
       roundFixed(max(lit(w(3))), 6).as("w_stop"))
   }
 
-  /** Score every document with the trained model: the filter pass a
+  /** Train-once entry point (the [[graft.operators.Similarity]]
+    * `trainedCodebook` discipline, round-8 verdict #7): runs the GD loop
+    * ONCE and returns the 4 published weights — a metadata-scale
+    * artifact callers cache and feed to the weights-consuming
+    * [[scoreWithQualityModel]] overload, so the scoring query is a pure
+    * map with ZERO training jobs in its plan. At 100 TB this is the
+    * train/serve split every model-based curation pipeline has: the 16
+    * aggregation passes run once at model-publish time, and every
+    * downstream filter pass folds the weights in as literals. */
+  def trainedQualityWeights(documents: DataFrame): Array[Double] =
+    qmTrainedWeights(qmFeatures(documents))
+
+  /** Score every document with PUBLISHED weights: the filter pass a
     * model-based curation pipeline runs after training — a pure map over
-    * the corpus (weights are literals folded into the scan projection).
-    * `score` is the fast-sigmoid probability, `pred` the keep decision,
-    * `label` the planted ground truth. */
-  def scoreWithQualityModel(documents: DataFrame): DataFrame = {
+    * the corpus (weights are literals folded into the scan projection;
+    * no aggregation, no training jobs). `score` is the fast-sigmoid
+    * probability, `pred` the keep decision, `label` the planted ground
+    * truth. */
+  def scoreWithQualityModel(documents: DataFrame,
+                            weights: Array[Double]): DataFrame = {
     val feats = qmFeatures(documents)
-    val w = qmTrainedWeights(feats)
-    val z = qmMargin(w)
+    val z = qmMargin(weights)
     feats.select(
       col("doc_id"),
       roundFixed(qmSig(z), 6).as("score"),
       (qmSig(z) > 0.5).as("pred"),
       col("y").as("label"))
   }
+
+  /** Convenience form that trains in-line (16 eager aggregation jobs at
+    * plan-build time). Prefer [[trainedQualityWeights]] +
+    * the weights overload when the same model scores more than once. */
+  def scoreWithQualityModel(documents: DataFrame): DataFrame =
+    scoreWithQualityModel(documents, trainedQualityWeights(documents))
 
   /** The gradient-descent loop itself: `qmIters` aggregation-only corpus
     * passes; weights never touch an RDD. Gradient of the squared

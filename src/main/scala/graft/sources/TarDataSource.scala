@@ -96,11 +96,15 @@ class TarTable(dir: String) extends Table with SupportsRead {
 class TarScanBuilder(dir: String, conf: SerializableConfiguration,
                      maxShardsPerTrigger: Int = -1)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var requiredSchema: StructType = TarTable.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var pushedAgg: Option[TarPushedAggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -116,13 +120,63 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration,
     * unread tail's IO. Per-PARTITION cap only, hence partially pushed:
     * Spark keeps its global limit on top. */
   override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false // aggregated scans have no row limit
     this.limit = limit
     true
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** AGGREGATE pushdown (round-8 verdict #8): COUNT / SUM/MIN/MAX(size),
+    * optionally grouped by `shard`, computed from tar HEADERS only — a
+    * metadata audit of a petabyte shard corpus reads 512-byte headers
+    * and seeks past every payload, and ships ONE row per shard instead
+    * of one per member. PARTIAL pushdown (supportCompletePushDown stays
+    * false): each partition emits its shard's pre-aggregated row and
+    * Spark's final aggregate merges — the same contract parquet's
+    * footer-stats pushdown uses, so shards split across retries/streams
+    * stay correct by construction. Spark only offers aggregates when no
+    * post-scan Filter remains, so the residual-filter contract above is
+    * untouched. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (limit >= 0) return false
+    def ref(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val groupByShard = aggregation.groupByExpressions() match {
+      case Array() => false
+      case Array(g) if ref(g).contains("shard") => true
+      case _ => return false
+    }
+    val headerCols = Set("shard", "name", "size")
+    val aggs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => "count"
+      case c: Count if !c.isDistinct && ref(c.column).exists(headerCols) =>
+        "count" // header columns are never null: COUNT(col) == COUNT(*)
+      case s: Sum if !s.isDistinct && ref(s.column).contains("size") => "sum"
+      case m: Min if ref(m.column).contains("size") => "min"
+      case m: Max if ref(m.column).contains("size") => "max"
+      case _ => return false
+    }
+    // empty directory: zero partitions would feed the final merge no
+    // partial rows and COUNT must still be 0 — decline and let the plain
+    // row scan (also empty) carry the standard aggregate semantics
+    if (TarScan.listShards(dir, pushed, conf.value).isEmpty) return false
+    pushedAgg = Some(TarPushedAggregation(groupByShard, aggs))
+    true
+  }
+
   override def build(): Scan =
-    new TarScan(dir, requiredSchema, pushed, conf, limit, maxShardsPerTrigger)
+    new TarScan(dir, requiredSchema, pushed, conf, limit, maxShardsPerTrigger,
+      pushedAgg)
+}
+
+/** The accepted pushed-aggregate shape: `aggs` entries are "count",
+  * "sum", "min", "max" (over `size`), in the query's aggregate order. */
+case class TarPushedAggregation(groupByShard: Boolean, aggs: Seq[String]) {
+  def describe: String =
+    (if (groupByShard) Seq("group=shard") else Nil) ++ aggs mkString ","
 }
 
 /** The serializable member-filter subset: shard-level predicates prune
@@ -157,9 +211,25 @@ case class TarShardFile(path: String, shard: String, len: Long)
 
 class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
               conf: SerializableConfiguration, limit: Int = -1,
-              maxShardsPerTrigger: Int = -1)
+              maxShardsPerTrigger: Int = -1,
+              val pushedAgg: Option[TarPushedAggregation] = None)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = requiredSchema
+  /** With a pushed aggregation the scan's row shape IS the aggregate:
+    * group columns first, then one column per aggregate in query order —
+    * the positional contract V2ScanRelationPushDown wires the final
+    * merge agg onto. */
+  override def readSchema(): StructType = pushedAgg match {
+    case Some(a) =>
+      val g = if (a.groupByShard)
+        Seq(StructField("shard", StringType, nullable = false)) else Nil
+      val as = a.aggs.zipWithIndex.map {
+        case ("count", i) => StructField(s"count_$i", LongType, nullable = false)
+        // SQL aggregates over zero rows are NULL (an all-filtered shard)
+        case (fn, i) => StructField(s"${fn}_size_$i", LongType, nullable = true)
+      }
+      StructType(g ++ as)
+    case None => requiredSchema
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream =
@@ -167,7 +237,8 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
       maxShardsPerTrigger)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
-      s"pushed=[${filters.mkString(",")}], limit=$limit"
+      s"pushed=[${filters.mkString(",")}], limit=$limit" +
+      pushedAgg.map(a => s", pushedAggregation=[${a.describe}]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     TarScan.listShards(dir, filters, conf.value)
@@ -188,8 +259,10 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(requiredSchema, filters, conf, limit)
+  override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
+    case Some(a) => new TarAggReaderFactory(a, filters, conf)
+    case None => new TarReaderFactory(requiredSchema, filters, conf, limit)
+  }
 }
 
 object TarScan {
@@ -206,7 +279,35 @@ object TarScan {
     shards
       .map(s => TarShardFile(s.getPath.toString, s.getPath.getName, s.getLen))
       .filter(s => TarFilters.accepts(filters.toSeq, "shard", s.shard))
-      .sortBy(_.shard)
+      // numeric-aware order: writeShards pads to %05d, so a plain lexical
+      // sort diverges from numeric order beyond 99999 shards, perturbing
+      // deterministic partition order and maxShardsPerTrigger admission
+      // order. Expanding every digit run to a fixed width makes lexical
+      // comparison == numeric comparison at any shard count.
+      .sortBy(s => numericSortKey(s.shard))
+  }
+
+  /** Sort key under which lexical order equals numeric order for names
+    * with embedded decimal numbers of any width: every digit run is
+    * left-padded to 20 chars (> Long.MaxValue's 19 digits). */
+  private[graft] def numericSortKey(name: String): String = {
+    val sb = new StringBuilder(name.length + 16)
+    var i = 0
+    while (i < name.length) {
+      if (name.charAt(i).isDigit) {
+        val start = i
+        while (i < name.length && name.charAt(i).isDigit) i += 1
+        val run = name.substring(start, i)
+        val trimmed = run.dropWhile(_ == '0')
+        var pad = 20 - trimmed.length
+        while (pad > 0) { sb.append('0'); pad -= 1 }
+        sb.append(if (trimmed.isEmpty) "" else trimmed)
+        // keep the original leading-zero count as a tiebreak so distinct
+        // names ("s-07.tar" vs "s-7.tar") never collapse to one key
+        sb.append('|').append(run.length - trimmed.length)
+      } else { sb.append(name.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }
 
@@ -261,10 +362,8 @@ class TarMicroBatchStream(dir: String, requiredSchema: StructType,
   override def latestOffset(): streaming.Offset =
     offsetOf(TarScan.listShards(dir, filters, conf.value).map(_.shard).toSeq)
 
-  override def deserializeOffset(json: String): streaming.Offset = {
-    val arr = new ObjectMapper().readValue(json, classOf[Array[String]])
-    offsetOf(arr.toSeq)
-  }
+  override def deserializeOffset(json: String): streaming.Offset =
+    TarShardSetOffset(TarOffsetCodec.decode(json))
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] = {
@@ -285,9 +384,90 @@ class TarMicroBatchStream(dir: String, requiredSchema: StructType,
 
 case class TarShardSetOffset(shards: scala.collection.immutable.SortedSet[String])
     extends streaming.Offset {
-  override def json(): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    mapper.writeValueAsString(shards.toArray)
+  override def json(): String = TarOffsetCodec.encode(shards)
+}
+
+/** Compact serialization for the seen-shard-set offset (round-8 verdict
+  * #6): the plain sorted-array form rewrites the ENTIRE set every
+  * micro-batch, so at 100 k+ shards each offset-log entry is megabytes —
+  * the FileStreamSource compaction problem. Sequentially-numbered shard
+  * names (what [[TarShards.writeShards]] emits, and what in-name-order
+  * admission produces) collapse losslessly to ranges: the steady-state
+  * offset is ONE `[first, last]` pair — O(gaps), not O(shards) — while
+  * arbitrary external names degrade gracefully to literals.
+  *
+  * Wire format: a JSON array whose elements are either a literal shard
+  * name (string) or a 2-element array `[start, end]` denoting every name
+  * sharing start/end's prefix, suffix, and digit width, with numeric
+  * value in [start..end]. Encoding is EXACT set semantics — decode
+  * expands to precisely the encoded set, so a late-arriving shard whose
+  * name falls inside no run is still detected as new (no high-watermark
+  * false-seen). The legacy all-strings form decodes unchanged, so
+  * existing checkpoints replay. */
+object TarOffsetCodec {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  private val NumName = "^(.*?)(\\d+)([^\\d]*)$".r
+
+  /** (prefix, numeric value, digit width, suffix) when the name embeds a
+    * trailing-most number narrow enough for exact Long math. */
+  private def parse(name: String): Option[(String, Long, Int, String)] =
+    name match {
+      case NumName(p, d, s) if d.length <= 18 => Some((p, d.toLong, d.length, s))
+      case _ => None
+    }
+
+  def encode(shards: scala.collection.immutable.SortedSet[String]): String = {
+    val out = new java.util.ArrayList[AnyRef]()
+    var runStart: String = null
+    var runEnd: String = null
+    var runKey: (String, Long, Int, String) = null
+    def flush(): Unit = if (runStart != null) {
+      if (runStart == runEnd) out.add(runStart)
+      else out.add(java.util.List.of(runStart, runEnd))
+      runStart = null; runEnd = null; runKey = null
+    }
+    // SortedSet is lexical; within one (prefix, width, suffix) family
+    // lexical order IS numeric order, so runs are contiguous in iteration
+    shards.foreach { name =>
+      parse(name) match {
+        case Some(k @ (p, n, w, s)) =>
+          runKey match {
+            case (rp, rn, rw, rs) if rp == p && rw == w && rs == s && n == rn + 1 =>
+              runEnd = name; runKey = k
+            case _ => flush(); runStart = name; runEnd = name; runKey = k
+          }
+        case None => flush(); out.add(name)
+      }
+    }
+    flush()
+    new ObjectMapper().writeValueAsString(out)
+  }
+
+  def decode(json: String): scala.collection.immutable.SortedSet[String] = {
+    val tree = new ObjectMapper().readTree(json)
+    require(tree.isArray, s"tar offset must be a JSON array, got: $json")
+    val b = scala.collection.immutable.SortedSet.newBuilder[String]
+    tree.forEach { el =>
+      if (el.isTextual) b += el.asText()
+      else {
+        require(el.isArray && el.size == 2,
+          s"tar offset range must be [start, end], got: $el")
+        val (start, end) = (el.get(0).asText(), el.get(1).asText())
+        (parse(start), parse(end)) match {
+          case (Some((p, n0, w, s)), Some((p2, n1, w2, s2)))
+              if p == p2 && w == w2 && s == s2 && n0 <= n1 =>
+            var n = n0
+            while (n <= n1) {
+              val digits = n.toString
+              b += p + ("0" * (w - digits.length)) + digits + s
+              n += 1
+            }
+          case _ => throw new IllegalArgumentException(
+            s"malformed tar offset range [$start, $end]")
+        }
+      }
+    }
+    b.result()
   }
 }
 
@@ -297,6 +477,54 @@ class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TarPartitionReader(partition.asInstanceOf[TarInputPartition],
       requiredSchema, filters, conf, limit)
+}
+
+/** Aggregated read: walk the shard's 512-byte headers (payloads seeked
+  * past, never materialized), fold the pushed aggregates, emit ONE row.
+  * Member-name filters still apply (none in practice — Spark only pushes
+  * aggregates below a filter-free scan — but the contract stays exact). */
+class TarAggReaderFactory(agg: TarPushedAggregation, filters: Array[Filter],
+                          conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = partition.asInstanceOf[TarInputPartition]
+      private var done = false
+      private var row: InternalRow = null
+
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val p = new Path(part.path)
+        val in = p.getFileSystem(conf.value).open(p)
+        var n = 0L; var sum = 0L
+        var min = Long.MaxValue; var max = Long.MinValue
+        try {
+          val filterSeq = filters.toSeq
+          TarIO.read(in, readBytes = false).foreach { m =>
+            if (TarFilters.accepts(filterSeq, "name", m.name)) {
+              n += 1; sum += m.size
+              if (m.size < min) min = m.size
+              if (m.size > max) max = m.size
+            }
+          }
+        } finally in.close()
+        val g: Seq[Any] =
+          if (agg.groupByShard) Seq(UTF8String.fromString(part.shard)) else Nil
+        val as: Seq[Any] = agg.aggs.map {
+          case "count" => n
+          case _ if n == 0 => null // SUM/MIN/MAX over zero rows is NULL
+          case "sum" => sum
+          case "min" => min
+          case "max" => max
+        }
+        row = InternalRow.fromSeq(g ++ as)
+        true
+      }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,

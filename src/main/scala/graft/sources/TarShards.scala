@@ -59,6 +59,17 @@ object TarShards {
               s"rename $tmpPath -> $finalPath failed with no winner")
             pfs.delete(tmpPath, false)
           }
+          // reap orphaned temp files from DEAD attempts of this shard: a
+          // task that died mid-write leaves shard-XXXXX.tar.inprogress-
+          // <attempt> behind forever (the retry writes under a NEW
+          // attempt id), so the attempt that publishes is the janitor.
+          // Readers ignore non-.tar names, so this is dir hygiene, not
+          // correctness; deleting under a still-live speculative twin is
+          // safe — its rename loses and lands in the branch above.
+          val orphans = pfs.globStatus(
+            new Path(outDir, finalPath.getName + ".inprogress-*"))
+          if (orphans != null)
+            orphans.foreach(o => pfs.delete(o.getPath, false))
         }
         rows.foreach { r =>
           val sid = r.getInt(0)
@@ -92,8 +103,17 @@ object TarShards {
     * shuffle only carries one slim row per sample. */
   def samples(members: DataFrame, exts: Seq[String]): DataFrame = {
     require(exts.nonEmpty, "sample grouping needs at least one extension")
-    val key = regexp_extract(col("name"), "^([^.]*)\\.", 1)
-    val ext = regexp_extract(col("name"), "^[^.]*\\.(.*)$", 1)
+    // fail-loudly contract: a member name with no '.' has no sample key
+    // (regexp_extract would return "" and silently merge all such
+    // members into one bogus sample, dropping their content) — raise
+    // instead, at row level, so external tars violating the WebDataset
+    // naming convention surface as an error, not corrupt samples
+    val checkedName = when(col("name").contains("."), col("name"))
+      .otherwise(raise_error(concat(
+        lit("TarShards.samples: member name without '.' carries no sample key: "),
+        col("name"))))
+    val key = regexp_extract(checkedName, "^([^.]*)\\.", 1)
+    val ext = regexp_extract(checkedName, "^[^.]*\\.(.*)$", 1)
     val aggs = exts.map(e => max(when(col("ext") === e, col("content"))).as(e))
     members
       .select(key.as("key"), ext.as("ext"), col("content"))
@@ -215,6 +235,34 @@ object TarShards {
         encode(col("text"), "UTF-8").as("content"))
     writeShards(packed, dir, nShards)
     fsck(spark, dir)
+  }
+
+  /** Shard-stats audit through the connector's AGGREGATE pushdown: pack
+    * the corpus, then compute per-shard member count and size stats with
+    * a plan whose scan IS the aggregate — readers walk 512-byte headers
+    * and seek past every payload, shipping one pre-aggregated row per
+    * shard (TarScanBuilder.pushAggregation). The closed-form DuckDB
+    * oracle recomputes all four stats from `documents`, so a header
+    * size-field corruption, a dropped member, or an aggregation-pushdown
+    * bug all flip the hash. This is the 100 TB fleet-audit query shape:
+    * touch metadata, never payload, output rows = shard count. */
+  def shardStats(spark: SparkSession, documents: DataFrame,
+                 nShards: Int): DataFrame = {
+    val dir = shardDir(documents) + "_stats"
+    val packed = documents
+      .filter(col("text").isNotNull)
+      .select(
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+    writeShards(packed, dir, nShards)
+    spark.read.format("graft-tar").load(dir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("size")).as("total_bytes"),
+        min(col("size")).as("min_bytes"),
+        max(col("size")).as("max_bytes"))
   }
 
   /** Scratch dir keyed by the input's first file path, so concurrent runs

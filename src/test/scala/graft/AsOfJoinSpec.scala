@@ -280,6 +280,75 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"dimension join above as-of did not broadcast:\n$plan")
   }
 
+  test("salted backward as-of: row-identical to plain; the hot key's merge work spreads over salts tasks") {
+    // skewed fixture: 90% of left rows carry ONE key — the shape where
+    // the merge exec's ClusteredDistribution pins 90% of the work on one
+    // task and AQE can't help (its skew splitter only knows Spark's own
+    // SortMergeJoinExec, never a custom node)
+    val hot = (1 to 18000).map(i => (i.toLong, 1L, (i % 997).toLong))
+    val cold = (2 to 100).flatMap(k =>
+      (1 to 20).map(i => ((k * 100000 + i).toLong, k.toLong, (i * 7 % 997).toLong)))
+    val left = (hot ++ cold).toDF("event_id", "user_id", "t")
+    val right = (1 to 100).flatMap(k =>
+      (0 until 10).map(j => (k.toLong, (j * 100).toLong, s"v$k-$j")))
+      .toDF("r_user", "rt", "payload")
+
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedCoalesce = conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    val savedParts = conf.getOption("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force merge exec
+      // AQE's size-based coalescing folds this KB-scale fixture into one
+      // partition either way, masking the layout under test; at real
+      // scale a hot partition is never coalesce-merged, so measure the
+      // raw hash layout
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // ...and measure at a cluster-like partition count: the suite's
+      // tiny default (4) makes 8 salt buckets collide in the same hash
+      // partition by pigeonhole, which is a property of the toy layout,
+      // not of salting
+      conf.set("spark.sql.shuffle.partitions", "64")
+      val plain = AsOf.backward(left, right, "user_id", "r_user", "t", "rt")
+      val salted = AsOf.backwardSalted(left, right, "user_id", "r_user",
+        "t", "rt", salts = 8)
+      // correctness: bit-identical rows and identical schema
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(rows(salted) == rows(plain))
+      // both took the shuffle-merge path (the thing being mitigated)
+      assert(salted.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      // skew: max merge-task share of output rows. spark_partition_id()
+      // is evaluated on the as-of output partitioning (= the merge
+      // task layout) before the histogram's own shuffle.
+      def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+        val counts = df.groupBy(spark_partition_id().as("p")).count()
+          .collect().map(_.getLong(1))
+        counts.max.toDouble / counts.sum
+      }
+      val plainShare = maxShare(plain)
+      val saltedShare = maxShare(salted)
+      assert(plainShare > 0.85,
+        s"fixture must be hot enough to demonstrate: $plainShare")
+      assert(saltedShare < 0.35,
+        s"salting must split the hot task: $saltedShare (plain $plainShare)")
+    } finally {
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      savedCoalesce match {
+        case Some(v) => conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+        case None => conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      }
+      savedParts match {
+        case Some(v) => conf.set("spark.sql.shuffle.partitions", v)
+        case None => conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
+  }
+
   test("composite keys: the match requires ALL key columns to agree") {
     val left = Seq(
       (1L, 10L, "A", ts("2024-01-01 10:00:00")), // (10, A) -> rA

@@ -217,6 +217,9 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("large_orders: the HAVING-filtered order set and customer both broadcast") {
+    // customer carries NO broadcast() hint (r8 verdict #3: it grows with
+    // SF, so a forced hint is an OOM at 100x) — the BHJ here is Spark's
+    // own stats gate choosing it, which is the property under test
     val p = plan("large_orders")
     assert(count(p, "BroadcastHashJoin") == 2, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
@@ -225,6 +228,8 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("top_revenue_suppliers: date filter reaches the scan; max folds back as a broadcast") {
+    // supplier is unhinted (stats-gated, r8 verdict #3); the 1-row max
+    // keeps its hint — 2 BHJs means the gate still picks broadcast here
     val p = plan("top_revenue_suppliers")
     assert(count(p, "BroadcastHashJoin") == 2, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
@@ -259,6 +264,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // sample reassembly: one key agg; still join-free
     val p = plan("wds_samples")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // shard stats: the aggregation is PUSHED INTO the scan — readers
+    // emit pre-aggregated header stats, payloads are never read
+    val ps = plan("wds_stats")
+    assert(ps.contains("pushedAggregation=[group=shard,count,sum,min,max]"), ps)
+    assert(!ps.contains("Join"), ps)
   }
 
   test("mm_resize_stats, mm_audio_features, mm_mc queries are shuffle-free narrow codec plans") {

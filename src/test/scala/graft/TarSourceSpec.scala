@@ -218,16 +218,60 @@ class TarSourceSpec extends AnyFunSuite {
       .map(_.toString).mkString.contains("limit=-1"))
   }
 
-  test("streaming: offsets serialize as a sorted JSON shard array and round-trip") {
+  test("streaming: offsets serialize compactly and round-trip; legacy arrays still decode") {
     import graft.sources.{TarMicroBatchStream, TarShardSetOffset}
     val s = new TarMicroBatchStream("/nonexistent", null, Array.empty,
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
+    // non-numbered names stay literal strings (the legacy wire shape)
     val o = TarShardSetOffset(scala.collection.immutable.SortedSet("b.tar", "a.tar"))
     assert(o.json() == """["a.tar","b.tar"]""")
     assert(s.deserializeOffset(o.json()) == o)
+    // legacy checkpoint entries (plain sorted array) decode unchanged
+    assert(s.deserializeOffset("""["shard-00000.tar","shard-00001.tar"]""") ==
+      TarShardSetOffset(scala.collection.immutable.SortedSet(
+        "shard-00000.tar", "shard-00001.tar")))
     assert(s.initialOffset() == TarShardSetOffset(
       scala.collection.immutable.SortedSet.empty[String]))
+  }
+
+  test("streaming: the seen-set offset is O(gaps), not O(shards), and decode is exact") {
+    import graft.sources.{TarOffsetCodec, TarShardSetOffset}
+    def name(i: Int) = f"shard-$i%05d.tar"
+    // steady state (what writeShards + in-order admission produce): a
+    // 10k-shard contiguous run serializes as ONE [first, last] range —
+    // this is the r8-verdict #6 bound: the offset log stops rewriting
+    // megabytes per micro-batch at 100k+ shards
+    val contiguous = scala.collection.immutable.SortedSet.from(
+      (0 until 10000).map(name))
+    val j = TarOffsetCodec.encode(contiguous)
+    assert(j == """[["shard-00000.tar","shard-09999.tar"]]""", j)
+    assert(j.length < 50, s"offset must be O(1) for a contiguous run: $j")
+    assert(TarOffsetCodec.decode(j) == contiguous)
+    // gaps split runs; the decode expands to EXACTLY the encoded set, so
+    // a late shard landing in a gap is still (target -- seen)-new
+    val gappy = contiguous - name(5000) - name(7777)
+    val jg = TarOffsetCodec.encode(gappy)
+    assert(TarOffsetCodec.decode(jg) == gappy)
+    assert(!TarOffsetCodec.decode(jg).contains(name(5000)))
+    assert(jg.length < 150, s"3 runs expected: $jg")
+    // mixed families and widths never merge across prefix/width/suffix
+    val mixed = scala.collection.immutable.SortedSet(
+      "a-001.tar", "a-002.tar", "a-0003.tar", "b-003.tar", "plain.tar")
+    assert(TarOffsetCodec.decode(TarOffsetCodec.encode(mixed)) == mixed)
+    // singleton runs collapse back to a literal, not a degenerate range
+    val single = scala.collection.immutable.SortedSet("shard-00042.tar")
+    assert(TarOffsetCodec.encode(single) == """["shard-00042.tar"]""")
+  }
+
+  test("listShards: numeric-aware ordering holds past the %05d pad width") {
+    import graft.sources.TarScan
+    val names = Seq("shard-100000.tar", "shard-99999.tar", "shard-00002.tar")
+    val sorted = names.sortBy(TarScan.numericSortKey)
+    assert(sorted == Seq("shard-00002.tar", "shard-99999.tar", "shard-100000.tar"),
+      sorted)
+    // distinct names with different zero-padding stay distinct keys
+    assert(TarScan.numericSortKey("s-07.tar") != TarScan.numericSortKey("s-7.tar"))
   }
 
   test("sample grouping: members pair by key, dotted extensions stay whole, absent members are null") {
@@ -369,6 +413,67 @@ class TarSourceSpec extends AnyFunSuite {
     assert(!swept("shard-00002.tar").getBoolean(2))
     assert(swept("shard-00002.tar").getString(5).contains("checksum"))
     assert(swept.filterKeys(_ != "shard-00002.tar").values.forall(_.getBoolean(2)))
+  }
+
+  test("aggregate pushdown: COUNT/SUM/MIN/MAX(size) fold at the scan from headers only") {
+    val tmp = writeCorpusShards(4)
+    val tar = spark.read.format("graft-tar").load(tmp)
+    // ground truth through the plain row scan
+    val want = tar.groupBy(col("shard")).agg(
+      count(lit(1)).as("n"), sum(col("size")).as("b"),
+      min(col("size")).as("lo"), max(col("size")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    def scanDescr(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+
+    // grouped form: the scan's description carries the pushed aggregation
+    // and its output is the aggregate shape, not member rows
+    val grouped = tar.groupBy(col("shard")).agg(
+      count(lit(1)).as("n"), sum(col("size")).as("b"),
+      min(col("size")).as("lo"), max(col("size")).as("hi"))
+    val got = grouped.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    val d = scanDescr(grouped)
+    assert(d.contains("pushedAggregation=[group=shard,count,sum,min,max]"), d)
+
+    // global form (no grouping): one partial row per shard, final merge
+    val global = tar.agg(count(lit(1)).as("n"), sum(col("size")).as("b"))
+    val g = global.head()
+    assert(g.getLong(0) == want.values.map(_._1).sum)
+    assert(g.getLong(1) == want.values.map(_._2).sum)
+    assert(scanDescr(global).contains("pushedAggregation=[count,sum]"),
+      scanDescr(global))
+
+    // count(name) == count(*) (header columns are never null) also pushes
+    assert(tar.agg(count(col("name"))).head().getLong(0) ==
+      want.values.map(_._1).sum)
+
+    // avg(size) rides the same path: Spark rewrites it to pushed
+    // sum+count partials and divides in the final agg
+    val avg = tar.agg(org.apache.spark.sql.functions.avg(col("size")))
+    assert(scanDescr(avg).contains("pushedAggregation=[sum,count]"),
+      scanDescr(avg))
+    val total = want.values.map(_._1).sum
+    assert(avg.head().getDouble(0) ==
+      want.values.map(_._2).sum.toDouble / total)
+
+    // non-pushable shapes still answer through the row scan: DISTINCT
+    // aggregates, and anything under a residual filter
+    val distinct = tar.agg(countDistinct(col("name")))
+    assert(!scanDescr(distinct).contains("pushedAggregation"),
+      scanDescr(distinct))
+    assert(distinct.head().getLong(0) == total) // names are unique here
+    val filtered = tar.filter(col("name").endsWith(".txt"))
+      .agg(count(lit(1))).head().getLong(0)
+    assert(filtered == total)
+
+    // empty directory: pushdown declines, count is still 0 (not null)
+    val emptyDir = Files.createTempDirectory("graft_tar_agg_empty").toString
+    assert(spark.read.format("graft-tar").load(emptyDir)
+      .agg(count(lit(1))).head().getLong(0) == 0L)
   }
 
   private def writeCorpusShards(n: Int): String = {

@@ -787,6 +787,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(recomputed - acc) < 1e-6)
   }
 
+  test("trained quality model: published weights reproduce the inline scorer with a training-free pure-map plan") {
+    // the train/serve split (r8 verdict #7): publish once...
+    val w = TextOps.trainedQualityWeights(docs)
+    val published = TextOps.scoreWithQualityModel(docs, w)
+    // ...and the serving plan is a pure map: no Exchange, no aggregate —
+    // nothing for the 16 GD passes to hide in
+    val plan = published.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // bit-identical to the convenience (train-inline) form
+    val inline = TextOps.scoreWithQualityModel(docs)
+    assert(published.collect().toSeq.sortBy(_.getLong(0)) ==
+      inline.collect().toSeq.sortBy(_.getLong(0)))
+    // audit form: feeding the published weights back into the trainer
+    // report skips GD and reproduces the trained summary row exactly
+    assert(TextOps.trainQualityModel(docs, w).collect().head ==
+      TextOps.trainQualityModel(docs).collect().head)
+  }
+
   test("trained quality model: empty corpus degrades to the zero model") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
