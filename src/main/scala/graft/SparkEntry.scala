@@ -465,6 +465,22 @@ object SparkEntry {
     "emb_lsh_pairs" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.85,
         knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
+    // HNSW-style layered neighbor graph, built distributed: hash-assigned
+    // geometric levels, per-layer LSH-bucket candidates (bucket width
+    // coarsens 4x per layer by integer shift), top-m by cosine per
+    // (level, src). Fully deterministic -> the oracle replays the WHOLE
+    // graph closed-form, like emb_kmeans
+    "emb_hnsw_build" -> ((s, dir) =>
+      Similarity.hnswBuild(Tables.embeddings(s, dir),
+        knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
+    // ...and the serving search over that graph: greedy upper-layer
+    // descent + ef-beam on layer 0, index broadcast, queries distributed.
+    // The iterative walk is not SQL-expressible -> no oracle (driver
+    // rows-only check); determinism and recall vs the exact baseline are
+    // pinned in SimilaritySpec
+    "emb_hnsw_search" -> ((s, dir) =>
+      Similarity.hnswSearchTopK(Tables.embeddings(s, dir),
+        knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
     // the NON-VACUOUS twin (round-4 verdict #3): the corpus max cosine
     // (~0.51) keeps emb_lsh_pairs' oracled output at 0 rows, so that
     // hash-match never exercises buckets/cap/verify on real pairs. This
@@ -1334,6 +1350,82 @@ object SparkEntry {
            CAST(bit_count(xor(hq.code_q, c.code)) AS BIGINT) AS hamming
          FROM hq JOIN codes c ON c.vec_id <> hq.query_id)"""
 
+  /** DuckDB replica of [[graft.operators.Similarity.hnswBuild]]: the same
+    * sha-hash geometric levels, the same plane literals and sign-bit
+    * bucketing as [[lshOracle]], per-layer bucket coarsening as an
+    * integer right-shift, capped buckets, candidate equi-join, and the
+    * (cosine DESC, dst ASC) top-m window — the entire layered graph
+    * recomputed closed-form. */
+  private def hnswOracle(m: Int, numTables: Int, maxLevel: Int, dim: Int,
+                         bucketCap: Int,
+                         source: String = "embeddings"): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val maxBits = 16
+    val planeRows = graft.operators.Similarity.planes(numTables * maxBits, dim)
+      .zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(d => java.lang.Double.toString(d)).mkString(",")}]::DOUBLE[])"
+      }.mkString(", ")
+    val levelCase = (maxLevel to 1 by -1)
+      .map(l => s"WHEN h % ${1L << (2 * l)} = 0 THEN $l").mkString(" ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM $source),
+        bb AS (
+          SELECT least(16, greatest(4, coalesce(min(g.b), 16))) AS bits
+          FROM generate_series(0, 16) AS g(b), nn
+          WHERE (CAST(16 AS BIGINT) << g.b) >= nn.n),
+        pl AS (SELECT * FROM (VALUES $planeRows) AS t(idx, p)),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS nrm
+          FROM $source),
+        lv AS (
+          SELECT vec_id, CASE $levelCase ELSE 0 END AS lvl
+          FROM (SELECT vec_id,
+            ${shaFoldSql("concat('hnsw:', CAST(vec_id AS VARCHAR))")} AS h
+            FROM $source)),
+        bk AS (
+          SELECT e.vec_id, pl.idx // bb.bits AS t,
+            SUM(CASE WHEN ${dot("e.v", "pl.p")} >= 0
+              THEN (CAST(1 AS BIGINT) << (bb.bits - 1 - (pl.idx % bb.bits)))
+              ELSE 0 END) AS b
+          FROM e, bb, pl
+          WHERE pl.idx < $numTables * bb.bits
+          GROUP BY 1, 2),
+        lb AS (
+          SELECT bk.vec_id, gs.level, bk.t,
+            CAST(bk.b AS BIGINT) >> least(2 * gs.level, bb.bits - 4) AS bl
+          FROM bk JOIN lv USING (vec_id), bb,
+            generate_series(0, $maxLevel) AS gs(level)
+          WHERE gs.level <= lv.lvl),
+        capped AS (
+          SELECT vec_id, level, t, bl FROM (
+            SELECT vec_id, level, t, bl,
+              row_number() OVER (PARTITION BY level, t, bl
+                ORDER BY vec_id) AS rnk
+            FROM lb) WHERE rnk <= $bucketCap),
+        cand AS (
+          SELECT DISTINCT x.level AS level, x.vec_id AS src, y.vec_id AS dst
+          FROM capped x JOIN capped y
+            ON x.level = y.level AND x.t = y.t AND x.bl = y.bl
+            AND x.vec_id <> y.vec_id),
+        scored AS (
+          SELECT c.level, c.src, c.dst,
+            ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS c0
+          FROM cand c
+          JOIN e a ON a.vec_id = c.src
+          JOIN e b ON b.vec_id = c.dst),
+        ranked AS (
+          SELECT level, src, dst, c0,
+            row_number() OVER (PARTITION BY level, src
+              ORDER BY c0 DESC, dst ASC) AS rank
+          FROM scored)
+        SELECT CAST(level AS INTEGER) AS level, src, dst,
+          floor(c0 * 1e4 + 0.5) / 1e4 AS cosine, rank
+        FROM ranked WHERE rank <= $m"""
+  }
+
   private def lshOracle(threshold: Double, numTables: Int, dim: Int,
                         bucketCap: Int,
                         source: String = "embeddings"): String = {
@@ -1601,6 +1693,8 @@ object SparkEntry {
       recallOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
     "emb_mrl_recall" ->
       mrlOracle(numQueries = 10, k = 5, dims = Seq(8, 16, 32)),
+    "emb_hnsw_build" -> hnswOracle(m = 8, numTables = 16, maxLevel = 3,
+      dim = 64, bucketCap = 128),
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,
       bucketCap = 256),
     // same full-pipeline replica over the sign-flip-planted union (the

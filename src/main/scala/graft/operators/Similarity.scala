@@ -1058,4 +1058,204 @@ object Similarity {
         coalesce(col("rank_hamming"), lit(0)).cast("long").as("rank_hamming"),
         roundFixed(col("rrf"), 6).as("rrf_score"), col("rank"))
   }
+
+  // ----------------------------------------- layered neighbor graph (HNSW)
+
+  /** Node level for the layered graph: geometric decay by powers of 4 —
+    * P(level ≥ l) = 4^-l — from the engine-portable sha-based hash, so
+    * the DuckDB oracle reproduces every assignment exactly. Capped at
+    * `maxLevel`. */
+  private def hnswLevel(maxLevel: Int): Column = {
+    val h = graft.operators.TextOps.portableHash64(
+      concat(lit("hnsw:"), col("vec_id").cast("string")))
+    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(h % (1L << (2 * l)) === 0L, l).otherwise(acc)
+    }
+  }
+
+  /** HNSW-STYLE layered neighbor graph, built DISTRIBUTED — the serving
+    * index class (graph-traversal ANN) the flat/IVF/PQ/binary family
+    * lacked. Departures from textbook HNSW are deliberate, and both are
+    * what make a distributed, oracle-able build possible:
+    *
+    *  - LEVELS are assigned by a deterministic hash (geometric by powers
+    *    of 4, capped) instead of per-insert RNG — same expected layer
+    *    populations, zero insertion-order dependence.
+    *  - NEIGHBORS per layer are each node's top-`m` by cosine among
+    *    LSH-bucket candidates (the [[lshNearDupPairs]] banding, with the
+    *    bucket width COARSENED by 4× per layer via an integer right-shift
+    *    so expected occupancy stays constant as layer populations shrink
+    *    4× per level) instead of the greedy sequential insertion walk.
+    *    Candidate volume is bucket-bounded (occupancy ~16 × `numTables`
+    *    per node, `bucketCap` worst case) — never all-pairs, so the build
+    *    is one banding pass + one equi-join + one top-m window at any
+    *    corpus size: the NN-descent-free shape distributed graph-index
+    *    builds (DiskANN sharding, SPANN) actually use.
+    *
+    * The build is fully deterministic (hash levels, fixed planes, the
+    * specified dot-fold, id tie-breaks), so the DuckDB oracle replays it
+    * closed-form and the driver hash proves the whole graph, not a
+    * sample. Output: one edge row per (level, src) → dst, rank ≤ m.
+    */
+  def hnswBuild(embeddings: DataFrame, m: Int = 8, numTables: Int = 16,
+                maxLevel: Int = 3, dim: Int = 64, bucketCap: Int = 128,
+                knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0L) knownCount else embeddings.count()
+    val bits = autoBits(n)
+    val all = planes(numTables * bits, dim)
+    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+    // one banding pass; a node of level L participates in layers 0..L,
+    // with the layer-l bucket = the table bucket's top (bits − 2l) sign
+    // bits (integer shift — exact on both engines)
+    val lb = e
+      .withColumn("lvl", hnswLevel(maxLevel))
+      .select(col("vec_id"), col("lvl"),
+        posexplode(graft.functions.VectorExpressions.lshBuckets(
+          col("v"), all, numTables, bits)).as(Seq("t", "b")))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), col("lvl"))).as("level"), col("t"), col("b"))
+      .withColumn("bl", expr(s"shiftright(b, least(2 * level, ${bits - 4}))"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("level"), col("t"), col("bl"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rnk") <= bucketCap)
+      .select(col("vec_id"), col("level"), col("t"), col("bl"))
+    val cand = lb.as("x")
+      .join(lb.as("y"),
+        col("x.level") === col("y.level") && col("x.t") === col("y.t") &&
+          col("x.bl") === col("y.bl") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.level").as("level"), col("x.vec_id").as("src"),
+        col("y.vec_id").as("dst"))
+      .distinct()
+    val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val w = Window.partitionBy(col("level"), col("src"))
+      .orderBy(col("cosine0").desc, col("dst").asc)
+    cand
+      .join(withNorm.select(col("vec_id").as("src"), col("v").as("v_s"),
+        col("nrm").as("nrm_s")), Seq("src"))
+      .join(withNorm.select(col("vec_id").as("dst"), col("v").as("v_d"),
+        col("nrm").as("nrm_d")), Seq("dst"))
+      .withColumn("cosine0",
+        dot(col("v_s"), col("v_d")) / (col("nrm_s") * col("nrm_d")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("level"), col("src"), col("dst"),
+        roundFixed(col("cosine0"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Search the layered graph: standard HNSW descent — greedy walk from
+    * the top layer's entry point down to layer 1, then a best-first
+    * `ef`-beam sweep on layer 0, top-k of the beam. The index (adjacency
+    * + vectors) is COLLECTED once at plan-build and broadcast — the
+    * collected-codebook discipline stretched to index scale, which is
+    * exactly how a graph index serves: the traversal needs random access
+    * to neighbors, so the index lives in searcher memory and the QUERY
+    * set is what distributes (each task walks the shared graph for its
+    * query slice; no shuffle, no corpus scan). At 100 TB the index no
+    * longer fits one searcher: the deployment is per-shard subgraphs +
+    * top-k merge (the DiskANN/SPANN layout) — [[hnswBuild]] already
+    * builds shard-locally under a `repartition(shards)`, and the merge
+    * is the same WindowGroupLimit every other retriever here ends with.
+    *
+    * Deterministic end to end: the walk moves on the strict
+    * lexicographic order (cosine, then smaller id), so re-runs and both
+    * physical paths produce identical rows (pinned in SimilaritySpec,
+    * recall vs [[bruteForceTopK]] measured there too).
+    */
+  def hnswSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                     m: Int = 8, ef: Int = 64, numTables: Int = 16,
+                     maxLevel: Int = 3, dim: Int = 64,
+                     bucketCap: Int = 128, knownCount: Long = -1L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val edges = hnswBuild(embeddings, m, numTables, maxLevel, dim, bucketCap,
+      knownCount)
+      .select(col("level"), col("src"), col("dst")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // adjacency arrays id-sorted: neighbor ITERATION order is part of the
+    // deterministic contract (the beam's mid-expansion threshold moves as
+    // entries land, so a shuffled array could admit a different frontier)
+    val adj: Map[(Int, Long), Array[Long]] =
+      edges.groupBy(e => (e._1, e._2)).map { case (key, es) =>
+        key -> es.map(_._3).sorted
+      }
+    val vecs: Map[Long, Array[Double]] = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val topLevel = (maxLevel to 0 by -1)
+      .find(l => adj.keys.exists(_._1 == l)).getOrElse(0)
+    val entry = adj.keys.filter(_._1 == topLevel).map(_._2).minOption.getOrElse(-1L)
+    val bcast = spark.sparkContext.broadcast((adj, vecs, entry, topLevel))
+
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+    queries.flatMap { case (qid, qSeq) =>
+      val (adjB, vecsB, entryB, topB) = bcast.value
+      if (entryB < 0L) Iterator.empty
+      else {
+        val q = qSeq.toArray
+        val qn = math.sqrt(q.map(x => x * x).sum)
+        def cos(id: Long): Double = {
+          val v = vecsB(id)
+          var d = 0.0; var vv = 0.0; var i = 0
+          while (i < math.min(v.length, q.length)) {
+            d += q(i) * v(i); vv += v(i) * v(i); i += 1
+          }
+          d / (qn * math.sqrt(vv))
+        }
+        // strict lexicographic improvement: loop-free by monotonicity
+        def better(c1: Double, id1: Long, c2: Double, id2: Long): Boolean =
+          c1 > c2 || (c1 == c2 && id1 < id2)
+        var cur = entryB; var curCos = cos(cur)
+        for (l <- topB to 1 by -1) {
+          // argmax over the whole neighbor list per round (not a mid-scan
+          // move): the walk is then independent of neighbor order and
+          // strictly ascends (cosine, −id), so it terminates
+          var moved = true
+          while (moved) {
+            moved = false
+            var bestC = curCos; var bestId = cur
+            adjB.getOrElse((l, cur), Array.empty[Long]).foreach { nb =>
+              val c = cos(nb)
+              if (better(c, nb, bestC, bestId)) { bestC = c; bestId = nb }
+            }
+            if (bestId != cur) { cur = bestId; curCos = bestC; moved = true }
+          }
+        }
+        // layer-0 best-first beam (the HNSW searchLayer loop)
+        val ord = Ordering.by[(Double, Long), (Double, Long)] {
+          case (c, id) => (c, -id) // max-heap: higher cosine, then lower id
+        }
+        val candHeap = scala.collection.mutable.PriorityQueue((curCos, cur))(ord)
+        val result = scala.collection.mutable.PriorityQueue((curCos, cur))(ord.reverse)
+        val visited = scala.collection.mutable.Set(cur)
+        while (candHeap.nonEmpty) {
+          val (cc, cNode) = candHeap.dequeue()
+          val worst = result.head
+          if (result.size >= ef && !better(cc, cNode, worst._1, worst._2)) {
+            candHeap.clear()
+          } else {
+            adjB.getOrElse((0, cNode), Array.empty[Long]).foreach { nb =>
+              if (!visited.contains(nb)) {
+                visited += nb
+                val c = cos(nb)
+                val w = result.head
+                if (result.size < ef || better(c, nb, w._1, w._2)) {
+                  candHeap.enqueue((c, nb))
+                  result.enqueue((c, nb))
+                  if (result.size > ef) result.dequeue()
+                }
+              }
+            }
+          }
+        }
+        result.toArray.filter(_._2 != qid)
+          .sortBy { case (c, id) => (-c, id) }
+          .take(k).zipWithIndex.map { case ((c, id), i) =>
+            (qid, id, math.floor(c * 1e4 + 0.5) / 1e4, i + 1)
+          }.iterator
+      }
+    }.toDF("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -64,7 +64,8 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("no pair-finder plans a cartesian product") {
     Seq("doc_near_dup_pairs", "doc_minhash_pairs", "doc_simhash_pairs",
-      "emb_lsh_pairs", "emb_lsh_pairs_planted", "doc_hybrid_near_dup").foreach { q =>
+      "emb_lsh_pairs", "emb_lsh_pairs_planted", "doc_hybrid_near_dup",
+      "emb_hnsw_build").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
   }

@@ -548,4 +548,52 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Double]("centroid_val")).toMap
     assert(solo == pq.filter(_._1._1 == 2), "subspace 2 diverged from solo run")
   }
+
+  test("hnsw build: geometric layers, rank-capped out-degree, edges stay within layer membership") {
+    val edges = Similarity.hnswBuild(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(edges.nonEmpty)
+    // deterministic rebuild: identical edge set
+    val again = Similarity.hnswBuild(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(edges.toSet == again.toSet)
+    // out-degree <= m per (level, src); ranks dense from 1
+    edges.groupBy(e => (e._1, e._2)).foreach { case (k, es) =>
+      assert(es.length <= 8, s"$k out-degree ${es.length}")
+      assert(es.map(_._4).sorted.toSeq == (1 to es.length), k)
+    }
+    // layer populations decay ~4x: level-(l+1) nodes are a strict subset
+    // of level-l nodes, and each layer above 0 is much smaller
+    val perLayer = (0 to 3).map(l =>
+      l -> edges.filter(_._1 == l).flatMap(e => Seq(e._2, e._3)).toSet).toMap
+    (1 to 3).foreach { l =>
+      assert(perLayer(l).subsetOf(perLayer(l - 1)),
+        s"layer $l not nested in ${l - 1}")
+    }
+    assert(perLayer(1).size < perLayer(0).size / 2,
+      s"layer 1 ${perLayer(1).size} vs layer 0 ${perLayer(0).size}")
+    // no self-loops
+    assert(edges.forall(e => e._2 != e._3))
+  }
+
+  test("hnsw search: deterministic, self-excluded, recall vs brute force >= 0.9") {
+    val res = Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // schema and ranks like every other retriever here
+    assert(res.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), s"self in top-k of $q")
+    }
+    // run-to-run determinism (the argmax walk + id-sorted adjacency)
+    val again = Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // graph traversal must actually approximate the exact answer
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val approx = topkSet(res)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"hnsw recall $recall")
+  }
 }
