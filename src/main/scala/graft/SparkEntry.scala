@@ -257,6 +257,13 @@ object SparkEntry {
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
+    // BENCHMARK-side contamination report (the doc_decontaminate twin,
+    // reverse direction): per eval doc (doc_id < 50), the fraction of
+    // its distinct 8-grams found anywhere in the training split — the
+    // eval-integrity number; benchmark grams broadcast, the training
+    // corpus never shuffles
+    "doc_contamination" -> ((s, dir) =>
+      TextOps.contamination(Tables.documents(s, dir))),
     "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
     "doc_dup_spans" -> ((s, dir) => TextOps.dupSpanRatio(Tables.documents(s, dir))),
     "doc_near_dup_pairs" -> ((s, dir) =>
@@ -2609,6 +2616,28 @@ object SparkEntry {
     "doc_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
          count(*) AS n_copies FROM documents GROUP BY 1""",
+    // replica of TextOps.contamination: distinct 8-grams per doc, bench =
+    // doc_id < 50, membership (not frequency) against the training split
+    "doc_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(t[CAST(s.i AS BIGINT):CAST(s.i + 7 AS BIGINT)], ' ') AS g
+           FROM toks CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 7)) AS s(i)),
+         bench AS (SELECT doc_id, g FROM grams WHERE doc_id < 50),
+         train AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 50)
+         SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           floor((CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS contamination_ratio
+         FROM bench b LEFT JOIN train t ON t.g = b.g
+         GROUP BY 1""",
     "doc_dedup_docs" ->
       """SELECT d.* FROM documents d
          WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",

@@ -58,6 +58,53 @@ object TextOps {
   def portableHash64(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
 
+  // ------------------------------------------- benchmark contamination
+
+  /** BENCHMARK-side contamination report — the reverse direction of
+    * [[decontaminate]], and the other standard artifact of the GPT-3
+    * appendix-C / Llama overlap check: [[decontaminate]] answers "which
+    * TRAINING documents must be dropped" (one flag per train doc);
+    * this answers "how leaked is each EVAL document" (the per-benchmark
+    * overlap ratio an eval-integrity report publishes — the number that
+    * decides whether a benchmark score is trustworthy at all). For each
+    * benchmark document, the fraction of its distinct word `n`-grams
+    * that appear ANYWHERE in the training split. Documents
+    * `doc_id < benchCount` stand in for the eval set (the
+    * sampled-query-set discipline the ANN family uses); the rest are
+    * the training corpus.
+    *
+    * Scale shape — the training corpus NEVER shuffles: the benchmark's
+    * distinct grams broadcast (an eval set is tiny by definition — the
+    * real-world asymmetry this op exists for), the training scan drops
+    * non-benchmark grams map-side via a broadcast LEFT-SEMI join, and
+    * only the surviving gram strings (≤ |benchmark grams|) are
+    * deduplicated and broadcast back for the per-document membership
+    * count. At 100 TB this is one linear pass over training text plus
+    * metadata-scale joins; a gram hot in the corpus (boilerplate) costs
+    * nothing extra because membership, not frequency, is aggregated.
+    *
+    * Per benchmark doc: distinct-gram count, contaminated-gram count,
+    * and the ratio (1e-6 grid). Documents shorter than `n` tokens have
+    * no grams and produce no row (both engines). */
+  def contamination(documents: DataFrame, benchCount: Long = 50,
+                    n: Int = 8): DataFrame = {
+    val grams = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("g"))
+    val bench = grams.filter(col("doc_id") < benchCount)
+    val benchSet = bench.select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") >= benchCount)
+      .join(broadcast(benchSet), Seq("g"), "leftsemi")
+      .select(col("g")).distinct()
+    bench
+      .join(broadcast(contaminated.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        roundFixed(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("contamination_ratio"))
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact deduplication by content hash: one row per distinct text with the

@@ -787,6 +787,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(recomputed - acc) < 1e-6)
   }
 
+  test("contamination: hand-computed overlap ratios; short docs vanish; corpus never shuffles pre-join") {
+    import spark.implicits._
+    // bench doc 0: 10 tokens -> 3 distinct 8-grams (w1..w8, w2..w9, w3..w10);
+    // train doc 100 repeats w2..w9 verbatim -> exactly 1 contaminated gram.
+    // bench doc 1: fully unique -> 0. bench doc 2: 5 tokens -> NO grams.
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (0L, w),                                        // bench, 1/3 contaminated
+      (1L, (1 to 9).map(i => s"u$i").mkString(" ")),  // bench, clean (2 grams)
+      (2L, "a b c d e"),                              // bench, too short
+      (100L, "x0 " + (2 to 9).map(i => s"w$i").mkString(" ") + " x1"),
+      (101L, (1 to 20).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.contamination(df, benchCount = 50, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L), got)
+    assert(got(0L) == ((3L, 1L, 0.333333)), got(0L))
+    assert(got(1L) == ((2L, 0L, 0.0)), got(1L))
+    // scale shape: the training side reaches its semi join via BROADCAST
+    // (the corpus never shuffles on the gram key) and nothing is cartesian
+    val plan = TextOps.contamination(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("trained quality model: published weights reproduce the inline scorer with a training-free pure-map plan") {
     // the train/serve split (r8 verdict #7): publish once...
     val w = TextOps.trainedQualityWeights(docs)
