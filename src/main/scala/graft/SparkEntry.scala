@@ -126,6 +126,19 @@ object SparkEntry {
     // seeked past, one row per shard leaves the reader)
     "wds_stats" -> ((s, dir) =>
       graft.sources.TarShards.shardStats(s, Tables.documents(s, dir), 8)),
+    // TPC-H Q2 shape: correlated scalar MIN decorrelated into a per-part
+    // min aggregate joined back on (part, cost) — ties keep every
+    // minimal supplier; grid-quantized costs compare exactly
+    "part_cheapest_supplier" -> ((s, dir) =>
+      Relational.cheapestSupplierPerPart(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
+    // TPC-H Q20 shape: correlated aggregate in a predicate — the
+    // per-(part,supp) sums roll up to part totals with NO lineitem
+    // rescan, then filter 20*supp > 3*total (share > 0.15,
+    // bit-deterministic grid)
+    "part_dominant_suppliers" -> ((s, dir) =>
+      Relational.dominantSuppliers(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir))),
     "region_revenue" -> ((s, dir) =>
       Relational.regionRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
@@ -2042,6 +2055,30 @@ object SparkEntry {
              WHERE l3.l_orderkey = l1.l_orderkey
                AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY 1""",
+    // classical CORRELATED forms for the Q2/Q20 shapes — Spark runs the
+    // decorrelated DataFrame plans; the hash match proves the rewrite
+    "part_cheapest_supplier" ->
+      """WITH c AS (
+           SELECT l_partkey, l_suppkey,
+             floor((l_extendedprice / l_quantity) * 1e4 + 0.5) / 1e4 AS cost
+           FROM lineitem WHERE l_quantity > 0)
+         SELECT DISTINCT c.l_partkey, c.l_suppkey, s.s_name,
+           c.cost AS min_cost
+         FROM c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+         WHERE c.cost = (SELECT min(c2.cost) FROM c c2
+                         WHERE c2.l_partkey = c.l_partkey)""",
+    "part_dominant_suppliers" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             floor((CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS supp_qty
+           FROM lineitem GROUP BY 1, 2)
+         SELECT ps.l_partkey, ps.l_suppkey, s.s_name, ps.supp_qty,
+           (SELECT floor((CAST(SUM(CAST(ps2.supp_qty AS DECIMAL(38,10))) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+            FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey) AS part_qty
+         FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+         WHERE 20.0 * ps.supp_qty > 3.0 *
+           (SELECT floor((CAST(SUM(CAST(ps2.supp_qty AS DECIMAL(38,10))) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+            FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)""",
     "wds_roundtrip" ->
       s"""SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
          CAST(COUNT(*) AS BIGINT) AS n_docs,

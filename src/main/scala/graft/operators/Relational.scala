@@ -966,6 +966,70 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** TPC-H Q2 shape — "the cheapest supplier(s) per part": the
+    * CORRELATED SCALAR MIN subquery (`cost = (SELECT min(cost) ...
+    * WHERE same part)`), the one classical decorrelation class the
+    * Q15/Q17/Q18/Q21/Q22 family didn't cover. Spark runs the
+    * decorrelated form — one per-part min aggregate joined back on
+    * (part, cost) equality — while the DuckDB oracle runs the classical
+    * correlated SQL: the hash match proves the rewrite. Unit cost is
+    * 1e-4-quantized BEFORE both the min and the equality (grid doubles
+    * compare exactly on both engines); ties keep every minimal supplier
+    * (Q2 semantics). At 100 TB: one map-side-combined aggregate over
+    * two slim columns, a shuffled equi-join back, and a stats-gated
+    * supplier dim join — no per-row subquery execution. */
+  def cheapestSupplierPerPart(supplier: DataFrame,
+                              lineitem: DataFrame): DataFrame = {
+    val costs = lineitem
+      .filter(col("l_quantity") > 0.0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        roundFixed(col("l_extendedprice") / col("l_quantity"), 4).as("cost"))
+    val minCost = costs.groupBy(col("l_partkey").as("mp"))
+      .agg(min(col("cost")).as("min_cost"))
+    costs
+      .join(minCost, col("l_partkey") === col("mp") &&
+        col("cost") === col("min_cost"))
+      .select(col("l_partkey"), col("l_suppkey"), col("min_cost"))
+      .distinct()
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("min_cost"))
+  }
+
+  /** TPC-H Q20 shape — "dominant suppliers": the CORRELATED AGGREGATE
+    * IN A PREDICATE class (`sum(qty for this supp+part) > fraction ×
+    * (SELECT sum(qty) ... same part)`). Spark decorrelates into an
+    * aggregate-of-aggregate — the per-(part, supplier) sums roll up to
+    * per-part totals WITHOUT rescanning lineitem — joined back and
+    * filtered; DuckDB replays the classical correlated form. The
+    * predicate compares small-integer multiples of 1e-4-grid doubles
+    * (20·supp > 3·total, i.e. fraction 0.15 — the corpus's ~27 suppliers
+    * per part cap the max share at ~0.25, so 0.15 is the honest
+    * non-vacuous bar) so the boundary is bit-deterministic on both
+    * engines. At 100 TB: ONE lineitem scan, one shuffle of slim
+    * (part, supp, partial-sum) rows, and the part totals come from a
+    * WINDOW SUM over that aggregate's own output — no second scan, no
+    * self-join (a naive aggregate-twice-and-join plan scans lineitem
+    * twice: the two subtrees prune differently, so even AQE's exchange
+    * reuse cannot unify them — measured before this shape was chosen).
+    * The window sum runs decimal-backed, so the totals are
+    * partition-order-proof like every other rounded sum here. */
+  def dominantSuppliers(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val perSupp = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sumRounded(col("l_quantity"), 4).as("supp_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val withTotal = perSupp.withColumn("part_qty",
+      roundFixed(sum(col("supp_qty")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 10))).over(w)
+        .cast("double"), 4))
+    withTotal
+      .filter(lit(20.0) * col("supp_qty") > lit(3.0) * col("part_qty"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("supp_qty"), col("part_qty"))
+  }
+
   /** TPC-H Q21 shape — "suppliers who kept orders waiting": the
     * EXISTS / NOT-EXISTS pair over the SAME fact table, expressed as the
     * left-semi + left-anti joins Catalyst would decorrelate the

@@ -241,6 +241,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(scan.exists(_.contains("GreaterThanOrEqual(l_shipdate")), scan)
   }
 
+  test("part_cheapest_supplier: per-part min joins back as an equi-join, supplier stats-gates to BHJ") {
+    val p = plan("part_cheapest_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the correlated scalar min decorrelates to joins, never a subquery
+    assert(!p.contains("Subquery"), p)
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+  }
+
+  test("part_dominant_suppliers: ONE lineitem scan — part totals are a window over the agg, not a rescan") {
+    val p = plan("part_dominant_suppliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // one lineitem scan + one supplier scan; the aggregate-twice-and-join
+    // alternative scans lineitem twice (its subtrees prune differently,
+    // so exchange reuse can't save it — measured)
+    assert(count(p, "Scan parquet") == 2, p)
+    assert(count(p, "Window \\[") == 1, p)
+  }
+
   test("supplier_wait_blame: EXISTS is a semi join, NOT EXISTS an anti join, no cartesian") {
     val p = plan("supplier_wait_blame")
     assert(p.contains("LeftSemi"), p)
