@@ -126,6 +126,11 @@ object SparkEntry {
     // seeked past, one row per shard leaves the reader)
     "wds_stats" -> ((s, dir) =>
       graft.sources.TarShards.shardStats(s, Tables.documents(s, dir), 8)),
+    // retention cohort matrix (first-event week x week offset -> exact
+    // distinct active users): one user_id shuffle (window, not
+    // groupBy+join-back), then a metadata-scale matrix agg
+    "user_retention_cohorts" -> ((s, dir) =>
+      Relational.retentionCohorts(Tables.events(s, dir))),
     // TPC-H Q2 shape: correlated scalar MIN decorrelated into a per-part
     // min aggregate joined back on (part, cost) — ties keep every
     // minimal supplier; grid-quantized costs compare exactly
@@ -342,6 +347,11 @@ object SparkEntry {
     // the verified near-dup graph, 1e-9-quantized per sweep
     "doc_pagerank" -> ((s, dir) =>
       TextOps.pagerankNearDup(Tables.documents(s, dir))),
+    // triangle counting on the same graph (subgraph counting — the third
+    // graph class after components and pagerank): oriented-edge 2-join,
+    // each a<b<c trio found once; per-doc participation counts
+    "doc_triangles" -> ((s, dir) =>
+      TextOps.nearDupTriangles(Tables.documents(s, dir))),
     // domain-mixture weights: alpha-sampling (temperature) shares per
     // source + per-doc sampling multiplier + slice of a fixed token budget
     "doc_mix_weights" -> ((s, dir) =>
@@ -2055,6 +2065,20 @@ object SparkEntry {
              WHERE l3.l_orderkey = l1.l_orderkey
                AND l3.l_suppkey <> l1.l_suppkey)
          GROUP BY 1""",
+    // replica of Relational.retentionCohorts: ISO-week truncation on
+    // both engines (Monday start), exact distinct users per cell
+    "user_retention_cohorts" ->
+      """WITH a AS (
+           SELECT user_id, date_trunc('week', ts) AS activity_week
+           FROM events),
+         c AS (
+           SELECT user_id, activity_week,
+             min(activity_week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM a)
+         SELECT cohort_week,
+           CAST((activity_week - cohort_week) / 7 AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM c GROUP BY 1, 2""",
     // classical CORRELATED forms for the Q2/Q20 shapes — Spark runs the
     // decorrelated DataFrame plans; the hash match proves the rewrite
     "part_cheapest_supplier" ->
@@ -2703,6 +2727,22 @@ object SparkEntry {
              END AS dup_ratio
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
     "doc_near_dup_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.4)}",
+    // replica of TextOps.nearDupTriangles: the same oriented pair set,
+    // the same two-join a<b<c enumeration, per-node participation
+    "doc_triangles" ->
+      s"""WITH $shingleCtes,
+         e AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.4)})),
+         tri AS (
+           SELECT ab.doc_a AS ta, ab.doc_b AS tb, bc.doc_b AS tc
+           FROM e ab
+           JOIN e bc ON ab.doc_b = bc.doc_a
+           JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+         u AS (
+           SELECT ta AS doc_id FROM tri
+           UNION ALL SELECT tb FROM tri
+           UNION ALL SELECT tc FROM tri)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM u GROUP BY 1""",
     "doc_minhash_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.7)}",
     "doc_language_id" ->
       """SELECT doc_id, lang,

@@ -966,6 +966,29 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** RETENTION COHORT analysis — the classic product-analytics matrix
+    * (signup cohort × weeks-since-signup → distinct active users) that
+    * every events warehouse serves: cohort = the ISO week of a user's
+    * FIRST event, offset = whole weeks between that and each activity
+    * week, cell = exact distinct users. Computed with ONE shuffle on
+    * user_id: the cohort week rides a min-over-window on the same
+    * partitioning instead of a groupBy + join back (which would shuffle
+    * events twice), then one metadata-scale aggregation on the
+    * (cohort, offset) matrix — at 100 TB the matrix is dozens of rows
+    * whatever the event volume. Distinct counts are exact (the HLL/KMV
+    * sketch family covers the approximate tier). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("activity_week", date_trunc("week", col("ts")).cast("date"))
+      .withColumn("cohort_week", min(col("activity_week")).over(w))
+      .withColumn("week_offset",
+        (datediff(col("activity_week"), col("cohort_week")) / 7)
+          .cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** TPC-H Q2 shape — "the cheapest supplier(s) per part": the
     * CORRELATED SCALAR MIN subquery (`cost = (SELECT min(cost) ...
     * WHERE same part)`), the one classical decorrelation class the

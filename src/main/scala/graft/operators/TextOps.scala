@@ -2159,6 +2159,46 @@ object TextOps {
       .filter(col("sample_rank") <= perStratum)
   }
 
+  // ------------------------------------------------- triangle counting
+
+  /** TRIANGLE counting over the verified near-dup graph — subgraph
+    * counting, the third graph-computation class here (pointer-jumping
+    * components = reachability, pagerank = value iteration, this =
+    * pattern matching). On a dedup graph a triangle is a mutually-
+    * similar trio: the strongest cluster-quality signal short of full
+    * clique finding, and the building block of clustering coefficients.
+    *
+    * The standard distributed algorithm: edges ORIENTED a < b (what
+    * [[nearDupPairs]] already emits), so each triangle a<b<c is found
+    * exactly once as (ab, bc, ac) — two equi-joins, no orientation
+    * dedup pass. Cost is Σ over edges of the joined wedge counts; on
+    * this graph degrees are bounded by the shingle df-cap, so wedges
+    * never explode (at 100 TB the classic refinement — orient by
+    * (degree, id) instead of id — caps wedges at O(E^1.5) on ANY
+    * degree distribution; id-orientation is kept here because it is
+    * what the closed-form oracle can replay). The edge list is
+    * localCheckpointed once so the shingle pipeline runs once, not
+    * three times ([[pagerankNearDup]]'s discipline).
+    *
+    * Output: per document, the number of triangles it participates in
+    * (documents in no triangle are absent — both engines). */
+  def nearDupTriangles(documents: DataFrame, n: Int = 5,
+                       threshold: Double = 0.4): DataFrame = {
+    val e = nearDupPairs(documents, n, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(true)
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("ta"), col("ab.b").as("tb"),
+        col("bc.b").as("tc"))
+    tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   // ------------------------------------------------- iterative pagerank
 
   /** PageRank over the verified near-dup graph — the engine's iterative

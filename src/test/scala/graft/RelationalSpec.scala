@@ -631,4 +631,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("subquery"), plan.take(2000))
     assert(plan.contains("HashAggregate"))
   }
+
+  test("retention cohorts: staggered signups and churn produce the hand-computed matrix") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 joins week 1, active weeks 1,2,4 (skips
+    // 3 — a gap must NOT create a row); u2 joins week 2, active 2 only
+    // (churned); u3 joins week 2, active 2 and 3; two events in one week
+    // count once (distinct users per cell)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-10 10:00:00")), (1L, ts("2024-01-22 10:00:00")),
+      (2L, ts("2024-01-08 09:00:00")),
+      (3L, ts("2024-01-09 09:00:00")), (3L, ts("2024-01-17 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Relational.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 3) -> 1L,
+      ("2024-01-08", 0) -> 2L, ("2024-01-08", 1) -> 1L), got)
+    // one user_id shuffle feeds both the window and nothing else rescans
+    val p = Relational.retentionCohorts(ev).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -787,6 +787,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(recomputed - acc) < 1e-6)
   }
 
+  test("triangles: a planted 4-clique and an open wedge count exactly; wedge nodes absent") {
+    import spark.implicits._
+    // four mutually near-identical docs (a 4-clique: C(4,3)=4 triangles,
+    // each node in C(3,2)=3 of them) + an open wedge 10-11-12 with the
+    // closing 10-12 edge missing (distinct texts) -> zero triangles there
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val clique = (0L to 3L).map(i => (i, base + s" tail$i"))
+    // open wedge: doc 11 = A ++ B, doc 10 = A, doc 12 = B with A, B
+    // token-disjoint -> j(10,11) = j(11,12) = 36/76 ~ 0.47 >= 0.4 but
+    // j(10,12) = 0: the 10-12 closing edge cannot exist
+    val aTxt = (1 to 40).map(i => s"a$i").mkString(" ")
+    val bTxt = (1 to 40).map(i => s"b$i").mkString(" ")
+    val wedge = Seq(
+      (10L, aTxt),
+      (11L, aTxt + " " + bTxt),
+      (12L, bTxt))
+    val df = (clique ++ wedge).toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture sanity: the clique is complete, the wedge is open
+    assert((0L to 3L).combinations(2).forall(c => pairs.contains((c(0), c(1)))),
+      pairs)
+    assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 12L)) &&
+      !pairs.contains((10L, 12L)), pairs)
+    val got = TextOps.nearDupTriangles(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 3L).map(_ -> 3L).toMap, got)
+  }
+
   test("contamination: hand-computed overlap ratios; short docs vanish; corpus never shuffles pre-join") {
     import spark.implicits._
     // bench doc 0: 10 tokens -> 3 distinct 8-grams (w1..w8, w2..w9, w3..w10);
