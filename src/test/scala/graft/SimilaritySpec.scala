@@ -576,6 +576,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edges.forall(e => e._2 != e._3))
   }
 
+  test("hnsw sharded serving: per-shard top-k merge never loses recall vs the monolithic graph") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+      val approx = topkSet(df)
+      (exact & approx).size.toDouble / exact.size
+    }
+    val mono = recall(Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5))
+    val sharded = Similarity.hnswSearchShardedTopK(emb, shards = 4,
+      numQueries = 10, k = 5)
+    val rows = sharded.collect()
+    // schema + dense ranks + no self-matches, like every retriever here
+    assert(sharded.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), q)
+    }
+    // every global winner is within its home shard's top-k, so merging
+    // per-shard lists is exact over what the searches found — recall can
+    // only match or beat the single graph (each subgraph is searched
+    // down to its own top-k; no cross-region entry-point misrouting)
+    val sr = recall(sharded)
+    assert(sr >= mono, s"sharded $sr < monolithic $mono")
+    assert(sr >= 0.9, s"sharded recall $sr")
+    // deterministic run to run
+    assert(rows.map(_.toSeq).toSet ==
+      Similarity.hnswSearchShardedTopK(emb, shards = 4, numQueries = 10,
+        k = 5).collect().map(_.toSeq).toSet)
+  }
+
   test("hnsw search: deterministic, self-excluded, recall vs brute force >= 0.9") {
     val res = Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5)
     val rows = res.collect()
