@@ -1399,38 +1399,14 @@ object SparkEntry {
                          source: String = "embeddings"): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    def nrm(a: String) =
-      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
-    val maxBits = 16
-    val planeRows = graft.operators.Similarity.planes(numTables * maxBits, dim)
-      .zipWithIndex.map { case (p, i) =>
-        s"($i, [${p.map(d => java.lang.Double.toString(d)).mkString(",")}]::DOUBLE[])"
-      }.mkString(", ")
     val levelCase = (maxLevel to 1 by -1)
       .map(l => s"WHEN h % ${1L << (2 * l)} = 0 THEN $l").mkString(" ")
-    s"""WITH nn AS (SELECT count(*) AS n FROM $source),
-        bb AS (
-          SELECT least(16, greatest(4, coalesce(min(g.b), 16))) AS bits
-          FROM generate_series(0, 16) AS g(b), nn
-          WHERE (CAST(16 AS BIGINT) << g.b) >= nn.n),
-        pl AS (SELECT * FROM (VALUES $planeRows) AS t(idx, p)),
-        e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
-            ${nrm("embedding::DOUBLE[]")} AS nrm
-          FROM $source),
+    s"""WITH ${lshBandingCtes(numTables, dim, None, source)},
         lv AS (
           SELECT vec_id, CASE $levelCase ELSE 0 END AS lvl
           FROM (SELECT vec_id,
             ${shaFoldSql("concat('hnsw:', CAST(vec_id AS VARCHAR))")} AS h
             FROM $source)),
-        bk AS (
-          SELECT e.vec_id, pl.idx // bb.bits AS t,
-            SUM(CASE WHEN ${dot("e.v", "pl.p")} >= 0
-              THEN (CAST(1 AS BIGINT) << (bb.bits - 1 - (pl.idx % bb.bits)))
-              ELSE 0 END) AS b
-          FROM e, bb, pl
-          WHERE pl.idx < $numTables * bb.bits
-          GROUP BY 1, 2),
         lb AS (
           SELECT bk.vec_id, gs.level, bk.t,
             CAST(bk.b AS BIGINT) >> least(2 * gs.level, bb.bits - 4) AS bl
@@ -1464,25 +1440,33 @@ object SparkEntry {
         FROM ranked WHERE rank <= $m"""
   }
 
-  private def lshOracle(threshold: Double, numTables: Int, dim: Int,
-                        bucketCap: Int,
-                        source: String = "embeddings"): String = {
+  /** The engine-parity-critical LSH scaffolding, SINGLE-SOURCED for
+    * every oracle that replays the sign-bit banding
+    * ([[lshOracle]] and [[hnswOracle]]): plane literals (shortest
+    * round-trip doubles), the autoBits replica (optionally clamped by
+    * the honest-recall bound), the normed vector relation `e`, and the
+    * MSB-first bit-packed bucket relation `bk`. One copy means a future
+    * change to the sign convention / bit packing / bits formula cannot
+    * silently diverge between the pair and graph oracles. */
+  private def lshBandingCtes(numTables: Int, dim: Int,
+                             bitsClamp: Option[Int],
+                             source: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     def nrm(a: String) =
       s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
-    val recallClamp =
-      graft.operators.Similarity.maxBitsForRecall(threshold, numTables)
     val maxBits = 16
     val planeRows = graft.operators.Similarity.planes(numTables * maxBits, dim)
       .zipWithIndex.map { case (p, i) =>
         // shortest-roundtrip repr: DuckDB parses back the identical double
         s"($i, [${p.map(d => java.lang.Double.toString(d)).mkString(",")}]::DOUBLE[])"
       }.mkString(", ")
-    s"""WITH nn AS (SELECT count(*) AS n FROM $source),
+    val autoBits = "least(16, greatest(4, coalesce(min(g.b), 16)))"
+    val bitsExpr = bitsClamp
+      .map(c => s"least($c,\n            $autoBits)").getOrElse(autoBits)
+    s"""nn AS (SELECT count(*) AS n FROM $source),
         bb AS (
-          SELECT least($recallClamp,
-            least(16, greatest(4, coalesce(min(g.b), 16)))) AS bits
+          SELECT $bitsExpr AS bits
           FROM generate_series(0, 16) AS g(b), nn
           WHERE (CAST(16 AS BIGINT) << g.b) >= nn.n),
         pl AS (SELECT * FROM (VALUES $planeRows) AS t(idx, p)),
@@ -1497,7 +1481,17 @@ object SparkEntry {
               ELSE 0 END) AS b
           FROM e, bb, pl
           WHERE pl.idx < $numTables * bb.bits
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+  }
+
+  private def lshOracle(threshold: Double, numTables: Int, dim: Int,
+                        bucketCap: Int,
+                        source: String = "embeddings"): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val recallClamp =
+      graft.operators.Similarity.maxBitsForRecall(threshold, numTables)
+    s"""WITH ${lshBandingCtes(numTables, dim, Some(recallClamp), source)},
         capped AS (
           SELECT vec_id, t, b FROM (
             SELECT vec_id, t, b,

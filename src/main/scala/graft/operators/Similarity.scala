@@ -1196,13 +1196,18 @@ object Similarity {
         else (knownCount - s + shards - 1) / shards + numQueries
       // query vectors search every shard, including ones they don't
       // live in — re-attach them to the slice so the searcher can read
-      // their embeddings (self-matches are excluded by the walk)
+      // their embeddings (self-matches are excluded by the walk).
+      // Search to depth k + numQueries BEFORE the residence filter: at
+      // most numQueries re-attached foreign queries can outrank a
+      // genuine resident, so every resident the beam found in this
+      // shard's top-k survives the cut — filtering after a depth-k cut
+      // could silently lose a beam-found true neighbor displaced by
+      // foreigners (self-review finding, round 9)
       hnswSearchTopK(slice.unionByName(queries).distinct(),
-        numQueries, k, m, ef, numTables, maxLevel, dim, bucketCap,
-        sliceCount)
-        // a query re-attached to a foreign shard must not surface
-        // another query vector as a neighbor twice across shards:
-        // keep only neighbors that genuinely live in this shard
+        numQueries, k + numQueries, m, ef, numTables, maxLevel, dim,
+        bucketCap, sliceCount)
+        // ...then keep only neighbors that genuinely live in this
+        // shard: foreign query vectors are served by their home shard
         .filter(pmod(col("neighbor_id"), lit(shards)) === s)
     }
     val w = Window.partitionBy(col("query_id"))

@@ -528,8 +528,10 @@ object AsOf {
     * [[graft.operators.Skew]] discipline AT THE API LAYER, where it
     * composes with the existing multi-key path instead of needing a new
     * exec: the LEFT side gets a deterministic per-row salt in [0, salts)
-    * (hashed from its time column — null-safe, so null-time rows keep
-    * their no-match semantics on salt 0), the RIGHT side is replicated
+    * (hashed from its time column; xxhash64 of a NULL input is the
+    * seed-derived constant, so null-time rows land on one fixed salt and
+    * keep their no-match semantics — every salt sees the full right
+    * side), the RIGHT side is replicated
     * once per salt value, and the join key becomes (key, salt). Each left
     * row still sees EVERY right row of its key (the replica with its own
     * salt), so the output is row-identical to [[backward]] — pinned by
@@ -547,11 +549,10 @@ object AsOf {
                      leftTimeCol: String, rightTimeCol: String,
                      tolerance: Option[Long] = None,
                      salts: Int = 16): DataFrame = {
-    import org.apache.spark.sql.functions.{array, coalesce, col, explode, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
     require(salts > 0, s"salts must be positive, got $salts")
     val sl = left.withColumn("__asof_salt",
-      coalesce(pmod(xxhash64(col(leftTimeCol)), lit(salts.toLong)).cast("int"),
-        lit(0)))
+      pmod(xxhash64(col(leftTimeCol)), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__asof_salt",
       explode(array((0 until salts).map(lit): _*)))
     backwardKeys(sl, sr,

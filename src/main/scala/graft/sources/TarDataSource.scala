@@ -161,15 +161,21 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration,
     }
     // empty directory: zero partitions would feed the final merge no
     // partial rows and COUNT must still be 0 — decline and let the plain
-    // row scan (also empty) carry the standard aggregate semantics
-    if (TarScan.listShards(dir, pushed, conf.value).isEmpty) return false
+    // row scan (also empty) carry the standard aggregate semantics. The
+    // listing is kept for the scan to reuse (filters are final by the
+    // time Spark offers aggregates), so the check does not double the
+    // driver's LIST round-trips against an object store
+    listedShards = Some(TarScan.listShards(dir, pushed, conf.value))
+    if (listedShards.exists(_.isEmpty)) return false
     pushedAgg = Some(TarPushedAggregation(groupByShard, aggs))
     true
   }
 
+  private var listedShards: Option[Array[TarShardFile]] = None
+
   override def build(): Scan =
     new TarScan(dir, requiredSchema, pushed, conf, limit, maxShardsPerTrigger,
-      pushedAgg)
+      pushedAgg, listedShards)
 }
 
 /** The accepted pushed-aggregate shape: `aggs` entries are "count",
@@ -212,8 +218,15 @@ case class TarShardFile(path: String, shard: String, len: Long)
 class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
               conf: SerializableConfiguration, limit: Int = -1,
               maxShardsPerTrigger: Int = -1,
-              val pushedAgg: Option[TarPushedAggregation] = None)
+              val pushedAgg: Option[TarPushedAggregation] = None,
+              preListed: Option[Array[TarShardFile]] = None)
     extends Scan with Batch with SupportsReportStatistics {
+  // one driver-side listing per BATCH scan, shared by partition planning
+  // and statistics (and seeded from the builder's aggregate-pushdown
+  // check when that ran); the streaming path lists per micro-batch on
+  // purpose — fresh arrivals are the whole point there
+  private lazy val listedShards: Array[TarShardFile] =
+    preListed.getOrElse(TarScan.listShards(dir, filters, conf.value))
   /** With a pushed aggregation the scan's row shape IS the aggregate:
     * group columns first, then one column per aggregate in query order —
     * the positional contract V2ScanRelationPushDown wires the final
@@ -241,8 +254,7 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
       pushedAgg.map(a => s", pushedAggregation=[${a.describe}]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    TarScan.listShards(dir, filters, conf.value)
-      .map(s => TarInputPartition(s.path, s.shard): InputPartition)
+    listedShards.map(s => TarInputPartition(s.path, s.shard): InputPartition)
 
   /** Honest size statistics for the optimizer, measured AFTER shard
     * pruning: the summed length of exactly the files this scan will read
@@ -252,7 +264,7 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
     * empty — tar has no index, and a guessed row count is worse than
     * none. */
   override def estimateStatistics(): Statistics = {
-    val total = TarScan.listShards(dir, filters, conf.value).map(_.len).sum
+    val total = listedShards.map(_.len).sum
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(total)
       override def numRows(): util.OptionalLong = util.OptionalLong.empty()
@@ -456,6 +468,13 @@ object TarOffsetCodec {
         (parse(start), parse(end)) match {
           case (Some((p, n0, w, s)), Some((p2, n1, w2, s2)))
               if p == p2 && w == w2 && s == s2 && n0 <= n1 =>
+            // loud-failure bound: decode trusts checkpoint bytes, and a
+            // corrupted range like [..001, ..9e17] would otherwise spin
+            // the driver through ~1e18 set insertions instead of
+            // erroring. 10M shards is far beyond the design point.
+            require(n1 - n0 < 10000000L,
+              s"tar offset range [$start, $end] spans ${n1 - n0 + 1} " +
+                "names — malformed offset (bound: 10M)")
             var n = n0
             while (n <= n1) {
               val digits = n.toString
@@ -509,6 +528,13 @@ class TarAggReaderFactory(agg: TarPushedAggregation, filters: Array[Filter],
             }
           }
         } finally in.close()
+        // GROUPED mode: a member-empty shard (a valid tar that is just
+        // the zero trailer) contributes NO rows to the unpushed plan, so
+        // it must contribute no group here either — emitting (shard, 0)
+        // would add a spurious group only the pushed plan produces.
+        // GLOBAL mode keeps the zero row: the final COUNT is
+        // sum-of-partials and needs the 0 to stay non-null.
+        if (agg.groupByShard && n == 0L) return false
         val g: Seq[Any] =
           if (agg.groupByShard) Seq(UTF8String.fromString(part.shard)) else Nil
         val as: Seq[Any] = agg.aggs.map {

@@ -64,12 +64,17 @@ object TarShards {
           // <attempt> behind forever (the retry writes under a NEW
           // attempt id), so the attempt that publishes is the janitor.
           // Readers ignore non-.tar names, so this is dir hygiene, not
-          // correctness; deleting under a still-live speculative twin is
-          // safe — its rename loses and lands in the branch above.
+          // correctness. AGE-GATED: deleting under a LIVE speculative
+          // twin would fail its close()/rename on HDFS (open-lease file
+          // deleted) and spawn spurious task retries — a dead attempt's
+          // file stops being modified, so only stale temps are reaped;
+          // fresh ones are left for the NEXT publisher to collect.
+          val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
           val orphans = pfs.globStatus(
             new Path(outDir, finalPath.getName + ".inprogress-*"))
           if (orphans != null)
-            orphans.foreach(o => pfs.delete(o.getPath, false))
+            orphans.filter(_.getModificationTime < cutoff)
+              .foreach(o => pfs.delete(o.getPath, false))
         }
         rows.foreach { r =>
           val sid = r.getInt(0)

@@ -474,6 +474,21 @@ class TarSourceSpec extends AnyFunSuite {
     val emptyDir = Files.createTempDirectory("graft_tar_agg_empty").toString
     assert(spark.read.format("graft-tar").load(emptyDir)
       .agg(count(lit(1))).head().getLong(0) == 0L)
+
+    // member-EMPTY shard (valid tar = just the zero trailer): the
+    // unpushed plan yields no rows for it, so the pushed grouped
+    // aggregate must not invent a (shard, 0) group (self-review
+    // finding, round 9) — while the GLOBAL count keeps its zero partial
+    // so the final sum stays non-null
+    val out = new java.io.FileOutputStream(s"$tmp/shard-empty.tar")
+    TarIO.write(Iterator.empty, out); out.close()
+    val withEmpty = spark.read.format("graft-tar").load(tmp)
+    val groups = withEmpty.groupBy(col("shard")).agg(count(lit(1)))
+      .collect().map(_.getString(0)).toSet
+    assert(!groups.contains("shard-empty.tar"), groups)
+    assert(groups.size == 4, groups)
+    assert(withEmpty.agg(count(lit(1))).head().getLong(0) ==
+      want.values.map(_._1).sum)
   }
 
   private def writeCorpusShards(n: Int): String = {
