@@ -409,6 +409,11 @@ object SparkEntry {
     // the hash gate runs on the exact-integer columns (tf, df, rnk)
     "doc_tfidf_top" -> ((s, dir) =>
       TextOps.tfIdfTopTerms(Tables.documents(s, dir)).drop("tfidf")),
+    // quality-aware canonical selection — the dedup DECISION: keep each
+    // near-dup cluster's highest-quality member (what production dedup
+    // does with N copies), not the arbitrary min-id
+    "doc_dedup_keep_best" -> ((s, dir) =>
+      TextOps.dedupKeepBest(Tables.documents(s, dir))),
     "doc_dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(Tables.documents(s, dir))),
     "doc_pii_redact" -> ((s, dir) => TextOps.redactPii(Tables.documents(s, dir))),
@@ -1509,6 +1514,24 @@ object SparkEntry {
           JOIN e b ON b.vec_id = c.vec_b)
         WHERE c0 >= $threshold"""
   }
+
+  /** The connected-components closure over the verified pair set,
+    * single-sourced for doc_dedup_clusters and doc_dedup_keep_best:
+    * undirected edges, recursive reachability, min-reachable-id label.
+    * Yields a CTE `cl(doc_id, cluster_id)`. Prefix with
+    * `WITH RECURSIVE $shingleCtes,`. */
+  private def clusterCtes: String =
+    s"""pairs AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.4)})),
+       edges AS (
+         SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       cl AS (
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)"""
 
   /** Shared shingle CTEs (`toks`, `sh`) and the verified-Jaccard pair
     * subquery — THE lexical near-dup contract in SQL, single-sourced for
@@ -3069,16 +3092,37 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "doc_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,
-         pairs AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.4)})),
-         edges AS (
-           SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         FROM reach GROUP BY a""",
+         $clusterCtes
+         SELECT doc_id, cluster_id FROM cl""",
+    // quality-aware canonical selection: clusters (same recursive
+    // closure) x the doc_quality score formula, argmax per cluster.
+    // The score subquery mirrors the doc_quality oracle — both are
+    // driver-gated, so any drift between the two copies hash-fails
+    "doc_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         $clusterCtes,
+         q AS (
+           SELECT doc_id,
+             floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+               AS quality_score
+           FROM (
+             SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+               len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
+             FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+               FROM documents))),
+         j AS (
+           SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY cl.cluster_id
+               ORDER BY q.quality_score DESC, cl.doc_id ASC) AS rnk,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+           FROM cl JOIN q USING (doc_id))
+         SELECT cluster_id, doc_id AS kept_doc_id,
+           quality_score AS kept_quality,
+           CAST(n_members AS BIGINT) AS n_members
+         FROM j WHERE rnk = 1""",
     "doc_tfidf_top" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -1016,6 +1016,32 @@ object TextOps {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** QUALITY-AWARE canonical selection — the dedup DECISION step: given
+    * the verified near-dup clusters, keep each cluster's highest-quality
+    * member instead of the arbitrary min-id canonical (what production
+    * dedup actually does: of N copies, retain the cleanest). One
+    * cluster_id shuffle serves both windows (the argmax rank and the
+    * member count); the cluster relation is component-count-scale, so
+    * everything after the cluster finder is metadata work. Ties break
+    * (quality DESC, doc_id ASC) — deterministic on the 1e-4 quality
+    * grid. */
+  def dedupKeepBest(documents: DataFrame, n: Int = 5,
+                    threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(documents, n, threshold)
+    val quality = qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val w = byCluster.orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters
+      .join(quality, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("quality_score").as("kept_quality"), col("n_members"))
+  }
+
   /** End-to-end curation pipeline — the composite the other operators
     * exist for: quality-gate → exact dedup (keep canonical doc) → near-dup
     * removal (drop the higher doc_id of each verified pair) → per-language

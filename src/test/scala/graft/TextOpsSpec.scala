@@ -787,6 +787,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(recomputed - acc) < 1e-6)
   }
 
+  test("dedup keep-best: the cluster keeps its HIGHEST-QUALITY member, not the min id") {
+    import spark.implicits._
+    // base text: 40 distinct tokens (36 distinct shingles — repetition
+    // would collapse the shingle SET and break the cluster edges), no
+    // stopwords. doc 6 appends 34 diverse tokens plus stopwords: still
+    // jaccard ~0.45 with the base (same cluster) but strictly higher
+    // quality (longer + stopword signal) than min-id member 5 or copy 7
+    val base = (1 to 40).map(i => s"r$i").mkString(" ")
+    val rich = base + " " + (1 to 34).map(i => s"d$i").mkString(" ") +
+      " the a of the a of"
+    val df = Seq(
+      (5L, base), (6L, rich), (7L, base + " zz"),
+      (100L, (1 to 50).map(i => s"iso$i").mkString(" ")) // no cluster
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val rows = TextOps.dedupKeepBest(df).collect()
+    assert(rows.length == 1, rows.toSeq)
+    val r = rows.head
+    assert(r.getAs[Long]("cluster_id") == 5L)       // min-id LABEL stays
+    assert(r.getAs[Long]("kept_doc_id") == 6L,      // ...but 6 is kept
+      s"kept ${r.getAs[Long]("kept_doc_id")}")
+    assert(r.getAs[Long]("n_members") == 3L)
+    // sanity: 6 really does out-score the min-id member
+    val q = TextOps.qualityScore(df).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("quality_score")).toMap
+    assert(q(6L) > q(5L), q)
+  }
+
   test("triangles: a planted 4-clique and an open wedge count exactly; wedge nodes absent") {
     import spark.implicits._
     // four mutually near-identical docs (a 4-clique: C(4,3)=4 triangles,
