@@ -1181,10 +1181,24 @@ object Similarity {
                             m: Int = 8, ef: Int = 64, numTables: Int = 16,
                             maxLevel: Int = 3, dim: Int = 64,
                             bucketCap: Int = 128,
-                            knownCount: Long = -1L): DataFrame = {
+                            knownCount: Long = -1L): DataFrame =
+    hnswSearchShardedWithIndexes(embeddings,
+      hnswShardIndexes(embeddings, shards, numQueries, m, numTables,
+        maxLevel, dim, bucketCap, knownCount),
+      numQueries, k, ef)
+
+  /** Build the per-shard serving artifacts ONCE (one independent
+    * [[hnswIndex]] per hash-disjoint slice, each with the query vectors
+    * re-attached so foreign queries can route). Cache and feed to
+    * [[hnswSearchShardedWithIndexes]] — the publish-once discipline. */
+  def hnswShardIndexes(embeddings: DataFrame, shards: Int = 4,
+                       numQueries: Int = 10, m: Int = 8,
+                       numTables: Int = 16, maxLevel: Int = 3,
+                       dim: Int = 64, bucketCap: Int = 128,
+                       knownCount: Long = -1L): Seq[HnswIndex] = {
     require(shards > 0, s"shards must be positive, got $shards")
     val queries = embeddings.filter(col("vec_id") < numQueries)
-    val perShard = (0 until shards).map { s =>
+    (0 until shards).map { s =>
       val slice = embeddings.filter(pmod(col("vec_id"), lit(shards)) === s)
       // dense ids [0, N) split exactly (N − s + shards − 1) / shards
       // per residue class — with a caller-supplied N, none of the
@@ -1196,16 +1210,28 @@ object Similarity {
         else (knownCount - s + shards - 1) / shards + numQueries
       // query vectors search every shard, including ones they don't
       // live in — re-attach them to the slice so the searcher can read
-      // their embeddings (self-matches are excluded by the walk).
+      // their embeddings (self-matches are excluded by the walk)
+      hnswIndex(slice.unionByName(queries).distinct(),
+        m, numTables, maxLevel, dim, bucketCap, sliceCount)
+    }
+  }
+
+  /** Search published per-shard indexes and merge: zero build jobs in
+    * the plan — each shard's leg is a pure walk over the query slice. */
+  def hnswSearchShardedWithIndexes(embeddings: DataFrame,
+                                   indexes: Seq[HnswIndex],
+                                   numQueries: Int = 10, k: Int = 5,
+                                   ef: Int = 64): DataFrame = {
+    val shards = indexes.size
+    require(shards > 0, "need at least one shard index")
+    val perShard = indexes.zipWithIndex.map { case (idx, s) =>
       // Search to depth k + numQueries BEFORE the residence filter: at
       // most numQueries re-attached foreign queries can outrank a
       // genuine resident, so every resident the beam found in this
       // shard's top-k survives the cut — filtering after a depth-k cut
       // could silently lose a beam-found true neighbor displaced by
       // foreigners (self-review finding, round 9)
-      hnswSearchTopK(slice.unionByName(queries).distinct(),
-        numQueries, k + numQueries, m, ef, numTables, maxLevel, dim,
-        bucketCap, sliceCount)
+      hnswSearchWithIndex(embeddings, idx, numQueries, k + numQueries, ef)
         // ...then keep only neighbors that genuinely live in this
         // shard: foreign query vectors are served by their home shard
         .filter(pmod(col("neighbor_id"), lit(shards)) === s)
@@ -1218,12 +1244,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  def hnswSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
-                     m: Int = 8, ef: Int = 64, numTables: Int = 16,
-                     maxLevel: Int = 3, dim: Int = 64,
-                     bucketCap: Int = 128, knownCount: Long = -1L): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  /** The published serving artifact: adjacency (id-sorted neighbor
+    * arrays), the vector table, and the entry point — what a serving
+    * node loads once and walks many times. Built by [[hnswIndex]],
+    * consumed by [[hnswSearchWithIndex]]; the
+    * trainedCodebook/trainedQualityWeights publish-once discipline at
+    * index scale. */
+  case class HnswIndex(adj: Map[(Int, Long), Array[Long]],
+                       vecs: Map[Long, Array[Double]],
+                       entry: Long, topLevel: Int)
+
+  /** Build the layered graph distributed ([[hnswBuild]]) and collect it
+    * into the serving artifact — ONCE per corpus version; every search
+    * plan built on the returned index carries zero build jobs. */
+  def hnswIndex(embeddings: DataFrame,
+                m: Int = 8, numTables: Int = 16,
+                maxLevel: Int = 3, dim: Int = 64,
+                bucketCap: Int = 128, knownCount: Long = -1L): HnswIndex = {
     val edges = hnswBuild(embeddings, m, numTables, maxLevel, dim, bucketCap,
       knownCount)
       .select(col("level"), col("src"), col("dst")).collect()
@@ -1240,8 +1277,32 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val topLevel = (maxLevel to 0 by -1)
       .find(l => adj.keys.exists(_._1 == l)).getOrElse(0)
-    val entry = adj.keys.filter(_._1 == topLevel).map(_._2).minOption.getOrElse(-1L)
-    val bcast = spark.sparkContext.broadcast((adj, vecs, entry, topLevel))
+    val entry = adj.keys.filter(_._1 == topLevel).map(_._2)
+      .minOption.getOrElse(-1L)
+    HnswIndex(adj, vecs, entry, topLevel)
+  }
+
+  /** Convenience form: build-and-search in one call (index built at
+    * plan-build time). Prefer [[hnswIndex]] + [[hnswSearchWithIndex]]
+    * when the same index serves more than one search. */
+  def hnswSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                     m: Int = 8, ef: Int = 64, numTables: Int = 16,
+                     maxLevel: Int = 3, dim: Int = 64,
+                     bucketCap: Int = 128, knownCount: Long = -1L): DataFrame =
+    hnswSearchWithIndex(embeddings,
+      hnswIndex(embeddings, m, numTables, maxLevel, dim, bucketCap, knownCount),
+      numQueries, k, ef)
+
+  /** Search a PUBLISHED index: the plan is a pure distributed walk over
+    * the query slice — no build jobs, no corpus scan; the index ships
+    * once per search as a broadcast. */
+  def hnswSearchWithIndex(embeddings: DataFrame, index: HnswIndex,
+                          numQueries: Int = 10, k: Int = 5,
+                          ef: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(
+      (index.adj, index.vecs, index.entry, index.topLevel))
 
     val queries = embeddings.filter(col("vec_id") < numQueries)
       .select(col("vec_id"), vec(col("embedding")).as("v"))

@@ -576,6 +576,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(edges.forall(e => e._2 != e._3))
   }
 
+  test("hnsw published index: the serving plan is a pure walk — zero build work, identical rows") {
+    val idx = Similarity.hnswIndex(emb)
+    val served = Similarity.hnswSearchWithIndex(emb, idx, numQueries = 10, k = 5)
+    // no banding, no candidate join, no window — nothing of the BUILD
+    // survives into a plan that consumes the published artifact
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("HashAggregate") && !p.contains("Window"), p)
+    // bit-identical to the build-inline convenience form
+    assert(served.collect().map(_.toSeq).toSet ==
+      Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("hnsw sharded serving: per-shard top-k merge never loses recall vs the monolithic graph") {
     def recall(df: org.apache.spark.sql.DataFrame): Double = {
       val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
