@@ -262,6 +262,11 @@ class TarSourceSpec extends AnyFunSuite {
     // singleton runs collapse back to a literal, not a degenerate range
     val single = scala.collection.immutable.SortedSet("shard-00042.tar")
     assert(TarOffsetCodec.encode(single) == """["shard-00042.tar"]""")
+    // a corrupted checkpoint range must fail LOUDLY, not spin the driver
+    // through ~1e17 set insertions (decode trusts checkpoint bytes)
+    val e = intercept[IllegalArgumentException](TarOffsetCodec.decode(
+      """[["s-000000000000000001.tar","s-900000000000000000.tar"]]"""))
+    assert(e.getMessage.contains("malformed offset"), e.getMessage)
   }
 
   test("listShards: numeric-aware ordering holds past the %05d pad width") {
