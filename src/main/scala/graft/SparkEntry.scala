@@ -32,9 +32,14 @@ object SparkEntry {
     * training jobs (r8 verdict #7). */
   private val qmWeightsMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  // memo lookups lock the map: TrieMap.getOrElseUpdate evaluates its
+  // builder OUTSIDE the atomic insert, so two concurrent cold calls
+  // would both run the expensive distributed build and discard one
   private def qmWeights(s: SparkSession, dir: String): Array[Double] =
-    qmWeightsMemo.getOrElseUpdate(dir,
-      TextOps.trainedQualityWeights(Tables.documents(s, dir)))
+    qmWeightsMemo.synchronized {
+      qmWeightsMemo.getOrElseUpdate(dir,
+        TextOps.trainedQualityWeights(Tables.documents(s, dir)))
+    }
 
   /** Published HNSW serving indexes, memoized per data dir (pure
     * functions of that dir's embeddings table and fixed build params):
@@ -45,16 +50,23 @@ object SparkEntry {
   private val hnswMemo =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.HnswIndex]
   private def hnswIdx(s: SparkSession, dir: String): Similarity.HnswIndex =
-    hnswMemo.getOrElseUpdate(dir, Similarity.hnswIndex(
-      Tables.embeddings(s, dir),
-      knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
+    hnswMemo.synchronized {
+      hnswMemo.getOrElseUpdate(dir, Similarity.hnswIndex(
+        Tables.embeddings(s, dir),
+        knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
+    }
   private val hnswShardMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Similarity.HnswIndex]]
+  // the shard indexes are built with numQueries = 10 (the default) —
+  // the search side must pass the same value (the depth-pad contract,
+  // see hnswSearchShardedWithIndexes)
   private def hnswShardIdx(s: SparkSession,
                            dir: String): Seq[Similarity.HnswIndex] =
-    hnswShardMemo.getOrElseUpdate(dir, Similarity.hnswShardIndexes(
-      Tables.embeddings(s, dir), shards = 2,
-      knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
+    hnswShardMemo.synchronized {
+      hnswShardMemo.getOrElseUpdate(dir, Similarity.hnswShardIndexes(
+        Tables.embeddings(s, dir), shards = 2,
+        knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: ETL pipeline (SURVEY.md §2.2-§2.5) ---
@@ -1538,6 +1550,25 @@ object SparkEntry {
         WHERE c0 >= $threshold"""
   }
 
+  /** DuckDB replica of [[graft.operators.TextOps.qualityScore]] —
+    * SINGLE-SOURCED: the `doc_quality` oracle uses it whole, and the
+    * keep-best oracle consumes it as a subquery, so the heuristic
+    * formula and the stopword list have exactly one SQL copy. */
+  private val docQualitySql: String =
+    """SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+       floor((CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+       floor((CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS diversity,
+       floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+         AS quality_score
+     FROM (
+       SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
+       FROM (SELECT doc_id, n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+         FROM documents))"""
+
   /** The connected-components closure over the verified pair set,
     * single-sourced for doc_dedup_clusters and doc_dedup_keep_best:
     * undirected edges, recursive reachability, min-reachable-id label.
@@ -2862,19 +2893,7 @@ object SparkEntry {
          FROM sc"""
     },
     "doc_quality" ->
-      """SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
-           floor((CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS stop_ratio,
-           floor((CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) * 1e4 + 0.5) / 1e4 AS diversity,
-           floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
-             AS quality_score
-         FROM (
-           SELECT doc_id, n_chars,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-             len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
-           FROM (SELECT doc_id, n_chars,
-             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-             FROM documents))""",
+      docQualitySql,
     // replica of TextOps.mixWeights: same 1e-6-quantized alpha powers,
     // decimal cross-source sum, float division spelled CAST AS DOUBLE
     "doc_mix_weights" ->
@@ -3118,24 +3137,12 @@ object SparkEntry {
          $clusterCtes
          SELECT doc_id, cluster_id FROM cl""",
     // quality-aware canonical selection: clusters (same recursive
-    // closure) x the doc_quality score formula, argmax per cluster.
-    // The score subquery mirrors the doc_quality oracle — both are
-    // driver-gated, so any drift between the two copies hash-fails
+    // closure) x the doc_quality score formula, argmax per cluster —
+    // both pieces single-sourced (clusterCtes / docQualitySql)
     "doc_dedup_keep_best" ->
       s"""WITH RECURSIVE $shingleCtes,
          $clusterCtes,
-         q AS (
-           SELECT doc_id,
-             floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0) + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
-               AS quality_score
-           FROM (
-             SELECT doc_id,
-               CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-               len(list_filter(toks, x -> x IN ('the','a','of'))) AS stop_cnt
-             FROM (SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
-               FROM documents))),
+         q AS (SELECT doc_id, quality_score FROM ($docQualitySql)),
          j AS (
            SELECT cl.cluster_id, cl.doc_id, q.quality_score,
              row_number() OVER (PARTITION BY cl.cluster_id

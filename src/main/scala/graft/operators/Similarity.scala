@@ -1171,11 +1171,14 @@ object Similarity {
     * top-k lists merge with the engine's standard WindowGroupLimit
     * final rank. This is the DiskANN/SPANN deployment shape: no single
     * machine ever holds the whole index, and shard fan-out is the
-    * embarrassingly-parallel axis. Quality note (spec-measured): a
-    * sharded search can only IMPROVE recall over one monolithic graph
-    * of the same parameters — each subgraph is searched exhaustively
-    * down to its own top-k, so a true neighbor can't hide behind a
-    * badly-routed entry point in another shard's region. */
+    * embarrassingly-parallel axis. Quality note (spec-measured): the
+    * MERGE is exact over what the per-shard walks find — a global
+    * winner located by its home shard always survives the cut (the
+    * depth pad in [[hnswSearchShardedWithIndexes]]) — and in practice
+    * sharding tends to HELP recall because each subgraph's entry
+    * routing covers a smaller region; but every walk is still an
+    * ef-bounded approximation, so no strict ≥-monolithic inequality is
+    * guaranteed in general. */
   def hnswSearchShardedTopK(embeddings: DataFrame, shards: Int = 4,
                             numQueries: Int = 10, k: Int = 5,
                             m: Int = 8, ef: Int = 64, numTables: Int = 16,
@@ -1217,13 +1220,25 @@ object Similarity {
   }
 
   /** Search published per-shard indexes and merge: zero build jobs in
-    * the plan — each shard's leg is a pure walk over the query slice. */
+    * the plan — each shard's leg is a pure walk over the query slice.
+    *
+    * CONTRACT: `numQueries` must equal the value the indexes were built
+    * with ([[hnswShardIndexes]] re-attaches exactly that many query
+    * vectors per shard — a larger search-time value under-pads the
+    * cut), and `k + numQueries <= ef` (the beam holds at most `ef`
+    * results, so a depth request beyond it would silently truncate and
+    * void the resident-survival guarantee). The ef bound is enforced;
+    * the numQueries pairing is the caller's (uncheckable from the
+    * artifact — document it where the index is cached). */
   def hnswSearchShardedWithIndexes(embeddings: DataFrame,
                                    indexes: Seq[HnswIndex],
                                    numQueries: Int = 10, k: Int = 5,
                                    ef: Int = 64): DataFrame = {
     val shards = indexes.size
     require(shards > 0, "need at least one shard index")
+    require(k + numQueries <= ef,
+      s"k + numQueries (${k + numQueries}) exceeds the beam width ef=$ef: " +
+        "the per-shard cut could drop beam-found residents — raise ef")
     val perShard = indexes.zipWithIndex.map { case (idx, s) =>
       // Search to depth k + numQueries BEFORE the residence filter: at
       // most numQueries re-attached foreign queries can outrank a

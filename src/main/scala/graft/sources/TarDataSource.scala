@@ -428,10 +428,17 @@ object TarOffsetCodec {
       case _ => None
     }
 
+  /** Decode's sanity bound on one range's span; encode BREAKS runs at
+    * the same limit so the codec stays round-trip symmetric — a
+    * checkpoint this codec wrote always decodes (a stream that really
+    * accumulates >10M contiguous shards just emits multiple ranges). */
+  private val MaxRangeSpan = 10000000L
+
   def encode(shards: scala.collection.immutable.SortedSet[String]): String = {
     val out = new java.util.ArrayList[AnyRef]()
     var runStart: String = null
     var runEnd: String = null
+    var runStartNum = 0L
     var runKey: (String, Long, Int, String) = null
     def flush(): Unit = if (runStart != null) {
       if (runStart == runEnd) out.add(runStart)
@@ -444,9 +451,12 @@ object TarOffsetCodec {
       parse(name) match {
         case Some(k @ (p, n, w, s)) =>
           runKey match {
-            case (rp, rn, rw, rs) if rp == p && rw == w && rs == s && n == rn + 1 =>
+            case (rp, rn, rw, rs) if rp == p && rw == w && rs == s &&
+                n == rn + 1 && n - runStartNum < MaxRangeSpan =>
               runEnd = name; runKey = k
-            case _ => flush(); runStart = name; runEnd = name; runKey = k
+            case _ =>
+              flush(); runStart = name; runEnd = name
+              runStartNum = n; runKey = k
           }
         case None => flush(); out.add(name)
       }
@@ -471,8 +481,9 @@ object TarOffsetCodec {
             // loud-failure bound: decode trusts checkpoint bytes, and a
             // corrupted range like [..001, ..9e17] would otherwise spin
             // the driver through ~1e18 set insertions instead of
-            // erroring. 10M shards is far beyond the design point.
-            require(n1 - n0 < 10000000L,
+            // erroring. Encode breaks runs at the SAME bound, so every
+            // range this codec wrote decodes.
+            require(n1 - n0 < MaxRangeSpan,
               s"tar offset range [$start, $end] spans ${n1 - n0 + 1} " +
                 "names — malformed offset (bound: 10M)")
             var n = n0

@@ -59,22 +59,6 @@ object TarShards {
               s"rename $tmpPath -> $finalPath failed with no winner")
             pfs.delete(tmpPath, false)
           }
-          // reap orphaned temp files from DEAD attempts of this shard: a
-          // task that died mid-write leaves shard-XXXXX.tar.inprogress-
-          // <attempt> behind forever (the retry writes under a NEW
-          // attempt id), so the attempt that publishes is the janitor.
-          // Readers ignore non-.tar names, so this is dir hygiene, not
-          // correctness. AGE-GATED: deleting under a LIVE speculative
-          // twin would fail its close()/rename on HDFS (open-lease file
-          // deleted) and spawn spurious task retries — a dead attempt's
-          // file stops being modified, so only stale temps are reaped;
-          // fresh ones are left for the NEXT publisher to collect.
-          val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
-          val orphans = pfs.globStatus(
-            new Path(outDir, finalPath.getName + ".inprogress-*"))
-          if (orphans != null)
-            orphans.filter(_.getModificationTime < cutoff)
-              .foreach(o => pfs.delete(o.getPath, false))
         }
         rows.foreach { r =>
           val sid = r.getInt(0)
@@ -91,6 +75,20 @@ object TarShards {
         }
         closeShard()
       }
+    // DRIVER-SIDE post-job janitor for dead attempts' temp files: a task
+    // that died mid-write leaves shard-XXXXX.tar.inprogress-<attempt>
+    // behind (its retry publishes under a NEW attempt id and cannot
+    // safely delete a sibling that might belong to a LIVE speculative
+    // twin — an in-task reap either races an open HDFS lease or, if
+    // age-gated, never fires because retries land within seconds). Here
+    // the job has COMPLETED: no task of it is still writing, so sweeping
+    // every leftover .inprogress file is race-free. Readers ignore
+    // non-.tar names throughout, so this is dir hygiene, not
+    // correctness; a crash before this sweep leaves orphans that the
+    // next writeShards run's dir wipe removes.
+    val leftovers = fs.globStatus(new Path(out, "*.inprogress-*"))
+    if (leftovers != null)
+      leftovers.foreach(o => fs.delete(o.getPath, false))
   }
 
   /** WebDataset SAMPLE GROUPING: members named `<key>.<ext>` are the

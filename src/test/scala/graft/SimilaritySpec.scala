@@ -607,13 +607,16 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
       assert(rs.forall(_.getAs[Long]("neighbor_id") != q), q)
     }
-    // every global winner is within its home shard's top-k, so merging
-    // per-shard lists is exact over what the searches found — recall can
-    // only match or beat the single graph (each subgraph is searched
-    // down to its own top-k; no cross-region entry-point misrouting)
+    // every global winner found BY ITS HOME SHARD survives the merge
+    // (depth pad + residence filter), and smaller subgraphs route
+    // better in practice — but each walk is still an ef-bounded
+    // approximation, so >= monolithic is an empirical tendency, not an
+    // invariant: assert the absolute quality bar, record the comparison
+    // with slack for routing luck on future fixtures
     val sr = recall(sharded)
-    assert(sr >= mono, s"sharded $sr < monolithic $mono")
     assert(sr >= 0.9, s"sharded recall $sr")
+    assert(sr >= mono - 0.1,
+      s"sharded $sr far below monolithic $mono — merge likely broken")
     // deterministic run to run
     assert(rows.map(_.toSeq).toSet ==
       Similarity.hnswSearchShardedTopK(emb, shards = 4, numQueries = 10,
