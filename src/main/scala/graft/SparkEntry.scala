@@ -388,6 +388,12 @@ object SparkEntry {
     // source + per-doc sampling multiplier + slice of a fixed token budget
     "doc_mix_weights" -> ((s, dir) =>
       TextOps.mixWeights(Tables.documents(s, dir))),
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of the
+    // target-domain LM vs the raw-corpus LM, mean per doc — the
+    // importance-resampling ranking, computed over a FIXED 4096-bucket
+    // feature space so the llr table broadcasts at any corpus size
+    "doc_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -512,6 +518,10 @@ object SparkEntry {
     // vectors per query, label gate map-side before the top-k window
     "emb_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir), numQueries = 10, k = 5)),
+    // MMR diversity re-rank: greedy λ-tradeoff picks over the exact top-20
+    // candidate list per query — bounded typed groups, nothing collects
+    "emb_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(s, dir))),
     // Matryoshka truncation eval: recall@k when searching with only the
     // first d dims, per candidate d — the dim-vs-recall serving report
     "emb_mrl_recall" -> ((s, dir) =>
@@ -872,6 +882,71 @@ object SparkEntry {
     }
     (feats +: "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
       +: steps).mkString(",\n")
+  }
+
+  /** DuckDB replica of [[graft.operators.Similarity.mmrSelect]]: the exact
+    * top-`candidates` cosine list per query, then the k greedy MMR picks
+    * unrolled mechanically (the BPE/GD-oracle technique) — each step is a
+    * per-query argmax of `λ·rel − (1−λ)·max sim-to-picked` over the not-yet-
+    * picked candidates, ties to the lower neighbor_id, on the identical
+    * IEEE doubles the engine's sequential-fold dot product produces.
+    * `cand`/`pair`/`selall*` are MATERIALIZED: DuckDB inlines CTEs by
+    * default and each step references the previous pick-set three times,
+    * so the naive form re-expands the whole subtree 3^k times. */
+  private def mmrOracle(numQueries: Int, candidates: Int, k: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, len($a)),
+         i -> $a[i] * $b[i]), (x, y) -> x + y)"""
+    val base = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < $numQueries),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS v,
+             ${dotSql("q.vq", "e.v")}
+             / (sqrt(${dotSql("q.vq", "q.vq")}) * sqrt(${dotSql("e.v", "e.v")})) AS rel
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         cand AS MATERIALIZED (
+           SELECT query_id, neighbor_id, rel, v FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, neighbor_id ASC) AS rn
+             FROM scored) WHERE rn <= $candidates),
+         pair AS MATERIALIZED (
+           SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+             ${dotSql("a.v", "b.v")}
+             / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS sim
+           FROM cand a JOIN cand b
+             ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+         selall0 AS (
+           SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+             CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS mmr,
+             CAST(NULL AS INT) AS mmr_rank WHERE false)"""
+    val steps = (1 to k).map { t =>
+      val prev = s"selall${t - 1}"
+      s"""sel$t AS (
+           SELECT query_id, neighbor_id, rel, mmr, $t AS mmr_rank FROM (
+             SELECT c.query_id, c.neighbor_id, c.rel,
+               0.7 * c.rel - (1.0 - 0.7) * coalesce(ms.m, 0.0) AS mmr,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY (0.7 * c.rel - (1.0 - 0.7) * coalesce(ms.m, 0.0)) DESC,
+                   c.neighbor_id ASC) AS rn
+             FROM cand c
+             LEFT JOIN (
+               SELECT p.query_id, p.na AS nid, max(p.sim) AS m
+               FROM pair p JOIN $prev s
+                 ON s.query_id = p.query_id AND s.neighbor_id = p.nb
+               GROUP BY 1, 2) ms
+               ON ms.query_id = c.query_id AND ms.nid = c.neighbor_id
+             WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+               WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id))
+           WHERE rn = 1),
+         selall$t AS MATERIALIZED (
+           SELECT * FROM selall${t - 1} UNION ALL SELECT * FROM sel$t)"""
+    }.mkString(",\n")
+    s"""WITH $base,
+       $steps
+       SELECT query_id, neighbor_id, mmr_rank,
+         floor(rel * 1e4 + 0.5) / 1e4 AS relevance,
+         floor(mmr * 1e4 + 0.5) / 1e4 AS mmr_score
+       FROM selall$k"""
   }
 
   private def shaFoldSql(arg: String): String =
@@ -2916,6 +2991,44 @@ object SparkEntry {
            floor(((s_alpha / a_total) / (CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS weight,
            CAST(floor((floor((s_alpha / a_total) * 1e6 + 0.5) / 1e6) * 1000000.0) AS BIGINT) AS budget_tokens
          FROM q, tot""",
+    // replica of TextOps.dsirWeights: same 4096-bucket sha-hash feature
+    // space, add-one smoothing over buckets, log10 per DISTINCT bucket
+    // quantized at 1e-6 before the decimal-exact per-doc mean
+    "doc_dsir_weights" ->
+      s"""WITH toks AS (
+           SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         tb AS (
+           SELECT doc_id, lang, ${shaFoldSql("term")} % 4096 AS bucket
+           FROM toks),
+         counts AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt,
+             count(*) AS c_raw
+           FROM tb GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tgt,
+             CAST(sum(c_raw) AS BIGINT) AS t_raw
+           FROM counts),
+         llr AS (
+           SELECT bucket,
+             floor(log10(CAST(c_tgt + 1 AS DOUBLE) / (t_tgt + 4096)) * 1e6 + 0.5) / 1e6
+             - floor(log10(CAST(c_raw + 1 AS DOUBLE) / (t_raw + 4096)) * 1e6 + 0.5) / 1e6
+               AS llr
+           FROM counts CROSS JOIN tot),
+         perdoc AS (
+           SELECT tb.doc_id, count(*) AS n_tokens,
+             CAST(sum(CAST(llr AS DECIMAL(38, 10))) AS DOUBLE) AS sllr
+           FROM tb JOIN llr USING (bucket) GROUP BY 1)
+         SELECT d.doc_id, d.lang,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           CASE WHEN p.n_tokens IS NULL THEN NULL
+             ELSE floor((p.sllr / p.n_tokens) * 1e4 + 0.5) / 1e4 END AS dsir_weight,
+           CASE WHEN p.n_tokens IS NULL THEN false
+             ELSE floor((p.sllr / p.n_tokens) * 1e4 + 0.5) / 1e4 > 0.0 END AS selected
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
     // replica of TextOps.unigramLogProb: log10 per DISTINCT tf quantized to
     // 1e-6, decimal-summed per doc (exactSum twin), mean minus lp(T) at 1e-4
     "doc_unigram_logprob" ->
@@ -3312,6 +3425,7 @@ object SparkEntry {
          SELECT query_id, neighbor_id, neg_label,
            floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
          FROM ranked WHERE rank <= 5""",
+    "emb_mmr_select" -> mmrOracle(numQueries = 10, candidates = 20, k = 8),
     "emb_label_centroids" ->
       """SELECT label, dim,
            floor((CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)) * 1e6 + 0.5) / 1e6

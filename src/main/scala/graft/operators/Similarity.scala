@@ -111,6 +111,111 @@ object Similarity {
         roundFixed(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** One MMR selection: (query, picked neighbor, pick order, exact-cosine
+    * relevance, marginal score at pick time). */
+  case class MmrPick(query_id: Long, neighbor_id: Long, mmr_rank: Int,
+                     relevance: Double, mmr_score: Double)
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) — the
+    * diversity-aware re-ranker a retrieval/training-mix pipeline runs over
+    * a dense-retrieval candidate list: starting from the exact top-
+    * `candidates` cosine neighbors per query, greedily pick `k` results
+    * maximizing
+    *
+    *   mmr(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ picked} cos(d, s)
+    *
+    * so each pick trades relevance against redundancy with what is already
+    * picked (ties break to the lower neighbor_id, scan-order exact).
+    *
+    * Scale shape: stage 1 is the [[bruteForceTopK]] plan (broadcast query
+    * set, ONE corpus pass, WindowGroupLimit top-`candidates`) keeping the
+    * exact unrounded cosines and the candidate vectors; stage 2 is
+    * `groupByKey(query).flatMapGroups` over groups BOUNDED at `candidates`
+    * rows — each query's greedy walk is independent, local, and O(k·c·d),
+    * so millions of queries fan out perfectly and nothing ever collects to
+    * the driver. The iterative argmax is not expressible relationally
+    * without k chained self-joins, which is exactly what the typed-group
+    * escape hatch is for (SURVEY.md §2.7 preference order).
+    *
+    * Determinism: the greedy walk runs on the same doubles the codegen'd
+    * [[graft.functions.DotProduct]] fold produces (sequential index-order
+    * sum of products, IEEE sqrt), candidates are processed in ascending
+    * neighbor_id, and scores round to the 1e-4 grid only at the edge — the
+    * DuckDB oracle unrolls the k picks mechanically (the BPE/GD-oracle
+    * technique) and hash-matches bit-for-bit.
+    */
+  def mmrSelect(embeddings: DataFrame, numQueries: Int = 10,
+                candidates: Int = 20, k: Int = 8,
+                lambda: Double = 0.7): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), vec(col("embedding")).as("v_n"))
+      .withColumn("nrm_n", sqrt(dot(col("v_n"), col("v_n"))))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), vec(col("embedding")).as("v_q"))
+      .withColumn("nrm_q", sqrt(dot(col("v_q"), col("v_q"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val cand = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel", dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= candidates)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("v_n"))
+
+    val mu = 1.0 - lambda
+    import org.apache.spark.sql.{Encoders, Row}
+    val picks = cand
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroups { (qid: Long, it: Iterator[Row]) =>
+        // ascending neighbor_id so strict-greater argmax = lowest-id tie win
+        val cs = it.map(r => (r.getLong(1), r.getDouble(2),
+          r.getSeq[Double](3).toArray)).toArray.sortBy(_._1)
+        val n = cs.length
+        def dotArr(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val nrm = cs.map(c => math.sqrt(dotArr(c._3, c._3)))
+        // -inf sentinel, NOT 0.0: cosines can be negative, and clamping the
+        // redundancy penalty at zero would silently favor anti-correlated
+        // picks less than the true MMR objective does
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val picked = Array.fill(n)(false)
+        val out = Array.newBuilder[MmrPick]
+        var step = 1
+        while (step <= math.min(k, n)) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              // first pick is pure relevance (max over the empty set)
+              val pen = if (step == 1) 0.0 else maxSim(i)
+              val s = lambda * cs(i)._2 - mu * pen
+              if (best < 0 || s > bestScore) { best = i; bestScore = s }
+            }
+            i += 1
+          }
+          picked(best) = true
+          out += MmrPick(qid, cs(best)._1, step, cs(best)._2, bestScore)
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val sim = dotArr(cs(j)._3, cs(best)._3) / (nrm(j) * nrm(best))
+              if (sim > maxSim(j)) maxSim(j) = sim
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().toSeq
+      }(Encoders.product[MmrPick])
+    picks.toDF().select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+      roundFixed(col("relevance"), 4).as("relevance"),
+      roundFixed(col("mmr_score"), 4).as("mmr_score"))
+  }
+
   /** Deterministic anchor set, collected to the driver: the embeddings of
     * the first `c` vec_ids as (anchor_id, vector, precomputed L2 norm).
     *

@@ -745,6 +745,66 @@ object TextOps {
           .cast("long").as("budget_tokens"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): rank raw
+    * documents by how much their hashed-unigram profile resembles a TARGET
+    * domain — here the `targetLang` slice of the corpus — versus the raw
+    * corpus as a whole. Per hash bucket b,
+    *
+    *   llr(b) = lp_tgt(b) − lp_raw(b),
+    *   lp_X(b) = log10((c_X(b) + 1) / (T_X + B))   (add-one over B buckets)
+    *
+    * and a document's weight is the mean llr over its token buckets:
+    * positive ⇒ its feature profile is more target-like than the corpus
+    * average, the DSIR resampling preference.
+    *
+    * Scale shape: hashing into a FIXED B = `buckets` feature space is the
+    * point of DSIR — the bucket relation is ≤ B rows regardless of corpus
+    * size, so both bucket counts ride one explode + one bounded hash agg,
+    * the llr table broadcasts at any SF, and the per-doc pass is the
+    * [[unigramLogProb]] join discipline (vocab-side broadcast, one hash agg
+    * back to documents). Determinism: log10 once per DISTINCT bucket,
+    * quantized at 1e-6 BEFORE the decimal-exact per-doc sum — identical to
+    * the unigram/bigram LM contract, so DuckDB replays it digit-for-digit.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  buckets: Int = 4096): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+      .withColumn("bucket", pmod(portableHash64(col("term")), lit(buckets.toLong)))
+    val counts = toks.groupBy("bucket").agg(
+      sum(when(col("lang") === lit(targetLang), 1L).otherwise(0L)).as("c_tgt"),
+      count(lit(1)).as("c_raw"))
+    // totals via a whole-relation window over the ≤B-row counts table, NOT a
+    // separate agg + crossJoin: the agg form duplicates the corpus-explode
+    // subtree in the plan (a third full scan); the window is one
+    // SinglePartition exchange of ≤B rows
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val llr = counts
+      .withColumn("t_tgt", sum(col("c_tgt")).over(wAll))
+      .withColumn("t_raw", sum(col("c_raw")).over(wAll))
+      .select(
+      col("bucket"),
+      (roundFixed(log10((col("c_tgt") + lit(1L)).cast("double") /
+          (col("t_tgt") + lit(buckets.toLong)).cast("double")), 6) -
+        roundFixed(log10((col("c_raw") + lit(1L)).cast("double") /
+          (col("t_raw") + lit(buckets.toLong)).cast("double")), 6)).as("llr"))
+    val perDoc = toks.join(broadcast(llr), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.DeterministicAgg.exactSum(col("llr")).as("sllr"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, lit(null).cast("double"))
+          .otherwise(roundFixed(col("sllr") / col("n_tokens"), 4))
+          .as("dsir_weight"),
+        when(col("n_tokens").isNull, lit(false))
+          .otherwise(roundFixed(col("sllr") / col("n_tokens"), 4) > lit(0.0))
+          .as("selected"))
+  }
+
   /** BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer's ASCII
     * core): maximal letter runs, digit runs, and single non-space symbols.
     * Kept to ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree

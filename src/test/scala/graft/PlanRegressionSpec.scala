@@ -16,6 +16,36 @@ class PlanRegressionSpec extends AnyFunSuite {
   private def count(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).size
 
+  test("doc_dsir_weights: bounded llr table broadcasts, no cartesian, corpus shuffled only on its keys") {
+    val p = plan("doc_dsir_weights")
+    // the ≤4096-row llr table broadcasts into the token join, and the final
+    // doc join broadcasts at this SF (stats-gated, no hint)
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // corpus shuffles only on its keys: bucket agg + doc_id agg; the totals
+    // window moves only the bounded counts relation
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(count(p, "Exchange SinglePartition") == 1, p)
+    // totals derive from the counts relation, not a duplicated third
+    // corpus-explode subtree: exactly 3 scans (final left side + 2 token sides)
+    assert(count(p, "FileScan parquet") == 3, p)
+  }
+
+  test("emb_mmr_select: broadcast query stage, bounded typed groups, single corpus pass") {
+    val p = plan("emb_mmr_select")
+    // query side broadcasts; the corpus is never cartesian-joined
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // top-candidates cut runs map-side (Partial) BEFORE the exchange, so
+    // only <= candidates*partitions rows ever shuffle
+    assert(count(p, "WindowGroupLimit") == 2 && p.contains(", Partial"), p)
+    // both exchanges (window + typed-group key) move the bounded candidate
+    // relation only, and the greedy walk is a typed MapGroups, no collect
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("MapGroups"), p)
+    // column pruning reaches both scans (vec_id + embedding, nothing else)
+    assert(count(p, "ReadSchema: struct<vec_id:bigint,embedding:array<float>>") == 2, p)
+  }
+
   test("station_day_agg: one broadcast join, one partial+final agg exchange, no sort-merge") {
     val p = plan("station_day_agg")
     assert(count(p, "BroadcastHashJoin") == 1, p)

@@ -82,6 +82,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("mmr: redundant twin loses to the diverse pick; greedy invariants hold") {
+    import spark.implicits._
+    // query 0 = e1 axis. A (id 1) and its twin A' (id 2) are near-identical
+    // (pairwise cosine ~0.9998); B (id 3) mirrors A across the query axis,
+    // so it matches A's ~0.8 relevance while overlapping A at only ~0.28.
+    // Pure relevance ranks A, A', B — MMR at lambda 0.7 must pick A then B
+    // (the twin's ~0.3 redundancy penalty sinks it to third).
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.81f, 0.59f, 0.0f), 0),
+      (2L, Array(0.8f, 0.601f, 0.0f), 0),
+      (3L, Array(0.8f, -0.6f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrSelect(rows, numQueries = 1, candidates = 3, k = 3)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L), out.mkString("; "))
+    assert(out.map(_.getAs[Int]("mmr_rank")).toSeq == Seq(1, 2, 3))
+    // greedy marginal scores never increase (penalties only grow)
+    val scores = out.map(_.getAs[Double]("mmr_score")).toSeq
+    assert(scores == scores.sorted.reverse, scores)
+    // first pick is the pure-relevance argmax
+    assert(out.head.getAs[Double]("relevance") ==
+      out.map(_.getAs[Double]("relevance")).max)
+  }
+
+  test("mmr on real data: k distinct picks per query, rank-1 equals exact top-1") {
+    val out = Similarity.mmrSelect(emb, numQueries = 5, candidates = 10, k = 4).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 4, s"query $q")
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 4)
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 5, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    byQ.foreach { case (q, rows) =>
+      val first = rows.minBy(_.getAs[Int]("mmr_rank")).getAs[Long]("neighbor_id")
+      assert(first == exact(q), s"query $q rank-1 must be the exact top-1")
+    }
+  }
+
   test("LSH pair finding reports only pairs above threshold, verified exactly") {
     val pairs = Similarity.lshNearDupPairs(emb, threshold = 0.4).collect()
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.4))

@@ -251,6 +251,47 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out("small").getAs[Long]("budget_tokens") == 333L)
   }
 
+  test("dsir weights: hand-replicated bucket llr, target-like docs rank higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", "en", "s", 8L),
+      (2L, "aa bb", "en", "s", 5L),
+      (3L, "zz zz zz", "de", "s", 8L),
+      (4L, "", "de", "s", 0L) // zero tokens: weight NULL, selected false
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.dsirWeights(docs, targetLang = "en", buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // re-derive with the exact documented arithmetic: the portable 60-bit
+    // sha bucket, add-one smoothing over 4096 buckets, 1e-6 lp grid per
+    // DISTINCT bucket, per-doc mean at 1e-4
+    def bucket(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = d.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 4096L
+    }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val toks = Seq("aa", "aa", "bb", "aa", "bb", "zz", "zz", "zz")
+    val tgt = Seq("aa", "aa", "bb", "aa", "bb")
+    val cRaw = toks.groupBy(bucket).view.mapValues(_.size).toMap
+    val cTgt = tgt.groupBy(bucket).view.mapValues(_.size).toMap
+    def llr(b: Long): Double =
+      q6(math.log10((cTgt.getOrElse(b, 0) + 1.0) / (tgt.size + 4096))) -
+        q6(math.log10((cRaw(b) + 1.0) / (toks.size + 4096)))
+    val exp1 = q4((llr(bucket("aa")) * 2 + llr(bucket("bb"))) / 3)
+    val exp3 = q4(llr(bucket("zz")))
+    assert(out(1L).getAs[Long]("n_tokens") == 3L)
+    assert(out(1L).getAs[Double]("dsir_weight") == exp1)
+    assert(out(3L).getAs[Double]("dsir_weight") == exp3)
+    // the en-profile doc must out-rank the de-only doc, and the flags follow
+    assert(exp1 > exp3)
+    assert(out(1L).getAs[Boolean]("selected") == (exp1 > 0.0))
+    assert(out(3L).getAs[Boolean]("selected") == (exp3 > 0.0))
+    assert(out(4L).getAs[Long]("n_tokens") == 0L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("dsir_weight")))
+    assert(!out(4L).getAs[Boolean]("selected"))
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
