@@ -522,6 +522,15 @@ object SparkEntry {
     // candidate list per query — bounded typed groups, nothing collects
     "emb_mmr_select" -> ((s, dir) =>
       Similarity.mmrSelect(Tables.embeddings(s, dir))),
+    // population covariance of the corpus: fixed d²-cell aggregate state
+    // (corpus size never touches the shuffle), decimal-exact moments
+    "emb_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(Tables.embeddings(s, dir))),
+    // PCA projection + whitening off the driver-factorized covariance
+    // (rows-only: the iterative eigensolver is not SQL-expressible; the
+    // covariance input is the hash-oracled query above)
+    "emb_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(Tables.embeddings(s, dir))),
     // Matryoshka truncation eval: recall@k when searching with only the
     // first d dims, per candidate d — the dim-vs-recall serving report
     "emb_mrl_recall" -> ((s, dir) =>
@@ -3426,6 +3435,28 @@ object SparkEntry {
            floor(c * 1e4 + 0.5) / 1e4 AS cosine, rank
          FROM ranked WHERE rank <= 5""",
     "emb_mmr_select" -> mmrOracle(numQueries = 10, candidates = 20, k = 8),
+    // replica of Similarity.covarianceMatrix: raw decimal-exact moments,
+    // covariance assembled in the same double-op order, 1e-6 grid
+    "emb_covariance" ->
+      """WITH x AS (
+           SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) - 1 AS i,
+             unnest(embedding::DOUBLE[]) AS xi
+           FROM embeddings),
+         cells AS (
+           SELECT a.i AS i, b.i AS j, count(*) AS n_vectors,
+             CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(38, 10))) AS DOUBLE) AS sij
+           FROM x a JOIN x b USING (vec_id)
+           GROUP BY 1, 2),
+         sums AS (
+           SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38, 10))) AS DOUBLE) AS si
+           FROM x GROUP BY 1)
+         SELECT c.i, c.j, c.n_vectors,
+           floor(((c.sij - m1.si * m2.si / c.n_vectors) / c.n_vectors) * 1e6 + 0.5) / 1e6
+             AS cov
+         FROM cells c
+         JOIN sums m1 ON m1.i = c.i
+         JOIN sums m2 ON m2.i = c.j""",
     "emb_label_centroids" ->
       """SELECT label, dim,
            floor((CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)) * 1e6 + 0.5) / 1e6

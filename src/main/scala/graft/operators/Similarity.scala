@@ -990,6 +990,157 @@ object Similarity {
       .agg(avgRounded(col("x"), 6).as("centroid_val"),
         count(lit(1)).as("n_vectors"))
 
+  /** Population covariance matrix of the embedding corpus — the statistic
+    * every PCA/whitening/ZCA preprocessing pass starts from:
+    *
+    *   cov(i,j) = (S_ij − S_i·S_j / n) / n,   S_ij = Σ x_i·x_j, S_i = Σ x_i
+    *
+    * Scale shape: the aggregate STATE is the fixed d² = 4096-cell grid (the
+    * DSIR-bucket property — corpus size never touches it): one chained
+    * double-posexplode feeds a (i,j)-keyed hash agg whose map-side partial
+    * collapse means only d²·partitions rows ever shuffle; the d-row sum
+    * table broadcasts into the final cell join. Raw-moment sums rather than
+    * two centered passes: one corpus read for the pair leg, one cheap d-wide
+    * read for the means leg. Determinism: all three sums decimal-exact, the
+    * covariance assembled in one fixed double-op order and 1e-6-quantized —
+    * the DuckDB oracle replays it digit-for-digit.
+    */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+    import graft.functions.DeterministicAgg.exactSum
+    val rows = embeddings.select(vec(col("embedding")).as("v"))
+    val xi = rows.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+    val pairs = xi.select(col("i"), col("xi"),
+      posexplode(col("v")).as(Seq("j", "xj")))
+    val cells = pairs.groupBy("i", "j").agg(
+      count(lit(1)).as("n_vectors"),
+      exactSum(col("xi") * col("xj")).as("sij"))
+    val sums = rows.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(exactSum(col("xi")).as("si"))
+    // both sum joins consume the SAME canonical subtree (aliases only, no
+    // projection inside the exchange), so ReuseExchange computes the d-row
+    // broadcast once — renaming i->j under the second broadcast would
+    // defeat the reuse and re-scan the corpus for 64 numbers
+    cells.as("c")
+      .join(broadcast(sums.as("mi")), col("c.i") === col("mi.i"))
+      .join(broadcast(sums.as("mj")), col("c.j") === col("mj.i"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("n_vectors"),
+        roundFixed((col("sij") - col("mi.si") * col("mj.si") / col("n_vectors"))
+          / col("n_vectors"), 6).as("cov"))
+  }
+
+  /** Cyclic Jacobi eigensolver for a small symmetric matrix (the d×d
+    * covariance — metadata-scale, driver-side by design, the collected-
+    * codebook discipline): returns eigenpairs sorted by eigenvalue
+    * descending, each eigenvector sign-fixed so its largest-magnitude
+    * component is positive (first such index wins ties) — fully
+    * deterministic given deterministic input. */
+  private[graft] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0; var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 50 && offDiag() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = (if (theta >= 0) 1.0 else -1.0) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < n) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val pairs = (0 until n).map { k =>
+      val vec = Array.tabulate(n)(r => v(r)(k))
+      (a(k)(k), vec)
+    }.sortBy { case (ev, vec) => (-ev, vec.head) }
+    val fixed = pairs.map { case (ev, vec) =>
+      var best = 0; var i = 1
+      while (i < n) { if (math.abs(vec(i)) > math.abs(vec(best))) best = i; i += 1 }
+      (ev, if (vec(best) < 0) vec.map(-_) else vec)
+    }
+    (fixed.map(_._1).toArray, fixed.map(_._2).toArray)
+  }
+
+  /** PCA projection + whitening scores — the embedding-preprocessing pass
+    * (dimensionality reduction, ZCA/PCA whitening before indexing or
+    * probing): per vector, its centered projection onto each of the top-k
+    * covariance eigenvectors, plus the variance-normalized (whitened) form
+    * z_c / sqrt(λ_c).
+    *
+    * Architecture: the d×d covariance collects to the driver (d² cells —
+    * metadata-scale, NOT corpus-scale; the collected-codebook discipline),
+    * a deterministic cyclic [[jacobiEigen]] factorizes it, and the top-k
+    * (eigenvalue, eigenvector) rows broadcast back so the projection is a
+    * pure per-row map over one corpus pass — at 100 TB the model is 8·64
+    * doubles and the scan dominates, exactly as it should. Rows-only driver
+    * entry (an iterative eigensolver is not SQL-expressible); the input
+    * covariance IS hash-oracled (emb_covariance), and PcaSpec pins residual
+    * ‖Cv−λv‖, orthonormality, eigenvalue order, and whitened unit variance.
+    */
+  def pcaProject(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = embeddings.select(size(vec(col("embedding"))).as("d"))
+      .head().getInt(0)
+    val cov = Array.ofDim[Double](d, d)
+    covarianceMatrix(embeddings).collect().foreach { r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
+    }
+    val n = embeddings.count().toDouble
+    val mu = {
+      val sums = embeddings
+        .select(posexplode(vec(col("embedding"))).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(graft.functions.DeterministicAgg.exactSum(col("xi")).as("si"))
+        .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("si")).toMap
+      Array.tabulate(d)(i => sums(i) / n)
+    }
+    val (eigvals, eigvecs) = jacobiEigen(cov)
+    val comps = (0 until math.min(k, d)).map { c =>
+      (c, eigvecs(c).toSeq, eigvals(c))
+    }.toDF("component", "cvec", "eigval")
+    embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .crossJoin(broadcast(comps))
+      .select(col("vec_id"), col("component"),
+        dot(zip_with(col("v"), typedLit(mu.toSeq), (a, b) => a - b),
+          col("cvec")).as("score"), col("eigval"))
+      .select(col("vec_id"), col("component"),
+        roundFixed(col("score"), 4).as("score"),
+        roundFixed(col("score") / sqrt(col("eigval")), 4).as("white_score"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/serving-side
     * vector op (4× smaller than float32, 8× than the double math): scale =
     * 127/max|x|, q_i = round-half-up(x_i·scale), plus the mean absolute

@@ -46,6 +46,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "ReadSchema: struct<vec_id:bigint,embedding:array<float>>") == 2, p)
   }
 
+  test("emb_covariance: fixed d2-cell agg state, sum table broadcasts, no cartesian") {
+    // asserted on the FINALIZED adaptive plan: exchange reuse is an AQE
+    // runtime decision, invisible in the static toString
+    val df = SparkEntry.queries("emb_covariance")(spark, dir)
+    df.collect()
+    // the finalized toString appends the pre-AQE "Initial Plan" — count
+    // operators in the Final Plan section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the d-row sum broadcast is computed ONCE and reused on the j side —
+    // without reuse a third corpus scan pays for 64 numbers
+    assert(p.contains("ReusedExchange"), p)
+    assert(count(p, "FileScan parquet") == 2, p)
+    // map-side partial agg on the fixed (i,j) grid + the d-row sums agg:
+    // nothing else shuffles, nothing cartesian
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+  }
+
   test("station_day_agg: one broadcast join, one partial+final agg exchange, no sort-merge") {
     val p = plan("station_day_agg")
     assert(count(p, "BroadcastHashJoin") == 1, p)

@@ -124,6 +124,67 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("covariance + jacobi: hand-computed 2-d eigensystem recovered exactly") {
+    import spark.implicits._
+    // mean-zero points: C = [[5,4],[4,5]], eigenpairs (9, (1,1)/sqrt2) and
+    // (1, (1,-1)/sqrt2) — integer covariance, so the 1e-6 grid is exact
+    val emb = Seq(
+      (0L, Array(3.0f, 3.0f), 0), (1L, Array(-3.0f, -3.0f), 0),
+      (2L, Array(1.0f, -1.0f), 0), (3L, Array(-1.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cov = Array.ofDim[Double](2, 2)
+    Similarity.covarianceMatrix(emb).collect().foreach { r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
+    }
+    assert(cov(0)(0) == 5.0 && cov(1)(1) == 5.0 && cov(0)(1) == 4.0 && cov(1)(0) == 4.0,
+      cov.map(_.mkString(",")).mkString(";"))
+    val (ev, vecs) = Similarity.jacobiEigen(cov)
+    assert(math.abs(ev(0) - 9.0) < 1e-9 && math.abs(ev(1) - 1.0) < 1e-9, ev.toSeq)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - s) < 1e-9 && math.abs(vecs(0)(1) - s) < 1e-9, vecs(0).toSeq)
+    assert(math.abs(vecs(1)(0) - s) < 1e-9 && math.abs(vecs(1)(1) + s) < 1e-9, vecs(1).toSeq)
+    // projections onto the leading axis: (3,3) -> 6/sqrt2, (1,-1) -> 0
+    val p = Similarity.pcaProject(emb, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("component")) -> r).toMap
+    def q4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(p((0L, 0)).getAs[Double]("score") == q4(6.0 * s))
+    assert(p((2L, 0)).getAs[Double]("score") == 0.0)
+    assert(p((2L, 1)).getAs[Double]("score") == q4(2.0 * s))
+    // whitening: score / sqrt(eigenvalue)
+    assert(p((0L, 0)).getAs[Double]("white_score") == q4(6.0 * s / 3.0))
+  }
+
+  test("pca on real data: orthonormal components, small residual, unit whitened variance") {
+    val d = 64
+    val cov = Array.ofDim[Double](d, d)
+    Similarity.covarianceMatrix(emb).collect().foreach { r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
+    }
+    val (ev, vecs) = Similarity.jacobiEigen(cov)
+    // eigenvalues sorted non-increasing, PSD up to numerical noise
+    assert(ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(ev.forall(_ > -1e-9), ev.min)
+    // orthonormality of the top-8 used by the projection
+    for (a <- 0 until 8; b <- 0 until 8) {
+      val dp = (0 until d).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      assert(math.abs(dp - (if (a == b) 1.0 else 0.0)) < 1e-8, s"($a,$b) $dp")
+    }
+    // eigen residual ||Cv - ev*v||_inf on the leading component
+    val r0 = (0 until d).map { i =>
+      math.abs((0 until d).map(j => cov(i)(j) * vecs(0)(j)).sum - ev(0) * vecs(0)(i))
+    }.max
+    assert(r0 < 1e-7, r0)
+    // whitened scores have ~unit variance per component (rounding-limited)
+    val rows = Similarity.pcaProject(emb, k = 4).collect()
+    val byC = rows.groupBy(_.getAs[Int]("component"))
+    byC.foreach { case (c, rs) =>
+      val ws = rs.map(_.getAs[Double]("white_score"))
+      val m = ws.sum / ws.length
+      val varW = ws.map(x => (x - m) * (x - m)).sum / ws.length
+      assert(math.abs(varW - 1.0) < 0.05, s"component $c variance $varW")
+    }
+  }
+
   test("LSH pair finding reports only pairs above threshold, verified exactly") {
     val pairs = Similarity.lshNearDupPairs(emb, threshold = 0.4).collect()
     assert(pairs.forall(_.getAs[Double]("cosine") >= 0.4))
