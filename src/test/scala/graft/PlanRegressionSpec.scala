@@ -54,10 +54,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // the finalized toString appends the pre-AQE "Initial Plan" — count
     // operators in the Final Plan section only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the d-row sum broadcast is computed ONCE and reused on the j side —
-    // without reuse a third corpus scan pays for 64 numbers
-    assert(p.contains("ReusedExchange"), p)
-    assert(count(p, "FileScan parquet") == 2, p)
+    // TWO reuses: the d-row sum broadcast is computed once and reused on
+    // the j side, and the spread (round-robin) corpus exchange is shared
+    // by the pairs and sums legs — the corpus scans ONCE in total
+    assert(count(p, "ReusedExchange") == 2, p)
+    assert(count(p, "FileScan parquet") == 1, p)
     // map-side partial agg on the fixed (i,j) grid + the d-row sums agg:
     // nothing else shuffles, nothing cartesian
     assert(count(p, "Exchange hashpartitioning") == 2, p)
