@@ -251,6 +251,10 @@ object SparkEntry {
     // mergeable O(k) sketches, no raw-data re-touch
     "event_kmv_overlap" -> ((s, dir) =>
       Relational.kmvUserOverlap(Tables.events(s, dir))),
+    // first-order Markov model of user behavior: one user_id shuffle into
+    // the lead window, S²-bounded transition matrix + power-iterated π
+    "event_markov" -> ((s, dir) =>
+      Relational.eventMarkov(Tables.events(s, dir))),
     // Deequ-style constraint gate: per-column profile + rule violations,
     // one conditional-agg scan per profiled column
     "event_quality_report" -> ((s, dir) =>
@@ -394,6 +398,10 @@ object SparkEntry {
     // feature space so the llr table broadcasts at any corpus size
     "doc_dsir_weights" -> ((s, dir) =>
       TextOps.dsirWeights(Tables.documents(s, dir))),
+    // TextRank keyphrases: per-doc co-occurrence PageRank, every document
+    // iterating simultaneously on (doc_id, term)-keyed BSP sweeps
+    "doc_keyphrases" -> ((s, dir) =>
+      TextOps.textrankKeywords(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -1733,6 +1741,118 @@ object SparkEntry {
         SELECT doc_id, r AS rank FROM r$iters"""
   }
 
+  /** DuckDB replica of [[graft.operators.TextOps.textrankKeywords]]: the
+    * per-document co-occurrence graph rebuilt from the same positional
+    * bigrams, then the `iters` rank sweeps unrolled (the pagerankOracle
+    * technique, keyed by (doc_id, term)); base relations MATERIALIZED so
+    * the token pipeline is not re-inlined per sweep. */
+  private def textrankOracle(iters: Int, d: Double, k: Int): String = {
+    def q9(x: String) = s"floor(($x) * 1e9 + 0.5) / 1e9"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+            SELECT e.doc_id, e.dst, ${q9(s"r.r / CAST(e.deg AS DOUBLE)")} AS c
+            FROM ed e JOIN $prev r
+              ON r.doc_id = e.doc_id AND r.term = e.src),
+          s$i AS (
+            SELECT doc_id, dst, CAST(SUM(CAST(c AS DECIMAL(38,10))) AS DOUBLE) AS s
+            FROM c$i GROUP BY 1, 2),
+          r$i AS (
+            SELECT nn.doc_id, nn.term,
+              ${q9(s"${1.0 - d} / CAST(nn.n_terms AS DOUBLE) + $d * coalesce(s.s, 0.0)")} AS r
+            FROM nn LEFT JOIN s$i s
+              ON s.doc_id = nn.doc_id AND s.dst = nn.term)"""
+    }.mkString(",\n")
+    s"""WITH toksl AS MATERIALIZED (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        adj AS (
+          SELECT doc_id,
+            string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+          FROM (
+            SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+                list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END) AS bg
+            FROM toksl)
+          WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]),
+        edges AS (
+          SELECT doc_id, w1 AS src, w2 AS dst FROM adj
+          UNION
+          SELECT doc_id, w2 AS src, w1 AS dst FROM adj),
+        dg AS (SELECT doc_id, src, count(*) AS deg FROM edges GROUP BY 1, 2),
+        ed AS MATERIALIZED (
+          SELECT e.doc_id, e.src, e.dst, dg.deg
+          FROM edges e JOIN dg USING (doc_id, src)),
+        nodes AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toksl),
+        nd AS (SELECT doc_id, count(*) AS n_terms FROM nodes GROUP BY 1),
+        nn AS MATERIALIZED (
+          SELECT n.doc_id, n.term, d.n_terms FROM nodes n JOIN nd d USING (doc_id)),
+        r0 AS (
+          SELECT doc_id, term, ${q9("1.0 / CAST(n_terms AS DOUBLE)")} AS r FROM nn),
+        $iterCtes
+        SELECT doc_id, keyword, score, kw_rank FROM (
+          SELECT doc_id, term AS keyword,
+            floor(r * 1e6 + 0.5) / 1e6 AS score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY r DESC, term ASC) AS kw_rank
+          FROM r$iters)
+        WHERE kw_rank <= $k"""
+  }
+
+  /** DuckDB replica of [[graft.operators.Relational.eventMarkov]]: the
+    * lead-window transition pairs, absorbing self-loops via EXCEPT,
+    * 1e-6-quantized row normalization, then the power-iteration sweeps
+    * unrolled (pagerankOracle technique) over the S-row state vector. */
+  private def markovOracle(iters: Int): String = {
+    def q9(x: String) = s"floor(($x) * 1e9 + 0.5) / 1e9"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "pi0" else s"pi${i - 1}"
+      s"""f$i AS (
+            SELECT p.next_type AS state, ${q9("r.pi * p.p")} AS m
+            FROM p JOIN $prev r ON r.state = p.cur_type),
+          s$i AS (
+            SELECT state, CAST(SUM(CAST(m AS DECIMAL(38,10))) AS DOUBLE) AS s
+            FROM f$i GROUP BY 1),
+          pi$i AS (
+            SELECT st.state, ${q9("coalesce(s.s, 0.0)")} AS pi
+            FROM states st LEFT JOIN s$i s USING (state))"""
+    }.mkString(",\n")
+    s"""WITH trans AS (
+          SELECT event_type AS cur_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS next_type
+          FROM events),
+        counts AS (
+          SELECT cur_type, next_type, count(*) AS n_transitions
+          FROM trans WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        absorbing AS (
+          SELECT next_type AS cur_type, next_type,
+            CAST(0 AS BIGINT) AS n_transitions
+          FROM (SELECT next_type FROM counts
+                EXCEPT SELECT cur_type FROM counts)),
+        allr AS (SELECT * FROM counts UNION ALL SELECT * FROM absorbing),
+        tot AS (
+          SELECT cur_type, CAST(sum(n_transitions) AS BIGINT) AS tot
+          FROM allr GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT a.cur_type, a.next_type, a.n_transitions,
+            CASE WHEN t.tot = 0 THEN 1.0
+              ELSE floor((CAST(a.n_transitions AS DOUBLE) / t.tot) * 1e6 + 0.5) / 1e6
+            END AS p
+          FROM allr a JOIN tot t USING (cur_type)),
+        states AS MATERIALIZED (SELECT DISTINCT cur_type AS state FROM p),
+        ns AS (SELECT count(*) AS s FROM states),
+        pi0 AS (
+          SELECT state, ${q9("1.0 / CAST((SELECT s FROM ns) AS DOUBLE)")} AS pi
+          FROM states),
+        $iterCtes
+        SELECT p.cur_type, p.next_type, p.n_transitions, p.p,
+          floor(pi.pi * 1e6 + 0.5) / 1e6 AS pi_cur
+        FROM p JOIN pi$iters pi ON pi.state = p.cur_type"""
+  }
+
   /** Stratified-sample parameterization shared by the query and its oracle. */
   private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
   private val sampleDefaultRate = 0.8
@@ -1929,6 +2049,7 @@ object SparkEntry {
     "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
     "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
+    "doc_keyphrases" -> textrankOracle(iters = 5, d = 0.85, k = 3),
     // replica of TextOps.ngramNovelty over the shared distinct-shingle CTE
     "doc_ngram_novelty" ->
       s"""WITH $shingleCtes,
@@ -3107,6 +3228,7 @@ object SparkEntry {
                 ELSE 'head' END AS bucket
          FROM lpdoc l LEFT JOIN q13 USING (lang) LEFT JOIN q23 USING (lang)""",
     "events_zorder" -> zorderOracle(bits = 20),
+    "event_markov" -> markovOracle(iters = 8),
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     "doc_bpe_encode" -> bpeOracle(numMerges = 8, emit = "encode"),
     // replica of TextOps.decontaminate: the same deterministic benchmark

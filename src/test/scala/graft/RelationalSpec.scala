@@ -656,4 +656,41 @@ class RelationalSpec extends AnyFunSuite {
     val p = Relational.retentionCohorts(ev).queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p)
   }
+
+  test("markov: hand-computed transition matrix, absorbing self-loop, mass flows to the sink") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // u1: A->B->A->C, u2: A->B->C. counts: A->B 2, B->A 1, A->C 1, B->C 1.
+    // C never transitions out -> absorbing self-loop with p=1, n=0.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "B"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "A"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "C"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "A"),
+      (6L, ts("2024-01-01 10:01:00"), 2L, "B"),
+      (7L, ts("2024-01-01 10:02:00"), 2L, "C")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.eventMarkov(ev).collect()
+      .map(r => (r.getAs[String]("cur_type"), r.getAs[String]("next_type")) -> r).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(("A", "B")).getAs[Long]("n_transitions") == 2L)
+    assert(out(("A", "B")).getAs[Double]("p") == q6(2.0 / 3.0))
+    assert(out(("A", "C")).getAs[Double]("p") == q6(1.0 / 3.0))
+    assert(out(("B", "A")).getAs[Double]("p") == 0.5)
+    assert(out(("B", "C")).getAs[Double]("p") == 0.5)
+    assert(out(("C", "C")).getAs[Long]("n_transitions") == 0L)
+    assert(out(("C", "C")).getAs[Double]("p") == 1.0, "absorbing self-loop")
+    // per-row-state probabilities sum to 1
+    out.values.groupBy(_.getAs[String]("cur_type")).foreach { case (s, rows) =>
+      val sum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(sum - 1.0) < 2e-6, s"state $s rows sum to $sum")
+    }
+    // after 8 sweeps nearly all stationary mass sits in the absorber
+    val piC = out(("C", "C")).getAs[Double]("pi_cur")
+    assert(piC > 0.9, s"pi(C)=$piC")
+    assert(piC > out(("A", "B")).getAs[Double]("pi_cur"))
+    assert(piC > out(("B", "A")).getAs[Double]("pi_cur"))
+  }
 }

@@ -292,6 +292,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out(4L).getAs[Boolean]("selected"))
   }
 
+  test("textrank: hub word out-ranks leaves, symmetric leaves tie by term, loner floors") {
+    import spark.implicits._
+    val docs = Seq(
+      // star graph: hub adjacent to a, b, c — hub must rank first, the
+      // three structurally identical leaves tie and break by term asc
+      (1L, "hub a hub b hub c", "en", "s", 17L),
+      (2L, "solo", "en", "s", 4L) // no edges: rank settles at (1-d)/1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.textrankKeywords(docs).collect()
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Int]("kw_rank"))
+    assert(d1.map(_.getAs[String]("keyword")).toSeq == Seq("hub", "a", "b"), d1.mkString(";"))
+    val scores = d1.map(_.getAs[Double]("score"))
+    assert(scores(0) > scores(1), "hub must out-rank a leaf")
+    assert(scores(1) == scores(2), "symmetric leaves must score identically")
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && d2.head.getAs[String]("keyword") == "solo")
+    assert(d2.head.getAs[Double]("score") == 0.15, d2.head)
+    // ranks within a doc are dense from 1
+    assert(d1.map(_.getAs[Int]("kw_rank")).toSeq == Seq(1, 2, 3))
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
