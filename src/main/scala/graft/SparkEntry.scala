@@ -364,6 +364,10 @@ object SparkEntry {
     // trainedCodebook/ivfTopKPrecomputed train-once discipline
     "doc_model_score" -> ((s, dir) =>
       TextOps.scoreWithQualityModel(Tables.documents(s, dir), qmWeights(s, dir))),
+    // ...and the reliability report: per-probability-bin mean predicted
+    // score vs empirical positive rate — bins-bounded agg, pure-map input
+    "doc_model_calibration" -> ((s, dir) =>
+      TextOps.qualityCalibration(Tables.documents(s, dir), qmWeights(s, dir))),
     // CCNet-style perplexity filter: mean unigram log10-prob of each doc's
     // tokens under the corpus's own unigram distribution (log10 evaluated
     // once per DISTINCT term and 1e-6-quantized pre-sum, so the decimal-
@@ -398,10 +402,14 @@ object SparkEntry {
     // feature space so the llr table broadcasts at any corpus size
     "doc_dsir_weights" -> ((s, dir) =>
       TextOps.dsirWeights(Tables.documents(s, dir))),
-    // TextRank keyphrases: per-doc co-occurrence PageRank, every document
-    // iterating simultaneously on (doc_id, term)-keyed BSP sweeps
+    // TextRank keyphrases: per-doc co-occurrence PageRank run row-locally
+    // in one typed flatMap (each doc's graph fits in its own row)
     "doc_keyphrases" -> ((s, dir) =>
       TextOps.textrankKeywords(Tables.documents(s, dir))),
+    // PMI collocations: corpus multi-word expressions, min-count-bounded
+    // ranked set, vocab joins left to stats (no forced broadcast)
+    "doc_collocations" -> ((s, dir) =>
+      TextOps.collocationsPmi(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -2050,6 +2058,41 @@ object SparkEntry {
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
     "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
     "doc_keyphrases" -> textrankOracle(iters = 5, d = 0.85, k = 3),
+    // replica of TextOps.collocationsPmi: same positional bigrams,
+    // min-count cut, nested-division PMI at 1e-6, (pmi, bigram) rank
+    "doc_collocations" ->
+      """WITH toksl AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '') AS t
+           FROM documents),
+         u AS (SELECT unnest(t) AS term FROM toksl),
+         c1 AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
+         tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+         bi AS (
+           SELECT unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bg
+           FROM toksl),
+         bt AS (SELECT count(*) AS b FROM bi),
+         c12 AS (
+           SELECT bg, count(*) AS c12 FROM bi GROUP BY 1
+           HAVING count(*) >= 5),
+         scored AS (
+           SELECT c12.bg AS bigram, c12.c12 AS n_pair,
+             floor(log10(
+               (CAST(c12.c12 AS DOUBLE) / CAST(bt.b AS DOUBLE)) /
+               ((CAST(u1.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) *
+                (CAST(u2.c AS DOUBLE) / CAST(tt.t AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+               AS pmi
+           FROM c12
+           JOIN c1 u1 ON u1.term = string_split(c12.bg, ' ')[1]
+           JOIN c1 u2 ON u2.term = string_split(c12.bg, ' ')[2]
+           CROSS JOIN tt CROSS JOIN bt)
+         SELECT bigram, n_pair, pmi, rank FROM (
+           SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+           FROM scored)
+         WHERE rank <= 50""",
     // replica of TextOps.ngramNovelty over the shared distinct-shingle CTE
     "doc_ngram_novelty" ->
       s"""WITH $shingleCtes,
@@ -3096,6 +3139,33 @@ object SparkEntry {
            (0.5 + z / (2.0 * (1.0 + abs(z)))) > 0.5 AS pred,
            y AS label
          FROM sc"""
+    },
+    // replica of TextOps.qualityCalibration: same scores, exact-floor bin
+    // edge, decimal-exact bin means, gap from the two ROUNDED statistics
+    "doc_model_calibration" -> {
+      val n = graft.operators.TextOps.qmIters
+      s"""WITH $qmCtes,
+         sc AS (SELECT doc_id,
+             (it$n.w0 + it$n.w1 * x1 + it$n.w2 * x2 + it$n.w3 * x3) AS z, y
+           FROM feats, it$n),
+         scored AS (
+           SELECT floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1e6 + 0.5) / 1e6 AS score,
+             y AS label
+           FROM sc),
+         binned AS (
+           SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+             score, label
+           FROM scored),
+         agg AS (
+           SELECT bin, count(*) AS n_docs,
+             floor((CAST(SUM(CAST(score AS DECIMAL(38,10))) AS DOUBLE)
+               / CAST(count(score) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_score,
+             floor((sum(label) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS pos_rate
+           FROM binned GROUP BY 1)
+         SELECT bin, n_docs, mean_score, pos_rate,
+           floor(abs(mean_score - pos_rate) * 1e6 + 0.5) / 1e6 AS gap
+         FROM agg"""
     },
     "doc_quality" ->
       docQualitySql,

@@ -220,7 +220,8 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
               maxShardsPerTrigger: Int = -1,
               val pushedAgg: Option[TarPushedAggregation] = None,
               preListed: Option[Array[TarShardFile]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   // one driver-side listing per BATCH scan, shared by partition planning
   // and statistics (and seeded from the builder's aggregate-pushdown
   // check when that ran); the streaming path lists per micro-batch on
@@ -253,8 +254,38 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
       s"pushed=[${filters.mkString(",")}], limit=$limit" +
       pushedAgg.map(a => s", pushedAggregation=[${a.describe}]").getOrElse("")
 
+  // ---- runtime (join-driven) shard pruning: the DSv2 analog of dynamic
+  // partition pruning. When this scan joins a small relation on `shard`,
+  // Spark hands the join-side key set here at EXECUTION time and the scan
+  // plans only the matching shard files — at 100 TB a dim-driven lookup
+  // reads a handful of shards instead of the archive. Semantics are
+  // conservative: only predicate shapes we fully understand prune;
+  // anything else is ignored (runtime filters are an optimization, never
+  // a correctness requirement).
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  // advertised ONLY when `shard` survives into the scan output: Spark's
+  // PartitionPruning resolves these refs against the scan's readSchema and
+  // throws on a pruned column (found by the lossless round-trip spec,
+  // which projects `name, content` only)
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (readSchema().fieldNames.contains("shard"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("shard"))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val sets = predicates.flatMap(TarScan.shardValuesOf)
+    // several usable predicates conjoin: a shard must satisfy all of them
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    listedShards.map(s => TarInputPartition(s.path, s.shard): InputPartition)
+    listedShards
+      .filter(s => runtimeKeep.forall(_.contains(s.shard)))
+      .map(s => TarInputPartition(s.path, s.shard): InputPartition)
 
   /** Honest size statistics for the optimizer, measured AFTER shard
     * pruning: the summed length of exactly the files this scan will read
@@ -297,6 +328,40 @@ object TarScan {
       // order. Expanding every digit run to a fixed width makes lexical
       // comparison == numeric comparison at any shard count.
       .sortBy(s => numericSortKey(s.shard))
+  }
+
+  /** Translate a runtime V2 predicate into the set of shard names it
+    * admits — None when the shape is not one we can interpret EXACTLY
+    * (the caller then ignores it; runtime filters may always be applied
+    * partially). Handled: `shard IN (...)` and `shard = lit` in either
+    * child order. */
+  private[sources] def shardValuesOf(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def isShardRef(e: VExpr): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.toSeq.map(_.toLowerCase) == Seq("shard")
+      case _ => false
+    }
+    def strOf(e: VExpr): Option[String] = e match {
+      case l: VLit[_] if l.dataType == StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && isShardRef(kids.head) =>
+        val vals = kids.tail.map(strOf)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      case "=" if kids.length == 2 =>
+        (kids(0), kids(1)) match {
+          case (r, l) if isShardRef(r) => strOf(l).map(Set(_))
+          case (l, r) if isShardRef(r) => strOf(l).map(Set(_))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Sort key under which lexical order equals numeric order for names

@@ -116,6 +116,66 @@ class TarSourceSpec extends AnyFunSuite {
     assert(all.filter(col("shard") === "no-such.tar").rdd.getNumPartitions == 0)
   }
 
+  test("connector: runtime (join-driven) filtering prunes shards at execution time") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.unsafe.types.UTF8String
+    val tmp = writeCorpusShards(8)
+    def freshScan() = new sources.TarScanBuilder(tmp,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()), -1)
+      .build().asInstanceOf[sources.TarScan]
+    def lit(s: String) = Expressions.literal(UTF8String.fromString(s))
+    val shardRef = Expressions.column("shard")
+
+    // IN (...) prunes to the named shards
+    val s1 = freshScan()
+    s1.filter(Array(new Predicate("IN",
+      Array(shardRef, lit("shard-00002.tar"), lit("shard-00005.tar")))))
+    assert(s1.planInputPartitions().length == 2)
+
+    // equality (both child orders) prunes to one
+    val s2 = freshScan()
+    s2.filter(Array(new Predicate("=", Array(lit("shard-00007.tar"), shardRef))))
+    assert(s2.planInputPartitions().length == 1)
+
+    // conjunction intersects; an uninterpretable predicate is IGNORED, not
+    // misapplied (runtime filters are optimization-only)
+    val s3 = freshScan()
+    s3.filter(Array(
+      new Predicate("IN", Array(shardRef, lit("shard-00001.tar"), lit("shard-00002.tar"))),
+      new Predicate("=", Array(shardRef, lit("shard-00002.tar"))),
+      new Predicate("STARTS_WITH", Array(shardRef, lit("shard")))))
+    assert(s3.planInputPartitions().length == 1)
+
+    // a lone uninterpretable predicate leaves the scan untouched
+    val s4 = freshScan()
+    s4.filter(Array(new Predicate("STARTS_WITH", Array(shardRef, lit("sh")))))
+    assert(s4.planInputPartitions().length == 8)
+
+    // the capability is declared on the shard column — but ONLY while
+    // shard survives into the scan output (PartitionPruning resolves the
+    // refs against readSchema and would throw on a pruned column)
+    assert(s4.filterAttributes().map(_.describe()).toSeq == Seq("shard"))
+    val prunedBuilder = new sources.TarScanBuilder(tmp,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()), -1)
+    prunedBuilder.pruneColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType, nullable = false))))
+    val prunedScan = prunedBuilder.build().asInstanceOf[sources.TarScan]
+    assert(prunedScan.filterAttributes().isEmpty,
+      "no runtime-filter capability without the shard column in the output")
+
+    // end-to-end: a dim-driven join stays correct whether or not the
+    // optimizer chooses to inject the runtime filter
+    import spark.implicits._
+    val dim = Seq("shard-00003.tar").toDF("shard")
+    val joined = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .join(dim, "shard")
+    assert(joined.select(countDistinct(col("shard"))).head.getLong(0) == 1)
+  }
+
   test("connector: column pruning drops `content` from the scan; name pushdown is visible") {
     val tmp = writeCorpusShards(4)
     val meta = spark.read.format("graft.sources.TarDataSource").load(tmp)

@@ -313,6 +313,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(d1.map(_.getAs[Int]("kw_rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("calibration: bin means sit inside their bins, gap is the rounded difference") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = TextOps.trainedQualityWeights(docs)
+    val out = TextOps.qualityCalibration(docs, w).collect()
+    assert(out.nonEmpty)
+    val totalScored = TextOps.scoreWithQualityModel(docs, w).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == totalScored)
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val ms = r.getAs[Double]("mean_score")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(bin >= 0 && bin <= 9, r)
+      // a bin's mean must lie inside the bin (1e-6 rounding slop; bin 9
+      // also holds score == 1.0 exactly)
+      assert(ms >= bin * 0.1 - 1e-6 && ms <= (bin + 1) * 0.1 + 1e-6, r)
+      assert(pr >= 0.0 && pr <= 1.0, r)
+      def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("gap") == q6(math.abs(ms - pr)), r)
+    }
+  }
+
+  test("collocations: hand-computed PMI, min-count cut, (pmi, bigram) rank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york new york new york", "en", "s", 26L),
+      (2L, "a b a b", "en", "s", 7L),
+      (3L, "c c", "en", "s", 3L) // (c c): 1 occurrence -> cut by minCount
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.collocationsPmi(docs, minCount = 2, k = 10)
+      .orderBy("rank").collect()
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // T=12 tokens, B=9 bigrams; survivors: (new york):3, (york new):2, (a b):2
+    def pmi(c12: Long, c1: Long, c2: Long) =
+      q6(math.log10((c12.toDouble / 9.0) /
+        ((c1.toDouble / 12.0) * (c2.toDouble / 12.0))))
+    assert(out.map(_.getAs[String]("bigram")).toSeq ==
+      Seq("a b", "new york", "york new"), out.mkString(";"))
+    assert(out(0).getAs[Double]("pmi") == pmi(2, 2, 2))
+    assert(out(1).getAs[Double]("pmi") == pmi(3, 3, 3))
+    assert(out(2).getAs[Double]("pmi") == pmi(2, 3, 3))
+    assert(out(0).getAs[Long]("n_pair") == 2L)
+    assert(out(1).getAs[Long]("n_pair") == 3L)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
