@@ -43,4 +43,41 @@ object DeterministicAgg {
     * matching `avg` semantics. */
   def avgRounded(c: Column, scale: Int): Column =
     roundFixed(exactSum(c) / count(c), scale)
+
+  // ---- driver/executor-LOCAL twins of the column contract, for operators
+  // that iterate on collected metadata-scale state (eventMarkov's π,
+  // textrank's per-doc walk, the GD/jacobi family). ONE definition — a
+  // drift between copies would silently break one operator's oracle while
+  // the others stay green.
+
+  /** Local twin of [[roundFixed]]: the identical three IEEE ops. */
+  def roundFixedLocal(x: Double, scale: Int): Double = {
+    val p = math.pow(10, scale)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** Local twin of the `cast(x as decimal(38,10))` both engines share:
+    * BigDecimal of the double's SHORTEST decimal repr (what Spark's
+    * Decimal(double) does), half-up at scale 10 — proven to match DuckDB
+    * by every exactSum oracle. Sum these, then `.doubleValue()`. */
+  def wideDecimalLocal(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+
+  /** UTF-8 byte (= code point) order — Spark UTF8String's and DuckDB's
+    * binary collation. Java's String.compareTo orders by UTF-16 code
+    * UNITS, which diverges for supplementary-plane characters, so local
+    * tie-breaks must never use it. */
+  def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 }

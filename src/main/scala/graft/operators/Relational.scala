@@ -244,12 +244,17 @@ object Relational {
     // were pure scheduling overhead (measured 2.6 s → sub-second at sf0.1,
     // identical output). Local arithmetic replays the cross-engine
     // contract op-for-op: 1e-9 grid per sweep, decimal(38,10) in-sums.
-    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
-    def dec(x: Double) =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(10, java.math.RoundingMode.HALF_UP)
+    import graft.functions.DeterministicAgg.{roundFixedLocal, wideDecimalLocal}
+    def q9(x: Double) = roundFixedLocal(x, 9)
+    def dec(x: Double) = wideDecimalLocal(x)
     val mat = p.select(col("cur_type"), col("next_type"), col("p")).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // an event log with no 2-event user has an EMPTY matrix: return the
+    // empty relation (the oracle's behavior) instead of folding over no
+    // states and crashing on the CASE builder below
+    if (mat.isEmpty)
+      return p.select(col("cur_type"), col("next_type"),
+        col("n_transitions"), col("p"), lit(0.0).as("pi_cur"))
     val states = mat.map(_._1).distinct.sorted
     var pi = states.map(_ -> q9(1.0 / states.length)).toMap
     for (_ <- 1 to iters) {

@@ -1120,13 +1120,19 @@ object Similarity {
   def pcaProject(embeddings: DataFrame, k: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val d = embeddings.select(size(vec(col("embedding"))).as("d"))
-      .head().getInt(0)
+    // d and n both come out of the one collected covariance grid (d² cells
+    // carry n_vectors); a separate head()/count() would be two more full
+    // corpus jobs for values already in hand
+    val covRows = covarianceMatrix(embeddings).collect()
+    if (covRows.isEmpty)
+      return Seq.empty[(Long, Int, Double, Double)]
+        .toDF("vec_id", "component", "score", "white_score")
+    val d = covRows.iterator.map(_.getAs[Int]("i")).max + 1
+    val n = covRows.head.getAs[Long]("n_vectors").toDouble
     val cov = Array.ofDim[Double](d, d)
-    covarianceMatrix(embeddings).collect().foreach { r =>
+    covRows.foreach { r =>
       cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
     }
-    val n = embeddings.count().toDouble
     val mu = {
       val sums = embeddings
         .select(posexplode(vec(col("embedding"))).as(Seq("i", "xi")))
@@ -1147,7 +1153,12 @@ object Similarity {
           col("cvec")).as("score"), col("eigval"))
       .select(col("vec_id"), col("component"),
         roundFixed(col("score"), 4).as("score"),
-        roundFixed(col("score") / sqrt(col("eigval")), 4).as("white_score"))
+        // a rank-deficient corpus has zero (or 1e-6-rounded-negative)
+        // trailing eigenvalues: whitening by them is undefined — publish
+        // NULL, never NaN/Infinity
+        when(col("eigval") > 0.0,
+          roundFixed(col("score") / sqrt(col("eigval")), 4))
+          .otherwise(lit(null).cast("double")).as("white_score"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage/serving-side

@@ -2457,12 +2457,14 @@ object TextOps {
                        d: Double = 0.85, k: Int = 3): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
-    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    def dec(x: Double) =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(10, java.math.RoundingMode.HALF_UP)
-    documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    import graft.functions.DeterministicAgg.{roundFixedLocal, utf8Less, wideDecimalLocal}
+    def q9(x: Double) = roundFixedLocal(x, 9)
+    def q6(x: Double) = roundFixedLocal(x, 6)
+    def dec(x: Double) = wideDecimalLocal(x)
+    // NULL text would deserialize as a null Seq in the typed flatMap (the
+    // explode-based siblings drop such rows implicitly)
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .as[(Long, Seq[String])]
       .flatMap { case (docId, toks) =>
         if (toks.isEmpty) Iterator.empty
@@ -2492,7 +2494,14 @@ object TextOps {
             }
             r = nr; it += 1
           }
-          terms.indices.sortBy(j => (-r(j), terms(j))).take(k).zipWithIndex
+          // tie-break in UTF-8 BYTE order (DuckDB's and Spark's binary
+          // collation), NOT String.compareTo's UTF-16 unit order — exact
+          // rank ties are real (the symmetric-leaves fixture) and a
+          // supplementary-plane term would flip the two orders
+          terms.indices
+            .sortWith((a, b) => r(a) > r(b) ||
+              (r(a) == r(b) && utf8Less(terms(a), terms(b))))
+            .take(k).zipWithIndex
             .map { case (j, rank) => (docId, terms(j), q6(r(j)), rank + 1) }
             .iterator
         }

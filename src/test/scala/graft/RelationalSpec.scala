@@ -692,5 +692,12 @@ class RelationalSpec extends AnyFunSuite {
     assert(piC > 0.9, s"pi(C)=$piC")
     assert(piC > out(("A", "B")).getAs[Double]("pi_cur"))
     assert(piC > out(("B", "A")).getAs[Double]("pi_cur"))
+    // no user has 2+ events -> empty matrix must be the empty RELATION
+    // (the oracle's behavior), not a driver crash (review finding)
+    val loners = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    assert(Relational.eventMarkov(loners).collect().isEmpty)
   }
 }

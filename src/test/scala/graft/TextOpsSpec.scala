@@ -311,6 +311,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(d2.head.getAs[Double]("score") == 0.15, d2.head)
     // ranks within a doc are dense from 1
     assert(d1.map(_.getAs[Int]("kw_rank")).toSeq == Seq(1, 2, 3))
+    // NULL text drops like the explode-based siblings do (review finding:
+    // the typed flatMap used to NPE on the null Seq)
+    val withNull = Seq((9L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(docs)
+    val outN = TextOps.textrankKeywords(withNull).collect()
+    assert(!outN.exists(_.getAs[Long]("doc_id") == 9L))
+    assert(outN.length == out.length)
+  }
+
+  test("textrank tie-break follows UTF-8 byte order, not UTF-16 unit order") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair, UTF-16 units start 0xD83D) vs U+E000
+    // (single unit 0xE000): Java compareTo puts the emoji FIRST, UTF-8
+    // byte order (both engines' binary collation) puts U+E000 first.
+    // Both leaves of the star are structurally symmetric -> exact tie.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = new String(Character.toChars(0xE000))
+    val docs = Seq(
+      (1L, s"hub $emoji hub $pua", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.textrankKeywords(docs).collect()
+      .sortBy(_.getAs[Int]("kw_rank"))
+    assert(out.map(_.getAs[String]("keyword")).toSeq == Seq("hub", pua, emoji),
+      out.map(r => (r.getAs[String]("keyword").codePoints().toArray.toSeq,
+        r.getAs[Int]("kw_rank"))).mkString(";"))
   }
 
   test("calibration: bin means sit inside their bins, gap is the rounded difference") {
