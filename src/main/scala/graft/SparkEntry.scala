@@ -410,6 +410,11 @@ object SparkEntry {
     // ranked set, vocab joins left to stats (no forced broadcast)
     "doc_collocations" -> ((s, dir) =>
       TextOps.collocationsPmi(Tables.documents(s, dir))),
+    // ...and their APPLICATION: re-tokenize with the top collocations as
+    // merge rules (word2vec phrase pass) — driver-bounded rule artifact,
+    // row-local O(n) fold
+    "doc_phrase_merge" -> ((s, dir) =>
+      TextOps.mergePhrases(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
@@ -1861,6 +1866,42 @@ object SparkEntry {
         FROM p JOIN pi$iters pi ON pi.state = p.cur_type"""
   }
 
+  /** DuckDB replica of [[graft.operators.TextOps.collocationsPmi]] — also
+    * the rule-list CTE of the doc_phrase_merge oracle (single-sourced). */
+  private def collocationsSql(minCount: Int, k: Int): String =
+    s"""WITH toksl AS (
+         SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+           x -> x <> '') AS t
+         FROM documents),
+       u AS (SELECT unnest(t) AS term FROM toksl),
+       c1 AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
+       tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
+       bi AS (
+         SELECT unnest(CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END) AS bg
+         FROM toksl),
+       bt AS (SELECT count(*) AS b FROM bi),
+       c12 AS (
+         SELECT bg, count(*) AS c12 FROM bi GROUP BY 1
+         HAVING count(*) >= $minCount),
+       scored AS (
+         SELECT c12.bg AS bigram, c12.c12 AS n_pair,
+           floor(log10(
+             (CAST(c12.c12 AS DOUBLE) / CAST(bt.b AS DOUBLE)) /
+             ((CAST(u1.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) *
+              (CAST(u2.c AS DOUBLE) / CAST(tt.t AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+             AS pmi
+         FROM c12
+         JOIN c1 u1 ON u1.term = string_split(c12.bg, ' ')[1]
+         JOIN c1 u2 ON u2.term = string_split(c12.bg, ' ')[2]
+         CROSS JOIN tt CROSS JOIN bt)
+       SELECT bigram, n_pair, pmi, rank FROM (
+         SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+         FROM scored)
+       WHERE rank <= $k"""
+
   /** Stratified-sample parameterization shared by the query and its oracle. */
   private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
   private val sampleDefaultRate = 0.8
@@ -2060,39 +2101,35 @@ object SparkEntry {
     "doc_keyphrases" -> textrankOracle(iters = 5, d = 0.85, k = 3),
     // replica of TextOps.collocationsPmi: same positional bigrams,
     // min-count cut, nested-division PMI at 1e-6, (pmi, bigram) rank
-    "doc_collocations" ->
-      """WITH toksl AS (
-           SELECT list_filter(string_split_regex(trim(text), '\s+'),
-             x -> x <> '') AS t
-           FROM documents),
-         u AS (SELECT unnest(t) AS term FROM toksl),
-         c1 AS (SELECT term, count(*) AS c FROM u GROUP BY 1),
-         tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c1),
-         bi AS (
-           SELECT unnest(CASE WHEN len(t) >= 2 THEN
-               list_transform(generate_series(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i + 1])
-               ELSE CAST([] AS VARCHAR[]) END) AS bg
-           FROM toksl),
-         bt AS (SELECT count(*) AS b FROM bi),
-         c12 AS (
-           SELECT bg, count(*) AS c12 FROM bi GROUP BY 1
-           HAVING count(*) >= 5),
-         scored AS (
-           SELECT c12.bg AS bigram, c12.c12 AS n_pair,
-             floor(log10(
-               (CAST(c12.c12 AS DOUBLE) / CAST(bt.b AS DOUBLE)) /
-               ((CAST(u1.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) *
-                (CAST(u2.c AS DOUBLE) / CAST(tt.t AS DOUBLE)))) * 1e6 + 0.5) / 1e6
-               AS pmi
-           FROM c12
-           JOIN c1 u1 ON u1.term = string_split(c12.bg, ' ')[1]
-           JOIN c1 u2 ON u2.term = string_split(c12.bg, ' ')[2]
-           CROSS JOIN tt CROSS JOIN bt)
-         SELECT bigram, n_pair, pmi, rank FROM (
-           SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
-           FROM scored)
-         WHERE rank <= 50""",
+    "doc_collocations" -> collocationsSql(minCount = 5, k = 50),
+    // replica of TextOps.mergePhrases: the collocation SELECT above as the
+    // rule list, then the greedy-leftmost fold replayed with list_reduce
+    // (accumulator = list, elements lifted to 1-lists so the seed matches
+    // the engine's empty-init fold — the BPE-oracle technique)
+    "doc_phrase_merge" ->
+      s"""WITH ph AS MATERIALIZED (
+           SELECT bigram FROM (${collocationsSql(minCount = 5, k = 50)})),
+         pl AS (SELECT list(bigram) AS ps FROM ph),
+         tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         m AS (
+           SELECT doc_id, len(t) AS n_before,
+             CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+               ELSE list_reduce(list_transform(t, x -> [x]), (acc, x) ->
+                 CASE WHEN list_contains(pl.ps, acc[len(acc)] || ' ' || x[1])
+                   THEN list_append(acc[1:len(acc) - 1],
+                     acc[len(acc)] || '_' || x[1])
+                   ELSE list_concat(acc, x) END)
+             END AS m
+           FROM tk, pl)
+         SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+           CAST(len(m) AS BIGINT) AS n_after,
+           CAST(n_before - len(m) AS BIGINT) AS n_merges,
+           array_to_string(m, ' ') AS merged_text
+         FROM m""",
     // replica of TextOps.ngramNovelty over the shared distinct-shingle CTE
     "doc_ngram_novelty" ->
       s"""WITH $shingleCtes,

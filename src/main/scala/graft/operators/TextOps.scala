@@ -722,6 +722,45 @@ object TextOps {
       .select(col("bigram"), col("n_pair"), col("pmi"), col("rank"))
   }
 
+  /** Phrase merging — the APPLY half of collocation mining (what word2vec
+    * phrase training does with its scored bigrams): the top-`topK` PMI
+    * collocations become merge rules, and every document re-tokenizes
+    * with matching adjacent pairs fused into `w1_w2`, greedy leftmost
+    * non-overlapping (a merged token never chains within the pass —
+    * merged names carry '_' while rules are space-joined raw pairs).
+    *
+    * The rule set is a driver-collected artifact BOUNDED at topK (the
+    * published-rules / trainedCodebook discipline), and the application is
+    * a row-local O(n) fold in a typed map — the [[textrankKeywords]]
+    * lesson applied up front: an `aggregate` HOF fold with per-element
+    * array slicing is O(n²) per doc and off codegen, a plain local fold
+    * is linear, and both engines' semantics (the DuckDB oracle replays
+    * the fold with `list_reduce`) are pure string ops with no float
+    * determinism surface at all.
+    */
+  def mergePhrases(documents: DataFrame, minCount: Int = 5,
+                   topK: Int = 50): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val phraseSet = collocationsPmi(documents, minCount, topK)
+      .select(col("bigram")).collect().map(_.getString(0)).toSet
+    documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks0) =>
+        val toks = if (toks0 == null) Seq.empty[String] else toks0
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { x =>
+          if (out.nonEmpty && phraseSet.contains(out.last + " " + x))
+            out(out.length - 1) = out.last + "_" + x
+          else out += x
+        }
+        (id, toks.length.toLong, out.length.toLong,
+          (toks.length - out.length).toLong, out.mkString(" "))
+      }
+      .toDF("doc_id", "n_before", "n_after", "n_merges", "merged_text")
+  }
+
   /** CCNet-style perplexity bucketing — the quality-tiering step that
     * splits a corpus into head/middle/tail thirds per language by model
     * score (here the [[unigramLogProb]] proxy; a real LM score would be a

@@ -384,6 +384,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
 
+  test("phrase merge: greedy leftmost fuses top collocations, overlaps consumed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b", "en", "s", 11L),
+      (2L, "a b c", "en", "s", 5L),
+      (3L, "", "en", "s", 0L) // zero tokens: empty merged text, zero counts
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // pairs with count >= 2: (a b):4 and (b a):2 — both become rules, but
+    // greedy leftmost consumes every 'b' into (a b) first, so (b a) never
+    // fires (overlap consumption)
+    val out = TextOps.mergePhrases(docs, minCount = 2, topK = 50)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("merged_text") == "a_b a_b a_b")
+    assert(out(1L).getAs[Long]("n_before") == 6L)
+    assert(out(1L).getAs[Long]("n_after") == 3L)
+    assert(out(1L).getAs[Long]("n_merges") == 3L)
+    assert(out(2L).getAs[String]("merged_text") == "a_b c")
+    assert(out(2L).getAs[Long]("n_merges") == 1L)
+    assert(out(3L).getAs[Long]("n_before") == 0L)
+    assert(out(3L).getAs[String]("merged_text") == "")
+  }
+
   test("vocab: deterministic (count desc, term asc) rank, limit respected") {
     import spark.implicits._
     val docs = Seq(
