@@ -433,6 +433,11 @@ object SparkEntry {
     // held-out split; corpus side streams through a broadcast semi join
     "doc_decontaminate" -> ((s, dir) =>
       TextOps.decontaminate(Tables.documents(s, dir))),
+    // ...and its sketch-accelerated twin for bench sets too big to
+    // broadcast as strings: Bloom pre-filter map-side, unhinted exact
+    // verify join — provably the same answer (shared oracle)
+    "doc_bloom_decontaminate" -> ((s, dir) =>
+      TextOps.decontaminateBloom(Tables.documents(s, dir))),
     // BPE tokenizer training (first 8 merge rules): corpus touched once
     // (word-freq agg), iterations run on the vocab table; argmax rule
     // collected per round (1 row — the k-means iteration discipline)
@@ -1902,6 +1907,40 @@ object SparkEntry {
          FROM scored)
        WHERE rank <= $k"""
 
+  /** Replica of TextOps.decontaminate: the same deterministic benchmark
+    * split (sha fold % 10 == 0), the same distinct 5-gram sets, overlap
+    * counted per non-benchmark doc (count(*) is BIGINT; coalesce kept
+    * BIGINT by the cast). Shared VERBATIM by doc_decontaminate and
+    * doc_bloom_decontaminate — the sketch variant must produce the exact
+    * answer, so one SQL oracles both. */
+  private def decontaminateOracleSql: String =
+    s"""WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, t,
+            ${shaFoldSql("'bench:' || CAST(doc_id AS VARCHAR)")} % 10 AS bm
+          FROM toks),
+        grams AS (
+          SELECT doc_id, bm,
+            unnest(CASE WHEN len(t) >= 5 THEN
+              list_distinct(list_transform(generate_series(1, len(t) - 4),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4]))
+              ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM m),
+        bg AS (SELECT DISTINCT g FROM grams WHERE bm = 0),
+        hits AS (
+          SELECT doc_id, count(*) AS nh
+          FROM grams JOIN bg USING (g)
+          WHERE bm <> 0 GROUP BY doc_id)
+        SELECT m.doc_id, m.lang,
+          CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
+          coalesce(h.nh, 0) > 0 AS contaminated
+        FROM m LEFT JOIN hits h USING (doc_id)
+        WHERE m.bm <> 0"""
+
   /** Stratified-sample parameterization shared by the query and its oracle. */
   private val sampleRates = Map("en" -> 0.3, "de" -> 0.5)
   private val sampleDefaultRate = 0.8
@@ -3338,37 +3377,12 @@ object SparkEntry {
     "event_markov" -> markovOracle(iters = 8),
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     "doc_bpe_encode" -> bpeOracle(numMerges = 8, emit = "encode"),
-    // replica of TextOps.decontaminate: the same deterministic benchmark
-    // split (sha fold % 10 == 0), the same distinct 5-gram sets, overlap
-    // counted per non-benchmark doc (count(*) is BIGINT; coalesce kept
-    // BIGINT by the cast)
-    "doc_decontaminate" ->
-      s"""WITH toks AS (
-            SELECT doc_id, lang,
-              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
-            FROM documents),
-          m AS (
-            SELECT doc_id, lang, t,
-              ${shaFoldSql("'bench:' || CAST(doc_id AS VARCHAR)")} % 10 AS bm
-            FROM toks),
-          grams AS (
-            SELECT doc_id, bm,
-              unnest(CASE WHEN len(t) >= 5 THEN
-                list_distinct(list_transform(generate_series(1, len(t) - 4),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                       t[i+3] || ' ' || t[i+4]))
-                ELSE CAST([] AS VARCHAR[]) END) AS g
-            FROM m),
-          bg AS (SELECT DISTINCT g FROM grams WHERE bm = 0),
-          hits AS (
-            SELECT doc_id, count(*) AS nh
-            FROM grams JOIN bg USING (g)
-            WHERE bm <> 0 GROUP BY doc_id)
-          SELECT m.doc_id, m.lang,
-            CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_grams,
-            coalesce(h.nh, 0) > 0 AS contaminated
-          FROM m LEFT JOIN hits h USING (doc_id)
-          WHERE m.bm <> 0""",
+    "doc_decontaminate" -> decontaminateOracleSql,
+    // the Bloom variant is a pure work-pruner (no false negatives +
+    // exact verify), so its oracle IS the exact decontamination — the
+    // hash match is the lossless-filtering proof (the mm_image_near_dup
+    // discipline)
+    "doc_bloom_decontaminate" -> decontaminateOracleSql,
     // replica of TextOps.globalShuffleOrder: the two-phase bucketed rank
     // equals a global row_number over the same content-stable key
     "doc_global_shuffle" ->

@@ -1643,8 +1643,9 @@ object TextOps {
     * benchmark is metadata-scale next to a 100 TB corpus (all of
     * HELM/MMLU/GSM8K is ~10⁷ grams), so the corpus side streams map-side
     * through the semi join with no shuffle of the big table. If the
-    * benchmark ever outgrew broadcast, dropping the hint degrades to a
-    * plain shuffle semi join with identical semantics. Grams join on the
+    * benchmark ever outgrew broadcast, [[decontaminateBloom]] is the
+    * scale path (sketch pre-filter, unhinted verify join, identical
+    * output). Grams join on the
     * gram STRING (exact — no hash-collision false positives); at scale the
     * join key would be the 8-byte gram hash with the string kept only for
     * verify, same plan shape.
@@ -1654,13 +1655,26 @@ object TextOps {
     */
   def decontaminate(documents: DataFrame, n: Int = 5,
                     benchMod: Int = 10): DataFrame = {
-    // the bench/train split is projected ONCE and every branch below derives
-    // from this single flagged relation (r5 advice: the flag expression used
-    // to be re-stated on an independent `documents` scan). The flag is still
-    // EVALUATED per scan — its input is a ~15-byte id string, so recomputing
-    // the hash is orders of magnitude cheaper than materializing or joining
-    // a flagged copy of a 100 TB corpus to avoid it; Catalyst prunes `text`
-    // out of the branches that only need (doc_id, lang, bench).
+    val (flagged, grams, benchGrams) = benchGramSplit(documents, n, benchMod)
+    // grams are distinct per doc (shingle SET), so count(*) after the semi
+    // join IS the distinct-overlap count
+    val hits = grams.filter(!col("bench"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    decontaminateReport(flagged, hits)
+  }
+
+  /** The shared bench/train gram derivation of both decontamination
+    * variants. The split is projected ONCE and every branch derives from
+    * this single flagged relation (r5 advice: the flag expression used
+    * to be re-stated on an independent `documents` scan). The flag is still
+    * EVALUATED per scan — its input is a ~15-byte id string, so recomputing
+    * the hash is orders of magnitude cheaper than materializing or joining
+    * a flagged copy of a 100 TB corpus to avoid it; Catalyst prunes `text`
+    * out of the branches that only need (doc_id, lang, bench). */
+  private def benchGramSplit(documents: DataFrame, n: Int, benchMod: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val flagged = documents.select(col("doc_id"), col("lang"), col("text"),
       (pmod(portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
         lit(benchMod.toLong)) === 0L).as("bench"))
@@ -1668,18 +1682,78 @@ object TextOps {
       .select(col("doc_id"), col("bench"),
         explode(shingles(tokens(col("text")), n)).as("g"))
     val benchGrams = grams.filter(col("bench")).select(col("g")).distinct()
-    // grams are distinct per doc (shingle SET), so count(*) after the semi
-    // join IS the distinct-overlap count
-    val hits = grams.filter(!col("bench"))
-      .join(broadcast(benchGrams), Seq("g"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_grams"))
+    (flagged, grams, benchGrams)
+  }
+
+  /** Shared output shape of the decontamination variants: every
+    * non-benchmark document, its hit count, and the flag. */
+  private def decontaminateReport(flagged: DataFrame,
+                                  hits: DataFrame): DataFrame =
     flagged
       .filter(!col("bench"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
         (coalesce(col("n_hit_grams"), lit(0L)) > 0L).as("contaminated"))
+
+  /** [[decontaminate]] with a BLOOM-SKETCH pre-filter — the variant for
+    * when the benchmark gram set outgrows a string broadcast (a Llama-2
+    * style decontamination list runs ~10⁸ grams ≈ tens of GB of strings;
+    * a 2%-fpp Bloom filter over the same set is ~100 MB of bits). Exactly
+    * Spark's own runtime row-level-filtering pattern, assembled
+    * explicitly:
+    *
+    *   1. one narrow agg over the BENCH side builds a Bloom filter of the
+    *      benchmark grams' xxhash64 keys (`BloomFilterAggregate` —
+    *      mergeable partials, bounded driver artifact);
+    *   2. the corpus gram stream drops every gram the sketch rejects
+    *      MAP-SIDE (`BloomFilterMightContain` is codegen'd bit probing;
+    *      no shuffle, no broadcast of gram strings). Bloom filters have
+    *      no false negatives, so no truly-contaminated gram is lost;
+    *   3. the sliver of survivors — true hits plus the fpp share — is
+    *      resolved EXACTLY by the semi join on the gram string. The join
+    *      carries NO broadcast hint: its probe side is now hit-scale, so
+    *      Spark's stats/AQE gate picks BHJ when the bench set fits and
+    *      degrades to a shuffle join when it doesn't (the round-8
+    *      verdict-#3 discipline), instead of OOMing on a forced hint.
+    *
+    * Output is bit-identical to [[decontaminate]] (the oracle is shared):
+    * the sketch only prunes work, never changes the answer. At 100 TB the
+    * corpus is touched once, map-side, and only hit grams ever shuffle.
+    */
+  def decontaminateBloom(documents: DataFrame, n: Int = 5,
+                         benchMod: Int = 10,
+                         expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (flagged, grams, benchGrams) = benchGramSplit(documents, n, benchMod)
+    def gramHash = ColumnBridge.expression(xxhash64(col("g")))
+    val bfAgg = ColumnBridge.column(
+      new BloomFilterAggregate(gramHash, Literal(expectedItems),
+        Literal(expectedItems * 8L)).toAggregateExpression())
+    val bf: Array[Byte] =
+      benchGrams.agg(bfAgg.as("bf")).first().getAs[Array[Byte]]("bf")
+    // Empty-bench guard (the incrementalDedup day-zero lesson):
+    // BloomFilterAggregate over zero rows returns NULL and
+    // might_contain(NULL, h) is NULL — the filter would silently drop
+    // every corpus gram and report a clean corpus by accident instead of
+    // by construction. Zero bench grams means zero possible hits.
+    val hits =
+      if (bf == null)
+        flagged.filter(!col("bench")).limit(0)
+          .select(col("doc_id"), lit(0L).as("n_hit_grams"))
+      else {
+        val mightContain = ColumnBridge.column(
+          BloomFilterMightContain(
+            Literal(bf, org.apache.spark.sql.types.BinaryType), gramHash))
+        grams.filter(!col("bench"))
+          .filter(mightContain)
+          .join(benchGrams, Seq("g"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hit_grams"))
+      }
+    decontaminateReport(flagged, hits)
   }
 
   // ---------------------------------------------- global training order

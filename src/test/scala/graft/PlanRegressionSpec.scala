@@ -190,6 +190,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("doc_bloom_decontaminate: sketch probe filters the corpus BEFORE the verify join; no forced broadcast hint, no cartesian") {
+    val p = plan("doc_bloom_decontaminate")
+    // the map-side bloom probe is in the plan (pretty name of
+    // BloomFilterMightContain), and the verify semi join survives
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("doc_global_shuffle: NO single-partition sort; offsets broadcast; rank is bucket-parallel") {
     val p = plan("doc_global_shuffle")
     assert(!p.contains("Exchange SinglePartition"), s"global sort funnel:\n$p")

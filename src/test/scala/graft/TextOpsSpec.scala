@@ -593,6 +593,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.values.count(_._2) > 0, "fixture: no contaminated docs")
   }
 
+  test("bloom decontamination is bit-identical to the exact variant; sketch only prunes") {
+    val exact = TextOps.decontaminate(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_hit_grams"), r.getAs[Boolean]("contaminated"))).toSet
+    // a deliberately UNDERSIZED sketch (high fpp) must still be exact —
+    // false positives are killed by the verify join, and bloom filters
+    // have no false negatives at any saturation
+    val bloom = TextOps.decontaminateBloom(docs, expectedItems = 16L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_hit_grams"), r.getAs[Boolean]("contaminated"))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._4), "fixture: no contaminated docs") // non-vacuous
+  }
+
+  test("bloom decontamination: empty corpus takes the null-sketch path, no NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(TextOps.decontaminateBloom(empty).collect().isEmpty)
+  }
+
   test("global shuffle order is the exact global rank, bucketed or not") {
     // buckets=4 forces multi-bucket offsets; the result must still be the
     // single global permutation by (shuffle_key, doc_id)
