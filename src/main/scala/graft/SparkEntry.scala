@@ -320,6 +320,10 @@ object SparkEntry {
       TextOps.contamination(Tables.documents(s, dir))),
     "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
     "doc_dup_spans" -> ((s, dir) => TextOps.dupSpanRatio(Tables.documents(s, dir))),
+    // ...and the TRANSFORM half (Lee et al. exact-substring dedup): every
+    // token covered by a cross-document 5-gram is cut, text re-emitted
+    "doc_dedup_excise" -> ((s, dir) =>
+      TextOps.exciseDupSpans(Tables.documents(s, dir))),
     "doc_near_dup_pairs" -> ((s, dir) =>
       TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     // quoted at threshold 0.7, NOT 0.4: the b=32/r=2 banding misses a pair
@@ -3129,6 +3133,45 @@ object SparkEntry {
              ELSE floor((CAST(a.n_dup AS DOUBLE) / a.n_spans) * 1e6 + 0.5) / 1e6
              END AS dup_ratio
          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+    // replica of TextOps.exciseDupSpans: same positional 5-grams, shared =
+    // doc-frequency >= 2 over DISTINCT (doc, gram), coverage = union of
+    // [i, i+5) intervals, kept tokens re-joined in position order
+    "doc_dedup_excise" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         ps AS (
+           SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+                 FROM toks WHERE len(t) >= 5)),
+         sg AS (
+           SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM ps)
+           GROUP BY gram HAVING count(*) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, j FROM (
+             SELECT doc_id, unnest(generate_series(i, i + 4)) AS j
+             FROM ps JOIN sg USING (gram))),
+         tp AS (
+           SELECT doc_id, j, t[j] AS w
+           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j
+                 FROM toks WHERE len(t) >= 1)),
+         kept AS (
+           SELECT tp.doc_id, count(*) AS n_kept,
+             string_agg(tp.w, ' ' ORDER BY tp.j) AS clean_text
+           FROM tp
+           WHERE NOT EXISTS (SELECT 1 FROM cov
+             WHERE cov.doc_id = tp.doc_id AND cov.j = tp.j)
+           GROUP BY 1),
+         n AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+         SELECT d.doc_id,
+           CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(n.n_tokens, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM documents d
+         LEFT JOIN n ON d.doc_id = n.doc_id
+         LEFT JOIN kept k ON d.doc_id = k.doc_id""",
     "doc_near_dup_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.4)}",
     // replica of TextOps.nearDupTriangles: the same oriented pair set,
     // the same two-join a<b<c enumeration, per-node participation

@@ -175,6 +175,72 @@ object TextOps {
           .as("dup_ratio"))
   }
 
+  /** Exact-substring span EXCISION — the transform half of Lee et al.
+    * 2022's exact-substring dedup ([[dupSpanRatio]] is the report half):
+    * every token covered by a word-`n`-gram that also occurs in at least
+    * one OTHER document is REMOVED, and the document is re-emitted as its
+    * surviving tokens (the "cut the duplicated substring out of the
+    * training text" step, which the paper shows beats whole-document
+    * dropping). Coverage is the union of the [start, start+n) intervals
+    * of every shared positional gram, so an overlap-spanning boilerplate
+    * run is cut once, seamlessly.
+    *
+    * Shape — [[dupSpanRatio]]'s aggregation pipeline plus one bounded
+    * reassembly: positional gram hashes with their position (the fused
+    * [[graft.functions.VectorExpressions.gramXxHashes]] kernel; 8-byte
+    * keys through every shuffle) → distinct (doc, gram) → one hash agg to
+    * the shared-gram set (doc-frequency ≥ 2) → semi join back → per-doc
+    * sorted start-position list (bounded by the doc's own token count —
+    * the doc_block_dedup reassembly discipline) → one equi-join to the
+    * corpus → a row-local O(tokens) mask-and-rebuild in a typed map (the
+    * textrank lesson: local compute for row-local structure; an `exists`
+    * HOF per token would be O(tokens·spans) and off codegen). Candidate
+    * volume is linear in corpus grams, never pairwise; no df-cap is
+    * possible here because excision must see EVERY shared gram — the cost
+    * ceiling is the same one [[dupSpanRatio]] already carries.
+    *
+    * Documents shorter than `n` tokens (or with NULL text) have no grams,
+    * so nothing is excised: they re-emit all their tokens. `clean_text`
+    * is the kept tokens space-joined (tokenizer-normalized whitespace,
+    * like every text transform here).
+    */
+  def exciseDupSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val pos = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions.gramXxHashes(col("toks"), n))
+          .as(Seq("i", "gk")))
+    val shared = pos.select(col("doc_id"), col("gk")).distinct()
+      .groupBy(col("gk"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gk"))
+    val starts = pos.join(shared, Seq("gk"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(starts, Seq("doc_id"), "left_outer")
+      .as[(Long, Seq[String], Seq[Int])]
+      .map { case (id, toks0, starts0) =>
+        val toks = if (toks0 == null) Seq.empty[String] else toks0
+        val cut = new Array[Boolean](toks.length)
+        if (starts0 != null)
+          starts0.foreach { s =>
+            var j = s; val end = math.min(s + n, toks.length)
+            while (j < end) { cut(j) = true; j += 1 }
+          }
+        val kept = toks.iterator.zipWithIndex.collect {
+          case (w, j) if !cut(j) => w
+        }.toSeq
+        (id, toks.length.toLong, (toks.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
+  }
+
   // -------------------------------------------------------- near-dup dedup
 
   /** Near-duplicate pairs by word-`n`-gram Jaccard, exact semantics.

@@ -593,6 +593,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.values.count(_._2) > 0, "fixture: no contaminated docs")
   }
 
+  test("excise: tokens under cross-doc 5-grams are cut; overlaps merge; short docs untouched") {
+    import spark.implicits._
+    val boiler = "p q r s t u" // 6 tokens: two overlapping shared 5-grams
+    val fix = Seq(
+      (1L, s"a b $boiler c d", "en", "s", 0L), // covered: positions 2..7
+      (2L, s"$boiler x y z", "en", "s", 0L),   // covered: positions 0..5
+      (3L, "one two three four", "en", "s", 0L), // < 5 tokens: no grams
+      (4L, null.asInstanceOf[String], "en", "s", 0L) // NULL text: 0 tokens
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.exciseDupSpans(fix).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    // "p q r s t" and "q r s t u" both shared -> union covers all 6
+    // boilerplate tokens in both docs, once (overlap merged, not doubled)
+    assert(out(1L) == ((10L, 6L, "a b c d")))
+    assert(out(2L) == ((9L, 6L, "x y z")))
+    assert(out(3L) == ((4L, 0L, "one two three four")))
+    assert(out(4L) == ((0L, 0L, "")))
+  }
+
   test("bloom decontamination is bit-identical to the exact variant; sketch only prunes") {
     val exact = TextOps.decontaminate(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
