@@ -442,6 +442,11 @@ object SparkEntry {
     // verify join — provably the same answer (shared oracle)
     "doc_bloom_decontaminate" -> ((s, dir) =>
       TextOps.decontaminateBloom(Tables.documents(s, dir))),
+    // multi-pattern blocklist scan (C4 badwords class): one Aho-Corasick
+    // pass per document — O(chars + matches) regardless of pattern count,
+    // zero shuffles (counts complete row-locally)
+    "doc_blocklist_hits" -> ((s, dir) =>
+      TextOps.blocklistHits(Tables.documents(s, dir))),
     // BPE tokenizer training (first 8 merge rules): corpus touched once
     // (word-freq agg), iterations run on the vocab table; argmax rule
     // collected per round (1 row — the k-means iteration discipline)
@@ -3426,6 +3431,29 @@ object SparkEntry {
     // hash match is the lossless-filtering proof (the mm_image_near_dup
     // discipline)
     "doc_bloom_decontaminate" -> decontaminateOracleSql,
+    // replica of TextOps.blocklistHits: every (overlapping, nested)
+    // occurrence of every pattern, counted by a recursive strpos walk —
+    // each step resumes the search one character after the previous
+    // match's START, which is exactly the automaton's all-occurrences
+    // semantics. Pattern list single-sourced from TextOps.defaultBlocklist.
+    "doc_blocklist_hits" ->
+      s"""WITH RECURSIVE
+           pats(pattern) AS (VALUES ${
+             TextOps.defaultBlocklist.map(p => s"('$p')").mkString(", ")}),
+           d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+           m(doc_id, pattern, pos) AS (
+             SELECT d.doc_id, p.pattern,
+                    CAST(strpos(d.text, p.pattern) AS BIGINT) AS pos
+             FROM d, pats p WHERE strpos(d.text, p.pattern) > 0
+             UNION ALL
+             SELECT m.doc_id, m.pattern,
+                    m.pos + CAST(strpos(substr(t.text,
+                      CAST(m.pos AS BIGINT) + 1), m.pattern) AS BIGINT) AS pos
+             FROM m JOIN d t ON t.doc_id = m.doc_id
+             WHERE strpos(substr(t.text, CAST(m.pos AS BIGINT) + 1),
+                          m.pattern) > 0)
+         SELECT doc_id, pattern, count(*) AS n_hits
+         FROM m GROUP BY 1, 2""",
     // replica of TextOps.globalShuffleOrder: the two-phase bucketed rank
     // equals a global row_number over the same content-stable key
     "doc_global_shuffle" ->

@@ -1150,4 +1150,39 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = TextOps.cdcChunkStats(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"cdcChunkStats must not shuffle:\n$plan")
   }
+
+  test("blocklist: automaton counts every overlapping/nested occurrence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "table table table"),      // self-overlap: "table table" twice
+      (2L, "fast table agg row"),     // nested: fast+fast table, agg+agg row
+      (3L, "value table here"),       // straddling substring "lue tab"
+      (4L, null.asInstanceOf[String]) // NULL text scans as empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.blocklistHits(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((1L, "table table")) == 2L) // overlapping occurrences
+    assert(out((2L, "fast")) == 1L)
+    assert(out((2L, "fast table")) == 1L) // the longer pattern too
+    assert(out((2L, "agg")) == 1L)
+    assert(out((2L, "agg row")) == 1L)
+    assert(out((3L, "lue tab")) == 1L)
+    assert(!out.keys.exists(_._2 == "quantum"), "no-match pattern leaked")
+    assert(!out.keys.exists(_._1 == 4L), "NULL text produced hits")
+    // brute-force cross-check on real data: per-pattern total hits equal
+    // an independent sliding-window count (the oracle-free exactness probe)
+    val real = TextOps.blocklistHits(docs).collect()
+      .groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
+    val texts = docs.select("text").na.drop().as[String].collect()
+    TextOps.defaultBlocklist.foreach { p =>
+      val brute = texts.map { t =>
+        (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+      }.sum
+      assert(real.getOrElse(p, 0L) == brute, s"pattern '$p'")
+    }
+    // zero shuffles: counts complete row-locally
+    val plan = TextOps.blocklistHits(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklistHits must not shuffle:\n$plan")
+  }
 }
