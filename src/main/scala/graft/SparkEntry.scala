@@ -383,6 +383,11 @@ object SparkEntry {
     // quantized before the decimal-exact per-doc mean
     "doc_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogProb(Tables.documents(s, dir))),
+    // interpolated Kneser-Ney bigram scoring (what KenLM implements):
+    // absolute discount + continuation probability, all four model
+    // statistics derived from ONE bigram relation
+    "doc_kn_logprob" -> ((s, dir) =>
+      TextOps.knBigramLogProb(Tables.documents(s, dir))),
     // CCNet-style head/middle/tail quality tiers: exact per-lang logprob
     // tertiles over the discrete (1e-4-quantized) score histogram
     "doc_ppl_buckets" -> ((s, dir) =>
@@ -3394,6 +3399,48 @@ object SparkEntry {
            CASE WHEN p.n_bigrams IS NULL THEN NULL
              ELSE floor((p.slp / p.n_bigrams) * 1e4 + 0.5) / 1e4 END
              AS bigram_logprob
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
+    // replica of TextOps.knBigramLogProb: interpolated Kneser-Ney with
+    // D=0.75 — identical arithmetic shape (parenthesization preserved so
+    // both engines run the same IEEE ops), all statistics from c12
+    "doc_kn_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+               list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bg
+           FROM toks),
+         c12 AS (
+           SELECT bg, count(*) AS c12,
+             string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+           FROM bi GROUP BY 1),
+         ctx AS (
+           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_l
+           FROM c12 GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS n1p_r FROM c12 GROUP BY 1),
+         nbd AS (SELECT count(*) AS nbd FROM c12),
+         lp AS (
+           SELECT bg,
+             floor(log10(
+               (CAST(c12.c12 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE) +
+               ((0.75 * CAST(ctx.n1p_l AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)) *
+                 (CAST(cont.n1p_r AS DOUBLE) / CAST(nbd.nbd AS DOUBLE))
+             ) * 1e6 + 0.5) / 1e6 AS lp
+           FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN nbd),
+         perdoc AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(lp AS DECIMAL(38, 10))) AS DOUBLE) AS slp
+           FROM bi JOIN lp USING (bg) GROUP BY 1)
+         SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN p.n_bigrams IS NULL THEN NULL
+             ELSE floor((p.slp / p.n_bigrams) * 1e4 + 0.5) / 1e4 END
+             AS kn_logprob
          FROM documents d LEFT JOIN perdoc p USING (doc_id)""",
     // replica of TextOps.pplBuckets: the same lpdoc relation, per-lang
     // percentile_disc tertile thresholds over the QUANTIZED logprob (the

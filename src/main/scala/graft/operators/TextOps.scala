@@ -736,6 +736,59 @@ object TextOps {
           .as("bigram_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the principled-smoothing
+    * upgrade of [[bigramLogProb]] (Kneser & Ney ICASSP'95; Chen & Goodman
+    * 1998 found the interpolated form the strongest n-gram smoother, and
+    * it is what KenLM — the CCNet perplexity filter — implements):
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *            + (D·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/N₁₊(··)),  D = 0.75
+    *
+    * — the absolute-discount mass moves to the CONTINUATION probability
+    * (how many distinct contexts w₂ follows), the fix for add-one's
+    * overweighting of frequent-but-context-bound words. Scoring the
+    * corpus's own bigrams means every scored pair has c ≥ 1, so the
+    * discounted term never clips at 0.
+    *
+    * Scale shape is [[bigramLogProb]]'s: ONE bigram explode to the c12
+    * relation, and ALL four model statistics (context totals c(w₁·),
+    * context diversities N₁₊(w₁·), continuation counts N₁₊(·w₂), distinct
+    * bigram total) derive from c12 WITHOUT re-touching the corpus —
+    * vocab-scale aggs, unhinted joins (vocabulary grows with the corpus),
+    * a 1-row broadcast total. log10 once per DISTINCT bigram, 1e-6
+    * quantized, decimal-exact per-doc sum, mean rounded 1e-4. Docs with
+    * < 2 tokens score NULL.
+    */
+  def knBigramLogProb(documents: DataFrame, discount: Double = 0.75): DataFrame = {
+    val bi = documents.select(col("doc_id"),
+      explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
+    val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_l"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_r"))
+    val nbd = c12.agg(count(lit(1)).as("nbd"))
+    val lp = c12.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(nbd))
+      .select(col("bg"), roundFixed(log10(
+        (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
+          ((lit(discount) * col("n1p_l").cast("double")) /
+            col("c1").cast("double")) *
+            (col("n1p_r").cast("double") / col("nbd").cast("double"))), 6)
+        .as("lp"))
+    val perDoc = bi.join(lp, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.DeterministicAgg.exactSum(col("lp")).as("slp"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(null).cast("double"))
+          .otherwise(roundFixed(col("slp") / col("n_bigrams"), 4))
+          .as("kn_logprob"))
+  }
+
   /** Corpus collocations by pointwise mutual information — the classic
     * multi-word-expression miner (Church & Hanks 1990) a tokenizer/
     * phrase-vocabulary pipeline runs before merging frequent pairs:

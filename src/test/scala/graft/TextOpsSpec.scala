@@ -1151,6 +1151,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"cdcChunkStats must not shuffle:\n$plan")
   }
 
+  test("Kneser-Ney bigram: hand-computed fixture, exact to the 1e-4 grid") {
+    import spark.implicits._
+    // corpus "a b a b c" + "z": c12 = {ab:2, ba:1, bc:1}
+    //   contexts: a -> (c1=2, N1+=1), b -> (c1=2, N1+=2); nbd=3
+    //   continuations: b<-1, a<-1, c<-1
+    //   P(b|a) = (2-.75)/2 + (.75*1/2)*(1/3) = 0.75
+    //   P(a|b) = P(c|b) = (1-.75)/2 + (.75*2/2)*(1/3) = 0.375
+    //   doc1 mean = (2*lp(.75) + 2*lp(.375))/4 = -0.2755 on the grid
+    val df = Seq((1L, "a b a b c"), (2L, "z")).toDF("doc_id", "text")
+    val out = TextOps.knBigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 4L)
+    assert(out(1L).getAs[Double]("kn_logprob") == -0.2755)
+    assert(out(2L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("kn_logprob")))
+    // interpolated-KN sanity on real data: every scored probability < 1,
+    // so every doc-level mean log-prob is strictly negative
+    val real = TextOps.knBigramLogProb(docs).collect()
+    assert(real.nonEmpty)
+    real.filter(!_.isNullAt(2)).foreach(r => assert(r.getDouble(2) < 0.0))
+  }
+
   test("blocklist: automaton counts every overlapping/nested occurrence") {
     import spark.implicits._
     val df = Seq(
