@@ -135,6 +135,13 @@ object SparkEntry {
     "rich_idle_customers" -> ((s, dir) =>
       Relational.richIdleCustomers(Tables.customer(s, dir),
         Tables.orders(s, dir), "2001-01-01")),
+    // Pareto skyline (SKYLINE OF): the customer frontier on
+    // (acctbal, lifetime spend, order count) — per-partition local
+    // skyline, then a broadcast nested-loop anti-join refine over the
+    // bounded candidate set
+    "customer_pareto" -> ((s, dir) =>
+      Relational.customerPareto(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     // WebDataset shard round-trip: pack documents into tar shards (one
     // writer per shard after a shard_id shuffle), read them back through
     // the DSv2 connector (graft.sources.TarDataSource), aggregate per
@@ -2562,6 +2569,26 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // replica of Relational.customerPareto: NOT EXISTS dominance — d
+    // better-or-equal on all three dims and strictly better on one
+    "customer_pareto" ->
+      """WITH m AS (
+           SELECT c.c_custkey AS custkey,
+             CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+             floor(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS total_spend,
+             count(*) AS n_orders
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2)
+         SELECT custkey, acctbal, total_spend, n_orders FROM m c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM m d
+           WHERE d.acctbal >= c.acctbal
+             AND d.total_spend >= c.total_spend
+             AND d.n_orders >= c.n_orders
+             AND (d.acctbal > c.acctbal
+               OR d.total_spend > c.total_spend
+               OR d.n_orders > c.n_orders))""",
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,

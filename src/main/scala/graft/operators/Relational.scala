@@ -1189,4 +1189,111 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"),
         sumRounded(col("c_acctbal"), 2).as("total_bal"))
   }
+
+  // --------------------------------------------------------- Pareto skyline
+
+  /** Distributed Pareto skyline (maximal-vector query, Börzsönyi et al.
+    * ICDE'01's SKYLINE OF operator) — the rows no other row dominates,
+    * where `dims` lists (column, maximize?) and d dominates c iff d is
+    * better-or-equal on EVERY dim and strictly better on at least one.
+    * Ties on all dims are mutually non-dominating: both survive (the
+    * NOT EXISTS semantics the oracle replays).
+    *
+    * Two-phase shape (the classic distributed skyline): phase 1 filters
+    * each partition to its LOCAL skyline in one pass (an O(n·s) dominance
+    * buffer inside mapPartitions — s = local skyline size, typically tiny:
+    * dominance is transitive, so a row dominated locally can never be in
+    * the global answer and is safe to drop early); phase 2 refines the
+    * surviving candidates — bounded by |skyline| × partitions, metadata
+    * scale next to the input — with a broadcast nested-loop ANTI join of
+    * the candidate set against its own dims projection. localCheckpoint
+    * truncates the lineage so the expensive upstream (scan + any
+    * aggregation) runs ONCE, not once per join side. At 100 TB the
+    * upstream pass dominates and parallelizes; the refine touches only
+    * candidates. A skyline too big to broadcast means the dims barely
+    * constrain each other — at that point the answer itself is
+    * table-sized and no algorithm saves you; the operator would recurse
+    * (candidates → another local pass) before giving up.
+    *
+    * NULL dims are rejected loudly (dominance over NULL is undefined;
+    * filter upstream).
+    */
+  def paretoSkyline(rows: DataFrame, dims: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    val schema = rows.schema
+    val idx = dims.map { case (f, _) => schema.fieldIndex(f) }
+    // per-dim sign-adjusted comparators over the EXTERNAL row values —
+    // exact per type (no lossy cast to double for decimals)
+    val cmps: Seq[(Row, Row) => Int] = dims.zip(idx).map { case ((f, mx), i) =>
+      val sign = if (mx) 1 else -1
+      schema(i).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => (a: Row, b: Row) =>
+          sign * java.lang.Long.compare(
+            a.getAs[Number](i).longValue(), b.getAs[Number](i).longValue())
+        case DoubleType | FloatType => (a: Row, b: Row) =>
+          sign * java.lang.Double.compare(
+            a.getAs[Number](i).doubleValue(), b.getAs[Number](i).doubleValue())
+        case _: DecimalType => (a: Row, b: Row) =>
+          sign * a.getDecimal(i).compareTo(b.getDecimal(i))
+        case dt => throw new IllegalArgumentException(
+          s"unsupported skyline dim type $dt for column $f")
+      }
+    }
+    def dominates(d: Row, c: Row): Boolean = {
+      var allGe = true; var oneGt = false; var k = 0
+      while (k < cmps.length && allGe) {
+        val cmp = cmps(k)(d, c)
+        if (cmp < 0) allGe = false else if (cmp > 0) oneGt = true
+        k += 1
+      }
+      allGe && oneGt
+    }
+    val dimNames = dims.map(_._1)
+    val candidates = rows.mapPartitions { it =>
+      val sky = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.foreach { r =>
+        idx.zip(dimNames).foreach { case (i, f) =>
+          require(!r.isNullAt(i), s"NULL skyline dimension $f") }
+        if (!sky.exists(s => dominates(s, r))) {
+          val kept = sky.filterNot(s => dominates(r, s))
+          sky.clear(); sky ++= kept; sky += r
+        }
+      }
+      sky.iterator
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .localCheckpoint(false)
+    // phase 2: candidate-vs-candidate refine; the right side carries only
+    // the dims (renamed, so the anti join output needs no de-aliasing)
+    val probe = candidates.select(dimNames.map(f => col(f).as(s"d_$f")): _*)
+    val allGe = dims.map { case (f, mx) =>
+      if (mx) col(s"d_$f") >= col(f) else col(s"d_$f") <= col(f)
+    }.reduce(_ && _)
+    val oneGt = dims.map { case (f, mx) =>
+      if (mx) col(s"d_$f") > col(f) else col(s"d_$f") < col(f)
+    }.reduce(_ || _)
+    candidates.join(broadcast(probe), allGe && oneGt, "left_anti")
+  }
+
+  /** The skyline driver query: customers Pareto-optimal on
+    * (account balance, lifetime spend, order count), all maximized — the
+    * "best customer frontier" no weighted score can rank without picking
+    * the weights first. One orders aggregation (customer-key shuffle),
+    * an unhinted join to customer (both sides grow with SF), then
+    * [[paretoSkyline]].
+    */
+  def customerPareto(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sumRounded(col("o_totalprice"), 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val m = customer
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").as("custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("total_spend"), col("n_orders"))
+    paretoSkyline(m, Seq("acctbal" -> true, "total_spend" -> true,
+      "n_orders" -> true))
+      .orderBy(col("custkey"))
+  }
 }

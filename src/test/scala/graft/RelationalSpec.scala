@@ -700,4 +700,52 @@ class RelationalSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "user_id", "event_type")
     assert(Relational.eventMarkov(loners).collect().isEmpty)
   }
+
+  test("pareto skyline: dominance filter equals brute force, ties survive") {
+    import spark.implicits._
+    // (id, x maximize, y maximize): c dominated by a; d/e tie — both stay;
+    // b is incomparable to a (better y, worse x)
+    val df = Seq(
+      (1L, 5.0, 1L), // a
+      (2L, 3.0, 4L), // b
+      (3L, 4.0, 1L), // c: dominated by a
+      (4L, 2.0, 2L), // d: ties e on both dims -> mutually non-dominating
+      (5L, 2.0, 2L), // e (but both dominated by b)
+      (6L, 5.0, 4L)  // f: dominates everything except nothing dominates it
+    ).toDF("id", "x", "y").repartition(3) // force multi-partition phase 1
+    val got = Relational.paretoSkyline(df, Seq("x" -> true, "y" -> true))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(6L)) // f dominates a,b,c,d,e
+    // drop f: frontier is {a, b} plus the d/e tie pair is dominated by b
+    val got2 = Relational.paretoSkyline(df.filter(col("id") =!= 6L),
+      Seq("x" -> true, "y" -> true)).collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L))
+    // tie pair survives together when nothing dominates it
+    val got3 = Relational.paretoSkyline(
+      Seq((4L, 2.0, 2L), (5L, 2.0, 2L)).toDF("id", "x", "y"),
+      Seq("x" -> true, "y" -> true)).collect().map(_.getLong(0)).toSet
+    assert(got3 == Set(4L, 5L))
+    // minimize direction flips the frontier
+    // minimize direction flips the frontier: d/e=(2,2) dominate b and f,
+    // c=(4,1) dominates a and is itself undominated (nothing has y < 1)
+    val gotMin = Relational.paretoSkyline(df, Seq("x" -> false, "y" -> false))
+      .collect().map(_.getLong(0)).toSet
+    assert(gotMin == Set(3L, 4L, 5L))
+    // brute-force cross-check on real data at sf0.001
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val sky = Relational.customerPareto(cust, ords).collect()
+    val all = cust.join(ords.groupBy(col("o_custkey"))
+        .agg(graft.functions.DeterministicAgg.sumRounded(col("o_totalprice"), 2).as("ts"),
+          count(lit(1)).as("no")), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_acctbal").cast("double"), col("ts"), col("no"))
+      .as[(Long, Double, Double, Long)].collect()
+    val brute = all.filter { c =>
+      !all.exists(d => (d._2 >= c._2 && d._3 >= c._3 && d._4 >= c._4) &&
+        (d._2 > c._2 || d._3 > c._3 || d._4 > c._4))
+    }.map(_._1).toSet
+    assert(sky.map(_.getLong(0)).toSet == brute)
+    assert(sky.nonEmpty && sky.length < all.length,
+      s"skyline ${sky.length} of ${all.length} must be a proper frontier")
+  }
 }
