@@ -135,6 +135,12 @@ object SparkEntry {
     "rich_idle_customers" -> ((s, dir) =>
       Relational.richIdleCustomers(Tables.customer(s, dir),
         Tables.orders(s, dir), "2001-01-01")),
+    // TPC-H Q9 shape: 5-table join, selective part filter first, one
+    // big-big shuffle (lineitem x orders), (nation, year) profit rollup
+    "nation_profit" -> ((s, dir) =>
+      Relational.nationProfit(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.orders(s, dir),
+        Tables.nation(s, dir))),
     // Pareto skyline (SKYLINE OF): the customer frontier on
     // (acctbal, lifetime spend, order count) — per-partition local
     // skyline, then a broadcast nested-loop anti-join refine over the
@@ -2569,6 +2575,20 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // replica of Relational.nationProfit (Q9 shape, retailprice as cost)
+    "nation_profit" ->
+      """SELECT n.n_name, year(o.o_orderdate) AS o_year,
+           floor(CAST(SUM(CAST(
+             l.l_extendedprice * (1.0 - l.l_discount) -
+               p.p_retailprice * l.l_quantity AS DECIMAL(38,10)))
+             AS DOUBLE) * 1e2 + 0.5) / 1e2 AS profit
+         FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%bolt%'
+         GROUP BY 1, 2""",
     // replica of Relational.customerPareto: NOT EXISTS dominance — d
     // better-or-equal on all three dims and strictly better on one
     "customer_pareto" ->

@@ -1190,6 +1190,32 @@ object Relational {
         sumRounded(col("c_acctbal"), 2).as("total_bal"))
   }
 
+  /** TPC-H Q9-shaped product-profit rollup — the 5-table join headliner
+    * (lineitem ⋈ σ(part) ⋈ supplier ⋈ nation ⋈ orders → (nation, year)
+    * profit; cost uses p_retailprice·quantity since this schema carries no
+    * partsupp). The join order is written selective-first: the p_name
+    * substring filter prunes part BEFORE it meets lineitem, so the fact
+    * table shrinks at its first join; stats/AQE pick broadcast for the
+    * filtered part, supplier, and nation sides (no forced hints — part
+    * and supplier grow with SF, the r8 rule), and the one genuinely
+    * big-big join (lineitem ⋈ orders on orderkey) is the single
+    * shuffle-heavy stage. Profit sums decimal-exact over the same IEEE
+    * product expression both engines evaluate.
+    */
+  def nationProfit(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                   orders: DataFrame, nation: DataFrame,
+                   namePart: String = "bolt"): DataFrame =
+    lineitem
+      .join(part.filter(col("p_name").contains(namePart)),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sumRounded(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity"), 2).as("profit"))
+
   // --------------------------------------------------------- Pareto skyline
 
   /** Distributed Pareto skyline (maximal-vector query, Börzsönyi et al.

@@ -363,4 +363,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join"), "the candidate join must exist")
   }
+
+  test("nation_profit: part filter pushed to the scan, no pre-agg fact shuffle") {
+    val p = plan("nation_profit")
+    // the selective p_name predicate reaches the parquet scan
+    assert(p.contains("StringContains(p_name,bolt)"), p)
+    // at test SF every dim side broadcasts (stats-gated, no hints in the
+    // operator), so lineitem streams through the joins and the ONLY hash
+    // exchange is the (nation, year) aggregate's
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("customer_pareto: refine is a broadcast anti join over checkpointed candidates") {
+    val p = plan("customer_pareto")
+    // phase 2 must be BNLJ LeftAnti against the broadcast candidate set
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
+    // both join inputs read the SAME localCheckpoint RDD — the upstream
+    // aggregation runs once, not once per side
+    assert(count(p, "Scan ExistingRDD") == 2 && !p.contains("FileScan"), p)
+  }
 }
