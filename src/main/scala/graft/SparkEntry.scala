@@ -155,6 +155,11 @@ object SparkEntry {
     // directly, so the hash match proves the tar write+read is lossless
     "wds_roundtrip" -> ((s, dir) =>
       graft.sources.TarShards.roundTrip(s, Tables.documents(s, dir), 8)),
+    // ...and the compressed twin: members gzipped per the WebDataset .gz
+    // convention, read back with the connector's transparent inflate —
+    // same closed-form oracle, so the hash match proves the decode
+    "wds_gzip_roundtrip" -> ((s, dir) =>
+      graft.sources.TarShards.gzipRoundTrip(s, Tables.documents(s, dir), 8)),
     // WebDataset SAMPLE grouping: two members per doc (<id>.txt, <id>.meta)
     // packed, read back, reassembled into one row per sample — a txt/meta
     // pairing mistake between docs would flip the per-language XOR
@@ -2534,6 +2539,14 @@ object SparkEntry {
            (SELECT floor((CAST(SUM(CAST(ps2.supp_qty AS DECIMAL(38,10))) AS DOUBLE)) * 1e4 + 0.5) / 1e4
             FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)""",
     "wds_roundtrip" ->
+      s"""SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         bit_xor(${shaFoldSql("text")}) AS content_hash
+         FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // same closed form as wds_roundtrip: inflate must reproduce the
+    // original text bytes and report DECODED sizes
+    "wds_gzip_roundtrip" ->
       s"""SELECT printf('shard-%05d.tar', doc_id % 8) AS shard,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,

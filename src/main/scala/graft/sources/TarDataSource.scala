@@ -90,11 +90,13 @@ class TarTable(dir: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(dir, TarTable.sessionConf(),
-      options.getInt("maxShardsPerTrigger", -1))
+      options.getInt("maxShardsPerTrigger", -1),
+      options.getBoolean("inflate", false))
 }
 
 class TarScanBuilder(dir: String, conf: SerializableConfiguration,
-                     maxShardsPerTrigger: Int = -1)
+                     maxShardsPerTrigger: Int = -1,
+                     inflate: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -139,6 +141,10 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration,
     * untouched. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (limit >= 0) return false
+    // with inflate=true `size` is the DECODED payload length — tar
+    // headers only know compressed sizes, so header-only aggregation
+    // would be wrong; decline and let the row scan answer
+    if (inflate) return false
     def ref(e: V2Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
@@ -175,7 +181,7 @@ class TarScanBuilder(dir: String, conf: SerializableConfiguration,
 
   override def build(): Scan =
     new TarScan(dir, requiredSchema, pushed, conf, limit, maxShardsPerTrigger,
-      pushedAgg, listedShards)
+      pushedAgg, listedShards, inflate)
 }
 
 /** The accepted pushed-aggregate shape: `aggs` entries are "count",
@@ -219,7 +225,8 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
               conf: SerializableConfiguration, limit: Int = -1,
               maxShardsPerTrigger: Int = -1,
               val pushedAgg: Option[TarPushedAggregation] = None,
-              preListed: Option[Array[TarShardFile]] = None)
+              preListed: Option[Array[TarShardFile]] = None,
+              inflate: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
   // one driver-side listing per BATCH scan, shared by partition planning
@@ -248,11 +255,12 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
   override def toMicroBatchStream(checkpointLocation: String):
       streaming.MicroBatchStream =
     new TarMicroBatchStream(dir, requiredSchema, filters, conf,
-      maxShardsPerTrigger)
+      maxShardsPerTrigger, inflate)
   override def description(): String =
     s"graft-tar $dir, cols=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushed=[${filters.mkString(",")}], limit=$limit" +
-      pushedAgg.map(a => s", pushedAggregation=[${a.describe}]").getOrElse("")
+      pushedAgg.map(a => s", pushedAggregation=[${a.describe}]").getOrElse("") +
+      (if (inflate) ", inflate=gz" else "")
 
   // ---- runtime (join-driven) shard pruning: the DSv2 analog of dynamic
   // partition pruning. When this scan joins a small relation on `shard`,
@@ -304,7 +312,7 @@ class TarScan(dir: String, requiredSchema: StructType, filters: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
     case Some(a) => new TarAggReaderFactory(a, filters, conf)
-    case None => new TarReaderFactory(requiredSchema, filters, conf, limit)
+    case None => new TarReaderFactory(requiredSchema, filters, conf, limit, inflate)
   }
 }
 
@@ -404,7 +412,8 @@ object TarScan {
 class TarMicroBatchStream(dir: String, requiredSchema: StructType,
                           filters: Array[Filter],
                           conf: SerializableConfiguration,
-                          maxShardsPerTrigger: Int = -1)
+                          maxShardsPerTrigger: Int = -1,
+                          inflate: Boolean = false)
     extends streaming.MicroBatchStream
     with streaming.SupportsAdmissionControl {
   import com.fasterxml.jackson.databind.ObjectMapper
@@ -453,7 +462,7 @@ class TarMicroBatchStream(dir: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TarReaderFactory(requiredSchema, filters, conf)
+    new TarReaderFactory(requiredSchema, filters, conf, inflate = inflate)
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -567,11 +576,12 @@ object TarOffsetCodec {
 }
 
 class TarReaderFactory(requiredSchema: StructType, filters: Array[Filter],
-                       conf: SerializableConfiguration, limit: Int = -1)
+                       conf: SerializableConfiguration, limit: Int = -1,
+                       inflate: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TarPartitionReader(partition.asInstanceOf[TarInputPartition],
-      requiredSchema, filters, conf, limit)
+      requiredSchema, filters, conf, limit, inflate)
 }
 
 /** Aggregated read: walk the shard's 512-byte headers (payloads seeked
@@ -629,12 +639,25 @@ class TarAggReaderFactory(agg: TarPushedAggregation, filters: Array[Filter],
     }
 }
 
+/** Row reader for one shard. With `inflate=true`, members named `*.gz`
+  * decode transparently (WebDataset's per-member compression
+  * convention): the `name` column drops the `.gz` suffix, `content` is
+  * the gunzipped payload, and `size` is the DECODED length — so the
+  * same query runs unchanged over compressed and uncompressed shards
+  * (non-`.gz` members pass through untouched, mixed shards are fine).
+  * Name filters evaluate against the decoded (suffix-stripped) name —
+  * the value the column actually shows. The cost model stays honest:
+  * `size` now requires the payload (header sizes are compressed sizes),
+  * so the builder declines aggregate pushdown under inflate, and a
+  * name-only projection still skips payload bytes. */
 class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
                          filters: Array[Filter],
-                         conf: SerializableConfiguration, limit: Int = -1)
+                         conf: SerializableConfiguration, limit: Int = -1,
+                         inflate: Boolean = false)
     extends PartitionReader[InternalRow] {
 
-  private val needContent = requiredSchema.fieldNames.contains("content")
+  private val needContent = requiredSchema.fieldNames.contains("content") ||
+    (inflate && requiredSchema.fieldNames.contains("size"))
   private val filterSeq = filters.toSeq // hoisted out of the per-member loop
   private val shardUtf8 = UTF8String.fromString(part.shard)
   private val in = {
@@ -643,6 +666,9 @@ class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
   }
   private val members = TarIO.read(in, readBytes = needContent)
   private var current: TarIO.TarMember = null
+  private var curName: String = null   // post-inflate (user-visible) name
+  private var curBytes: Array[Byte] = null
+  private var curSize: Long = 0L
   private var emitted = 0
 
   override def next(): Boolean = {
@@ -650,7 +676,15 @@ class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
     if (limit >= 0 && emitted >= limit) return false // stop mid-shard: IO saved
     while (current == null && members.hasNext) {
       val m = members.next()
-      if (TarFilters.accepts(filterSeq, "name", m.name)) current = m
+      val gz = inflate && m.name.endsWith(".gz")
+      val name = if (gz) m.name.dropRight(3) else m.name
+      if (TarFilters.accepts(filterSeq, "name", name)) {
+        current = m
+        curName = name
+        curBytes = if (gz && m.bytes != null) TarIO.gunzip(m.bytes) else m.bytes
+        curSize = if (gz) { if (curBytes != null) curBytes.length.toLong else 0L }
+          else m.size
+      }
     }
     if (current != null) emitted += 1
     current != null
@@ -659,9 +693,9 @@ class TarPartitionReader(part: TarInputPartition, requiredSchema: StructType,
   override def get(): InternalRow = {
     val values = requiredSchema.fieldNames.map {
       case "shard" => shardUtf8
-      case "name" => UTF8String.fromString(current.name)
-      case "size" => current.size
-      case "content" => current.bytes
+      case "name" => UTF8String.fromString(curName)
+      case "size" => curSize
+      case "content" => curBytes
       case other => throw new IllegalStateException(s"unknown column $other")
     }
     InternalRow.fromSeq(values.toIndexedSeq)

@@ -47,6 +47,29 @@ object TarIO {
   def writeTrailer(out: OutputStream): Unit =
     out.write(new Array[Byte](2 * BLOCK))
 
+  // ----------------------------------------------------- gzip members
+
+  /** Gzip one member payload (RFC 1952 via `java.util.zip`).
+    * Deterministic: Java's GZIPOutputStream writes a fixed header
+    * (MTIME=0, no name/comment fields), so the same payload always
+    * produces the same compressed bytes — the shard-level determinism
+    * contract [[write]] documents survives compression. */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[gzip]]; fails loudly on a truncated or non-gzip
+    * payload (a member NAMED `.gz` that isn't gzip is data corruption,
+    * not a case to paper over). */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
   private def header(name: String, size: Long): Array[Byte] = {
     val nameBytes = name.getBytes(StandardCharsets.UTF_8)
     require(nameBytes.length <= 100, s"tar member name too long: $name")

@@ -155,6 +155,43 @@ object TarShards {
           .as("content_hash"))
   }
 
+  /** Compressed round-trip proof — [[roundTrip]] through per-member gzip
+    * (WebDataset's `.gz` member convention): pack every document as
+    * `<id>.txt.gz` with a gzipped payload, read the shards back with the
+    * connector's `inflate` option, and aggregate member count, DECODED
+    * byte total, and the order-independent XOR of decoded-content hashes.
+    * The oracle is the SAME closed form as wds_roundtrip's (aggregates
+    * over `documents` directly): a hash match proves
+    * text → gzip → tar → connector-inflate is lossless, and that `size`
+    * under inflate reports decoded (not header) lengths. The gzip step is
+    * a narrow typed map (per-row, no shuffle); compression happens where
+    * the rows already are. */
+  def gzipRoundTrip(spark: SparkSession, documents: DataFrame,
+                    nShards: Int): DataFrame = {
+    import spark.implicits._
+    val dir = shardDir(documents) + "_gz"
+    val packed = documents
+      .filter(col("text").isNotNull)
+      .select(
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard_id"),
+        concat(col("doc_id").cast("string"), lit(".txt.gz")).as("name"),
+        col("text"))
+      .as[(Int, String, String)]
+      .map { case (sid, name, text) =>
+        (sid, name, TarIO.gzip(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("shard_id", "name", "content")
+    writeShards(packed, dir, nShards)
+    spark.read.format("graft.sources.TarDataSource")
+      .option("inflate", "true").load(dir)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("size")).as("total_bytes"),
+        bit_xor(graft.operators.TextOps.portableHash64(col("content")))
+          .as("content_hash"))
+  }
+
   /** Multi-member round-trip proof: pack TWO members per document
     * (`<id>.txt` = text, `<id>.meta` = language tag), read the shards
     * back, reassemble samples with [[samples]], and aggregate per

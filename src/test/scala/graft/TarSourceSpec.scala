@@ -103,6 +103,57 @@ class TarSourceSpec extends AnyFunSuite {
     assert(!all.exists(_.contains("inprogress")), all.toString)
   }
 
+  test("inflate: .gz members decode transparently, mixed shards pass through") {
+    val tmp = Files.createTempDirectory("graft_tar_gz").toString
+    val text = "hello gzip member world " * 20
+    val out = new java.io.FileOutputStream(s"$tmp/shard-00000.tar")
+    TarIO.write(Iterator(
+      "a.txt.gz" -> TarIO.gzip(bytes(text)),
+      "b.txt" -> bytes("plain member")), out)
+    out.close()
+    val rows = spark.read.format("graft.sources.TarDataSource")
+      .option("inflate", "true").load(tmp)
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[Long]("size"), new String(r.getAs[Array[Byte]]("content"),
+          StandardCharsets.UTF_8))).toMap
+    // .gz member: suffix stripped, DECODED size and bytes
+    assert(rows("a.txt") == (text.length.toLong, text))
+    // plain member untouched
+    assert(rows("b.txt") == ("plain member".length.toLong, "plain member"))
+    // name filters see the decoded name
+    val filtered = spark.read.format("graft.sources.TarDataSource")
+      .option("inflate", "true").load(tmp)
+      .filter(col("name") === "a.txt").collect()
+    assert(filtered.length == 1 && filtered.head.getAs[String]("name") == "a.txt")
+    // without inflate the raw member is reported as-is (compressed size)
+    val raw = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .filter(col("name") === "a.txt.gz").collect()
+    assert(raw.length == 1 &&
+      raw.head.getAs[Long]("size") < text.length.toLong)
+    // aggregate pushdown declines under inflate: decoded sizes can't come
+    // from tar headers
+    val aggPlan = spark.read.format("graft.sources.TarDataSource")
+      .option("inflate", "true").load(tmp)
+      .groupBy(col("shard")).agg(count(lit(1)), sum(col("size")))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("pushedAggregation"), aggPlan)
+    // ...but still pushes without inflate on the same shards
+    val aggPlain = spark.read.format("graft.sources.TarDataSource").load(tmp)
+      .groupBy(col("shard")).agg(count(lit(1)), sum(col("size")))
+      .queryExecution.executedPlan.toString
+    assert(aggPlain.contains("pushedAggregation"), aggPlain)
+    // corrupt .gz payload fails loudly under inflate
+    val bad = Files.createTempDirectory("graft_tar_gz_bad").toString
+    val out2 = new java.io.FileOutputStream(s"$bad/shard-00000.tar")
+    TarIO.write(Iterator("c.txt.gz" -> bytes("not gzip at all")), out2)
+    out2.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.TarDataSource")
+        .option("inflate", "true").load(bad).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("connector: shard equality filter prunes partitions at PLANNING time") {
     val tmp = writeCorpusShards(8)
     val all = spark.read.format("graft.sources.TarDataSource").load(tmp)
