@@ -470,6 +470,11 @@ object SparkEntry {
     // zero shuffles (counts complete row-locally)
     "doc_blocklist_hits" -> ((s, dir) =>
       TextOps.blocklistHits(Tables.documents(s, dir))),
+    // distributed suffix array by prefix doubling (the Lee et al. 2022
+    // exact-substring primitive): sentinel-terminated corpus, ranked
+    // sorts instead of global windows, O(log maxDocLen) rounds
+    "doc_suffix_ranks" -> ((s, dir) =>
+      TextOps.suffixRanks(Tables.documents(s, dir))),
     // BPE tokenizer training (first 8 merge rules): corpus touched once
     // (word-freq agg), iterations run on the vocab table; argmax rule
     // collected per round (1 row — the k-means iteration discipline)
@@ -1945,6 +1950,67 @@ object SparkEntry {
     * BIGINT by the cast). Shared VERBATIM by doc_decontaminate and
     * doc_bloom_decontaminate — the sketch variant must produce the exact
     * answer, so one SQL oracles both. */
+  /** Replica of TextOps.suffixRanks: the identical sentinel-terminated
+    * prefix-doubling construction, with the distributed ranked sorts
+    * replayed as dense_rank windows and 12 UNROLLED doubling stages
+    * (valid for docs up to 4096 tokens; stages past rank-uniqueness are
+    * provable no-ops, so the fixed unroll equals Spark's
+    * derived-round-count loop). */
+  private def suffixRanksOracleSql: String = {
+    // every stage references its predecessor TWICE (both join sides) —
+    // without MATERIALIZED the CTE chain inlines 2^12 copies of the whole
+    // subtree (the emb_mmr_select oracle lesson, recorded in PLANS.md)
+    val stages = (1 to 12).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      val step = 1L << (k - 1)
+      s"""r$k AS MATERIALIZED (
+           SELECT a.gpos,
+             CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS BIGINT) AS r
+           FROM $prev a LEFT JOIN $prev b ON b.gpos = a.gpos + $step)"""
+    }.mkString(",\n         ")
+    s"""WITH toks AS (
+          SELECT doc_id,
+            COALESCE(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> ''), CAST([] AS VARCHAR[])) AS t
+          FROM documents),
+        nd AS (SELECT count(*) AS nd FROM toks),
+        lens AS (SELECT doc_id, CAST(len(t) + 1 AS BIGINT) AS len FROM toks),
+        offs AS (
+          SELECT doc_id,
+            CAST(COALESCE(sum(len) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS off
+          FROM lens),
+        posrows AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+            j -> struct_pack(i := j - 1, term := t[j]))) AS u
+          FROM toks WHERE len(t) >= 1),
+        tokrows AS (
+          SELECT doc_id, CAST(u.i AS INT) AS i, u.term AS term FROM posrows),
+        tokord AS (
+          SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS ord
+          FROM (SELECT DISTINCT term FROM tokrows)),
+        docord AS (
+          SELECT doc_id, CAST(dense_rank() OVER (ORDER BY doc_id) AS BIGINT)
+            AS ord
+          FROM toks),
+        base AS (
+          SELECT tr.doc_id, tr.i, FALSE AS sentinel, o.ord + nd.nd AS r
+          FROM tokrows tr JOIN tokord o USING (term) CROSS JOIN nd
+          UNION ALL
+          SELECT l.doc_id, CAST(l.len - 1 AS INT) AS i, TRUE AS sentinel,
+            d.ord AS r
+          FROM lens l JOIN docord d USING (doc_id)),
+        pos AS MATERIALIZED (
+          SELECT b.doc_id, b.i, b.sentinel, o.off + b.i AS gpos, b.r
+          FROM base b JOIN offs o USING (doc_id)),
+        r0 AS MATERIALIZED (SELECT gpos, r FROM pos),
+        $stages
+       SELECT p.doc_id, p.i AS pos, r12.r - nd.nd AS suffix_rank
+       FROM pos p JOIN r12 USING (gpos) CROSS JOIN nd
+       WHERE NOT p.sentinel"""
+  }
+
   private def decontaminateOracleSql: String =
     s"""WITH toks AS (
           SELECT doc_id, lang,
@@ -3538,6 +3604,7 @@ object SparkEntry {
     // hash match is the lossless-filtering proof (the mm_image_near_dup
     // discipline)
     "doc_bloom_decontaminate" -> decontaminateOracleSql,
+    "doc_suffix_ranks" -> suffixRanksOracleSql,
     // replica of TextOps.blocklistHits: every (overlapping, nested)
     // occurrence of every pattern, counted by a recursive strpos walk —
     // each step resumes the search one character after the previous

@@ -2878,6 +2878,174 @@ object TextOps {
       .agg(min(col(valueCol)).as("q"))
   }
 
+  // ---------------------------------------------- suffix array (prefix doubling)
+
+  /** Exclusive prefix sum of `valCol` in ascending `keyCol` order —
+    * (key, offset) where offset = Σ val over all smaller keys — WITHOUT
+    * the single-partition window a naive global cumsum plans. The classic
+    * two-pass ranged scan: range-partition (partition i's keys all
+    * precede partition i+1's), sort within partitions, collect P
+    * driver-scale partition totals (pass 1), emit running sums seeded by
+    * their exclusive prefix (pass 2). localCheckpoint pins the sampled
+    * range bounds and the sort so both passes read one materialization;
+    * the result is a pure function of the data, never the partitioning. */
+  private[graft] def exclusivePrefixSum(df: DataFrame, keyCol: String,
+                                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.select(col(keyCol), col(valCol).cast("long").as(valCol))
+      .repartitionByRange(col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .localCheckpoint(false)
+    val totals = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.map(_.getLong(1)).sum)))
+      .collect().sortBy(_._1)
+    val offs = { var acc = 0L
+      totals.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add(sorted.schema.head).add("offset", LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offs(pid)
+      it.map { r => val o = acc; acc += r.getLong(1); Row(r.get(0), o) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Distributed suffix-array construction over the WHOLE corpus by
+    * prefix doubling with Manber–Myers bucket refinement (Manber & Myers
+    * 1990; the Lee et al. 2022 exact-substring-dedup core primitive,
+    * built the way a cluster has to build it — iterated group-local
+    * refinement, NOT the sequential DC3/SA-IS scan a single machine would
+    * use). Token-level, corpus concatenated in doc_id order with one
+    * UNIQUE per-doc sentinel (ranked below every token, by doc ordinal),
+    * so every suffix is distinct, comparisons never leak meaning across
+    * a document boundary, and the final ranks are a permutation.
+    *
+    * Rank representation is the BUCKET START — tied suffixes share
+    * r = 1 + (number of positions provably smaller) — which makes each
+    * doubling round GROUP-LOCAL: a tie group refines by the rank 2^k
+    * positions ahead (r₂), new r = r + rank-within-group(r₂), and every
+    * other rank in the corpus is untouched. That turns the working set
+    * into ONLY the still-tied positions: settled rows (group size 1)
+    * leave the loop permanently and serve as a read-only lookup side,
+    * so round k's cost is O(unresolved positions), not O(corpus) — on
+    * real text ties collapse in ~log_vocab(L) rounds and the tail rounds
+    * touch just the planted duplicate-document runs. The worst case
+    * stays ceil(log2(maxDocLen+1)) rounds (sentinels bound every
+    * within-document tie), derived from one tiny agg, not guessed.
+    *
+    * Distribution shape: r₀ comes from [[exclusivePrefixSum]] ranked
+    * scans (token counts in token order; doc ordinals in doc order —
+    * never a single-partition global window); each round is one
+    * measured-size-gated broadcast join of the contested rows against
+    * the shifted rank lookup (partner absent ⇔ gpos+2^k ≥ L, decided
+    * arithmetically — positions are dense — so the join stays INNER and
+    * broadcastable) plus two bounded windows (partition = one tie
+    * group). localCheckpoint truncates per-round lineage (the pagerank
+    * BSP discipline). The equal-first-component argument makes the
+    * missing-partner rank 0 provably never tie-breaking: equal r means
+    * both 2^k windows are sentinel-free, so both partners exist.
+    *
+    * Output: (doc_id, pos, suffix_rank) for every TOKEN position —
+    * suffix_rank ∈ 1..Ntokens densely (sentinel suffixes, provably the
+    * lowest ndocs ranks, are subtracted out; once every group has size
+    * 1, bucket-start rank ≡ dense rank ≡ position in suffix order). The
+    * DuckDB oracle replays the construction with 12 unrolled dense_rank
+    * doubling stages — dense and bucket-start ranks are order-isomorphic
+    * at every stage, so the final permutations provably coincide
+    * (stages past uniqueness are no-ops; 2^12 = 4096 bounds the oracle's
+    * valid doc length — the operator handles any length by running more
+    * rounds). */
+  def suffixRanks(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    val toked = documents
+      .select(col("doc_id"),
+        coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
+    val lens = toked.select(col("doc_id"),
+      (size(col("toks")) + 1).cast("long").as("len"))
+    val offsets = exclusivePrefixSum(lens, "doc_id", "len")
+    val ndocsRow = toked.agg(count(lit(1)).as("nd"))
+    // token bucket starts: r = nd + 1 + (occurrences of smaller tokens),
+    // group size = the token's own count; doc ordinals the same way
+    val tokCnt = toked.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tokStart = exclusivePrefixSum(tokCnt, "term", "cnt")
+      .join(tokCnt, "term") // vocab-scale join back for the group size
+    val docStart = exclusivePrefixSum(
+      lens.select(col("doc_id"), lit(1L).as("one")), "doc_id", "one")
+    val tokRows = toked
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "term")))
+      .join(tokStart, "term") // vocab-scale, unhinted (vocab grows with corpus)
+      .crossJoin(broadcast(ndocsRow))
+      .select(col("doc_id"), col("i"), lit(false).as("sentinel"),
+        (col("nd") + lit(1L) + col("offset")).as("r"), col("cnt").as("gs"))
+    val sentRows = docStart.join(lens, "doc_id")
+      .select(col("doc_id"), (col("len") - 1).cast("int").as("i"),
+        lit(true).as("sentinel"), (col("offset") + lit(1L)).as("r"),
+        lit(1L).as("gs"))
+    val base = tokRows.unionByName(sentRows)
+      .join(offsets, "doc_id")
+      .select(col("doc_id"), col("i"), col("sentinel"),
+        (col("offset") + col("i")).as("gpos"), col("r"), col("gs"))
+      .localCheckpoint(false)
+
+    val Array(maxLen, totalL) = lens
+      .agg(max(col("len")), sum(col("len"))).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var live = base.select(col("gpos"), col("r"), col("gs"))
+    var step = 1L
+    var exhausted = false
+    while (!exhausted && step < maxLen) {
+      parts += live.filter(col("gs") === 1L).select(col("gpos"), col("r"))
+      val cont = live.filter(col("gs") > 1L)
+      val n = cont.count() // materializes this round's checkpoint
+      if (n == 0) exhausted = true
+      else {
+        // rank lookup = everything settled so far + the contested rows'
+        // current ranks (all disjoint by gpos); the contested side
+        // broadcasts once it is measurably small, so the lookup STREAMS
+        // (checkpoint-block scans, no shuffle) in the tail rounds
+        val lookup = (parts.toSeq :+ cont.select(col("gpos"), col("r")))
+          .reduce(_ unionByName _)
+          .select(col("gpos").as("ahead"), col("r").as("r2"))
+        val shifted = cont.select(col("gpos"), col("r"),
+          (col("gpos") + step).as("ahead"))
+        val contSide =
+          if (n < 2000000L) broadcast(shifted.filter(col("ahead") < totalL))
+          else shifted.filter(col("ahead") < totalL)
+        val joined = contSide.join(lookup, Seq("ahead"))
+          .select(col("gpos"), col("r"), col("r2"))
+        val ends = shifted.filter(col("ahead") >= totalL)
+          .select(col("gpos"), col("r"), lit(0L).as("r2"))
+        val paired = joined.unionByName(ends)
+        // ONE exchange for both window functions: the new group size is
+        // the peer count under the SAME (r)-partitioned, r2-ordered sort
+        // — a peers-only RANGE frame — instead of a second shuffle on
+        // (r, r2)
+        val wRank = Window.partitionBy(col("r")).orderBy(col("r2"))
+        val wPeers = wRank.rangeBetween(Window.currentRow, Window.currentRow)
+        live = paired.select(col("gpos"),
+            (col("r") + rank().over(wRank) - lit(1L)).as("r"),
+            count(lit(1)).over(wPeers).as("gs"))
+          .localCheckpoint(false)
+        step <<= 1
+      }
+    }
+    // step >= maxLen: remaining groups are unique by the sentinel bound
+    if (!exhausted) parts += live.select(col("gpos"), col("r"))
+    val ranks = parts.reduce(_ unionByName _)
+    base.filter(!col("sentinel"))
+      .select(col("doc_id"), col("i").as("pos"), col("gpos"))
+      .join(ranks, "gpos")
+      .crossJoin(broadcast(ndocsRow))
+      .select(col("doc_id"), col("pos"), (col("r") - col("nd")).as("suffix_rank"))
+  }
+
   // ------------------------------------------------- blocklist scanning
 
   /** The demo blocklist — the external-config analog (C4's badwords list,

@@ -1151,6 +1151,73 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"cdcChunkStats must not shuffle:\n$plan")
   }
 
+  test("suffix ranks: prefix doubling equals brute-force suffix sort") {
+    import spark.implicits._
+    // fixture with repeated content, a shared prefix run, an empty doc,
+    // and a NULL doc — cross-doc suffix order must resolve via sentinels
+    val fix = Seq(
+      (10L, "b a n a n a"),
+      (20L, "a n a b a n"),
+      (30L, ""),
+      (40L, null.asInstanceOf[String]),
+      (50L, "b a n a n a") // exact duplicate of doc 10
+    ).toDF("doc_id", "text")
+    def brute(docs: Seq[(Long, String)]): Map[(Long, Int), Long] = {
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t == null) Array.empty[String]
+               else t.trim.split("\\s+").filter(_.nonEmpty)) }
+      val ids = toks.map(_._1).sorted
+      val docOrd = ids.zipWithIndex.toMap // sentinel order = doc order
+      // suffix as token seq + sentinel marker; compare lexicographically,
+      // sentinel of doc d < every token and sentinels order by doc
+      val sufs = for ((id, ts) <- toks; p <- ts.indices)
+        yield (id, p, ts.drop(p))
+      def cmp(a: (Long, Int, Array[String]), b: (Long, Int, Array[String])): Boolean = {
+        val (x, y) = (a._3, b._3)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = x(i) compareTo y(i)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        // shorter suffix hits its sentinel first: sentinel < any token,
+        // and two sentinels order by doc ordinal (never equal here since
+        // a suffix pair exhausting together implies same doc+pos)
+        if (x.length != y.length) x.length < y.length
+        else docOrd(a._1) < docOrd(b._1)
+      }
+      sufs.sortWith(cmp).zipWithIndex
+        .map { case ((id, p, _), r) => (id, p) -> (r + 1).toLong }.toMap
+    }
+    val expected = brute(Seq(10L -> "b a n a n a", 20L -> "a n a b a n",
+      30L -> "", 40L -> null, 50L -> "b a n a n a"))
+    val got = TextOps.suffixRanks(fix).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // empty/null docs contribute no positions
+    assert(!got.keys.exists(k => k._1 == 30L || k._1 == 40L))
+    // real-data check at sf0.001: ranks are a dense permutation and the
+    // suffix order they induce is sorted (spot-check adjacent pairs)
+    val real = TextOps.suffixRanks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = real.length
+    assert(real.map(_._3).toSet == (1L to n).toSet, "ranks must be 1..N dense")
+    val tokMap = docs.select("doc_id", "text").na.drop().as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty) }.toMap
+    val byRank = real.sortBy(_._3)
+    // every adjacent pair in rank order must satisfy suffix <= successor
+    // on their first 3 tokens (cheap necessary condition over ALL pairs)
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val sa = tokMap(a._1).drop(a._2).take(3).mkString(" ")
+      val sb = tokMap(b._1).drop(b._2).take(3).mkString(" ")
+      assert(sa.split(" ").zip(sb.split(" ")).dropWhile(p => p._1 == p._2)
+        .headOption.forall(p => p._1 <= p._2),
+        s"rank order violated: '$sa' !<= '$sb' at ranks ${a._3},${b._3}")
+      case _ => ()
+    }
+  }
+
   test("Kneser-Ney bigram: hand-computed fixture, exact to the 1e-4 grid") {
     import spark.implicits._
     // corpus "a b a b c" + "z": c12 = {ab:2, ba:1, bc:1}
