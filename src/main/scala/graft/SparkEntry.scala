@@ -475,6 +475,10 @@ object SparkEntry {
     // sorts instead of global windows, O(log maxDocLen) rounds
     "doc_suffix_ranks" -> ((s, dir) =>
       TextOps.suffixRanks(Tables.documents(s, dir))),
+    // longest repeated substring: binary-searched answer length over
+    // linear gram probes vs the oracle's brute-force all-length table
+    "doc_lrs" -> ((s, dir) =>
+      TextOps.longestRepeatedSubstring(Tables.documents(s, dir))),
     // BPE tokenizer training (first 8 merge rules): corpus touched once
     // (word-freq agg), iterations run on the vocab table; argmax rule
     // collected per round (1 row — the k-means iteration discipline)
@@ -3605,6 +3609,36 @@ object SparkEntry {
     // discipline)
     "doc_bloom_decontaminate" -> decontaminateOracleSql,
     "doc_suffix_ranks" -> suffixRanksOracleSql,
+    // replica of TextOps.longestRepeatedSubstring — brute force: ALL
+    // (start, length) grams of every document, the max length with a
+    // duplicate, min witness at that length (binary collation both
+    // engines), positional occurrence count
+    "doc_lrs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         allg0 AS (
+           SELECT doc_id, t, unnest(flatten(list_transform(
+               generate_series(1, len(t)),
+               i -> list_transform(generate_series(1, len(t) - i + 1),
+                 l -> struct_pack(i := i, l := l))))) AS u
+           FROM toks WHERE len(t) >= 1),
+         allg AS (
+           SELECT doc_id,
+             array_to_string(t[u.i : u.i + u.l - 1], ' ') AS g, u.l AS l
+           FROM allg0),
+         dup AS (
+           SELECT l, g, count(*) AS c FROM allg
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         best AS (SELECT max(l) AS lrs_len FROM dup)
+         SELECT CAST(b.lrs_len AS BIGINT) AS lrs_len,
+           (SELECT min(g) FROM dup WHERE l = b.lrs_len) AS gram,
+           (SELECT CAST(c AS BIGINT) FROM dup
+            WHERE l = b.lrs_len
+              AND g = (SELECT min(g) FROM dup WHERE l = b.lrs_len))
+             AS n_occurrences
+         FROM best b WHERE b.lrs_len IS NOT NULL""",
     // replica of TextOps.blocklistHits: every (overlapping, nested)
     // occurrence of every pattern, counted by a recursive strpos walk —
     // each step resumes the search one character after the previous

@@ -3046,6 +3046,56 @@ object TextOps {
       .select(col("doc_id"), col("pos"), (col("r") - col("nd")).as("suffix_rank"))
   }
 
+  /** Longest repeated token substring across the WHOLE corpus — the
+    * question a suffix array answers via adjacent-rank LCPs, asked the
+    * Spark-first way: binary-search the answer length with O(log maxLen)
+    * linear gram probes ("does any `l`-token gram occur twice?"), then
+    * one witness pass at the found length. Each probe is one positional-
+    * shingle explode + a count≥2 hash agg — corpus-linear, shuffle only
+    * on gram keys — so the whole query is ~7 linear passes instead of
+    * the O(L·maxLen) all-length table the DuckDB oracle brute-forces
+    * (the near-dup contract: oracle exhaustive, engine sub-linear in the
+    * probe dimension). Probes compare gram STRINGS, not hashes: the
+    * search DECISIONS must be collision-free to match the oracle bit
+    * for bit (at 100 TB you would probe on the fused 8-byte
+    * gramXxHashes kernel and string-confirm only the final length).
+    *
+    * Output: one row (lrs_len, gram, n_occurrences) — the length, the
+    * lexicographically smallest witness at that length (binary collation
+    * on both engines), and its positional occurrence count. ZERO rows if
+    * no token ever repeats. */
+  def longestRepeatedSubstring(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val toked = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint(false)
+    val maxLen = toked.agg(max(size(col("toks")))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    def dupGrams(l: Int): DataFrame = toked
+      .select(explode(positionalShingles(col("toks"), l)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    var lo = 0
+    var hi = maxLen
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (!dupGrams(mid).isEmpty) lo = mid else hi = mid - 1
+    }
+    if (lo == 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("lrs_len", org.apache.spark.sql.types.LongType)
+          .add("gram", org.apache.spark.sql.types.StringType)
+          .add("n_occurrences", org.apache.spark.sql.types.LongType))
+    else
+      dupGrams(lo).orderBy(col("g").asc).limit(1)
+        .select(lit(lo.toLong).as("lrs_len"), col("g").as("gram"),
+          col("c").as("n_occurrences"))
+  }
+
   // ------------------------------------------------- blocklist scanning
 
   /** The demo blocklist — the external-config analog (C4's badwords list,

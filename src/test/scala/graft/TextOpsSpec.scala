@@ -1218,6 +1218,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("longest repeated substring: binary search finds the exact planted run") {
+    import spark.implicits._
+    val shared = "x y z w v u t s" // 8 tokens, repeated across two docs
+    val fix = Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"e f g $shared h"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = TextOps.longestRepeatedSubstring(fix).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 8L, out.head.toString)
+    assert(out.head.getString(1) == shared)
+    assert(out.head.getLong(2) == 2L)
+    // within-doc repetition counts too (overlapping positional grams)
+    val rep = TextOps.longestRepeatedSubstring(
+      Seq((1L, "m n m n m n")).toDF("doc_id", "text")).collect().head
+    assert(rep.getLong(0) == 4L && rep.getString(1) == "m n m n" &&
+      rep.getLong(2) == 2L)
+    // no token ever repeats -> zero rows, not a null row
+    val none = TextOps.longestRepeatedSubstring(
+      Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")).collect()
+    assert(none.isEmpty)
+  }
+
   test("Kneser-Ney bigram: hand-computed fixture, exact to the 1e-4 grid") {
     import spark.implicits._
     // corpus "a b a b c" + "z": c12 = {ab:2, ba:1, bc:1}
