@@ -160,6 +160,10 @@ object SparkEntry {
     // same closed-form oracle, so the hash match proves the decode
     "wds_gzip_roundtrip" -> ((s, dir) =>
       graft.sources.TarShards.gzipRoundTrip(s, Tables.documents(s, dir), 8)),
+    // ORC round-trip: lang-partitioned zlib ORC written and read back,
+    // proving the second built-in columnar format + partition layout
+    "orc_roundtrip" -> ((s, dir) =>
+      Tables.orcRoundTrip(s, Tables.documents(s, dir))),
     // WebDataset SAMPLE grouping: two members per doc (<id>.txt, <id>.meta)
     // packed, read back, reassembled into one row per sample — a txt/meta
     // pairing mistake between docs would flip the per-language XOR
@@ -2614,6 +2618,13 @@ object SparkEntry {
          CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          bit_xor(${shaFoldSql("text")}) AS content_hash
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // replica of Tables.orcRoundTrip: the same per-lang aggregates
+    // closed-form from documents (NULL text hashes as 0 in the XOR)
+    "orc_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         bit_xor(COALESCE(${shaFoldSql("text")}, 0)) AS content_hash
+         FROM documents GROUP BY 1""",
     // same closed form as wds_roundtrip: inflate must reproduce the
     // original text bytes and report DECODED sizes
     "wds_gzip_roundtrip" ->

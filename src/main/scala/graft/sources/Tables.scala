@@ -239,4 +239,36 @@ object Tables {
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** ORC round-trip as one self-contained driver query (the wds_roundtrip
+    * pattern on Spark's OTHER built-in columnar format): write the
+    * document corpus as zlib ORC partitioned by lang — `partitionBy`
+    * exercises the directory-layout path a real lakehouse export uses,
+    * and lang becomes a PARTITION column the read side prunes on — read
+    * the directory back, and aggregate per lang: count, decimal-exact
+    * char total, order-independent XOR of the portable text hash. The
+    * DuckDB oracle computes the same three aggregates from `documents`
+    * directly, so a hash match proves the ORC write → partition layout →
+    * read is lossless (NULL texts ride along as ORC nulls — unlike tar,
+    * a columnar file CAN carry them — and hash as 0 in the XOR on both
+    * sides). The scratch dir is keyed by the input path (concurrent
+    * scale factors never collide) and rewritten per run (overwrite — the
+    * layout must reflect THIS corpus). */
+  def orcRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      documents.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
+        & 0xffffffffL)
+    val dir = s"/tmp/graft_orc_$key"
+    documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").option("compression", "zlib")
+      .partitionBy("lang").orc(dir)
+    spark.read.orc(dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        bit_xor(coalesce(
+          graft.operators.TextOps.portableHash64(col("text")), lit(0L)))
+          .as("content_hash"))
+  }
 }

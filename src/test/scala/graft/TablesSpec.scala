@@ -67,4 +67,21 @@ class TablesSpec extends AnyFunSuite {
     assert(e.schema.fieldNames.toSeq ==
       Tables.embeddingsSchema.fieldNames.toSeq)
   }
+
+  test("ORC round-trip: lang partitions prune at the scan, rows survive intact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // run the round-trip (writes the lang-partitioned ORC scratch dir)
+    val agg = Tables.orcRoundTrip(spark, docs).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // a lang equality filter on the read side must hit PartitionFilters,
+    // not a row-level post-scan filter — the layout IS the index
+    val key = java.lang.Long.toHexString(
+      docs.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
+        & 0xffffffffL)
+    val scan = spark.read.orc(s"/tmp/graft_orc_$key")
+      .filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined, scan)
+  }
 }
