@@ -135,6 +135,10 @@ object SparkEntry {
     "rich_idle_customers" -> ((s, dir) =>
       Relational.richIdleCustomers(Tables.customer(s, dir),
         Tables.orders(s, dir), "2001-01-01")),
+    // dyadic EWMA event smoothing: power-of-two weights are IEEE-exact,
+    // one fixed left-associated lag chain on the user_id window
+    "event_ewma" -> ((s, dir) =>
+      Relational.eventEwma(Tables.events(s, dir))),
     // TPC-H Q9 shape: 5-table join, selective part filter first, one
     // big-big shuffle (lineitem x orders), (nation, year) profit rollup
     "nation_profit" -> ((s, dir) =>
@@ -2019,6 +2023,32 @@ object SparkEntry {
        WHERE NOT p.sentinel"""
   }
 
+  /** Replica of Relational.eventEwma: the same dyadic-weight lag chain,
+    * left-associated identically — every weight is an exact power of
+    * two, so both engines compute bit-identical doubles. */
+  private def ewmaOracleSql: String = {
+    val k = 8
+    def w(i: Int) =
+      new java.math.BigDecimal(java.lang.Math.scalb(1.0, -(i + 1))).toPlainString
+    val lags = (0 until k)
+      .map(i => s"lag(value, $i) OVER win AS l$i").mkString(", ")
+    val num = (0 until k)
+      .map(i => s"(CASE WHEN l$i IS NOT NULL THEN ${w(i)} * l$i ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until k)
+      .map(i => s"(CASE WHEN l$i IS NOT NULL THEN ${w(i)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH lagged AS (
+         SELECT event_id, user_id, $lags
+         FROM events
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT event_id, user_id, $num AS num, $den AS den FROM lagged)
+       SELECT event_id, user_id,
+         CASE WHEN den > 0.0 THEN floor(num / den * 1e6 + 0.5) / 1e6
+              ELSE NULL END AS ewma
+       FROM s"""
+  }
+
   private def decontaminateOracleSql: String =
     s"""WITH toks AS (
           SELECT doc_id, lang,
@@ -3611,6 +3641,7 @@ object SparkEntry {
          FROM lpdoc l LEFT JOIN q13 USING (lang) LEFT JOIN q23 USING (lang)""",
     "events_zorder" -> zorderOracle(bits = 20),
     "event_markov" -> markovOracle(iters = 8),
+    "event_ewma" -> ewmaOracleSql,
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),
     "doc_bpe_encode" -> bpeOracle(numMerges = 8, emit = "encode"),
     "doc_decontaminate" -> decontaminateOracleSql,

@@ -1190,6 +1190,37 @@ object Relational {
         sumRounded(col("c_acctbal"), 2).as("total_bal"))
   }
 
+  /** Per-user EWMA of event values — the time-series smoothing pass a
+    * metrics pipeline runs, built for CROSS-ENGINE bit-determinism: the
+    * decay is dyadic (α = 1/2, lag weight 2^-(k+1)), so every weight is
+    * an exact IEEE double and weight·value multiplications are EXACT
+    * (scaling by a power of two never rounds); the truncated K-lag sum
+    * is written as one fixed left-associated chain evaluated identically
+    * by both engines — no decimal machinery needed, unlike data-dependent
+    * float sums. Missing lags (series head, NULL values) drop out of
+    * numerator AND denominator — the truncated-window renormalization —
+    * and an all-missing window yields NULL, not 0/0.
+    *
+    * One window over the user_id shuffle (the sessionize discipline),
+    * bounded per-partition state; K is a constant, so the expression is
+    * codegen-friendly and the shuffle is the only data movement.
+    */
+  def eventEwma(events: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until k).map { i =>
+      val wi = java.lang.Math.scalb(1.0, -(i + 1)) // 2^-(i+1), exact
+      val l = lag(col("value"), i).over(w)
+      (when(l.isNotNull, lit(wi) * l).otherwise(lit(0.0)),
+        when(l.isNotNull, lit(wi)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    events.select(col("event_id"), col("user_id"),
+      when(den > 0.0, roundFixed(num / den, 6))
+        .otherwise(lit(null).cast("double")).as("ewma"))
+  }
+
   /** TPC-H Q9-shaped product-profit rollup — the 5-table join headliner
     * (lineitem ⋈ σ(part) ⋈ supplier ⋈ nation ⋈ orders → (nation, year)
     * profit; cost uses p_retailprice·quantity since this schema carries no

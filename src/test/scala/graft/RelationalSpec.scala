@@ -701,6 +701,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.eventMarkov(loners).collect().isEmpty)
   }
 
+  test("EWMA: dyadic weights renormalize over present lags; all-null is NULL") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", Some(1.0)),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "A", Some(2.0)),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "A", Some(4.0)),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "A", None) // lone null value
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.eventEwma(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).contains(1.0))              // 0.5*1 / 0.5
+    assert(out(2L).contains(1.666667))         // (0.5*2 + 0.25*1) / 0.75
+    assert(out(3L).contains(3.0))              // (2 + 0.5 + 0.125) / 0.875
+    assert(out(4L).isEmpty)                    // no usable lag -> NULL
+    // a null mid-series drops out of numerator AND denominator
+    val ev2 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", Some(8.0)),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "A", None),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "A", Some(2.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val o2 = Relational.eventEwma(ev2).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(o2(3L).contains((0.5 * 2.0 + 0.125 * 8.0) / 0.625)) // lag1 null skipped
+  }
+
   test("pareto skyline: dominance filter equals brute force, ties survive") {
     import spark.implicits._
     // (id, x maximize, y maximize): c dominated by a; d/e tie — both stay;
