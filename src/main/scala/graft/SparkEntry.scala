@@ -139,6 +139,10 @@ object SparkEntry {
     // one fixed left-associated lag chain on the user_id window
     "event_ewma" -> ((s, dir) =>
       Relational.eventEwma(Tables.events(s, dir))),
+    // TPC-H Q14 shape: conditional aggregate ratio over a date-pruned
+    // join; both sums in one hash aggregate, ratio from rounded values
+    "promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     // TPC-H Q9 shape: 5-table join, selective part filter first, one
     // big-big shuffle (lineitem x orders), (nation, year) profit rollup
     "nation_profit" -> ((s, dir) =>
@@ -2699,6 +2703,26 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // replica of Relational.promoRevenue (Q14 shape): both rounded sums,
+    // then the ratio of the ROUNDED values — same arithmetic order
+    "promo_revenue" ->
+      """WITH s AS (
+           SELECT
+             floor(CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1.0 - l.l_discount)
+                 ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS promo_rev,
+             floor(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+               AS total_rev,
+             count(*) AS n_items
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+             AND l.l_shipdate < TIMESTAMP '1996-04-01')
+         SELECT floor(100.0 * promo_rev / total_rev * 1e4 + 0.5) / 1e4
+             AS promo_pct,
+           promo_rev, total_rev, n_items
+         FROM s""",
     // replica of Relational.nationProfit (Q9 shape, retailprice as cost)
     "nation_profit" ->
       """SELECT n.n_name, year(o.o_orderdate) AS o_year,

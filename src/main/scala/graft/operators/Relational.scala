@@ -1190,6 +1190,32 @@ object Relational {
         sumRounded(col("c_acctbal"), 2).as("total_bal"))
   }
 
+  /** TPC-H Q14 promotion-effect ratio — the conditional-aggregate shape
+    * (CASE inside SUM, two aggregates in one pass, ratio at the edge):
+    * of one month's shipped revenue, the percentage on PROMO parts. The
+    * date range prunes lineitem AT THE SCAN (pushed filters), the part
+    * join stats-gates to broadcast, and both sums ride one hash
+    * aggregate — the ratio divides the two decimal-exact ROUNDED sums,
+    * so no unrounded float crosses the engine boundary. */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   fromDate: String = "1996-03-01",
+                   untilDate: String = "1996-04-01"): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(fromDate)) &&
+        col("l_shipdate") < to_timestamp(lit(untilDate)))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumRounded(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 2)
+          .as("promo_rev"),
+        sumRounded(disc, 2).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .select(
+        roundFixed(lit(100.0) * col("promo_rev") / col("total_rev"), 4)
+          .as("promo_pct"),
+        col("promo_rev"), col("total_rev"), col("n_items"))
+  }
+
   /** Per-user EWMA of event values — the time-series smoothing pass a
     * metrics pipeline runs, built for CROSS-ENGINE bit-determinism: the
     * decay is dyadic (α = 1/2, lag weight 2^-(k+1)), so every weight is
