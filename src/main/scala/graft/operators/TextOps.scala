@@ -2943,7 +2943,10 @@ object TextOps {
     * the shifted rank lookup (partner absent ⇔ gpos+2^k ≥ L, decided
     * arithmetically — positions are dense — so the join stays INNER and
     * broadcastable) plus two bounded windows (partition = one tie
-    * group). localCheckpoint truncates per-round lineage (the pagerank
+    * group — bounded by the largest surviving duplicate run, so a
+    * degenerate single-token corpus would serialize into one task; the
+    * general-refinement bound, same class as any bucket algorithm's hot
+    * bucket). localCheckpoint truncates per-round lineage (the pagerank
     * BSP discipline). The equal-first-component argument makes the
     * missing-partner rank 0 provably never tie-breaking: equal r means
     * both 2^k windows are sentinel-free, so both partners exist.
@@ -2992,10 +2995,17 @@ object TextOps {
         (col("offset") + col("i")).as("gpos"), col("r"), col("gs"))
       .localCheckpoint(false)
 
-    val Array(maxLen, totalL) = lens
-      .agg(max(col("len")), sum(col("len"))).head() match {
-        case r => Array(r.getLong(0), r.getLong(1))
-      }
+    // empty corpus: the aggregates come back NULL — return the empty
+    // result instead of tripping a primitive-extraction NPE
+    val aggRow = lens.agg(max(col("len")), sum(col("len"))).head()
+    if (aggRow.isNullAt(0))
+      return documents.sparkSession.createDataFrame(
+        documents.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("pos", org.apache.spark.sql.types.IntegerType)
+          .add("suffix_rank", org.apache.spark.sql.types.LongType))
+    val (maxLen, totalL) = (aggRow.getLong(0), aggRow.getLong(1))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var live = base.select(col("gpos"), col("r"), col("gs"))
     var step = 1L
@@ -3206,6 +3216,9 @@ object TextOps {
     val spark = documents.sparkSession
     import spark.implicits._
     val pats = patterns.toArray
+    // validate on the DRIVER: a bad pattern list should fail at plan
+    // build, not as a per-task executor crash
+    new AhoCorasick(pats)
     documents
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]

@@ -1196,6 +1196,8 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected)
     // empty/null docs contribute no positions
     assert(!got.keys.exists(k => k._1 == 30L || k._1 == 40L))
+    // an entirely empty corpus returns the empty relation, not an NPE
+    assert(TextOps.suffixRanks(fix.filter(col("doc_id") < 0)).collect().isEmpty)
     // real-data check at sf0.001: ranks are a dense permutation and the
     // suffix order they induce is sorted (spot-check adjacent pairs)
     val real = TextOps.suffixRanks(docs).collect()
