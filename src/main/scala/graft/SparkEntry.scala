@@ -491,6 +491,11 @@ object SparkEntry {
     // linear gram probes vs the oracle's brute-force all-length table
     "doc_lrs" -> ((s, dir) =>
       TextOps.longestRepeatedSubstring(Tables.documents(s, dir))),
+    // unigram-LM (SentencePiece-class) subword segmentation: Viterbi DP
+    // per distinct word under a broadcast substring LM, integer-micro
+    // scores, min-cut-mask tie-break; oracle enumerates all 2^(n-1) masks
+    "doc_unigram_segment" -> ((s, dir) =>
+      TextOps.unigramSegment(Tables.documents(s, dir))),
     // BPE tokenizer training (first 8 merge rules): corpus touched once
     // (word-freq agg), iterations run on the vocab table; argmax rule
     // collected per round (1 row — the k-means iteration discipline)
@@ -3675,6 +3680,63 @@ object SparkEntry {
     // discipline)
     "doc_bloom_decontaminate" -> decontaminateOracleSql,
     "doc_suffix_ranks" -> suffixRanksOracleSql,
+    // replica of TextOps.unigramSegment — brute force: ALL 2^(n-1) cut
+    // masks per distinct word, same integer-micro piece scores, max
+    // score then MIN mask (provably what the engine's per-suffix DP
+    // tie-break composes to)
+    "doc_unigram_segment" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         wf AS (
+           SELECT u AS w, count(*) AS f
+           FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1),
+         subs0 AS (
+           SELECT w, f, unnest(flatten(list_transform(
+             generate_series(1, len(w)),
+             i -> list_transform(generate_series(1, least(4, len(w) - i + 1)),
+               l -> w[i : i + l - 1])))) AS piece
+           FROM wf),
+         pc AS (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+                FROM subs0 GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc),
+         plp AS (
+           SELECT piece,
+             CAST(floor(log10(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS lp
+           FROM pc CROSS JOIN tot),
+         masks AS (
+           SELECT w, len(w) AS n,
+             unnest(generate_series(0,
+               CAST(2 ** (len(w) - 1) AS BIGINT) - 1)) AS m
+           FROM wf),
+         segs AS (
+           SELECT w, n, m,
+             list_prepend(CAST(0 AS BIGINT), list_append(
+               list_filter(generate_series(1, n - 1),
+                 i -> ((m >> (i - 1)) & 1) = 1), CAST(n AS BIGINT))) AS cp
+           FROM masks),
+         pieces AS (
+           SELECT w, n, m,
+             list_transform(generate_series(1, len(cp) - 1),
+               k -> w[CAST(cp[k] + 1 AS INT) : CAST(cp[k+1] AS INT)]) AS ps
+           FROM segs),
+         valid AS (SELECT * FROM pieces
+                   WHERE list_max(list_transform(ps, p -> len(p))) <= 4),
+         scored0 AS (SELECT w, n, m, unnest(ps) AS piece FROM valid),
+         scored AS (
+           SELECT s.w, s.n, s.m, CAST(sum(p.lp) AS BIGINT) AS sc
+           FROM scored0 s JOIN plp p USING (piece) GROUP BY 1, 2, 3),
+         best AS (
+           SELECT w, n, m, sc,
+             row_number() OVER (PARTITION BY w ORDER BY sc DESC, m ASC) AS rn
+           FROM scored)
+       SELECT b.w AS word, CAST(b.n AS INT) AS n_chars,
+         array_to_string(p.ps, ' ') AS pieces,
+         CAST(len(p.ps) AS BIGINT) AS n_pieces, b.sc AS score_micro
+       FROM best b JOIN pieces p ON p.w = b.w AND p.m = b.m
+       WHERE b.rn = 1""",
     // replica of TextOps.longestRepeatedSubstring — brute force: ALL
     // (start, length) grams of every document, the max length with a
     // duplicate, min witness at that length (binary collation both

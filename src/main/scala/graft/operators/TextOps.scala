@@ -3106,6 +3106,89 @@ object TextOps {
           col("c").as("n_occurrences"))
   }
 
+  /** Unigram-LM subword segmentation (the SentencePiece/Kudo 2018 model
+    * class — the OTHER dominant subword algorithm next to [[bpeMerges]]):
+    * each distinct word segments into the piece sequence maximizing
+    * Σ log P(piece) under a substring language model. Pieces are every
+    * substring of corpus words up to `maxPieceLen`, P(piece) ∝ its
+    * occurrence count weighted by word frequency — a deterministic,
+    * corpus-derived LM (the trainable-EM refinement changes the
+    * probabilities, not this segmentation machinery).
+    *
+    * Determinism across engines, exactly: piece log-probs quantize to
+    * INTEGER micro-units (1e-6) so path scores are integer sums — no
+    * float association anywhere — and ties break by the MINIMAL cut-mask
+    * integer (bit j-1 set ⇔ a cut after character j). The mask
+    * tie-break is provably decomposable: a candidate's total mask is
+    * its suffix's mask plus one strictly-lower bit, so per-suffix
+    * (max score, min mask) is globally optimal — the DP and the
+    * oracle's brute-force agree by construction.
+    *
+    * Scale shape: word-frequency and piece tables are vocab-scale; the
+    * piece LM collects to the driver and broadcasts (collected-codebook
+    * discipline — it is bounded by Σ |word|·maxPieceLen over DISTINCT
+    * words at any corpus size); segmentation is a Viterbi DP per
+    * distinct word inside one typed map — O(|word|·maxPieceLen) each,
+    * embarrassingly parallel, the corpus itself is touched once for the
+    * two vocab aggregates. The DuckDB oracle instead ENUMERATES all
+    * 2^(len-1) cut masks per word (len ≤ 8 here) — brute force against
+    * the engine's DP, the doc_lrs contract. */
+  def unigramSegment(documents: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wordFreq = documents.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val subs = wordFreq.as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + l), f)
+      }
+      .toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+    val total = subs.agg(sum(col("cnt")).as("t"))
+    val pieceLp: Map[String, Long] = subs.crossJoin(broadcast(total))
+      .select(col("piece"),
+        floor(log10(col("cnt").cast("double") / col("t").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("lp"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(pieceLp)
+    val P = maxPieceLen
+    wordFreq.select(col("w")).as[String].map { w =>
+      require(w.length <= 62, s"word too long for the cut-mask tie-break: $w")
+      val pm = bc.value
+      val n = w.length
+      val NEG = Long.MinValue / 4
+      val score = new Array[Long](n + 1)
+      val mask = new Array[Long](n + 1)
+      score(n) = 0L; mask(n) = 0L
+      var i = n - 1
+      while (i >= 0) {
+        var bs = NEG
+        var bm = Long.MaxValue
+        var j = i + 1
+        val jMax = math.min(i + P, n)
+        while (j <= jMax) {
+          if (score(j) > NEG) pm.get(w.substring(i, j)).foreach { lp =>
+            val s = score(j) + lp
+            val m = mask(j) | (if (j < n) 1L << (j - 1) else 0L)
+            if (s > bs || (s == bs && m < bm)) { bs = s; bm = m }
+          }
+          j += 1
+        }
+        score(i) = bs; mask(i) = bm
+        i -= 1
+      }
+      val cuts = (1 until n).filter(j => (mask(0) & (1L << (j - 1))) != 0L)
+      val bounds = 0 +: cuts :+ n
+      val pieces = bounds.sliding(2).map { case Seq(a, b) =>
+        w.substring(a, b)
+      }.toSeq
+      (w, n, pieces.mkString(" "), pieces.length.toLong, score(0))
+    }.toDF("word", "n_chars", "pieces", "n_pieces", "score_micro")
+  }
+
   // ------------------------------------------------- blocklist scanning
 
   /** The demo blocklist — the external-config analog (C4's badwords list,

@@ -1220,6 +1220,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram segmentation: DP picks the max-likelihood pieces, hand-exact") {
+    import spark.implicits._
+    // corpus "aa a": piece counts a=3 (2 inside aa + 1 alone), aa=1, total 4
+    //   lp(a)  = round6(log10(3/4)) = -0.124939 -> -124939 micro
+    //   lp(aa) = round6(log10(1/4)) = -0.602060 -> -602060 micro
+    //   "aa" as [a,a] scores -249878 > [aa] -602060 -> the split wins
+    val fix = Seq((1L, "aa a")).toDF("doc_id", "text")
+    val out = TextOps.unigramSegment(fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("aa").getString(2) == "a a")
+    assert(out("aa").getLong(3) == 2L)
+    assert(out("aa").getLong(4) == -249878L)
+    assert(out("a").getString(2) == "a")
+    assert(out("a").getLong(4) == -124939L)
+    // real-data invariants: one row per distinct word, pieces re-join to
+    // the word, every piece within the length bound
+    val real = TextOps.unigramSegment(docs).collect()
+    val vocab = docs.select(explode(TextOps.tokens(col("text")))).distinct().count()
+    assert(real.length == vocab)
+    real.foreach { r =>
+      val pieces = r.getString(2).split(" ")
+      assert(pieces.mkString("") == r.getString(0))
+      assert(pieces.forall(_.length <= 4))
+      assert(r.getInt(1) == r.getString(0).length)
+    }
+  }
+
   test("longest repeated substring: binary search finds the exact planted run") {
     import spark.implicits._
     val shared = "x y z w v u t s" // 8 tokens, repeated across two docs
