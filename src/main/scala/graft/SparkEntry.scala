@@ -143,6 +143,11 @@ object SparkEntry {
     // join; both sums in one hash aggregate, ratio from rounded values
     "promo_revenue" -> ((s, dir) =>
       Relational.promoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // k-anonymity release: ladder generalization with per-level
+    // re-counting over the unsettled remainder (every published group
+    // provably >= k), suppression as the ladder's end
+    "customer_k_anon" -> ((s, dir) =>
+      Relational.kAnonymize(Tables.customer(s, dir))),
     // TPC-H Q9 shape: 5-table join, selective part filter first, one
     // big-big shuffle (lineitem x orders), (nation, year) profit rollup
     "nation_profit" -> ((s, dir) =>
@@ -2708,6 +2713,50 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // replica of Relational.kAnonymize: the 3-level cascade with counts
+    // over the UNSETTLED remainder at each level, then suppression
+    "customer_k_anon" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+             c_acctbal AS bal
+           FROM customer),
+         b0 AS (SELECT *, CAST(floor(bal / 100.0) AS BIGINT) AS b FROM base),
+         c0 AS (SELECT seg, nat, b, count(*) AS c FROM b0 GROUP BY 1, 2, 3),
+         j0 AS (SELECT b0.*, c0.c FROM b0 JOIN c0 USING (seg, nat, b)),
+         p0 AS (SELECT c_custkey AS custkey, 0 AS level,
+             seg || '|' || CAST(nat AS VARCHAR) || '|[' ||
+               CAST(b * 100 AS VARCHAR) || ',' ||
+               CAST((b + 1) * 100 AS VARCHAR) || ')' AS quasi_label,
+             c AS class_size
+           FROM j0 WHERE c >= 5),
+         r0 AS (SELECT c_custkey, seg, nat, bal FROM j0 WHERE c < 5),
+         b1 AS (SELECT *, CAST(floor(bal / 1000.0) AS BIGINT) AS b FROM r0),
+         c1 AS (SELECT seg, nat, b, count(*) AS c FROM b1 GROUP BY 1, 2, 3),
+         j1 AS (SELECT b1.*, c1.c FROM b1 JOIN c1 USING (seg, nat, b)),
+         p1 AS (SELECT c_custkey AS custkey, 1 AS level,
+             seg || '|' || CAST(nat AS VARCHAR) || '|[' ||
+               CAST(b * 1000 AS VARCHAR) || ',' ||
+               CAST((b + 1) * 1000 AS VARCHAR) || ')' AS quasi_label,
+             c AS class_size
+           FROM j1 WHERE c >= 5),
+         r1 AS (SELECT c_custkey, seg, nat, bal FROM j1 WHERE c < 5),
+         b2 AS (SELECT *, CAST(floor(bal / 10000.0) AS BIGINT) AS b FROM r1),
+         c2 AS (SELECT seg, nat, b, count(*) AS c FROM b2 GROUP BY 1, 2, 3),
+         j2 AS (SELECT b2.*, c2.c FROM b2 JOIN c2 USING (seg, nat, b)),
+         p2 AS (SELECT c_custkey AS custkey, 2 AS level,
+             seg || '|' || CAST(nat AS VARCHAR) || '|[' ||
+               CAST(b * 10000 AS VARCHAR) || ',' ||
+               CAST((b + 1) * 10000 AS VARCHAR) || ')' AS quasi_label,
+             c AS class_size
+           FROM j2 WHERE c >= 5),
+         r2 AS (SELECT c_custkey FROM j2 WHERE c < 5),
+         sup AS (SELECT c_custkey AS custkey, 3 AS level, '*' AS quasi_label,
+             (SELECT count(*) FROM r2) AS class_size
+           FROM r2)
+         SELECT custkey, level, quasi_label,
+           CAST(class_size AS BIGINT) AS class_size
+         FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+               UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM sup)""",
     // replica of Relational.promoRevenue (Q14 shape): both rounded sums,
     // then the ratio of the ROUNDED values — same arithmetic order
     "promo_revenue" ->

@@ -1190,6 +1190,59 @@ object Relational {
         sumRounded(col("c_acctbal"), 2).as("total_bal"))
   }
 
+  /** K-anonymity by ladder generalization with per-level re-counting —
+    * the privacy pass a data-release pipeline runs (Sweeney 2002; the
+    * Samarati generalization-lattice idea on a fixed single-attribute
+    * ladder). Quasi-identifiers are (mktsegment, nationkey, acctbal);
+    * acctbal generalizes through widening buckets (100 → 1000 → 10000)
+    * and rows whose class never reaches k are SUPPRESSED outright.
+    *
+    * The load-bearing subtlety: class counts at each level are computed
+    * over the rows STILL UNSETTLED at that level — not over everyone's
+    * level-ℓ image. Counting over all rows would let a row publish at a
+    * coarse level whose class is mostly rows that already published at a
+    * finer one, leaving the published group BELOW k (the local-recoding
+    * trap). The cascade publishes level-by-level, so every published
+    * (level, label) group provably has ≥ k members — the spec asserts
+    * exactly that on the OUTPUT.
+    *
+    * Shape: 3 rounds of (bounded class agg + equi-join) over a shrinking
+    * remainder — class tables are quasi-identifier-scale, the data is
+    * touched once per level it survives to, nothing collects except the
+    * 1-row suppressed-class count. */
+  def kAnonymize(customer: DataFrame, k: Int = 5): DataFrame = {
+    val widths = Seq(100L, 1000L, 10000L)
+    var remainder = customer.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_nationkey"), col("c_acctbal"))
+    var published: Seq[DataFrame] = Nil
+    widths.zipWithIndex.foreach { case (wd, lvl) =>
+      val bucketed = remainder.withColumn("b",
+        floor(col("c_acctbal") / lit(wd.toDouble)).cast("long"))
+      val counts = bucketed
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("b"))
+        .agg(count(lit(1)).as("class_size"))
+      val joined = bucketed.join(counts,
+        Seq("c_mktsegment", "c_nationkey", "b"))
+      published = published :+ joined.filter(col("class_size") >= k)
+        .select(col("c_custkey").as("custkey"), lit(lvl).as("level"),
+          concat(col("c_mktsegment"), lit("|"),
+            col("c_nationkey").cast("string"), lit("|["),
+            (col("b") * wd).cast("string"), lit(","),
+            ((col("b") + 1) * wd).cast("string"), lit(")"))
+            .as("quasi_label"),
+          col("class_size"))
+      remainder = joined.filter(col("class_size") < k)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal"))
+    }
+    val suppressedSize = remainder.agg(count(lit(1)).as("class_size"))
+    val suppressed = remainder.select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(suppressedSize))
+      .select(col("custkey"), lit(widths.length).as("level"),
+        lit("*").as("quasi_label"), col("class_size"))
+    (published :+ suppressed).reduce(_ unionByName _)
+  }
+
   /** TPC-H Q14 promotion-effect ratio — the conditional-aggregate shape
     * (CASE inside SUM, two aggregates in one pass, ratio at the edge):
     * of one month's shipped revenue, the percentage on PROMO parts. The

@@ -727,6 +727,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(o2(3L).contains((0.5 * 2.0 + 0.125 * 8.0) / 0.625)) // lag1 null skipped
   }
 
+  test("k-anonymity: every published group is >= k, counted over the remainder") {
+    import spark.implicits._
+    // 5 rows share a 100-bucket (publish at level 0); 4 stragglers in
+    // DIFFERENT 100-buckets of one 1000-bucket publish at level 1 ONLY
+    // if the remainder count (4) reaches k — with k=4 they do; one
+    // outlier nation never reaches k and is suppressed
+    val rows =
+      (1 to 5).map(i => (i.toLong, "SEG", 1, 150.0 + i)) ++
+      Seq((6L, "SEG", 1, 910.0), (7L, "SEG", 1, 820.0),
+        (8L, "SEG", 1, 730.0), (9L, "SEG", 1, 640.0)) ++
+      Seq((10L, "SEG", 9, 150.0))
+    val df = rows.toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val out = Relational.kAnonymize(df, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out.size == 10, "every customer appears exactly once")
+    (1 to 5).foreach(i => assert(out(i.toLong)._1 == 0))
+    assert(out(1L)._3 == 5L)
+    (6 to 9).foreach(i => assert(out(i.toLong)._1 == 1))
+    assert(out(6L)._3 == 4L)
+    assert(out(6L)._2 == "SEG|1|[0,1000)")
+    assert(out(10L) == ((3, "*", 1L)))
+    // the k-anonymity PROPERTY on real data: every published group's
+    // actual row count >= k and equals its class_size claim
+    val real = Relational.kAnonymize(
+      graft.sources.Tables.customer(spark, dir)).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    real.groupBy(t => (t._1, t._2)).foreach { case ((lvl, label), g) =>
+      assert(g.map(_._3).distinct.length == 1, s"inconsistent size at $label")
+      assert(g.length == g.head._3, s"claimed size wrong at $label")
+      if (lvl < 3) assert(g.length >= 5, s"group below k at $lvl/$label")
+    }
+  }
+
   test("pareto skyline: dominance filter equals brute force, ties survive") {
     import spark.implicits._
     // (id, x maximize, y maximize): c dominated by a; d/e tie — both stay;
