@@ -148,6 +148,10 @@ object SparkEntry {
     // provably >= k), suppression as the ladder's end
     "customer_k_anon" -> ((s, dir) =>
       Relational.kAnonymize(Tables.customer(s, dir))),
+    // Laplace-mechanism noisy counts (deterministic hash-derived noise
+    // so the release is reproducible and oracle-able)
+    "customer_dp_counts" -> ((s, dir) =>
+      Relational.dpNoisyCounts(Tables.customer(s, dir))),
     // TPC-H Q9 shape: 5-table join, selective part filter first, one
     // big-big shuffle (lineitem x orders), (nation, year) profit rollup
     "nation_profit" -> ((s, dir) =>
@@ -2713,6 +2717,20 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // replica of Relational.dpNoisyCounts: same hash->uniform->inverse
+    // Laplace CDF chain, same op order and parenthesization
+    "customer_dp_counts" ->
+      s"""WITH g AS (
+           SELECT c_mktsegment, c_nationkey, count(*) AS c,
+             (CAST(${shaFoldSql(
+               "'dp:' || c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)")}
+               AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+           FROM customer GROUP BY 1, 2)
+         SELECT c_mktsegment, c_nationkey,
+           greatest(0.0, floor((CAST(c AS DOUBLE) +
+             (-1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5)))
+             * 1e4 + 0.5) / 1e4) AS noisy_count
+         FROM g""",
     // replica of Relational.kAnonymize: the 3-level cascade with counts
     // over the UNSETTLED remainder at each level, then suppression
     "customer_k_anon" ->

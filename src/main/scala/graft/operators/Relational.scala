@@ -1243,6 +1243,40 @@ object Relational {
     (published :+ suppressed).reduce(_ unionByName _)
   }
 
+  /** Differentially-private-CALIBRATED noisy counts (Dwork et al. 2006
+    * Laplace mechanism — the release pattern next to [[kAnonymize]] in
+    * the privacy family): per-group counts plus Laplace(Δf/ε) noise,
+    * Δf = 1 for counting queries. The noise here is DERIVED
+    * DETERMINISTICALLY from the group key (portable sha-hash → uniform
+    * in (0,1) → inverse Laplace CDF), which makes the release
+    * reproducible and DuckDB-oracle-able; a production deployment swaps
+    * the key-hash for a CSPRNG draw — the mechanism's calibration,
+    * plumbing, and post-processing (rounding, non-negativity clamp) are
+    * exactly what ships. The noisy count is quantized 1e-4 and floored
+    * at 0 (post-processing preserves DP).
+    *
+    * Plan: ONE hash aggregate (group-scale), noise a per-group scalar
+    * expression — the privacy layer adds zero data movement. */
+  def dpNoisyCounts(customer: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    // +0.5 keeps u strictly inside (0,1): u = 0 would put the inverse
+    // CDF at ln(0) = -inf (the hash is 60-bit, in [0, 2^60))
+    val u = (graft.operators.TextOps.portableHash64(
+      concat(lit("dp:"), col("c_mktsegment"), lit("|"),
+        col("c_nationkey").cast("string")))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    // inverse Laplace CDF at u: -b*sign(u-1/2)*ln(1-2|u-1/2|), b = 1/eps
+    val c = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    customer
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        greatest(lit(0.0),
+          roundFixed(col("true_count").cast("double") + noise, 4))
+          .as("noisy_count"))
+  }
+
   /** TPC-H Q14 promotion-effect ratio — the conditional-aggregate shape
     * (CASE inside SUM, two aggregates in one pass, ratio at the edge):
     * of one month's shipped revenue, the percentage on PROMO parts. The

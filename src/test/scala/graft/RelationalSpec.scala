@@ -761,6 +761,36 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("DP noisy counts: Laplace-calibrated, reproducible, clamped at zero") {
+    val cust = Tables.customer(spark, dir)
+    val out = Relational.dpNoisyCounts(cust).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val truth = cust.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == truth.keySet)
+    // the release is noisy (not the true counts), non-negative, and the
+    // noise magnitudes look Laplace(1): median |noise| within loose
+    // bounds of ln(2) (the Laplace median absolute deviation at b=1)
+    val devs = out.map { case (k, v) => math.abs(v - truth(k)) }.toSeq.sorted
+    assert(devs.count(_ > 0.0) >= devs.length - 1, "noise must perturb")
+    assert(out.values.forall(_ >= 0.0))
+    val median = devs(devs.length / 2)
+    assert(median > 0.05 && median < 5.0, s"implausible noise median $median")
+    // deterministic: the same release twice
+    val again = Relational.dpNoisyCounts(cust).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again == out)
+    // epsilon scales the noise: eps=0.1 spreads ~10x wider than eps=10
+    def mad(eps: Double) = {
+      val o = Relational.dpNoisyCounts(cust, eps).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val d = o.map { case (k, v) => math.abs(v - truth(k)) }.toSeq.sorted
+      d(d.length / 2)
+    }
+    assert(mad(0.1) > mad(10.0) * 3, "epsilon must govern the spread")
+  }
+
   test("pareto skyline: dominance filter equals brute force, ties survive") {
     import spark.implicits._
     // (id, x maximize, y maximize): c dominated by a; d/e tie — both stay;
