@@ -152,6 +152,11 @@ object SparkEntry {
     // so the release is reproducible and oracle-able)
     "customer_dp_counts" -> ((s, dir) =>
       Relational.dpNoisyCounts(Tables.customer(s, dir))),
+    // interval-overlap SELF-join (concurrent sessions): time-grid cells
+    // turn the non-equi join into an equi-join, first-shared-cell dedup,
+    // exact overlap verify; oracle brute-forces the non-equi join
+    "user_concurrent_sessions" -> ((s, dir) =>
+      Relational.sessionOverlaps(Tables.events(s, dir))),
     // TPC-H Q9 shape: 5-table join, selective part filter first, one
     // big-big shuffle (lineitem x orders), (nation, year) profit rollup
     "nation_profit" -> ((s, dir) =>
@@ -2041,6 +2046,28 @@ object SparkEntry {
        WHERE NOT p.sentinel"""
   }
 
+  /** The gap-sessionization CTE chain, single-sourced by the
+    * user_sessions oracle and the interval-join oracle built on it. */
+  private def sessionCtes: String =
+    """o AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM o),
+         sess AS (
+           SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+           FROM s GROUP BY 1, 2)"""
+
   /** Replica of Relational.eventEwma: the same dyadic-weight lag chain,
     * left-associated identically — every weight is an exact power of
     * two, so both engines compute bit-identical doubles. */
@@ -3072,23 +3099,26 @@ object SparkEntry {
            ON e.ts >= iv.win_start AND e.ts < iv.win_end
          GROUP BY 1, 2""",
     "user_sessions" ->
-      """WITH o AS (
-           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             lag(CAST(ts AS TIMESTAMP)) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-           FROM events),
-         s AS (
-           SELECT user_id, ts,
-             CAST(sum(CASE WHEN prev_ts IS NULL
-                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-           FROM o)
-         SELECT user_id, session_seq,
-           min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events,
-           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-         FROM s GROUP BY 1, 2""",
+      s"""WITH $sessionCtes
+         SELECT user_id, session_seq, session_start, session_end,
+           n_events, duration_us
+         FROM sess""",
+    // replica of Relational.sessionOverlaps: the brute-force non-equi
+    // interval join over the SAME session relation (single-sourced CTEs)
+    // — the grid-bucketed equi-join must reproduce it exactly
+    "user_concurrent_sessions" ->
+      s"""WITH $sessionCtes
+         SELECT a.user_id AS user_a, a.session_seq AS seq_a,
+           b.user_id AS user_b, b.session_seq AS seq_b,
+           greatest(a.session_start, b.session_start) AS overlap_start,
+           least(a.session_end, b.session_end) AS overlap_end,
+           least(epoch_us(a.session_end), epoch_us(b.session_end)) -
+             greatest(epoch_us(a.session_start), epoch_us(b.session_start))
+             AS overlap_us
+         FROM sess a JOIN sess b
+           ON a.user_id < b.user_id
+          AND a.session_start <= b.session_end
+          AND b.session_start <= a.session_end""",
     // replica of Relational.scd2UserState: same (ts, event_id) order, same
     // run-length change flags, same run agg + lead
     "user_scd2" ->

@@ -196,6 +196,55 @@ object Relational {
           .as("duration_us"))
   }
 
+  /** Interval-overlap SELF-join over the sessionized stream — "which
+    * sessions of different users ran concurrently" — the general
+    * interval-join shape (endpoints on both sides), solved the
+    * distributed way: time-GRID bucketing instead of a non-equi join.
+    * Each session explodes to the grid cells its interval touches
+    * (bounded by duration/cell), candidates meet in an EQUI-join on the
+    * cell, the exact overlap predicate verifies, and the classic
+    * first-shared-cell trick — keep a pair only in the cell
+    * max(cell(a.start), cell(b.start)), which two overlapping intervals
+    * provably both touch — dedups multi-cell pairs WITHOUT a distinct.
+    * Candidate volume is Σ per-cell sessions², the honest interval-join
+    * bound (a pathologically hot hour is a hot cell — shrink the cell
+    * or pre-split it, the Skew.scala discipline); at 100 TB the cell
+    * key shards the timeline, so concurrency, not history length,
+    * bounds any task. Sessions compute ONCE (localCheckpoint) for both
+    * join sides. The oracle brute-forces the full non-equi join. */
+  def sessionOverlaps(events: DataFrame, gapMinutes: Int = 30,
+                      cellMinutes: Int = 60): DataFrame = {
+    val cellUs = cellMinutes * 60000000L
+    val sess = sessionize(events, gapMinutes)
+      .select(col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"),
+        unix_micros(col("session_start")).as("st_us"),
+        unix_micros(col("session_end")).as("en_us"))
+      .localCheckpoint(false)
+    def cells(prefix: String) = sess
+      .withColumn("cell", explode(sequence(
+        floor(col("st_us") / cellUs).cast("long"),
+        floor(col("en_us") / cellUs).cast("long"))))
+      .select((sess.columns.toSeq :+ "cell").map(c =>
+        col(c).as(s"$prefix$c")): _*)
+    cells("a_").join(cells("b_"),
+      col("a_cell") === col("b_cell") &&
+        col("a_user_id") < col("b_user_id"))
+      .filter(col("a_st_us") <= col("b_en_us") &&
+        col("b_st_us") <= col("a_en_us"))
+      .filter(col("a_cell") === greatest(
+        floor(col("a_st_us") / cellUs).cast("long"),
+        floor(col("b_st_us") / cellUs).cast("long")))
+      .select(
+        col("a_user_id").as("user_a"), col("a_session_seq").as("seq_a"),
+        col("b_user_id").as("user_b"), col("b_session_seq").as("seq_b"),
+        greatest(col("a_session_start"), col("b_session_start"))
+          .as("overlap_start"),
+        least(col("a_session_end"), col("b_session_end")).as("overlap_end"),
+        (least(col("a_en_us"), col("b_en_us")) -
+          greatest(col("a_st_us"), col("b_st_us"))).as("overlap_us"))
+  }
+
   /** First-order Markov model of user behavior — the transition matrix a
     * product-analytics / simulation pipeline fits from an event log, plus
     * its stationary distribution: per user, (ts, event_id)-ordered

@@ -761,6 +761,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join: grid cells find every overlap exactly once, as an equi-join") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one event per minute keeps each user's run a single session
+    def run(user: Long, from: String, minutes: Int, base: Long) =
+      (0 until minutes).map(i => (base + i,
+        new java.sql.Timestamp(ts(from).getTime + i * 60000L), user, "A", 1.0))
+    val ev = (
+      run(1L, "2024-01-01 10:00:00", 150, 1000) ++ // 10:00-12:29 spans 3 hour-cells
+      run(2L, "2024-01-01 11:00:00", 60, 2000) ++  // 11:00-11:59 overlaps u1
+      run(3L, "2024-01-01 12:29:00", 2, 3000) ++   // touches u1's last minute
+      run(4L, "2024-01-01 20:00:00", 10, 4000)     // disjoint
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.sessionOverlaps(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(6)).toMap
+    // exactly the two overlapping pairs, each found ONCE despite the
+    // multi-cell span (first-shared-cell dedup)
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+    assert(out((1L, 2L)) == 59L * 60000000L) // 11:00:00..11:59:00
+    assert(out((1L, 3L)) == 0L)              // touching endpoints overlap
+    // the plan is an equi-join on the grid cell, never a cartesian or
+    // broadcast nested loop (that would be the non-equi fallback)
+    val plan = Relational.sessionOverlaps(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("DP noisy counts: Laplace-calibrated, reproducible, clamped at zero") {
     val cust = Tables.customer(spark, dir)
     val out = Relational.dpNoisyCounts(cust).collect()
