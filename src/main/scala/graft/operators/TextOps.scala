@@ -750,26 +750,35 @@ object TextOps {
     * corpus's own bigrams means every scored pair has c ≥ 1, so the
     * discounted term never clips at 0.
     *
-    * Scale shape is [[bigramLogProb]]'s: ONE bigram explode to the c12
-    * relation, and ALL four model statistics (context totals c(w₁·),
-    * context diversities N₁₊(w₁·), continuation counts N₁₊(·w₂), distinct
-    * bigram total) derive from c12 WITHOUT re-touching the corpus —
-    * vocab-scale aggs, unhinted joins (vocabulary grows with the corpus),
-    * a 1-row broadcast total. log10 once per DISTINCT bigram, 1e-6
-    * quantized, decimal-exact per-doc sum, mean rounded 1e-4. Docs with
-    * < 2 tokens score NULL.
+    * Scale shape is [[bigramLogProb]]'s, hardened by the [[dsirWeights]]
+    * lesson: ONE bigram explode to the c12 relation, and ALL four model
+    * statistics (context totals c(w₁·), context diversities N₁₊(w₁·),
+    * continuation counts N₁₊(·w₂), distinct bigram total) ride WINDOWS
+    * over that one relation — aggregate-and-join-back would duplicate
+    * the corpus-explode subtree once per statistic (6 corpus scans in
+    * the initial plan, with only AQE's runtime exchange reuse to save
+    * you); the window form is pinned at exactly 3 scans. The windows
+    * move only the vocab-scale c12 rows (the whole-relation nbd window
+    * is a single partition of BOUNDED bigram-vocab size — the dsir
+    * totals argument). log10 once per DISTINCT bigram, 1e-6 quantized,
+    * decimal-exact per-doc sum, mean rounded 1e-4. Docs with < 2 tokens
+    * score NULL.
     */
   def knBigramLogProb(documents: DataFrame, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bi = documents.select(col("doc_id"),
       explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
     val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-    val ctx = c12.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_l"))
-    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p_r"))
-    val nbd = c12.agg(count(lit(1)).as("nbd"))
-    val lp = c12.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(nbd))
+    val wW1 = Window.partitionBy(col("w1"))
+    val wW2 = Window.partitionBy(col("w2"))
+    val wAll = Window.partitionBy()
+    val lp = c12
+      .withColumn("c1", sum(col("c12")).over(wW1))
+      .withColumn("n1p_l", count(lit(1)).over(wW1))
+      .withColumn("n1p_r", count(lit(1)).over(wW2))
+      .withColumn("nbd", count(lit(1)).over(wAll))
       .select(col("bg"), roundFixed(log10(
         (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
           ((lit(discount) * col("n1p_l").cast("double")) /

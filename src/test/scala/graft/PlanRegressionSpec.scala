@@ -383,4 +383,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     // aggregation runs once, not once per side
     assert(count(p, "Scan ExistingRDD") == 2 && !p.contains("FileScan"), p)
   }
+
+  test("doc_kn_logprob: one bigram subtree feeds all four model statistics") {
+    val p = plan("doc_kn_logprob")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly 3 corpus scans (final doc left side + 2 tokenize sides:
+    // the bigram relation and the per-doc re-join) — the four KN model
+    // tables all derive from the c12 aggregate, never a corpus rescan
+    assert(count(p, "FileScan parquet") == 3, p)
+  }
+
+  test("customer_k_anon / customer_dp_counts: class-scale aggs, no cartesian") {
+    val pk = plan("customer_k_anon")
+    // three cascade levels = three class aggregations joined back; the
+    // only BNLJ is the 1-row suppressed-class count broadcast
+    assert(!pk.contains("CartesianProduct"), pk)
+    val pd = plan("customer_dp_counts")
+    // the DP release is ONE aggregate; noise adds no joins at all
+    assert(!pd.contains("Join"), pd)
+    assert(count(pd, "Exchange hashpartitioning") == 1, pd)
+  }
 }
