@@ -313,6 +313,12 @@ object SparkEntry {
     // deterministic on both engines.
     "event_type_kmv_users" -> ((s, dir) =>
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
+    // from-scratch declarative HyperLogLog over the portable hash — the
+    // same algorithm approx_count_distinct wraps, but with every step
+    // (register split, bin()-exact leading-zero count, integer register
+    // sum) engine-portable, so unlike the builtin it hash-oracles
+    "event_type_hll_users" -> ((s, dir) =>
+      Relational.eventTypeHllUsers(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
     // SCD Type-2 dimension build: per-user event_type runs collapsed to
@@ -352,6 +358,12 @@ object SparkEntry {
     // locality win over a single-column sort
     "events_zorder" -> ((s, dir) =>
       operators.Layout.eventsZOrdered(Tables.events(s, dir))),
+    // Hilbert layout-key twin of events_zorder: the stateful rotation walk
+    // as a codegen'd native expression (graft.functions.HilbertKey); the
+    // oracle replays the identical walk as a DuckDB list_reduce fold over
+    // a packed HUGEINT accumulator
+    "events_hilbert" -> ((s, dir) =>
+      operators.Layout.eventsHilbert(Tables.events(s, dir))),
 
     // --- LLM-pipeline: dedup + text analysis over `documents` ---
     "doc_exact_dedup" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
@@ -1130,6 +1142,49 @@ object SparkEntry {
         FROM (
           SELECT event_id, user_id, minute_key,
             user_id & $mask AS u, minute_key & $mask AS m
+          FROM (
+            SELECT event_id, user_id,
+              epoch_us(ts) // 60000000 - ${operators.Layout.anchorMinute}
+                AS minute_key
+            FROM events))"""
+  }
+
+  /** DuckDB replica of [[graft.operators.Layout.eventsHilbert]]: the
+    * identical xy→d Hilbert walk ([[graft.functions.HilbertUtil.xy2d]]) as
+    * a `list_reduce` fold over the per-bit quadrant sizes, with the
+    * (d, x, y) state packed into one HUGEINT accumulator
+    * (`(d·2^bits + x)·2^bits + y` — d reaches 4^bits = 2^40 at 20 bits, so
+    * the packed value needs 80 bits; BIGINT folds were verified to agree at
+    * ≤ 12 bits and overflow beyond). The quadrant pick `(3·rx) XOR ry` is
+    * written arithmetically (`3·rx + ry − 2·rx·ry` — identical on {0,1}²)
+    * because DuckDB's `^` is exponentiation, not xor. */
+  private def hilbertOracle(bits: Int): String = {
+    val n = 1L << bits
+    val nn = n * n
+    val svals = (bits - 1 to 0 by -1).map(1L << _).mkString("[", ", ", "]")
+    // unpack helpers over the packed accumulator (plain text substitution —
+    // every reference is a cheap re-derivation, not a re-fold)
+    val X = s"((acc // $n) % $n)" // current x
+    val Y = s"(acc % $n)"         // current y
+    val RX = s"($X // s % 2)"
+    val RY = s"($Y // s % 2)"
+    val step =
+      s"""(
+         ((acc // $nn) + s * s * (3 * $RX + $RY - 2 * $RX * $RY)) * $n
+         + (CASE WHEN $RY = 0
+            THEN (CASE WHEN $RX = 1 THEN ${n - 1} - $Y ELSE $Y END)
+            ELSE $X END)
+       ) * $n
+       + (CASE WHEN $RY = 0
+          THEN (CASE WHEN $RX = 1 THEN ${n - 1} - $X ELSE $X END)
+          ELSE $Y END)"""
+    s"""SELECT event_id, user_id, minute_key,
+          CAST(list_reduce(
+            list_prepend(CAST(u AS HUGEINT) * $n + m, $svals),
+            (acc, s) -> $step) // $nn AS BIGINT) AS hkey
+        FROM (
+          SELECT event_id, user_id, minute_key,
+            user_id & ${n - 1} AS u, minute_key & ${n - 1} AS m
           FROM (
             SELECT event_id, user_id,
               epoch_us(ts) // 60000000 - ${operators.Layout.anchorMinute}
@@ -2515,6 +2570,36 @@ object SparkEntry {
              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
              * 1e4 + 0.5) / 1e4 AS approx_users
          FROM t""",
+    // HLL replica: identical register split (low 8 bits), identical exact
+    // leading-zero count via bin(), identical integer register sum in units
+    // of 2^-53, and the final float expressions mirrored token-for-token
+    // (same literals, same parenthesization → same IEEE doubles)
+    "event_type_hll_users" ->
+      s"""WITH h AS (
+           SELECT event_type,
+             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events WHERE user_id IS NOT NULL),
+         b AS (
+           SELECT event_type, h % 256 AS reg,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM h),
+         r AS (SELECT event_type, reg, max(rho) AS r FROM b GROUP BY 1, 2),
+         s AS (SELECT event_type,
+                 sum(1::BIGINT << (53 - r)) AS s_present,
+                 count(*) AS n_reg
+               FROM r GROUP BY 1),
+         e AS (SELECT event_type, 256 - n_reg AS v_empty,
+                 (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                   / CAST(s_present + (256 - n_reg) * (1::BIGINT << 53) AS DOUBLE)
+                   AS raw
+               FROM s)
+         SELECT event_type,
+           floor((CASE WHEN raw <= 640.0 AND v_empty > 0
+                       THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+                       ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_users,
+           v_empty
+         FROM e""",
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
@@ -3766,6 +3851,7 @@ object SparkEntry {
                 ELSE 'head' END AS bucket
          FROM lpdoc l LEFT JOIN q13 USING (lang) LEFT JOIN q23 USING (lang)""",
     "events_zorder" -> zorderOracle(bits = 20),
+    "events_hilbert" -> hilbertOracle(bits = 20),
     "event_markov" -> markovOracle(iters = 8),
     "event_ewma" -> ewmaOracleSql,
     "doc_bpe_merges" -> bpeOracle(numMerges = 8),

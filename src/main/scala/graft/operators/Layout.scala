@@ -54,6 +54,25 @@ object Layout {
         .as("minute_key"))
       .withColumn("zkey", zorderKey(col("user_id"), col("minute_key"), bits))
 
+  /** `events` with its HILBERT clustering key over the same
+    * (user_id, minutes-since-anchor) plane as [[eventsZOrdered]] — the
+    * layout-key alternative a compaction job picks when 2-D range scans
+    * dominate: the Hilbert curve has no power-of-two seam jumps, so an
+    * equal-length key range covers a more compact rectangle than Morton
+    * order (fewer files touched per scan). Same cost shape as the z-order
+    * key: one narrow codegen'd per-row expression
+    * ([[graft.functions.HilbertKey]]), paid inside the sort the compaction
+    * writer already runs — nothing here shuffles.
+    */
+  def eventsHilbert(events: DataFrame, bits: Int = 20): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      (floor(unix_timestamp(col("ts")) / lit(60)).cast("long") - anchorMinute)
+        .as("minute_key"))
+      .withColumn("hkey", graft.functions.Hilbert.hilbertKeyNative(
+        col("user_id"), col("minute_key"), bits))
+
   /** Bucketed-table write — THE co-location primitive this codebase's
     * scale notes keep invoking (semantic-dedup's cluster_id layout,
     * IVF-PQ's anchor_id layout, merge-upsert's key buckets): hash-bucket

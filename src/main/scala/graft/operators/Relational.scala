@@ -408,9 +408,10 @@ object Relational {
 
   /** Sketch-based distinct counting (approx_count_distinct = HyperLogLog++):
     * O(1) state per group instead of a distinct-shuffle — the 100 TB way to
-    * count uniques. Not oracle-comparable (sketch implementations differ
-    * across engines); RelationalSpec bounds its error against the exact
-    * count instead.
+    * count uniques. Not oracle-comparable (the builtin's HLL++ register
+    * layout is Spark-internal); RelationalSpec bounds its error against the
+    * exact count instead — [[eventTypeHllUsers]] rebuilds the same
+    * algorithm declaratively from the portable hash and IS hash-oracled.
     */
   def eventTypeApproxUsers(events: DataFrame): DataFrame =
     events
@@ -443,8 +444,10 @@ object Relational {
         count(lit(1)).as("n_events"))
 
   /** Approximate distinct users per event type via a K-MINIMUM-VALUES
-    * sketch — the distributed cardinality sketch that, unlike HLL (whose
-    * register layout is engine-defined), is DETERMINISTIC and hash-oracled:
+    * sketch — a distributed cardinality sketch that, unlike the BUILTIN
+    * HLL (whose register layout is engine-defined; see
+    * [[eventTypeHllUsers]] for the from-scratch oracled rebuild), is
+    * directly DETERMINISTIC and hash-oracled:
     * keep the `k` smallest distinct portable hashes per group; if fewer
     * than `k` exist the count is exact, else estimate
     * (k−1) / (kth_min / 2^60) — every step (sha-prefix hash, distinct,
@@ -500,6 +503,67 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(graft.functions.DeterministicAgg.roundFixed(kmv(col("h")), 4)
         .as("approx_users"))
+  }
+
+  /** From-scratch HYPERLOGLOG distinct count, fully hash-oracled — the
+    * sketch the builtin `approx_count_distinct` wraps, rebuilt declaratively
+    * so every step is engine-portable (the builtin's HLL++ register LAYOUT
+    * is Spark-internal and cannot be replayed in DuckDB; the ALGORITHM is
+    * public and replays fine). Split the portable 60-bit hash into a
+    * register index (low `p` bits) and a tail of `w = 60 − p` bits; the
+    * register value is the tail's leading-zero count + 1, computed exactly
+    * as `(w + 1) − bitlen(tail)` with `bin()` (identical minimal-binary
+    * semantics on both engines — no float log2 near power-of-two edges).
+    * Per (group, register) keep `max(rho)` — max is idempotent, so unlike
+    * KMV no distinct pass is needed and duplicate arrivals are free. The
+    * indicator sum Z = Σ 2^−M_j is kept as an EXACT integer in units of
+    * 2^−(w+1) (`shiftleft`, ≤ 2^61 for p = 8 — no float-add rounding that
+    * would vary with Spark's partition merge order); only the final
+    * estimate `α·m²·2^(w+1) / S` and the standard small-range linear-
+    * counting branch (`m·ln(m/V)` when E ≤ 2.5m and empty registers exist)
+    * touch doubles, with literals and parenthesization mirrored token-for-
+    * token in the oracle SQL. The large-range correction is unnecessary: it
+    * starts at 2^60/30 distincts, beyond any input that fits the hash.
+    *
+    * Scale shape: two hash aggregations, both map-side-combining — stage 1
+    * state is capped at m registers per group per partition (m = 256 for
+    * p = 8), stage 2 input at m rows per group. O(m) state per group at
+    * every stage, versus count(distinct)'s O(n) shuffle of the raw keys —
+    * THE 100 TB distinct-count shape. Error ≈ 1.04/√m (~6.5% at p = 8).
+    */
+  def eventTypeHllUsers(events: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"precision p must be in [4, 14], got $p")
+    val m = 1 << p           // register count
+    val w = 60 - p           // tail bits of the portable 60-bit hash
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard alpha_m for m >= 128
+    val tail = shiftright(col("h"), p)
+    val registers = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(m.toLong)).as("reg"),
+        when(tail === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(tail))).as("rho"))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("r"))
+    registers
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - r)")).as("s_present"),
+        count(lit(1)).as("n_reg"))
+      .select(col("event_type"),
+        (lit(m.toLong) - col("n_reg")).as("v_empty"),
+        (lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, w + 1)) /
+          (col("s_present") +
+            (lit(m.toLong) - col("n_reg")) * lit(1L << (w + 1))).cast("double"))
+          .as("raw"))
+      .select(col("event_type"),
+        roundFixed(
+          when(col("raw") <= lit(2.5 * m) && col("v_empty") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+            .otherwise(col("raw")), 4).as("hll_users"),
+        col("v_empty"))
   }
 
   /** Exact interpolated percentiles (percentile_cont semantics) per group

@@ -60,6 +60,66 @@ class LayoutSpec extends AnyFunSuite {
       s"no locality win: z=$zFiles u=$uFiles m=$mFiles")
   }
 
+  test("hilbert key: bijective, unit-step adjacent (the property Morton lacks), codegen'd") {
+    import spark.implicits._
+    import graft.functions.HilbertUtil.xy2d
+    // exhaustive on a 64x64 grid: the walk is a bijection onto [0, 4096)
+    // and CONSECUTIVE curve positions are ALWAYS edge-adjacent cells —
+    // Morton violates this at every power-of-two seam (e.g. z=2^k-1 ->
+    // 2^k jumps both coordinates); this adjacency is exactly why a
+    // Hilbert key range covers a tighter rectangle of files
+    val bits = 6
+    val n = 1 << bits
+    val cellOf = Array.fill(n * n)(-1)
+    for (x <- 0 until n; y <- 0 until n) {
+      val d = xy2d(bits, x.toLong, y.toLong).toInt
+      assert(d >= 0 && d < n * n && cellOf(d) == -1, s"collision at d=$d")
+      cellOf(d) = x * n + y
+    }
+    (1 until n * n).foreach { d =>
+      val (x0, y0) = (cellOf(d - 1) / n, cellOf(d - 1) % n)
+      val (x1, y1) = (cellOf(d) / n, cellOf(d) % n)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"non-adjacent step at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // Morton, for contrast, takes a max step of n-1+n = far (documented
+    // seam jump) — pin ONE such seam so the claim above stays honest
+    def morton(x: Long, y: Long): Long =
+      (0 until bits).foldLeft(0L)((a, i) =>
+        a | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1))
+    val inv = (0 until n * n).map(d => (0 until n * n).collectFirst {
+      case c if morton((c / n).toLong, (c % n).toLong) == d => c }.get)
+    val seam = (1 until n * n).map { d =>
+      val (a, b) = (inv(d - 1), inv(d))
+      math.abs(a / n - b / n) + math.abs(a % n - b % n)
+    }.max
+    assert(seam > 1, "expected Morton to take a seam jump somewhere")
+
+    // the native expression agrees with the kernel, masks negative inputs
+    // two's-complement-style (DuckDB & parity), and stays inside
+    // whole-stage codegen (no CodegenFallback row in the plan)
+    // spark.range (not a local Seq) so ConvertToLocalRelation can't
+    // constant-fold the expression away before the plan check below
+    val df = spark.range(3)
+      .select(
+        when($"id" === 0, 5L).when($"id" === 1, -1L).otherwise(1L << 25).as("a"),
+        when($"id" === 0, 9L).when($"id" === 1, 3L).otherwise(7L).as("b"))
+      .withColumn("h", graft.functions.Hilbert.hilbertKeyNative($"a", $"b", 20))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, h) => assert(h == xy2d(20, a, b)) }
+    // codegen stages print as "*(n) Operator": the Project evaluating
+    // hilbertkey must be starred (inside whole-stage codegen)
+    val plan = df.queryExecution.executedPlan.toString
+    val hLine = plan.linesIterator.find(_.contains("hilbertkey")).get
+    assert(hLine.trim.startsWith("*("), plan)
+    // and the driver query carries it end-to-end on real events
+    val he = Layout.eventsHilbert(Tables.events(spark, dir))
+    he.limit(100).collect().foreach { r =>
+      assert(r.getAs[Long]("hkey") ==
+        xy2d(20, r.getAs[Long]("user_id"), r.getAs[Long]("minute_key")))
+    }
+  }
+
   test("hash shards are balanced and the manifest totals reconcile") {
     val docs = Tables.documents(spark, dir)
     val manifest = TextOps.shardManifest(docs, numShards = 16).collect()

@@ -72,6 +72,45 @@ class RelationalSpec extends AnyFunSuite {
         .head.getAs[Double]("approx_users"))
   }
 
+  test("declarative HLL: both estimator branches within ~3 sigma, deterministic") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val est = Relational.eventTypeHllUsers(events)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("hll_users"), r.getAs[Long]("v_empty"))).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      // HLL sigma ~ 1.04/sqrt(256) = 6.5%; allow ~3 sigma
+      assert(math.abs(est(k)._1 - e) / e <= 0.20, s"$k hll=${est(k)._1} exact=$e")
+    }
+    // the real corpus at this sf stays small — it exercises the LINEAR
+    // COUNTING branch (empty registers remain); the raw-HLL branch needs
+    // > 2.5m = 640 distincts, so drive it with a 5000-user synthetic
+    val small = est.values.map(_._2)
+    assert(small.forall(_ > 0), "expected empty registers on the small corpus")
+    val big = (1L to 5000L).map(u => ("t", u)).toDF("event_type", "user_id")
+    val bigRow = Relational.eventTypeHllUsers(big).collect().head
+    val bigEst = bigRow.getAs[Double]("hll_users")
+    assert(math.abs(bigEst - 5000.0) / 5000.0 <= 0.20, s"hll=$bigEst exact=5000")
+    // every register occupied at 5000 >> m=256 -> raw branch, not linear
+    assert(bigRow.getAs[Long]("v_empty") == 0L, "raw-estimator branch did not run")
+    // NULL user_ids are ignored, not hashed (cardinality of non-null values)
+    val withNulls = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("a", null.asInstanceOf[java.lang.Long])).toDF("event_type", "user_id")
+    assert(Relational.eventTypeHllUsers(withNulls).collect()
+      .head.getAs[Long]("v_empty") == 255L)
+    // register max() is order-insensitive AND duplicate-insensitive, so the
+    // result is deterministic under reshuffling WITHOUT a distinct pass —
+    // the property that lets HLL skip KMV's distinct shuffle entirely
+    val re = Relational.eventTypeHllUsers(events.repartition(13))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("hll_users"), r.getAs[Long]("v_empty"))).toMap
+    assert(re == est)
+  }
+
   test("count-min sketch: never under-counts, over-counts within eps*N") {
     val events = Tables.events(spark, dir)
     val exact = events.groupBy(col("event_type"), col("user_id"))
