@@ -607,6 +607,12 @@ object SparkEntry {
     // broadcast query terms, stopword df-cap, WindowGroupLimit top-k
     "doc_bm25_search" -> ((s, dir) =>
       TextOps.bm25SearchTopK(Tables.documents(s, dir))),
+    // exact phrase search over a positional inverted index (posting legs
+    // anchor-joined on (doc_id, pos - i)); the oracle re-derives the same
+    // top trigram and counts it by SCANNING the gram lists — the hash
+    // match is the index ≡ scan equivalence proof
+    "doc_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearchTopGram(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
     "doc_hybrid_near_dup" -> ((s, dir) =>
@@ -2372,6 +2378,26 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "doc_bm25_search" -> bm25Oracle(numQueries = 10, qLen = 4, k = 5,
       k1 = 1.2, b = 0.75, maxDfFrac = 1.0),
+    // scan-side replica of the positional-index phrase search: re-derive
+    // the top trigram under the same (count DESC, gram ASC) tie-break,
+    // then COUNT it in the per-doc positional gram lists (no index)
+    "doc_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gs
+           FROM toks),
+         flat AS (SELECT unnest(gs) AS g FROM grams),
+         top AS (SELECT g FROM flat GROUP BY g
+                 ORDER BY count(*) DESC, g ASC LIMIT 1)
+         SELECT doc_id, top.g AS phrase,
+           len(list_filter(gs, x -> x = top.g)) AS n_matches
+         FROM grams CROSS JOIN top
+         WHERE len(list_filter(gs, x -> x = top.g)) > 0""",
     "doc_pagerank" -> pagerankOracle(iters = 3, d = 0.85, threshold = 0.4),
     "doc_keyphrases" -> textrankOracle(iters = 5, d = 0.85, k = 3),
     // replica of TextOps.collocationsPmi: same positional bigrams,

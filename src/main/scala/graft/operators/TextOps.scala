@@ -2828,6 +2828,56 @@ object TextOps {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Exact PHRASE search over a positional inverted index — the other half
+    * of lexical retrieval ([[bm25SearchTopK]] ranks bags of words; real
+    * search engines also answer quoted "exact phrase" queries, and the
+    * standard index for that is postings with POSITIONS). The phrase is a
+    * deterministic fixture derived from the corpus itself: the most
+    * frequent word `n`-gram under the (count DESC, gram ASC) tie-break —
+    * a 1-row argmax collect (metadata scale, the trainedCodebook
+    * discipline), so the query needs no external input and the oracle can
+    * re-derive the same phrase.
+    *
+    * The match itself NEVER rescans text: tokenize → `posexplode` into
+    * (doc_id, pos, term) postings, keep only the phrase's terms (a
+    * broadcast-able `isin` over ≤ n words — pushed below the shuffle, so
+    * posting volume is Σ tf(w_i), not the corpus), then align the n legs
+    * with equi-joins on the computed anchor `(doc_id, pos − i)`: a full
+    * alignment = one phrase occurrence, overlaps included. Repeated words
+    * in the phrase need no special case — each leg filters independently
+    * and the anchor join enforces the offsets. At 100 TB this is the
+    * textbook positional-index plan: selective-term postings shuffle by
+    * (doc, anchor); nothing quadratic, no text rescan, candidate volume
+    * bounded by the rarest term's posting list.
+    *
+    * Result: every document containing the phrase, with its overlapping-
+    * occurrence count. The DuckDB oracle is an independent SCAN replica
+    * (count positional n-grams equal to the re-derived top gram) — the
+    * hash match is the index ≡ scan equivalence proof, the
+    * doc_bloom_decontaminate pattern.
+    */
+  def phraseSearchTopGram(documents: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, s"a phrase needs at least 2 words, got $n")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = toks.select(col("doc_id"),
+      explode(positionalShingles(col("t"), n)).as("g"))
+    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g").asc)
+      .limit(1).collect()(0).getString(0)
+    val words = top.split(" ")
+    val postings = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+      .filter(col("term").isin(words.distinct.toSeq: _*))
+    val legs = words.zipWithIndex.map { case (w, i) =>
+      postings.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - lit(i)).as("anchor"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("doc_id"), lit(top).as("phrase"), col("n_matches"))
+  }
+
   // ------------------------------------------------- exact quantiles
 
   /** EXACT per-stratum quantiles of an integer measure (here document

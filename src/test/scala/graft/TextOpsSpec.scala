@@ -1327,4 +1327,30 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = TextOps.blocklistHits(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"blocklistHits must not shuffle:\n$plan")
   }
+
+  test("phrase search: repeated-word phrases, overlapping occurrences, tie-break") {
+    import spark.implicits._
+    // "a a a a" makes the top trigram "a a a" (count 2 in doc 0 — the
+    // OVERLAPPING occurrences a classic index join must not merge, and a
+    // repeated-word phrase where all three posting legs filter the SAME
+    // term); doc 1 contributes one more and wins the count; doc 2 has no
+    // match and must not appear
+    val docs = Seq(
+      (0L, "a a a a"),
+      (1L, "x a a a y"),
+      (2L, "a b a b a"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.phraseSearchTopGram(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ("a a a", 2L), 1L -> ("a a a", 1L)), out.toString)
+    // tie-break: equal counts resolve by gram ASC — "a b c" < "b c d"
+    val tie = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val t = TextOps.phraseSearchTopGram(tie, n = 3).collect()
+    assert(t.map(_.getString(1)).distinct.toSeq == Seq("a b c"))
+    // the match path is the index join, not a text rescan: the posting
+    // filter (isin over the phrase words) sits in the plan
+    val q = TextOps.phraseSearchTopGram(docs, n = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("posexplode"), s"expected positional postings:\n$plan")
+  }
 }
