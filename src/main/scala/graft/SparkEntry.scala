@@ -268,6 +268,11 @@ object SparkEntry {
       Relational.eventsInPrecedingHour(Tables.events(s, dir))),
     // keyless point-in-interval range join, planned as a binned equi-join
     // (never CartesianProduct); oracle runs the naive BETWEEN theta join
+    // hopping (sliding) windows — width 360 min, slide 90 min: each event
+    // lands in 4 overlapping windows (one Expand + one hash agg); the
+    // oracle enumerates the same 4 window starts per event with range()
+    "event_hopping_counts" -> ((s, dir) =>
+      Relational.hoppingCounts(Tables.events(s, dir))),
     "events_in_windows" -> ((s, dir) =>
       Relational.eventsInIncidentWindows(Tables.events(s, dir))),
     // the LINEAR scale path for the count metrics of events_in_windows:
@@ -3181,6 +3186,25 @@ object SparkEntry {
          FROM events""",
     // replica of Relational.eventsInIncidentWindows as the NAIVE range
     // join the binned plan must equal: plain BETWEEN-style theta join
+    // hopping replica: the window starts containing t are the multiples of
+    // slide in (t - width, t]; range() enumerates exactly those (width/slide
+    // per event), then the same count/decimal-sum per (window, type)
+    "event_hopping_counts" ->
+      """WITH e AS (
+           SELECT event_type, value, epoch_us(ts) AS t
+           FROM events WHERE ts IS NOT NULL),
+         w AS (
+           SELECT event_type, value,
+             unnest(range(5400000000 * ((t - 21600000000) // 5400000000 + 1),
+                          5400000000 * (t // 5400000000 + 1),
+                          5400000000)) AS ws
+           FROM e)
+         SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + 21600000000) AS window_end,
+           event_type, count(*) AS n_events,
+           floor(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5)
+             / 1e2 AS sum_value
+         FROM w GROUP BY 1, 2, 3""",
     "events_in_windows" ->
       """WITH iv AS (
            SELECT event_id AS interval_id, ts AS win_start,

@@ -136,6 +136,40 @@ object Relational {
       count(lit(1)).over(w).as("events_last_hour"))
   }
 
+  /** HOPPING (sliding) windows — the missing member of the windowing
+    * family (tumbling = T5/[[graft.operators.TripEtl.windowCountsBase]],
+    * session = [[sessionize]], range-frame = [[eventsInPrecedingHour]]):
+    * overlapping fixed windows of `widthMinutes` advancing every
+    * `slideMinutes`, the standard shape for smoothed dashboards and
+    * rolling-rate alerting. Spark's `window(ts, width, slide)` expands
+    * each row into its width/slide containing windows (one Expand + one
+    * hash agg — a single shuffle); the deliberate row amplification IS the
+    * operator's cost model, so keep width/slide small (here 4×). The
+    * per-window aggregate state stays O(groups), partial-agg combined
+    * map-side — at 100 TB the plan is identical, just wider.
+    *
+    * Determinism: null timestamps are dropped explicitly (a null window
+    * key row would be engine-ambiguous), the value sum runs
+    * decimal-backed ([[sumRounded]]).
+    */
+  def hoppingCounts(events: DataFrame, widthMinutes: Int = 360,
+                    slideMinutes: Int = 90): DataFrame = {
+    require(widthMinutes % slideMinutes == 0,
+      "width must be a multiple of slide (Spark window() contract)")
+    events
+      .filter(col("ts").isNotNull)
+      .groupBy(
+        window(col("ts"), s"$widthMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sumRounded(col("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Hierarchical subtotals (ROLLUP — §2.8 coverage): per (returnflag,
     * linestatus), per returnflag, and grand total in one pass. Catalyst
     * expands the grouping sets into a single Expand + hash agg — one

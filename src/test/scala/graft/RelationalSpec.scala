@@ -111,6 +111,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  test("hopping windows: 4x row expansion, [start,end) boundaries, one shuffle") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val out = Relational.hoppingCounts(events, widthMinutes = 360, slideMinutes = 90)
+    // every non-null-ts event lands in exactly width/slide = 4 windows
+    val total = out.agg(sum($"n_events")).head().getLong(0)
+    val n = events.filter($"ts".isNotNull).count()
+    assert(total == 4 * n, s"expected ${4 * n} window memberships, got $total")
+    // boundary semantics: an event AT a window start belongs to that window
+    // and not to the one ending there ([start, end) — Spark contract)
+    val one = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 1.0))
+      .toDF("event_type", "ts", "value")
+    val rows = Relational.hoppingCounts(one, 360, 90).collect()
+    assert(rows.length == 4)
+    val starts = rows.map(_.getTimestamp(0).toString).sorted
+    assert(starts.head == "2024-01-01 01:30:00.0" &&
+      starts.last == "2024-01-01 06:00:00.0", starts.mkString(", "))
+    // one Exchange: the Expand happens below the single hash-agg shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected the window Expand:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"hopping agg should shuffle once:\n$plan")
+  }
+
   test("count-min sketch: never under-counts, over-counts within eps*N") {
     val events = Tables.events(spark, dir)
     val exact = events.groupBy(col("event_type"), col("user_id"))
