@@ -94,6 +94,41 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping windows compose unchanged onto a stream and converge to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val streamDf = input.toDF().toDF("event_type", "ts", "value")
+    // the BATCH operator applied verbatim to the stream — hopping windows
+    // are a plain windowed aggregation, so Structured Streaming runs the
+    // identical plan with incremental state (complete mode here keeps the
+    // tiny test comparable; production uses a watermark + append)
+    val q = graft.operators.Relational.hoppingCounts(streamDf, 360, 90)
+      .writeStream.format("memory").queryName("hop").outputMode("complete").start()
+    try {
+      input.addData(("a", ts("2024-01-01 06:00:00"), 1.5))
+      q.processAllAvailable()
+      input.addData(("a", ts("2024-01-01 07:30:00"), 2.0),
+        ("b", ts("2024-01-01 06:45:00"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("hop").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = graft.operators.Relational.hoppingCounts(
+        Seq(("a", ts("2024-01-01 06:00:00"), 1.5),
+          ("a", ts("2024-01-01 07:30:00"), 2.0),
+          ("b", ts("2024-01-01 06:45:00"), 4.0))
+          .toDF("event_type", "ts", "value"), 360, 90)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == batch, s"stream=$got\nbatch=$batch")
+      // overlap sanity: the 06:00 and 07:30 'a' events share windows where
+      // both count (n_events = 2) — the defining hopping property
+      assert(got.exists { case (_, t, n, _) => t == "a" && n == 2L })
+    } finally q.stop()
+  }
+
   test("punctuated aggregation emits updates, then a timer snapshot with eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
