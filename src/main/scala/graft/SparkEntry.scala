@@ -853,6 +853,11 @@ object SparkEntry {
     // stride, decides decode cost)
     "mm_mc_gop_sample" -> ((s, dir) =>
       operators.Multimodal.mcVideoGopSampleStats(Tables.documents(s, dir))),
+    // scene-cut (shot boundary) detection through the full I/P decode;
+    // integer-exact cut test (sum|delta| > tau*w*h) so the closed-form
+    // oracle doubles as a pairwise losslessness proof of the codec
+    "mm_mc_scene_cuts" -> ((s, dir) =>
+      operators.Multimodal.mcVideoSceneCuts(Tables.documents(s, dir))),
     // REAL pixel resize: 2x2 box-filter downscale of the PPM rasters,
     // re-encoded to P6 and RE-DECODED before stats (the full
     // decode->filter->encode->decode chain is what the sums prove)
@@ -4511,6 +4516,36 @@ object SparkEntry {
            CAST(w AS BIGINT) * h * nf AS n_pixels,
            CAST(64 * sum(bsum) AS BIGINT) AS sum_px
          FROM b GROUP BY doc_id, w, h, nf""",
+    // scene-cut replica straight from the generator closed form: frame
+    // k's block i is text byte (k+i) mod len, so the adjacent-pair delta
+    // is 64 * sum over blocks of |t[k+i+1] - t[k+i]|; the cut test stays
+    // integer (dk > tau*w*h) on both engines
+    "mm_mc_scene_cuts" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t,
+             CAST((n_chars % 3 + 2) * 8 AS INTEGER) AS w,
+             CAST((doc_id % 3 + 2) * 8 AS INTEGER) AS h,
+             CAST(doc_id % 3 + 3 AS INTEGER) AS nf
+           FROM documents),
+         f AS (
+           SELECT doc_id, w, h, nf, (w // 8) * (h // 8) AS nb,
+             t, length(t) AS tl,
+             unnest(generate_series(1, nf - 1)) AS k
+           FROM m),
+         d AS (
+           SELECT doc_id, w, h, nf,
+             64 * list_sum(list_transform(
+               generate_series(0, CAST(nb AS INTEGER) - 1),
+               i -> abs(ascii(substr(t, CAST((k + i) % tl AS INTEGER) + 1, 1))
+                      - ascii(substr(t, CAST((k - 1 + i) % tl AS INTEGER) + 1, 1)))))
+               AS dk
+           FROM f)
+         SELECT doc_id, nf AS n_frames,
+           count(*) FILTER (WHERE dk > 20 * w * h) AS n_cuts,
+           CAST(max(dk) AS BIGINT) AS max_diff,
+           CAST(sum(dk) AS BIGINT) AS sum_diff
+         FROM d GROUP BY doc_id, nf""",
     // replica of Multimodal.resizeStats WITHOUT running the codec: the
     // PPM raster is the text cycled byte-for-byte, so each resized
     // channel value is the floor-average of its four source bytes,

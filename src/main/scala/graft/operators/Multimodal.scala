@@ -3579,6 +3579,46 @@ object Multimodal {
         col("sumPx").as("sum_px"))
   }
 
+  /** SCENE-CUT (shot boundary) detection over the motion-compensated
+    * stream — the video-curation primitive that decides WHERE to sample
+    * keyframes for vision-language training (one frame per shot, not one
+    * per N): decode adjacent frame pairs, sum the absolute pixel delta,
+    * and flag a cut when the delta exceeds `tau` per pixel. The
+    * comparison is kept INTEGER-exact (`sum |Δ| > tau · w · h` — no
+    * float mean) so the oracle replays it bit-for-bit from the generator
+    * closed form (frame k's block i is text byte (k+i) mod len, so the
+    * pair delta is 64 · Σ_blocks |t[k+i+1] − t[k+i]|, no codec needed).
+    * The hash match is therefore also a LOSSLESSNESS proof of the full
+    * I/P reconstruction, pairwise this time. Narrow mapPartitions over
+    * the payload, one row per doc — embarrassingly parallel at scale;
+    * only the two live frames are held, not the clip.
+    */
+  def mcVideoSceneCuts(documents: DataFrame, tau: Int = 20): DataFrame = {
+    val media = asMediaDataset(mcVideoFromDocuments(documents))
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, _, frames) = parseMcVideo(m.payload)
+        var nCuts = 0L
+        var maxDiff = 0L
+        var sumDiff = 0L
+        var k = 1
+        while (k < frames.length) {
+          val a = frames(k - 1); val b = frames(k)
+          var d = 0L; var i = 0
+          while (i < a.length) {
+            d += math.abs((b(i) & 0xff) - (a(i) & 0xff)); i += 1
+          }
+          if (d > tau.toLong * w * h) nCuts += 1
+          if (d > maxDiff) maxDiff = d
+          sumDiff += d
+          k += 1
+        }
+        (m.docId, frames.length, nCuts, maxDiff, sumDiff)
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "max_diff", "sum_diff")
+  }
+
   /** GOP-sampled decode stats: encode with a keyframe every `gop` frames,
     * then reconstruct only every `stride`-th frame through
     * [[decodeMcVideoSampled]]. With stride == gop the sampled frames are

@@ -1105,6 +1105,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MC video scene cuts: static clip has none, alternating clip cuts every pair") {
+    import spark.implicits._
+    // constant text -> every block of every frame is the same byte ->
+    // all-zero deltas -> zero cuts, zero diff (doc_id 0: nf=3, h=16)
+    // alternating 'a'/'~' (delta 29 > tau=20 per pixel) -> EVERY adjacent
+    // pair is a cut (doc_id 1: nf=4)
+    val fix = Seq(
+      (0L, "aaaaaaaa", "en", "test", 8L),
+      (1L, "a~a~a~a~", "en", "test", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.mcVideoSceneCuts(fix, tau = 20).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nf0, cuts0, max0, sum0) = out(0L)
+    assert(nf0 == 3 && cuts0 == 0L && max0 == 0L && sum0 == 0L, out(0L).toString)
+    val (nf1, cuts1, max1, _) = out(1L)
+    // doc 1: w=(8%3+2)*8=32, h=(1%3+2)*8=24 -> nb=12 blocks; every block
+    // flips a<->~ between frames ('~'-'a' = 29):
+    // dk = 64 * 12 * 29 = 22272 > 20*32*24 = 15360
+    assert(nf1 == 4 && cuts1 == 3L && max1 == 22272L, out(1L).toString)
+    // and on real docs both classes occur (threshold neither vacuous nor
+    // all-firing)
+    val real = Multimodal.mcVideoSceneCuts(docs.limit(50), tau = 20)
+      .agg(sum($"n_cuts"), sum($"n_frames" - 1)).head()
+    assert(real.getLong(0) > 0 && real.getLong(0) < real.getLong(1), real.toString)
+  }
+
   test("resizePpmHalf: real pixel downscale — box averages, odd-edge crop, loud failures") {
     // 3x3 image with known channel values; odd row/col must crop away
     val w = 3; val h = 3
