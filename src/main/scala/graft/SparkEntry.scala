@@ -486,6 +486,9 @@ object SparkEntry {
     "doc_phrase_merge" -> ((s, dir) =>
       TextOps.mergePhrases(Tables.documents(s, dir))),
     "doc_text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
+    // per-doc Shannon character entropy (junk/noise detector); the float
+    // fold runs in char-sorted order on BOTH engines so it hash-oracles
+    "doc_char_entropy" -> ((s, dir) => TextOps.charEntropy(Tables.documents(s, dir))),
     // Gopher-style repetition filters (dup-word / dup-2-gram / top-word
     // fractions) — integer-exact counts, ratio floats only at the edge
     "doc_repetition" -> ((s, dir) =>
@@ -4131,6 +4134,25 @@ object SparkEntry {
                / sum(CASE WHEN kind = 2 THEN cnt ELSE 0 END)) * 1e4 + 0.5) / 1e4
              END AS dup_2gram_frac
          FROM counts GROUP BY doc_id""",
+    // entropy replica: identical per-char counts, identical char-sorted
+    // fold (list(k ORDER BY c) + list_reduce), identical final expression
+    // log2(n) - s/n -> same IEEE doubles
+    "doc_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE text IS NOT NULL AND text <> ''),
+         cnt AS (
+           SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, sum(k) AS n, count(*) AS n_distinct_chars,
+             list(CAST(k AS DOUBLE) ORDER BY c) AS ks
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n_distinct_chars,
+           floor((log2(CAST(n AS DOUBLE)) -
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), ks),
+               (a, k) -> a + k * log2(k)) / CAST(n AS DOUBLE)) * 1e4 + 0.5)
+             / 1e4 AS entropy
+         FROM agg""",
     "doc_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,

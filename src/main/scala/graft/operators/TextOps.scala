@@ -1175,6 +1175,43 @@ object TextOps {
             col("n_2grams").cast("double"), 4)).as("dup_2gram_frac"))
   }
 
+  /** Per-document Shannon CHARACTER ENTROPY — the junk detector the
+    * heuristic quality ladder was missing: near-zero entropy flags
+    * repeated-character padding, near-log2(charset) flags random noise;
+    * real prose sits in a stable band (the Gopher-class "symbol
+    * distribution" signal). Computed as `log2(n) − (Σ c·log2 c)/n` over
+    * per-char counts so every input to the floats is an exact integer.
+    *
+    * Determinism discipline: a plain float SUM over the counts would vary
+    * with Spark's partition merge order, so the counts are collected into
+    * a char-SORTED array (bounded by the CHARSET, ≤ ~100 entries — the
+    * windowCountsCapped exception to the no-collect_list rule) and folded
+    * in that fixed order; the oracle replays the identical ordered fold
+    * with `list(k ORDER BY c)` + `list_reduce`. One explode + two hash
+    * aggs, all partial-combining; state per doc is O(charset), so the
+    * shape is flat at any corpus size.
+    */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("k"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sort_array(collect_list(struct(col("c"), col("k")))).as("ks"))
+      .select(col("doc_id"), col("n_distinct_chars"),
+        roundFixed(
+          log2(col("n")) -
+            aggregate(col("ks"), lit(0.0),
+              (a, x) => a + x.getField("k").cast("double") *
+                log2(x.getField("k"))) / col("n"), 4).as("entropy"))
+  }
+
   /** Corpus statistics per (lang, source): document/char/token counts. The
     * group key has tiny cardinality, so this is one partial+final hash agg
     * with negligible shuffle at any scale.

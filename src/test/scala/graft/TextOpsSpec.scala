@@ -1328,6 +1328,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blocklistHits must not shuffle:\n$plan")
   }
 
+  test("char entropy: closed-form fixtures, repartition-deterministic") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, "aaaa"),        // one symbol -> 0 bits
+      (1L, "ab"),          // two equiprobable -> 1 bit
+      (2L, "abcd"),        // four equiprobable -> 2 bits
+      (3L, "aab"),         // H(2/3,1/3) = log2(3) - 2/3 = 0.918295...
+      (4L, null.asInstanceOf[String]), // excluded
+      (5L, ""))            // excluded
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(fix).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((1L, 0.0)))
+    assert(out(1L) == ((2L, 1.0)))
+    assert(out(2L) == ((4L, 2.0)))
+    assert(out(3L)._2 == 0.9183, out(3L).toString)
+    // the char-sorted fold makes the float result partition-order-proof
+    val a = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextOps.charEntropy(docs.repartition(17)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+    // prose sits strictly between degenerate (0) and uniform-noise bounds
+    assert(a.values.forall(e => e > 1.0 && e < 6.0))
+  }
+
   test("phrase search: repeated-word phrases, overlapping occurrences, tie-break") {
     import spark.implicits._
     // "a a a a" makes the top trigram "a a a" (count 2 in doc 0 — the
