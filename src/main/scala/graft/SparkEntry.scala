@@ -385,6 +385,11 @@ object SparkEntry {
     // token covered by a cross-document 5-gram is cut, text re-emitted
     "doc_dedup_excise" -> ((s, dir) =>
       TextOps.exciseDupSpans(Tables.documents(s, dir))),
+    // BLEU-2 (clipped n-gram precision + brevity penalty) over the same
+    // verified near-dup pairs — the asymmetric copy-direction metric a
+    // dedup report publishes next to symmetric Jaccard
+    "doc_bleu_pairs" -> ((s, dir) =>
+      TextOps.bleuPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     "doc_near_dup_pairs" -> ((s, dir) =>
       TextOps.nearDupPairs(Tables.documents(s, dir), n = 5, threshold = 0.4)),
     // quoted at threshold 0.7, NOT 0.4: the b=32/r=2 banding misses a pair
@@ -3623,6 +3628,59 @@ object SparkEntry {
          LEFT JOIN n ON d.doc_id = n.doc_id
          LEFT JOIN kept k ON d.doc_id = k.doc_id""",
     "doc_near_dup_pairs" -> s"WITH $shingleCtes ${jaccardPairsSql(0.4)}",
+    // BLEU-2 replica over the same brute-force jaccard pairs: identical
+    // clipped gram-count joins (LEFT for the bigram leg), identical 1e-6
+    // quantized precisions, BLEU recomputed from the QUANTIZED columns
+    "doc_bleu_pairs" ->
+      s"""WITH $shingleCtes,
+         pr AS (SELECT doc_a, doc_b FROM (${jaccardPairsSql(0.4)}) j),
+         wt AS (
+           SELECT p.doc_a, p.doc_b, a.t AS t_a, b.t AS t_b,
+             len(a.t) AS len_a, len(b.t) AS len_b
+           FROM pr p
+           JOIN toks a ON a.doc_id = p.doc_a
+           JOIN toks b ON b.doc_id = p.doc_b),
+         ga1 AS (SELECT doc_a, doc_b, g, count(*) AS ca
+                 FROM (SELECT doc_a, doc_b, unnest(t_a) AS g FROM wt)
+                 GROUP BY 1, 2, 3),
+         gb1 AS (SELECT doc_a, doc_b, g, count(*) AS cb
+                 FROM (SELECT doc_a, doc_b, unnest(t_b) AS g FROM wt)
+                 GROUP BY 1, 2, 3),
+         s1 AS (SELECT doc_a, doc_b,
+                  sum(least(ca, coalesce(cb, 0))) AS clip, sum(ca) AS tot
+                FROM ga1 LEFT JOIN gb1 USING (doc_a, doc_b, g)
+                GROUP BY 1, 2),
+         q1 AS (SELECT doc_a, doc_b,
+                  floor(CAST(clip AS DOUBLE) / nullif(tot, 0) * 1e6 + 0.5) / 1e6
+                    AS p1 FROM s1),
+         ga2 AS (SELECT doc_a, doc_b, g, count(*) AS ca
+                 FROM (SELECT doc_a, doc_b,
+                         unnest(list_transform(generate_series(1, len(t_a) - 1),
+                           i -> t_a[i] || ' ' || t_a[i+1])) AS g FROM wt)
+                 GROUP BY 1, 2, 3),
+         gb2 AS (SELECT doc_a, doc_b, g, count(*) AS cb
+                 FROM (SELECT doc_a, doc_b,
+                         unnest(list_transform(generate_series(1, len(t_b) - 1),
+                           i -> t_b[i] || ' ' || t_b[i+1])) AS g FROM wt)
+                 GROUP BY 1, 2, 3),
+         s2 AS (SELECT doc_a, doc_b,
+                  sum(least(ca, coalesce(cb, 0))) AS clip, sum(ca) AS tot
+                FROM ga2 LEFT JOIN gb2 USING (doc_a, doc_b, g)
+                GROUP BY 1, 2),
+         q2 AS (SELECT doc_a, doc_b,
+                  floor(CAST(clip AS DOUBLE) / nullif(tot, 0) * 1e6 + 0.5) / 1e6
+                    AS p2 FROM s2),
+         base AS (
+           SELECT w.doc_a, w.doc_b, w.len_a, w.len_b, q1.p1, q2.p2,
+             floor((CASE WHEN w.len_a < w.len_b
+                    THEN exp(1.0 - CAST(w.len_b AS DOUBLE) / w.len_a)
+                    ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS bp
+           FROM wt w
+           JOIN q1 USING (doc_a, doc_b)
+           LEFT JOIN q2 USING (doc_a, doc_b))
+         SELECT doc_a, doc_b, len_a, len_b, p1, p2, bp,
+           floor((bp * sqrt(p1 * p2)) * 1e4 + 0.5) / 1e4 AS bleu2
+         FROM base""",
     // replica of TextOps.nearDupTriangles: the same oriented pair set,
     // the same two-join a<b<c enumeration, per-node participation
     "doc_triangles" ->

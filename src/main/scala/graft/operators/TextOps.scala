@@ -359,6 +359,68 @@ object TextOps {
     verifiedJaccard(candidates, sh, threshold)
   }
 
+  /** BLEU-2 scoring of verified near-duplicate pairs — the EVAL-METRIC
+    * view of duplication a curation report publishes next to Jaccard:
+    * clipped n-gram precision is asymmetric (how much of A is copied
+    * from B, position-free but multiplicity-aware), so it separates
+    * "A quotes half of B" from "A and B share a vocabulary", which
+    * symmetric Jaccard cannot. Candidates come from the exact-recall
+    * inverted-index pairs ([[nearDupPairs]], jaccard ≥ `threshold`) —
+    * never a cross join; per pair the clipped counts run as exploded
+    * gram-count equi-joins (the scalable formulation — no per-row O(n²)
+    * HOF scans), volume bounded by Σ pair gram counts.
+    *
+    * Determinism: p1/p2 are integer-ratio divisions quantized at 1e-6,
+    * BLEU is recomputed FROM THE QUANTIZED columns (`bp·√(p1·p2)`, 1e-4)
+    * — sqrt and division are correctly-rounded IEEE ops; the brevity
+    * penalty's `exp` carries the same ≤1-ulp libm risk the HLL ln branch
+    * accepted (masked by quantization). Candidate = doc_a (the smaller
+    * id), reference = doc_b.
+    */
+  def bleuPairs(documents: DataFrame, n: Int = 5,
+                threshold: Double = 0.4): DataFrame = {
+    val pairs = nearDupPairs(documents, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val withT = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("t").as("t_a")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("t").as("t_b")), Seq("doc_b"))
+      .withColumn("len_a", size(col("t_a")).cast("long"))
+      .withColumn("len_b", size(col("t_b")).cast("long"))
+    // clipped modified precision for gram order k: candidate gram counts
+    // LEFT-joined to reference counts, clip = min(ca, cb)
+    def clipped(k: Int): DataFrame = {
+      def grams(c: Column) = if (k == 1) c else positionalShingles(c, k)
+      val ca = withT.select(col("doc_a"), col("doc_b"),
+          explode(grams(col("t_a"))).as("g"))
+        .groupBy(col("doc_a"), col("doc_b"), col("g"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = withT.select(col("doc_a"), col("doc_b"),
+          explode(grams(col("t_b"))).as("g"))
+        .groupBy(col("doc_a"), col("doc_b"), col("g"))
+        .agg(count(lit(1)).as("cb"))
+      ca.join(cb, Seq("doc_a", "doc_b", "g"), "left")
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(
+          sum(least(col("ca"), coalesce(col("cb"), lit(0L)))).as(s"clip$k"),
+          sum(col("ca")).as(s"tot$k"))
+        .withColumn(s"p$k", roundFixed(
+          col(s"clip$k").cast("double") / nullif(col(s"tot$k"), lit(0L)), 6))
+        .select(col("doc_a"), col("doc_b"), col(s"p$k"))
+    }
+    withT.select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"))
+      .join(clipped(1), Seq("doc_a", "doc_b"))
+      .join(clipped(2), Seq("doc_a", "doc_b"), "left")
+      .withColumn("bp", roundFixed(
+        when(col("len_a") < col("len_b"),
+          exp(lit(1.0) - col("len_b").cast("double") / col("len_a")))
+          .otherwise(lit(1.0)), 6))
+      .withColumn("bleu2",
+        roundFixed(col("bp") * sqrt(col("p1") * col("p2")), 4))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("p1"), col("p2"), col("bp"), col("bleu2"))
+  }
+
   /** Hybrid (lexical × semantic) near-duplicate scoring — the fusion step a
     * production dedup review queue runs: exact-recall shingle candidates at
     * a LOW lexical floor, each pair annotated with the embedding cosine of

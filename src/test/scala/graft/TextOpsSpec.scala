@@ -1355,6 +1355,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.values.forall(e => e > 1.0 && e < 6.0))
   }
 
+  test("BLEU-2 pairs: clipping, brevity penalty, brute-force agreement on real pairs") {
+    import spark.implicits._
+    // clipping fixture: candidate "a a a b" vs reference "a b" — the
+    // repeated 'a' must clip to the reference count (p1 = 2/4), and the
+    // doubled "a a" bigram to zero (p2 = 1/3); candidate is longer, bp = 1
+    val fix = Seq((0L, "a a a b"), (1L, "a b")).toDF("doc_id", "text")
+    val r = TextOps.bleuPairs(fix, n = 1, threshold = 0.0).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("p1") == 0.5 &&
+      row.getAs[Double]("p2") == 0.333333 &&
+      row.getAs[Double]("bp") == 1.0 &&
+      row.getAs[Double]("bleu2") == 0.4082, row.toString)
+    // every real pair agrees with an independent in-test recompute from
+    // the raw texts (clip maps built serially — no Spark machinery)
+    val texts = docs.collect().map(d => d.getLong(0) ->
+      Option(d.getString(1)).getOrElse("").trim.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    def clipP(a: Seq[String], b: Seq[String], k: Int): Double = {
+      def grams(t: Seq[String]) = t.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      val (ga, gb) = (grams(a), grams(b))
+      val cb = gb.groupBy(identity).view.mapValues(_.size).toMap
+      val clip = ga.groupBy(identity).map { case (g, os) =>
+        math.min(os.size, cb.getOrElse(g, 0)) }.sum
+      math.floor(clip.toDouble / ga.size * 1e6 + 0.5) / 1e6
+    }
+    val out = TextOps.bleuPairs(docs, n = 5, threshold = 0.4).collect()
+    assert(out.nonEmpty)
+    out.foreach { p =>
+      val (a, b) = (texts(p.getAs[Long]("doc_a")), texts(p.getAs[Long]("doc_b")))
+      assert(p.getAs[Double]("p1") == clipP(a, b, 1), s"p1 ${p}")
+      assert(p.getAs[Double]("p2") == clipP(a, b, 2), s"p2 ${p}")
+      val bp = math.floor((if (a.length < b.length)
+        math.exp(1.0 - b.length.toDouble / a.length) else 1.0) * 1e6 + 0.5) / 1e6
+      assert(p.getAs[Double]("bp") == bp, s"bp ${p}")
+    }
+  }
+
   test("phrase search: repeated-word phrases, overlapping occurrences, tie-break") {
     import spark.implicits._
     // "a a a a" makes the top trigram "a a a" (count 2 in doc 0 — the
