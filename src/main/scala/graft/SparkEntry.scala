@@ -318,6 +318,11 @@ object SparkEntry {
     // deterministic on both engines.
     "event_type_kmv_users" -> ((s, dir) =>
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
+    // UNPIVOT (wide -> long): the pivot's inverse — per-type metrics
+    // melted to (event_type, metric, value) triples; the melt is one
+    // Expand over the O(groups) wide relation, zero extra shuffles
+    "event_metrics_long" -> ((s, dir) =>
+      Relational.eventMetricsLong(Tables.events(s, dir))),
     // from-scratch declarative HyperLogLog over the portable hash — the
     // same algorithm approx_count_distinct wraps, but with every step
     // (register split, bin()-exact leading-zero count, integer register
@@ -2614,6 +2619,22 @@ object SparkEntry {
              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
              * 1e4 + 0.5) / 1e4 AS approx_users
          FROM t""",
+    // unpivot replica: the same wide aggregate UNION ALL'd per metric —
+    // the long format is definitionally the union of the columns
+    "event_metrics_long" ->
+      """WITH w AS (
+           SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               * 1e2 + 0.5) / 1e2 AS sum_value,
+             floor((CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               / count(value)) * 1e4 + 0.5) / 1e4 AS avg_value
+           FROM events GROUP BY 1)
+         SELECT event_type, 'n_events' AS metric, n_events AS value FROM w
+         UNION ALL SELECT event_type, 'n_users', n_users FROM w
+         UNION ALL SELECT event_type, 'sum_value', sum_value FROM w
+         UNION ALL SELECT event_type, 'avg_value', avg_value FROM w""",
     // HLL replica: identical register split (low 8 bits), identical exact
     // leading-zero count via bin(), identical integer register sum in units
     // of 2^-53, and the final float expressions mirrored token-for-token

@@ -170,6 +170,29 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** UNPIVOT (wide → long) — the inverse of [[eventTypePivot]]'s
+    * pivot and the §2.8 relational surface's last uncovered reshaping op:
+    * a wide per-group metrics row melted into (group, metric, value)
+    * triples, the long format every metrics store / dashboard ingests.
+    * Spark plans `unpivot` as one Expand over the aggregated (tiny) wide
+    * relation — the reshape itself adds ZERO shuffles on top of the
+    * aggregation; at 100 TB the wide side is O(groups), so the melt is
+    * free. Counts cast to double exactly (all < 2^53); the decimal-backed
+    * sums keep their established rounding.
+    */
+  def eventMetricsLong(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"),
+        sumRounded(col("value"), 2).as("sum_value"),
+        avgRounded(col("value"), 4).as("avg_value"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("n_users"), col("sum_value"), col("avg_value")),
+        "metric", "value")
+
   /** Hierarchical subtotals (ROLLUP — §2.8 coverage): per (returnflag,
     * linestatus), per returnflag, and grand total in one pass. Catalyst
     * expands the grouping sets into a single Expand + hash agg — one

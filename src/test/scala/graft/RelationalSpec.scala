@@ -135,6 +135,37 @@ class RelationalSpec extends AnyFunSuite {
       s"hopping agg should shuffle once:\n$plan")
   }
 
+  test("unpivot: long rows equal the wide columns, melt adds no shuffle") {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val long = Relational.eventMetricsLong(events)
+    val rows = long.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("value")).toMap
+    // 4 metrics per type, no row loss in the melt
+    val types = events.select("event_type").distinct().as[String].collect()
+    assert(rows.size == 4 * types.length)
+    // spot-check one metric column against its direct aggregate
+    val nE = events.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    types.foreach(t => assert(rows((t, "n_events")) == nE(t), t))
+    // the reshape itself is an Expand on the aggregated side: the long
+    // plan carries EXACTLY the wide aggregation's shuffles, none added.
+    // Fresh (unexecuted) DataFrame: an executed AQE plan prints Initial
+    // AND Final plans, double-counting every Exchange
+    val plan = Relational.eventMetricsLong(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    val wide = events.groupBy($"event_type").agg(
+      count(lit(1)).cast("double").as("n_events"),
+      countDistinct($"user_id").cast("double").as("n_users"),
+      graft.functions.DeterministicAgg.sumRounded($"value", 2).as("sum_value"),
+      graft.functions.DeterministicAgg.avgRounded($"value", 4).as("avg_value"))
+    val widePlan = wide.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length ==
+      "Exchange".r.findAllIn(widePlan).length,
+      s"unpivot must not add shuffles:\n$plan\n--- wide:\n$widePlan")
+  }
+
   test("count-min sketch: never under-counts, over-counts within eps*N") {
     val events = Tables.events(spark, dir)
     val exact = events.groupBy(col("event_type"), col("user_id"))
