@@ -318,6 +318,11 @@ object SparkEntry {
     // deterministic on both engines.
     "event_type_kmv_users" -> ((s, dir) =>
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
+    // sample autocorrelation of the hourly count series (lags 1-3, dense
+    // gap-filled): the d_t = n*c_t - S substitution makes every statistic
+    // an exact integer ratio — one double division per lag, nothing else
+    "event_autocorr" -> ((s, dir) =>
+      Relational.eventAutocorr(Tables.events(s, dir))),
     // UNPIVOT (wide -> long): the pivot's inverse — per-type metrics
     // melted to (event_type, metric, value) triples; the melt is one
     // Expand over the O(groups) wide relation, zero extra shuffles
@@ -2619,6 +2624,36 @@ object SparkEntry {
              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
              * 1e4 + 0.5) / 1e4 AS approx_users
          FROM t""",
+    // ACF replica: identical dense series, identical integer d_t, lead()
+    // windows, integer sums, one mirrored double division per lag
+    "event_autocorr" ->
+      """WITH cnt AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+               FROM cnt GROUP BY 1),
+         dense AS (
+           SELECT b.event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+         s AS (
+           SELECT d.event_type, d.hr, coalesce(c.c, 0) AS c
+           FROM dense d LEFT JOIN cnt c
+             ON c.event_type = d.event_type AND c.hr = d.hr),
+         st AS (SELECT event_type, count(*) AS n, sum(c) AS ss
+                FROM s GROUP BY 1),
+         dd AS (SELECT s.event_type, st.n, s.hr, st.n * s.c - st.ss AS d
+                FROM s JOIN st USING (event_type)),
+         l AS (SELECT event_type, n, d,
+                 lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+                 lead(d, 3) OVER w AS d3
+               FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+         a AS (SELECT event_type, n, sum(d * d) AS den,
+                 sum(d * d1) AS num1, sum(d * d2) AS num2, sum(d * d3) AS num3
+               FROM l GROUP BY 1, 2)
+         SELECT event_type, n,
+           floor(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r1,
+           floor(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r2,
+           floor(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r3
+         FROM a""",
     // unpivot replica: the same wide aggregate UNION ALL'd per metric —
     // the long format is definitionally the union of the columns
     "event_metrics_long" ->

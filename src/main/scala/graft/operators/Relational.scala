@@ -170,6 +170,59 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Sample AUTOCORRELATION of the hourly event-count series per type —
+    * the periodicity detector (daily/weekly seasonality shows up as
+    * spikes at the matching lag) a telemetry pipeline runs before
+    * anomaly thresholds. Engineered exact: with integer hourly counts
+    * c_t, n buckets and S = Σc, substitute d_t = n·c_t − S (an integer);
+    * then (c_t − mean)(c_{t+k} − mean) = d_t·d_{t+k}/n², and the n²
+    * cancels in r_k = Σ d_t·d_{t+k} / Σ d_t² — the WHOLE statistic is an
+    * integer ratio, one final double division, no float accumulation at
+    * all (the EWMA bit-determinism discipline, taken further). Products
+    * stay in longs (safe while |d| < 3·10⁹ — holds through sf100-scale
+    * hourly counts); the sums run decimal-backed so accumulation can
+    * never overflow.
+    *
+    * Scale shape: the corpus-sized work is the first aggregation
+    * (events → hourly counts, partial-combining, one shuffle); the
+    * series itself is TIME-bounded (n = hours in range, not rows), so
+    * the dense gap-fill, the lead() window and the final agg cost
+    * O(types · hours) regardless of corpus size.
+    */
+  def eventAutocorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag in [1,24], got $maxLag")
+    val counts = events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / lit(3600)).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = counts.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    // dense hour series: gap hours really are zero-count observations
+    val dense = bounds
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(counts, Seq("event_type", "hr"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val d = dense.join(stats, Seq("event_type"))
+      .withColumn("d", col("n") * col("c") - col("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val led = (1 to maxLag).foldLeft(d) { (df, k) =>
+      df.withColumn(s"d$k", lead(col("d"), k).over(w))
+    }
+    val lagAggs = (1 to maxLag).map(k =>
+      sum((col("d") * col(s"d$k")).cast("decimal(38,0)")).as(s"num$k"))
+    led.groupBy(col("event_type"), col("n"))
+      .agg(sum((col("d") * col("d")).cast("decimal(38,0)")).as("den"),
+        lagAggs: _*)
+      .select(col("event_type") +: col("n") +:
+        (1 to maxLag).map(k => roundFixed(
+          col(s"num$k").cast("double") / col("den").cast("double"), 6)
+          .as(s"r$k")): _*)
+  }
+
   /** UNPIVOT (wide → long) — the inverse of [[eventTypePivot]]'s
     * pivot and the §2.8 relational surface's last uncovered reshaping op:
     * a wide per-group metrics row melted into (group, metric, value)

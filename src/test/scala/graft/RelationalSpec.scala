@@ -135,6 +135,32 @@ class RelationalSpec extends AnyFunSuite {
       s"hopping agg should shuffle once:\n$plan")
   }
 
+  test("autocorrelation: alternating series closed form, gap hours count as zero") {
+    import spark.implicits._
+    // counts [3,1,3,1,...] over 10 hours: mean 2, d_t = 10*c_t - 20 = ±10
+    // r1 = 9*(-100)/1000 = -0.9, r2 = 8*100/1000 = 0.8, r3 = -0.7
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 10).flatMap { h =>
+      val k = if (h % 2 == 0) 3 else 1
+      (0 until k).map(i =>
+        ("x", new java.sql.Timestamp(base + h * 3600000L + i * 1000L), 1.0))
+    }
+    val df = rows.toDF("event_type", "ts", "value")
+    val r = Relational.eventAutocorr(df).collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == -0.9 && r.getDouble(3) == 0.8 &&
+      r.getDouble(4) == -0.7, r.toString)
+    // a missing hour is a ZERO observation, not a skipped row: two events
+    // 2 hours apart -> series [1,0,1], d = [1,-2,1] scaled by 3 -> r1 =
+    // (d0*d1 + d1*d2)/sum d^2 = (-2 + -2)/6 = -0.666667 (scale cancels)
+    val gap = Seq(
+      ("g", new java.sql.Timestamp(base), 1.0),
+      ("g", new java.sql.Timestamp(base + 2 * 3600000L), 1.0))
+      .toDF("event_type", "ts", "value")
+    val g = Relational.eventAutocorr(gap).collect().head
+    assert(g.getLong(1) == 3L && g.getDouble(2) == -0.666667, g.toString)
+  }
+
   test("unpivot: long rows equal the wide columns, melt adds no shuffle") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
