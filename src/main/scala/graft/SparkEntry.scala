@@ -186,6 +186,11 @@ object SparkEntry {
     // proving the second built-in columnar format + partition layout
     "orc_roundtrip" -> ((s, dir) =>
       Tables.orcRoundTrip(s, Tables.documents(s, dir))),
+    // jsonl.gz round-trip (the LLM-corpus interchange format): gzipped
+    // lang-partitioned JSON lines written, re-ingested with an explicit
+    // schema (no inference pass), same closed-form oracle as ORC
+    "jsonl_roundtrip" -> ((s, dir) =>
+      Tables.jsonlRoundTrip(s, Tables.documents(s, dir))),
     // WebDataset SAMPLE grouping: two members per doc (<id>.txt, <id>.meta)
     // packed, read back, reassembled into one row per sample — a txt/meta
     // pairing mistake between docs would flip the per-language XOR
@@ -2881,6 +2886,13 @@ object SparkEntry {
     // replica of Tables.orcRoundTrip: the same per-lang aggregates
     // closed-form from documents (NULL text hashes as 0 in the XOR)
     "orc_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         bit_xor(COALESCE(${shaFoldSql("text")}, 0)) AS content_hash
+         FROM documents GROUP BY 1""",
+    // jsonl.gz round-trip: identical closed form — losslessness of the
+    // write -> gzip -> partition layout -> schema-on-read trip
+    "jsonl_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          bit_xor(COALESCE(${shaFoldSql("text")}, 0)) AS content_hash

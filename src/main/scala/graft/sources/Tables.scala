@@ -271,4 +271,37 @@ object Tables {
           graft.operators.TextOps.portableHash64(col("text")), lit(0L)))
           .as("content_hash"))
   }
+
+  /** Gzipped JSON-LINES round-trip ([[orcRoundTrip]]'s text-format twin)
+    * — jsonl.gz is THE interchange format LLM corpora actually ship as
+    * (The Pile, RedPajama, Dolma all publish it), so the engine must
+    * prove it can export and re-ingest it losslessly. Same lang-
+    * partitioned layout and closed-form oracle as the ORC entry; the
+    * read side passes an EXPLICIT schema — at 100 TB, schema inference
+    * is a full extra pass over the data, so a declared schema is part of
+    * the format discipline, not a convenience. JSON escaping makes the
+    * trip lossless for any UTF-8 text; a null text serializes as an
+    * absent field and reads back null, hashing as 0 in the XOR on both
+    * sides exactly like ORC's null.
+    */
+  def jsonlRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      documents.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
+        & 0xffffffffL)
+    val dir = s"/tmp/graft_jsonl_$key"
+    documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").option("compression", "gzip")
+      .partitionBy("lang").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        bit_xor(coalesce(
+          graft.operators.TextOps.portableHash64(col("text")), lit(0L)))
+          .as("content_hash"))
+  }
 }

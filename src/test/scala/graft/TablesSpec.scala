@@ -84,4 +84,28 @@ class TablesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined, scan)
   }
+
+  test("JSONL round-trip: escaping-hostile text and null text survive the gzip trip") {
+    import spark.implicits._
+    // quotes, backslashes, newlines, tabs, unicode — the characters JSON
+    // must escape; plus a null text (absent field on disk -> null on read)
+    val hostile = Seq(
+      (0L, "plain words", "en", "t", 11L),
+      (1L, "line1\nline2\t\"quoted\" \\slash\\ unicode: é中", "en", "t", 40L),
+      (2L, null.asInstanceOf[String], "de", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val agg = Tables.jsonlRoundTrip(spark, hostile).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // expected XORs from the same portable hash computed directly
+    val direct = hostile
+      .groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.coalesce(
+          graft.operators.TextOps.portableHash64($"text"),
+          org.apache.spark.sql.functions.lit(0L))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg("en")._1 == 2L && agg("de")._1 == 1L)
+    assert(agg("en")._2 == direct("en") && agg("de")._2 == direct("de"),
+      s"round-trip hash drift: $agg vs $direct")
+  }
 }
