@@ -42,7 +42,7 @@ ID_STRIDE = 1_000_000
 # (mm_ queries are documents-derived, so they scale with the corpus too),
 # plus the event-time family (r7: slopes were never measured on real
 # timestamps — the r6 numbers predate the events replica entirely)
-PREFIXES = "doc_,emb_,mm_,station_,window_,user_,event,trip_,asof_,wds_"
+PREFIXES = "doc_,emb_,mm_,station_,window_,user_,event,trip_,asof_,wds_,jsonl"
 
 
 def build_corpus(base: str, out: str) -> None:
@@ -187,8 +187,18 @@ def main(base: str, work: str) -> int:
     total = sum10 / sum1 if sum1 else float("inf")
     lines += ["", f"Total: {sum1:.1f}s -> {sum10:.1f}s = {total:.1f}x for 10x "
               f"data. Worst stable per-query ratio: {worst:.1f}x (bound: 15x)."]
+    # PRESERVE every manually-written section (the 100x addenda, round
+    # addenda): only the generated table up to the first "## " heading is
+    # replaced — r8 lost the 100x addendum to exactly this overwrite
+    tail = ""
+    if os.path.exists("SCALE.md"):
+        with open("SCALE.md") as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut >= 0:
+            tail = old[cut:]
     with open("SCALE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("\n".join(lines))
     return 0 if worst < 15 and total < 15 else 1
 
