@@ -895,6 +895,11 @@ object SparkEntry {
     // filtering proof (the typo-join discipline, on images)
     "mm_image_near_dup" -> ((s, dir) =>
       operators.Multimodal.imageNearDupPairs(Tables.documents(s, dir))),
+    // the measured-linear twin: exact-hash duplicate GROUPS (one hash
+    // agg) — the pair query's output is quadratic in hash density by
+    // definition (SCALE.md image addendum), this one is linear always
+    "mm_image_exact_dup" -> ((s, dir) =>
+      operators.Multimodal.imageExactDupGroups(Tables.documents(s, dir))),
     // AUDIO DSP features over the real WAV decode: 8-sample windowed
     // short-time energy + zero-crossing counts, all integer-exact
     "mm_audio_features" -> ((s, dir) =>
@@ -1881,6 +1886,44 @@ object SparkEntry {
             ELSE CAST([] AS VARCHAR[]) END AS s
           FROM toks)"""
 
+  /** Shared DuckDB replica of [[graft.operators.Multimodal.imageAHashes]]:
+    * the generator closed form (text bytes cycled through the P6 raster,
+    * planted +16 twins every 50th doc) down to the two 32-bit hash halves
+    * — used by both the near-dup pair oracle and the exact-dup twin. */
+  private val imageHashCtes: String = {
+    def byteAt(j: String) =
+      s"""((ascii(substr(t, CAST(($j) % tl + 1 AS INTEGER), 1))
+          + CASE WHEN twin AND ($j) % 97 = 0 THEN 16 ELSE 0 END) % 256)"""
+    val cell =
+      s"""(${byteAt("3*((2*(i//8))*16 + 2*(i%8))")}
+          + ${byteAt("3*((2*(i//8))*16 + 2*(i%8)+1)")}
+          + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8))")}
+          + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8)+1)")}) // 4"""
+    s"""m AS (
+         SELECT doc_id,
+           CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+         FROM documents),
+       imgs AS (
+         SELECT doc_id AS img_id, t, length(t) AS tl, FALSE AS twin FROM m
+         UNION ALL
+         SELECT -doc_id - 1, t, length(t), TRUE FROM m
+         WHERE doc_id % 50 = 0),
+       cells AS (
+         SELECT img_id,
+           list_transform(generate_series(0, 63), i -> $cell) AS v
+         FROM imgs),
+       means AS (SELECT img_id, v, list_sum(v) // 64 AS mean FROM cells),
+       bits AS (
+         SELECT img_id,
+           CAST(list_sum(list_transform(generate_series(1, 32),
+             k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 1))
+                  ELSE 0 END)) AS BIGINT) AS hash_lo,
+           CAST(list_sum(list_transform(generate_series(33, 64),
+             k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 33))
+                  ELSE 0 END)) AS BIGINT) AS hash_hi
+         FROM means)"""
+  }
+
   private def jaccardPairsSql(threshold: Double): String =
     s"""SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2651,7 +2694,7 @@ object SparkEntry {
                  lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
                  lead(d, 3) OVER w AS d3
                FROM dd WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
-         a AS (SELECT event_type, n, sum(d * d) AS den,
+         a AS (SELECT event_type, n, nullif(sum(d * d), 0) AS den,
                  sum(d * d1) AS num1, sum(d * d2) AS num2, sum(d * d3) AS num3
                FROM l GROUP BY 1, 2)
          SELECT event_type, n,
@@ -4769,45 +4812,22 @@ object SparkEntry {
     // the same aHash (16x16 raster, 2x2 box cells, integer mean
     // threshold, two 32-bit halves) computed per image + planted twin,
     // then every pair compared — the banded Spark plan must lose nothing
-    "mm_image_near_dup" -> {
-      def byteAt(j: String) =
-        s"""((ascii(substr(t, CAST(($j) % tl + 1 AS INTEGER), 1))
-            + CASE WHEN twin AND ($j) % 97 = 0 THEN 16 ELSE 0 END) % 256)"""
-      def cell =
-        s"""(${byteAt("3*((2*(i//8))*16 + 2*(i%8))")}
-            + ${byteAt("3*((2*(i//8))*16 + 2*(i%8)+1)")}
-            + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8))")}
-            + ${byteAt("3*((2*(i//8)+1)*16 + 2*(i%8)+1)")}) // 4"""
-      s"""WITH m AS (
-           SELECT doc_id,
-             CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
-           FROM documents),
-         imgs AS (
-           SELECT doc_id AS img_id, t, length(t) AS tl, FALSE AS twin FROM m
-           UNION ALL
-           SELECT -doc_id - 1, t, length(t), TRUE FROM m
-           WHERE doc_id % 50 = 0),
-         cells AS (
-           SELECT img_id,
-             list_transform(generate_series(0, 63), i -> $cell) AS v
-           FROM imgs),
-         means AS (SELECT img_id, v, list_sum(v) // 64 AS mean FROM cells),
-         bits AS (
-           SELECT img_id,
-             CAST(list_sum(list_transform(generate_series(1, 32),
-               k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 1))
-                    ELSE 0 END)) AS BIGINT) AS hash_lo,
-             CAST(list_sum(list_transform(generate_series(33, 64),
-               k -> CASE WHEN v[k] > mean THEN (1::BIGINT << (k - 33))
-                    ELSE 0 END)) AS BIGINT) AS hash_hi
-           FROM means)
+    "mm_image_near_dup" ->
+      s"""WITH $imageHashCtes
          SELECT a.img_id AS img_a, b.img_id AS img_b,
            CAST(bit_count(xor(a.hash_lo, b.hash_lo))
              + bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
          FROM bits a JOIN bits b ON a.img_id < b.img_id
          WHERE bit_count(xor(a.hash_lo, b.hash_lo))
-             + bit_count(xor(a.hash_hi, b.hash_hi)) <= 6"""
-    },
+             + bit_count(xor(a.hash_hi, b.hash_hi)) <= 6""",
+    // the MEASURED-LINEAR twin of the pair query (the events_in_windows_
+    // ranked discipline): exact-hash duplicate groups — one hash agg, no
+    // pair explosion, linear at any corpus density
+    "mm_image_exact_dup" ->
+      s"""WITH $imageHashCtes
+         SELECT hash_lo, hash_hi, CAST(count(*) AS BIGINT) AS n_images,
+           min(img_id) AS canonical
+         FROM bits GROUP BY 1, 2 HAVING count(*) >= 2""",
     // replica of Multimodal.mcVideoGopSampleStats: only even frames are
     // sampled (they are the gop=2 keyframes), so the sums run over
     // generate_series step 2 and both count columns are ceil(nf/2)

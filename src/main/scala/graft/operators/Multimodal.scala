@@ -414,6 +414,22 @@ object Multimodal {
       .distinct()
   }
 
+  /** EXACT-duplicate image groups by full aHash equality — the
+    * MEASURED-LINEAR twin of [[imageNearDupPairs]] (the
+    * events_in_windows_ranked discipline): the pair query's output is
+    * definitionally quadratic in hash density (N images sharing a hash
+    * ball emit N·(N−1)/2 pairs — no complete algorithm can beat its own
+    * output size), while the grouped form answers the dedup question a
+    * pipeline usually actually asks ("which images collapse, and to
+    * which canonical") with ONE partial-combining hash agg — linear at
+    * any corpus density. Canonical = min img_id (deterministic).
+    */
+  def imageExactDupGroups(documents: DataFrame): DataFrame =
+    imageAHashes(documents)
+      .groupBy(col("hash_lo"), col("hash_hi"))
+      .agg(count(lit(1)).as("n_images"), min(col("img_id")).as("canonical"))
+      .filter(col("n_images") >= 2)
+
   /** Little-endian integer column as `nBytes` raw bytes — the BMP header
     * word shape, built from pure column ops (hex/lpad/unhex per byte) so
     * payload generation stays a narrow codegen'd projection. */

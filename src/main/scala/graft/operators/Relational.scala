@@ -219,7 +219,8 @@ object Relational {
         lagAggs: _*)
       .select(col("event_type") +: col("n") +:
         (1 to maxLag).map(k => roundFixed(
-          col(s"num$k").cast("double") / col("den").cast("double"), 6)
+          col(s"num$k").cast("double") /
+            nullif(col("den"), lit(0)).cast("double"), 6)
           .as(s"r$k")): _*)
   }
 

@@ -2960,9 +2960,12 @@ object TextOps {
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = toks.select(col("doc_id"),
       explode(positionalShingles(col("t"), n)).as("g"))
-    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val topRows = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g").asc)
-      .limit(1).collect()(0).getString(0)
+      .limit(1).collect()
+    require(topRows.nonEmpty,
+      s"phraseSearchTopGram: no document has $n tokens — no phrase exists")
+    val top = topRows(0).getString(0)
     val words = top.split(" ")
     val postings = toks
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))

@@ -1132,6 +1132,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real.getLong(0) > 0 && real.getLong(0) < real.getLong(1), real.toString)
   }
 
+  test("image exact-dup groups: counts reconcile with distinct-hash arithmetic, linear plan") {
+    import spark.implicits._
+    val d = docs.limit(200)
+    val hashes = Multimodal.imageAHashes(d)
+    val nImages = hashes.count()
+    val nDistinct = hashes.select("hash_lo", "hash_hi").distinct().count()
+    val groups = Multimodal.imageExactDupGroups(d).collect()
+    // every group has >= 2 members, and total members across dup groups
+    // equals images minus singleton hashes
+    assert(groups.forall(_.getAs[Long]("n_images") >= 2L))
+    val dupMembers = groups.map(_.getAs[Long]("n_images")).sum
+    val singletons = nImages - dupMembers
+    assert(singletons == nDistinct - groups.length,
+      s"images=$nImages distinct=$nDistinct dupGroups=${groups.length} dupMembers=$dupMembers")
+    // canonical ids are distinct across groups (one canonical per hash)
+    val canonicals = groups.map(_.getAs[Long]("canonical"))
+    assert(canonicals.distinct.length == canonicals.length)
+    // linear shape: one aggregation, no join/pair explosion in the plan
+    val plan = Multimodal.imageExactDupGroups(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"exact-dup must not join:\n$plan")
+  }
+
   test("resizePpmHalf: real pixel downscale — box averages, odd-edge crop, loud failures") {
     // 3x3 image with known channel values; odd row/col must crop away
     val w = 3; val h = 3
