@@ -80,6 +80,10 @@ object GraftFunctions {
     colFn("graft_redact_pii", 1,
       "typed-placeholder PII redaction (email/IP/card/phone)") {
       case Seq(text) => TextOps.redactChain(text)
+    },
+    colFn("graft_hilbert20", 2,
+      "20-bit Hilbert-curve index of two bigint coordinates") {
+      case Seq(a, b) => graft.functions.Hilbert.hilbertKeyNative(a, b, 20)
     }
   )
 

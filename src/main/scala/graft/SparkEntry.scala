@@ -339,6 +339,11 @@ object SparkEntry {
     // sum) engine-portable, so unlike the builtin it hash-oracles
     "event_type_hll_users" -> ((s, dir) =>
       Relational.eventTypeHllUsers(Tables.events(s, dir))),
+    // HLL sketch ALGEBRA: per-type register tiles max-merged into the
+    // global __all__ estimate without re-reading raw rows — the
+    // mergeability that makes sketch tiles work at 100 TB
+    "event_type_hll_rollup" -> ((s, dir) =>
+      Relational.eventTypeHllRollup(Tables.events(s, dir))),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
     // SCD Type-2 dimension build: per-user event_type runs collapsed to
@@ -2718,6 +2723,38 @@ object SparkEntry {
          UNION ALL SELECT event_type, 'n_users', n_users FROM w
          UNION ALL SELECT event_type, 'sum_value', sum_value FROM w
          UNION ALL SELECT event_type, 'avg_value', avg_value FROM w""",
+    // rollup replica: the same register relation plus a '__all__' arm of
+    // register-wise maxima — union-of-sketches ≡ sketch-of-union
+    "event_type_hll_rollup" ->
+      s"""WITH h AS (
+           SELECT event_type,
+             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events WHERE user_id IS NOT NULL),
+         b AS (
+           SELECT event_type, h % 256 AS reg,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM h),
+         r AS (SELECT event_type, reg, max(rho) AS r FROM b GROUP BY 1, 2),
+         u AS (SELECT event_type, reg, r FROM r
+               UNION ALL
+               SELECT '__all__' AS event_type, reg, max(r) AS r
+               FROM r GROUP BY 2),
+         s AS (SELECT event_type,
+                 sum(1::BIGINT << (53 - r)) AS s_present,
+                 count(*) AS n_reg
+               FROM u GROUP BY 1),
+         e AS (SELECT event_type, 256 - n_reg AS v_empty,
+                 (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                   / CAST(s_present + (256 - n_reg) * (1::BIGINT << 53) AS DOUBLE)
+                   AS raw
+               FROM s)
+         SELECT event_type,
+           floor((CASE WHEN raw <= 640.0 AND v_empty > 0
+                       THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+                       ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_users,
+           v_empty
+         FROM e""",
     // HLL replica: identical register split (low 8 bits), identical exact
     // leading-zero count via bin(), identical integer register sum in units
     // of 2^-53, and the final float expressions mirrored token-for-token

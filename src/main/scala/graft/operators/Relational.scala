@@ -616,6 +616,59 @@ object Relational {
         .as("approx_users"))
   }
 
+  /** HLL SKETCH ALGEBRA — the property that makes sketches matter at
+    * 100 TB: per-group registers MERGE by register-wise max (max is
+    * associative/commutative/idempotent), so pre-aggregated per-type
+    * sketch tiles roll up to the global distinct count WITHOUT touching
+    * raw data again — the KMV-overlap story ([[kmvOverlap]]'s family) on
+    * the HLL side. Emits one row per event_type (its own estimate) plus
+    * an `__all__` row whose registers are the max-merge of the per-type
+    * registers; union-of-sketches ≡ sketch-of-union is exact by
+    * construction (same hash → same register/rho), asserted in spec.
+    * Every step integer-exact until the mirrored final expression, like
+    * [[eventTypeHllUsers]].
+    */
+  def eventTypeHllRollup(events: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"precision p must be in [4, 14], got $p")
+    val m = 1 << p
+    val w = 60 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val tail = shiftright(col("h"), p)
+    val perType = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(m.toLong)).as("reg"),
+        when(tail === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(tail))).as("rho"))
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("r"))
+    // the merge: per-type registers union'd by register-wise max — the
+    // raw rows are NEVER re-read for the rollup
+    val merged = perType
+      .groupBy(col("reg"))
+      .agg(max(col("r")).as("r"))
+      .select(lit("__all__").as("event_type"), col("reg"), col("r"))
+    perType.unionByName(merged)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr(s"shiftleft(cast(1 as bigint), ${w + 1} - r)")).as("s_present"),
+        count(lit(1)).as("n_reg"))
+      .select(col("event_type"),
+        (lit(m.toLong) - col("n_reg")).as("v_empty"),
+        (lit(alpha) * lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, w + 1)) /
+          (col("s_present") +
+            (lit(m.toLong) - col("n_reg")) * lit(1L << (w + 1))).cast("double"))
+          .as("raw"))
+      .select(col("event_type"),
+        roundFixed(
+          when(col("raw") <= lit(2.5 * m) && col("v_empty") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+            .otherwise(col("raw")), 4).as("hll_users"),
+        col("v_empty"))
+  }
+
   /** From-scratch HYPERLOGLOG distinct count, fully hash-oracled — the
     * sketch the builtin `approx_count_distinct` wraps, rebuilt declaratively
     * so every step is engine-portable (the builtin's HLL++ register LAYOUT

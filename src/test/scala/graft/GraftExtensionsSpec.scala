@@ -77,6 +77,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(c == 1.0)
   }
 
+  test("graft_hilbert20 is SQL-callable and agrees with the kernel") {
+    import spark.implicits._
+    Seq((5L, 9L), (12345L, 678L)).toDF("a", "b").createOrReplaceTempView("t_hil")
+    val got = spark.sql("SELECT a, b, graft_hilbert20(a, b) AS h FROM t_hil")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, h) =>
+      assert(h == graft.functions.HilbertUtil.xy2d(20, a, b), s"($a,$b)")
+    }
+  }
+
   test("wrong arity yields a clear error naming the function") {
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0d))").collect())
     assert(e.getMessage.contains("graft_cosine"))

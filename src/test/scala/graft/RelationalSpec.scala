@@ -111,6 +111,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  test("HLL rollup: union-of-sketches equals sketch-of-union, exactly") {
+    import spark.implicits._
+    // disjoint user sets per type: the merged __all__ estimate must be
+    // IDENTICAL to hashing the union directly (same hash -> same
+    // register/rho -> same max), not merely close
+    val ev = ((1L to 300L).map(u => ("a", u)) ++
+      (301L to 700L).map(u => ("b", u))).toDF("event_type", "user_id")
+    val rollup = Relational.eventTypeHllRollup(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Relational.eventTypeHllUsers(
+      ev.withColumn("event_type", lit("x"))).collect()
+      .head.getDouble(1)
+    assert(rollup("__all__") == direct,
+      s"merge=${rollup("__all__")} direct=$direct")
+    // per-type rows match the non-rollup query too
+    val single = Relational.eventTypeHllUsers(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rollup("a") == single("a") && rollup("b") == single("b"))
+    // estimates track the disjoint-union arithmetic within sketch error
+    assert(math.abs(rollup("__all__") - 700.0) / 700.0 <= 0.20)
+  }
+
   test("hopping windows: 4x row expansion, [start,end) boundaries, one shuffle") {
     import spark.implicits._
     val events = Tables.events(spark, dir)
