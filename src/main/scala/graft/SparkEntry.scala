@@ -323,6 +323,11 @@ object SparkEntry {
     // deterministic on both engines.
     "event_type_kmv_users" -> ((s, dir) =>
       Relational.eventTypeKmvUsers(Tables.events(s, dir))),
+    // TWAP: time-weighted average per (user, day) under sample-and-hold —
+    // weights are integer seconds to the next sample; the day's last
+    // sample holds nothing and is excluded (single-sample days drop)
+    "event_twap" -> ((s, dir) =>
+      Relational.eventTwap(Tables.events(s, dir))),
     // sample autocorrelation of the hourly count series (lags 1-3, dense
     // gap-filled): the d_t = n*c_t - S substitution makes every statistic
     // an exact integer ratio — one double division per lag, nothing else
@@ -2677,6 +2682,23 @@ object SparkEntry {
              ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0) END)
              * 1e4 + 0.5) / 1e4 AS approx_users
          FROM t""",
+    // TWAP replica: same truncate-to-seconds instants, same (ts, event_id)
+    // lead order, same double product -> decimal-exact weighted sum
+    "event_twap" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts, value, CAST(ts AS DATE) AS day,
+             epoch_us(ts) // 1000000 AS sec
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         d AS (
+           SELECT user_id, day, value,
+             lead(sec, 1) OVER (PARTITION BY user_id, day
+               ORDER BY ts, event_id) - sec AS dt
+           FROM s)
+         SELECT user_id, day, count(*) AS n_held,
+           CAST(sum(dt) AS BIGINT) AS held_seconds,
+           floor(CAST(sum(CAST(value * dt AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(nullif(sum(dt), 0) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS twap
+         FROM d WHERE dt IS NOT NULL GROUP BY 1, 2""",
     // ACF replica: identical dense series, identical integer d_t, lead()
     // windows, integer sums, one mirrored double division per lag
     "event_autocorr" ->

@@ -170,6 +170,44 @@ object Relational {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** TWAP — time-weighted average of an irregularly-sampled value per
+    * (user, day), under step (sample-and-hold) interpolation: each
+    * sample's weight is the seconds until the user's NEXT sample that
+    * day, so a value that held for an hour counts 3600× one that held a
+    * second — the aggregate a mean would get wrong on irregular
+    * telemetry (and the standard fill for financial ticks). The last
+    * sample of a day holds nothing measurable and carries zero weight;
+    * single-sample days therefore have no TWAP and are excluded (the
+    * honest contract — inventing a duration would be a guess).
+    *
+    * Determinism: durations are integer seconds; each value·dt product
+    * is decimal-backed before the (order-free) decimal sum, one final
+    * division rounds at 1e-4 — the sumRounded discipline applied to a
+    * weighted mean. One shuffle (the user window), O(1) per row.
+    */
+  def eventTwap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val samples = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        to_date(col("ts")).as("day"))
+      .withColumn("dt",
+        unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+      .filter(col("dt").isNotNull) // the day's last sample holds nothing
+    samples
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_held"),
+        sum(col("dt")).as("held_seconds"),
+        roundFixed(
+          // product in DOUBLE (one exactly-rounded IEEE op both engines),
+          // then the decimal cast + exact sum — the sum_disc_price pattern
+          sum((col("value") * col("dt").cast("double")).cast("decimal(38,10)"))
+            .cast("double") /
+            nullif(sum(col("dt")), lit(0L)).cast("double"), 4).as("twap"))
+  }
+
   /** Sample AUTOCORRELATION of the hourly event-count series per type —
     * the periodicity detector (daily/weekly seasonality shows up as
     * spikes at the matching lag) a telemetry pipeline runs before

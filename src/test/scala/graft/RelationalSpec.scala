@@ -111,6 +111,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  test("TWAP: hold weights are next-sample gaps, last sample holds nothing") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def t(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    // user 1: value 10 held 60s, then 40 held 540s, then a last sample
+    // (dropped): twap = (10*60 + 40*540) / 600 = 37.0 — a plain mean of
+    // (10, 40, 7) would say 19, which is the error TWAP exists to fix
+    val ev = Seq(
+      (1L, 100L, t(0), 10.0),
+      (1L, 101L, t(60), 40.0),
+      (1L, 102L, t(600), 7.0),
+      // user 2: single sample -> no measurable hold -> excluded
+      (2L, 200L, t(0), 99.0),
+      // user 3: same-second tie broken by event_id -> dt 0 then 30:
+      // twap = (5*0 + 8*30)/30 = 8.0
+      (3L, 300L, t(0), 5.0),
+      (3L, 301L, t(0), 8.0),
+      (3L, 302L, t(30), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Relational.eventTwap(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(1L, 3L), out.toString)
+    assert(out(1L) == ((2L, 600L, 37.0)), out(1L).toString)
+    assert(out(3L) == ((2L, 30L, 8.0)), out(3L).toString)
+  }
+
   test("HLL rollup: union-of-sketches equals sketch-of-union, exactly") {
     import spark.implicits._
     // disjoint user sets per type: the merged __all__ estimate must be
