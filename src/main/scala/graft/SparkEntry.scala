@@ -41,33 +41,6 @@ object SparkEntry {
         TextOps.trainedQualityWeights(Tables.documents(s, dir)))
     }
 
-  /** Published HNSW serving indexes, memoized per data dir (pure
-    * functions of that dir's embeddings table and fixed build params):
-    * the distributed build + collect runs at most once per dir per JVM,
-    * after which every search plan is a pure walk — zero build jobs
-    * (the qmWeights/trainedCodebook publish-once discipline at index
-    * scale). */
-  private val hnswMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Similarity.HnswIndex]
-  private def hnswIdx(s: SparkSession, dir: String): Similarity.HnswIndex =
-    hnswMemo.synchronized {
-      hnswMemo.getOrElseUpdate(dir, Similarity.hnswIndex(
-        Tables.embeddings(s, dir),
-        knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
-    }
-  private val hnswShardMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Similarity.HnswIndex]]
-  // the shard indexes are built with numQueries = 10 (the default) —
-  // the search side must pass the same value (the depth-pad contract,
-  // see hnswSearchShardedWithIndexes)
-  private def hnswShardIdx(s: SparkSession,
-                           dir: String): Seq[Similarity.HnswIndex] =
-    hnswShardMemo.synchronized {
-      hnswShardMemo.getOrElseUpdate(dir, Similarity.hnswShardIndexes(
-        Tables.embeddings(s, dir), shards = 2,
-        knownCount = Tables.parquetRowCount(s, dir, "embeddings")))
-    }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: ETL pipeline (SURVEY.md §2.2-§2.5) ---
     "trip_enrich" -> ((s, dir) =>
@@ -680,11 +653,14 @@ object SparkEntry {
     // (corpus size never touches the shuffle), decimal-exact moments
     "emb_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(Tables.embeddings(s, dir))),
-    // PCA projection + whitening off the driver-factorized covariance
-    // (rows-only: the iterative eigensolver is not SQL-expressible; the
-    // covariance input is the hash-oracled query above)
-    "emb_pca_project" -> ((s, dir) =>
-      Similarity.pcaProject(Tables.embeddings(s, dir))),
+    // PCA projection + whitening (Similarity.pcaProject) is deliberately
+    // NOT a driver query: the iterative Jacobi eigensolver is not
+    // SQL-expressible, so no hash oracle can exist — it shipped as an
+    // `err: no_oracle` row in r9 and was demoted per the HLL precedent
+    // (see event_type_kmv_users above). It remains public API with
+    // orthonormality/reconstruction/idempotence specs (SimilaritySpec);
+    // the family's oracled driver representative is emb_covariance —
+    // the projection input, hash-matched cell by cell.
     // Matryoshka truncation eval: recall@k when searching with only the
     // first d dims, per candidate d — the dim-vs-recall serving report
     "emb_mrl_recall" -> ((s, dir) =>
@@ -713,25 +689,18 @@ object SparkEntry {
     "emb_hnsw_build" -> ((s, dir) =>
       Similarity.hnswBuild(Tables.embeddings(s, dir),
         knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
-    // ...and the serving search over that graph: greedy upper-layer
-    // descent + ef-beam on layer 0, index broadcast, queries distributed.
-    // The iterative walk is not SQL-expressible -> no oracle (driver
-    // rows-only check); determinism and recall vs the exact baseline are
-    // pinned in SimilaritySpec
-    // search over the PUBLISHED index (memoized per dir): the plan is a
-    // pure distributed walk — zero build jobs, the publish-once
-    // discipline every serving deployment uses
-    "emb_hnsw_search" -> ((s, dir) =>
-      Similarity.hnswSearchWithIndex(Tables.embeddings(s, dir),
-        hnswIdx(s, dir))),
-    // the 100 TB serving layout made real: hash-disjoint shards, one
-    // subgraph per shard (published once, like the monolithic index),
-    // per-shard top-k merged by the standard final rank (DiskANN/SPANN
-    // shape) — rows-only like emb_hnsw_search; recall >= the monolithic
-    // graph's, spec-measured. 2 shards here; the spec runs 4
-    "emb_hnsw_search_sharded" -> ((s, dir) =>
-      Similarity.hnswSearchShardedWithIndexes(Tables.embeddings(s, dir),
-        hnswShardIdx(s, dir))),
+    // The serving SEARCH over that graph (greedy upper-layer descent +
+    // ef-beam on layer 0) is deliberately NOT a driver query: the
+    // iterative walk is not SQL-expressible, so no hash oracle can exist
+    // — emb_hnsw_search and emb_hnsw_search_sharded shipped as
+    // `err: no_oracle` rows in r9 and were demoted per the HLL precedent
+    // (see event_type_kmv_users above). Both remain public API
+    // (Similarity.hnswSearchDistributed is the scale path — per-shard
+    // typed groups, NO corpus-scale collect anywhere) with determinism,
+    // recall-vs-brute-force, and distributed≡broadcast equivalence specs
+    // (SimilaritySpec); the family's oracled driver representative is
+    // emb_hnsw_build — the ENTIRE layered graph hash-matched edge by
+    // edge, which pins everything the walk consumes.
     // the NON-VACUOUS twin (round-4 verdict #3): the corpus max cosine
     // (~0.51) keeps emb_lsh_pairs' oracled output at 0 rows, so that
     // hash-match never exercises buckets/cap/verify on real pairs. This
@@ -4179,7 +4148,7 @@ object SparkEntry {
            SELECT w, len(w) AS n,
              unnest(generate_series(0,
                CAST(2 ** (len(w) - 1) AS BIGINT) - 1)) AS m
-           FROM wf),
+           FROM wf WHERE len(w) <= 62),
          segs AS (
            SELECT w, n, m,
              list_prepend(CAST(0 AS BIGINT), list_append(
@@ -4205,7 +4174,14 @@ object SparkEntry {
          array_to_string(p.ps, ' ') AS pieces,
          CAST(len(p.ps) AS BIGINT) AS n_pieces, b.sc AS score_micro
        FROM best b JOIN pieces p ON p.w = b.w AND p.m = b.m
-       WHERE b.rn = 1""",
+       WHERE b.rn = 1
+       UNION ALL
+       -- over-long tokens (> 62 chars, beyond the engine's cut-mask
+       -- width) pass through unsegmented with a null score — the same
+       -- branch the engine takes
+       SELECT w AS word, CAST(len(w) AS INT) AS n_chars, w AS pieces,
+         CAST(1 AS BIGINT) AS n_pieces, CAST(NULL AS BIGINT) AS score_micro
+       FROM wf WHERE len(w) > 62""",
     // replica of TextOps.longestRepeatedSubstring — brute force: ALL
     // (start, length) grams of every document, the max length with a
     // duplicate, min witness at that length (binary collation both

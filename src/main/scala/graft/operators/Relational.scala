@@ -32,14 +32,18 @@ object Relational {
       )
 
   /** Three-deep dimension join: orders ⋈ customer ⋈ nation ⋈ region →
-    * revenue per (region, nation). customer/nation/region are all far below
-    * the broadcast threshold, so the plan is a chain of broadcast hash joins
-    * with zero fact-table shuffles until the final small aggregation.
+    * revenue per (region, nation). nation/region are FIXED-cardinality
+    * (25/5 rows at any SF) so they carry explicit broadcast hints;
+    * `customer` GROWS with SF, so it gets NO hint — Spark's stats gate
+    * (parquet sizeInBytes vs autoBroadcastJoinThreshold) + AQE choose
+    * broadcast while it fits and fall back to shuffle join when it
+    * outgrows executor memory at 100 TB. PlanRegressionSpec pins BHJ
+    * at test SF without the hint.
     */
   def regionRevenue(orders: DataFrame, customer: DataFrame,
                     nation: DataFrame, region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -50,11 +54,13 @@ object Relational {
 
   /** Top-k by aggregate with deterministic tie-break — sort + limit after a
     * hash agg; Spark plans a TakeOrderedAndProject, so only k rows per
-    * partition ever reach the driver-side final ordering.
+    * partition ever reach the driver-side final ordering. `customer` is
+    * SF-growing → no broadcast hint (stats/AQE gate it; see
+    * [[regionRevenue]]).
     */
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(sumRounded(col("o_totalprice"), 2).as("revenue"),
         count(lit(1)).as("n_orders"))
@@ -244,16 +250,23 @@ object Relational {
       .withColumn("c", coalesce(col("c"), lit(0L)))
     val stats = dense.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    // d = n·c − S is an exact long (|d| ≤ n·max(c) < 2^63), but the
+    // PRODUCT d·d_k is not: two ~3.0e9 deviations overflow Long×Long
+    // silently. Cast each factor to decimal(20,0) — wide enough for any
+    // long — BEFORE multiplying, so the product is computed in decimal
+    // ((20,0)×(20,0) → (38,0), exact for any pair of longs) instead of
+    // wrapping (advisor finding, round 9). DuckDB's sum(BIGINT) already
+    // promotes to HUGEINT, so the oracle was never in the overflow regime.
     val d = dense.join(stats, Seq("event_type"))
-      .withColumn("d", col("n") * col("c") - col("s"))
+      .withColumn("d", (col("n") * col("c") - col("s")).cast("decimal(20,0)"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
     val led = (1 to maxLag).foldLeft(d) { (df, k) =>
       df.withColumn(s"d$k", lead(col("d"), k).over(w))
     }
     val lagAggs = (1 to maxLag).map(k =>
-      sum((col("d") * col(s"d$k")).cast("decimal(38,0)")).as(s"num$k"))
+      sum(col("d") * col(s"d$k")).as(s"num$k"))
     led.groupBy(col("event_type"), col("n"))
-      .agg(sum((col("d") * col("d")).cast("decimal(38,0)")).as("den"),
+      .agg(sum(col("d") * col("d")).as("den"),
         lagAggs: _*)
       .select(col("event_type") +: col("n") +:
         (1 to maxLag).map(k => roundFixed(

@@ -3317,8 +3317,23 @@ object TextOps {
     val bc = spark.sparkContext.broadcast(pieceLp)
     val P = maxPieceLen
     wordFreq.select(col("w")).as[String].map { w =>
-      require(w.length <= 62, s"word too long for the cut-mask tie-break: $w")
-      val pm = bc.value
+      if (w.length > 62) {
+        // Over-long token (URL, hash, base64 blob — common in real web
+        // text): the 62-bit cut-mask tie-break can't represent its cut
+        // set, so pass it through UNSEGMENTED with a null score rather
+        // than aborting the whole corpus on one token (advisor finding,
+        // round 9). Downstream consumers read n_pieces=1 + null
+        // score_micro as "unsegmentable"; the oracle carries the same
+        // branch.
+        (w, w.length, w, 1L, Option.empty[Long])
+      } else segmentWord(w, bc.value, P)
+    }.toDF("word", "n_chars", "pieces", "n_pieces", "score_micro")
+  }
+
+  /** The per-word Viterbi DP of [[unigramSegment]] (words ≤ 62 chars —
+    * the cut-mask width; longer words are passed through by the caller). */
+  private def segmentWord(w: String, pm: Map[String, Long],
+                          P: Int): (String, Int, String, Long, Option[Long]) = {
       val n = w.length
       val NEG = Long.MinValue / 4
       val score = new Array[Long](n + 1)
@@ -3346,8 +3361,7 @@ object TextOps {
       val pieces = bounds.sliding(2).map { case Seq(a, b) =>
         w.substring(a, b)
       }.toSeq
-      (w, n, pieces.mkString(" "), pieces.length.toLong, score(0))
-    }.toDF("word", "n_chars", "pieces", "n_pieces", "score_micro")
+      (w, n, pieces.mkString(" "), pieces.length.toLong, Some(score(0)))
   }
 
   // ------------------------------------------------- blocklist scanning

@@ -240,6 +240,44 @@ object Tables {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** One random token per JVM: round-trip scratch dirs from CONCURRENT
+    * runs (two drivers benching the same corpus) never collide, while
+    * repeated calls within one driver reuse — and `overwrite` — the same
+    * dir instead of leaking a new one per pass. Cleaned on JVM exit. */
+  private lazy val runToken: String =
+    java.util.UUID.randomUUID.toString.take(8)
+
+  /** Scratch dir for a format round-trip, keyed by (corpus, run):
+    * a sha-256 prefix over ALL sorted input file paths — two distinct
+    * corpora colliding would need a 64-bit digest collision, unlike the
+    * previous 32-bit `String.hashCode` of just the first file (advisor
+    * finding, round 9) — plus the per-run token for cross-process
+    * isolation. Registered for recursive deletion at JVM shutdown so
+    * per-run dirs don't accumulate in /tmp. */
+  private def scratchDir(prefix: String, input: DataFrame): String = {
+    val paths = input.inputFiles.sorted
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(paths.mkString("\n").getBytes("UTF-8"))
+    val key = digest.take(8).map(b => f"$b%02x").mkString
+    val dir = s"/tmp/${prefix}_${key}_$runToken"
+    registerCleanup(dir)
+    dir
+  }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(dir: String): Unit =
+    if (cleanupRegistered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
+
   /** ORC round-trip as one self-contained driver query (the wds_roundtrip
     * pattern on Spark's OTHER built-in columnar format): write the
     * document corpus as zlib ORC partitioned by lang — `partitionBy`
@@ -251,14 +289,11 @@ object Tables {
     * directly, so a hash match proves the ORC write → partition layout →
     * read is lossless (NULL texts ride along as ORC nulls — unlike tar,
     * a columnar file CAN carry them — and hash as 0 in the XOR on both
-    * sides). The scratch dir is keyed by the input path (concurrent
-    * scale factors never collide) and rewritten per run (overwrite — the
-    * layout must reflect THIS corpus). */
+    * sides). The scratch dir is keyed by (corpus-sha, run-token) — see
+    * [[scratchDir]] — and rewritten per pass within a run (overwrite —
+    * the layout must reflect THIS corpus). */
   def orcRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val key = java.lang.Long.toHexString(
-      documents.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
-        & 0xffffffffL)
-    val dir = s"/tmp/graft_orc_$key"
+    val dir = scratchDir("graft_orc", documents)
     documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .write.mode("overwrite").option("compression", "zlib")
       .partitionBy("lang").orc(dir)
@@ -285,10 +320,7 @@ object Tables {
     * sides exactly like ORC's null.
     */
   def jsonlRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val key = java.lang.Long.toHexString(
-      documents.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
-        & 0xffffffffL)
-    val dir = s"/tmp/graft_jsonl_$key"
+    val dir = scratchDir("graft_jsonl", documents)
     documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .write.mode("overwrite").option("compression", "gzip")
       .partitionBy("lang").json(dir)

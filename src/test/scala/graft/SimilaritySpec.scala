@@ -726,6 +726,41 @@ class SimilaritySpec extends AnyFunSuite {
         k = 5).collect().map(_.toSeq).toSet)
   }
 
+  test("hnsw distributed serving: identical rows to the collected shard indexes, walk inside typed groups") {
+    // the 100 TB path (no collect anywhere) must agree ROW FOR ROW with
+    // the collected-artifact path over the same shard count: same
+    // per-shard graphs (hnswBuild is deterministic), same walk, same
+    // merge — so the convenience artifacts are safe to keep for small
+    // corpora
+    val dist = Similarity.hnswSearchDistributed(emb, shards = 4,
+      numQueries = 10, k = 5)
+    val collected = Similarity.hnswSearchShardedWithIndexes(emb,
+      Similarity.hnswShardIndexes(emb, shards = 4, numQueries = 10),
+      numQueries = 10, k = 5)
+    assert(dist.collect().map(_.toSeq).toSet ==
+      collected.collect().map(_.toSeq).toSet)
+    // the per-process bound: the index is materialized ONLY inside the
+    // shard-keyed typed group (a MapGroups node over the shard key —
+    // Spark plans flatMapGroups as MapGroups). Build-leg joins may
+    // stats-broadcast small relations at this SF — that's Spark's gate,
+    // fine — but the walk stage itself must be the typed group, not a
+    // broadcast of a collected index artifact.
+    val p = dist.queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups"), p)
+    // quality bar identical to the collected sharded path
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val approx = topkSet(dist)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"distributed sharded recall $recall")
+  }
+
+  test("hnswIndex refuses a corpus beyond its collect bound and points at the distributed path") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hnswIndex(emb, maxCollect = 10L)
+    }
+    assert(e.getMessage.contains("hnswSearchDistributed"), e.getMessage)
+  }
+
   test("hnsw search: deterministic, self-excluded, recall vs brute force >= 0.9") {
     val res = Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5)
     val rows = res.collect()
