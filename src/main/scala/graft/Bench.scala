@@ -34,6 +34,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The known-bounded global windows (doc_collocations' final rank runs
+    // over a TakeOrderedAndProject of k rows; the incident-bin windows are
+    // calendar-bounded — all plan-audited metadata-scale, see the PLANS.md
+    // appendix) emit a "No Partition Defined" WARN per execution, which
+    // buried the whole bench tail in spam (round-9 verdict #4) and would
+    // hide any REAL warning from the driver. Silence that one category in
+    // the bench harness only — library code never touches log config, so
+    // a user's session still sees the warning on genuinely global windows.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
