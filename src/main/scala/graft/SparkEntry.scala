@@ -759,6 +759,21 @@ object SparkEntry {
     // drops to O(N·(nprobe/c)) table lookups
     "emb_ivfpq_search" -> ((s, dir) =>
       Similarity.ivfpqSearchTopK(Tables.embeddings(s, dir))),
+    // residual-quantization codebooks (r9 verdict #6 — the one major
+    // compression scheme the flat/IVF/PQ/binary/graph family lacked):
+    // stage s+1 quantizes what stage s left over, so the reconstruction
+    // is an additive SUM of codewords; every stage trains on residuals
+    // against the previous stage's ROUNDED published artifact, which is
+    // what makes the whole chain oracle-replayable
+    "emb_rq_codebooks" -> ((s, dir) =>
+      Similarity.rqCodebooks(Tables.embeddings(s, dir))),
+    // ...and its ADC serving path: additive reconstruction cosine via
+    // per-stage query tables + codeword-norm and stage-pair CROSS tables
+    // (‖Σ c_s‖² is not stage-separable — the cross inner products are the
+    // part PQ's estimator doesn't need), all literal-scale, encode scan
+    // shuffle-free
+    "emb_rq_search" -> ((s, dir) =>
+      Similarity.rqSearchTopK(Tables.embeddings(s, dir))),
     // binary (sign-bit) quantization — the 1-bit member of the compression
     // family: 64 float dims pack 256x into ONE 64-bit code, per-row
     // projection only
@@ -1506,6 +1521,100 @@ object SparkEntry {
           FROM agg)
         SELECT query_id, neighbor_id,
           floor(c0 * 1e4 + 0.5) / 1e4 AS adc_cosine, rank
+        FROM ranked WHERE rank <= $topK"""
+  }
+
+  /** DuckDB replica of the RQ residual chain: a (vec_id, embedding)
+    * source subquery for stage `stage` — stage 0 is the corpus cast to
+    * DOUBLE[]; stage s+1 subtracts, element by element, the stage-s
+    * ROUNDED centroid of the stage-s code (both re-derived by the
+    * already-hash-green [[kmeansOracle]] chains over the previous
+    * stage's source), exactly like the engine's zip_with against the
+    * published artifact. Recursion depth = numStages − 1. */
+  private def rqResidualSrc(stage: Int, k: Int, iters: Int): String =
+    if (stage == 0)
+      "(SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)"
+    else {
+      val prev = rqResidualSrc(stage - 1, k, iters)
+      s"""(SELECT e.vec_id,
+            list_transform(generate_series(1, len(e.v)),
+              i -> e.v[i] - b.cv[i]) AS embedding
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM $prev) e
+          JOIN (SELECT vec_id, code
+                FROM (${kmeansOracle(k, iters, prev, emit = "codes")})) cd
+            ON cd.vec_id = e.vec_id
+          JOIN (SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+                FROM (${kmeansOracle(k, iters, prev)}) GROUP BY 1) b
+            ON b.cluster_id = cd.code)"""
+    }
+
+  /** DuckDB replica of [[graft.operators.Similarity.rqCodebooks]]: one
+    * unrolled-Lloyd replica per stage, each over the residual source of
+    * that stage. */
+  private def rqOracle(numStages: Int, k: Int, iters: Int): String =
+    (0 until numStages).map { s =>
+      s"""SELECT $s AS stage, cluster_id, dim, centroid_val
+          FROM (${kmeansOracle(k, iters, rqResidualSrc(s, k, iters))})"""
+    }.mkString("\n UNION ALL ")
+
+  /** DuckDB replica of [[graft.operators.Similarity.rqSearchTopK]] (two
+    * stages): per-stage rounded codebooks and codes from the
+    * [[kmeansOracle]] chains over the residual sources; the numerator
+    * re-derives each query table entry as the full-dim query·codeword
+    * dot, the denominator re-derives the codeword squared norms AND the
+    * stage-pair cross inner product (additive reconstruction:
+    * ‖c0 + c1‖² = (nsq0 + nsq1) + 2·⟨c0,c1⟩), every fold
+    * ascending-index on both engines, summation trees token-identical —
+    * so the top-k hash-matches. */
+  private def rqSearchOracle(k: Int, iters: Int, numQueries: Int,
+                             topK: Int): String = {
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    def dotIdx(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val src0 = rqResidualSrc(0, k, iters)
+    val src1 = rqResidualSrc(1, k, iters)
+    s"""WITH cb0 AS (
+          SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+          FROM (${kmeansOracle(k, iters, src0)}) GROUP BY 1),
+        cb0n AS (
+          SELECT cluster_id, cv,
+            list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS nsq
+          FROM cb0),
+        cb1 AS (
+          SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+          FROM (${kmeansOracle(k, iters, src1)}) GROUP BY 1),
+        cb1n AS (
+          SELECT cluster_id, cv,
+            list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS nsq
+          FROM cb1),
+        codes0 AS (
+          SELECT vec_id, code
+          FROM (${kmeansOracle(k, iters, src0, emit = "codes")})),
+        codes1 AS (
+          SELECT vec_id, code
+          FROM (${kmeansOracle(k, iters, src1, emit = "codes")})),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS qnrm
+          FROM embeddings WHERE vec_id < $numQueries),
+        scored AS (
+          SELECT q.query_id, c0.vec_id AS neighbor_id,
+            (${dotIdx("q.v", "b0.cv")} + ${dotIdx("q.v", "b1.cv")}) /
+              (q.qnrm * sqrt((b0.nsq + b1.nsq) +
+                2.0 * ${dotIdx("b0.cv", "b1.cv")})) AS c0v
+          FROM codes0 c0
+          JOIN codes1 c1 ON c1.vec_id = c0.vec_id
+          JOIN cb0n b0 ON b0.cluster_id = c0.code
+          JOIN cb1n b1 ON b1.cluster_id = c1.code
+          CROSS JOIN q WHERE q.query_id <> c0.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, c0v,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY c0v DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id,
+          floor(c0v * 1e4 + 0.5) / 1e4 AS adc_cosine, rank
         FROM ranked WHERE rank <= $topK"""
   }
 
@@ -2783,6 +2892,9 @@ object SparkEntry {
       iters = 2, numQueries = 10, topK = 5),
     "emb_ivfpq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
       iters = 2, numQueries = 10, topK = 5, ivf = Some((8, 4))),
+    "emb_rq_codebooks" -> rqOracle(numStages = 2, k = 8, iters = 2),
+    "emb_rq_search" -> rqSearchOracle(k = 8, iters = 2, numQueries = 10,
+      topK = 5),
     "trip_enrich" ->
       """SELECT e.event_id AS trip_id, e.ts AS trip_time, e.event_type AS trip_type,
          e.user_id % 10 AS station_id, e.value AS temperature,

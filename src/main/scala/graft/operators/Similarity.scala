@@ -679,6 +679,194 @@ object Similarity {
         roundFixed(col("c0"), 4).as("adc_cosine"), col("rank"))
   }
 
+  // ------------------------------------------------ residual quantization
+
+  /** Train the per-stage RESIDUAL-QUANTIZATION codebooks: stage 0 runs
+    * the exact [[kmeansCentroids]] Lloyd loop over the corpus; stage s+1
+    * runs it over the stage-s residuals x − C_s[code_s(x)], where both
+    * the assignment and the subtraction use the stage-s ROUNDED
+    * PUBLISHED codebook (the artifact a consumer actually holds — the
+    * [[pqAssignCodes]] discipline), so the whole chain is reproducible
+    * from the published rows alone and the DuckDB oracle can replay it.
+    * Returns the per-stage rounded (cluster_id, dim, centroid_val) rows.
+    *
+    * Scale shape: each stage is the same corpus-scan Lloyd loop
+    * (per-iteration assignment + (cluster, dim) hash agg + k·d-row
+    * collect); the residual is a pure per-row expression (argmin lookup
+    * + zip_with subtract) layered on the scan, so stage s costs s
+    * expression layers but still ZERO extra shuffles or materializations. */
+  private def rqStageRows(embeddings: DataFrame, numStages: Int, k: Int,
+                          iters: Int): Seq[Seq[(Long, Int, Double)]] = {
+    require(numStages >= 1 && numStages <= 8,
+      s"numStages in [1,8], got $numStages")
+    var residual = embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("embedding"))
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Int, Double)]]
+    for (s <- 0 until numStages) {
+      val rows = kmeansCentroids(residual, k, iters).collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      acc += rows
+      if (rows.isEmpty) return acc.toSeq // empty corpus: caller degrades
+      if (s < numStages - 1) {
+        val cb = reshapeCodebook(rows).filter(_._3 > 0)
+        require(cb.nonEmpty,
+          s"RQ stage $s collapsed to an all-zero codebook — residuals are " +
+            "identically zero; lower numStages")
+        val code = nearestCodewordL2(col("embedding"), cb)
+        residual = residual.select(col("vec_id"),
+          zip_with(col("embedding"),
+            element_at(codebookArray(cb, k), code.cast("int") + 1),
+            (a, b) => a - b).as("embedding"))
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Codeword-id-indexed literal array of centroid arrays (gaps — ids
+    * whose codeword died to the zero-norm filter — zero-filled; codes
+    * can only reference surviving ids, so a gap is never looked up). */
+  private def codebookArray(cb: Seq[(Long, Seq[Double], Double)],
+                            k: Int): Column = {
+    val d = cb.head._2.length
+    val m = cb.map(e => e._1 -> e._2).toMap
+    array((0 until k).map { j =>
+      array(m.getOrElse(j.toLong, Seq.fill(d)(0.0)).map(lit): _*)
+    }: _*)
+  }
+
+  /** Residual-quantization codebooks — the additive-compression sibling
+    * of [[pqCodebooks]] (Chen, Guan & Wang 2010; the RVQ in modern
+    * neural codecs): instead of slicing the space, each stage quantizes
+    * what the previous stages LEFT OVER, so the reconstruction is the
+    * SUM of one codeword per stage and precision grows multiplicatively
+    * with stages at the same code budget. 2 stages × 8 codewords = 6
+    * bits/vector here (the showcase-compression end of the dial, like
+    * emb_pq_codebooks' 4×8). Fully deterministic and replayed
+    * closed-form by the DuckDB oracle: every stage's training source is
+    * derived from the previous stage's ROUNDED published artifact.
+    * Output: (stage, cluster_id, dim, centroid_val). */
+  def rqCodebooks(embeddings: DataFrame, numStages: Int = 2, k: Int = 8,
+                  iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    rqStageRows(embeddings, numStages, k, iters).zipWithIndex.map {
+      case (rows, s) =>
+        rows.map(r => (s, r._1, r._2, r._3))
+          .toDF("stage", "cluster_id", "dim", "centroid_val")
+    }.reduce(_ unionByName _)
+  }
+
+  /** RQ asymmetric-distance top-k search — [[pqSearchTopK]]'s additive
+    * twin: the corpus is represented ONLY by its per-stage codes, and
+    * the approximate cosine of (q, x) is the EXACT cosine between q and
+    * x's additive reconstruction x̂ = Σ_s C_s[code_s]:
+    *
+    *   cos ≈ Σ_s T_q[s][code_s]  /  (‖q‖ · sqrt(Σ_s ‖c_s‖² + 2·Σ_{s<t} ⟨c_s,c_t⟩))
+    *
+    * Unlike PQ, ‖x̂‖² is NOT stage-separable — the cross inner products
+    * matter — but every cross table is codewords² doubles per stage
+    * pair (literal scale), precomputed driver-side from the rounded
+    * codebooks next to the query·codeword tables. Scale shape identical
+    * to PQ-ADC: encoding is one shuffle-free scan (argmin + residual
+    * subtract per stage, all per-row expressions; at 100 TB the codes
+    * would be precomputed and the scan reads ⌈stages·log2 k⌉ bits, not
+    * vectors), scoring is pure table lookups, one broadcast of the
+    * query tables, top-k via WindowGroupLimit.
+    *
+    * Determinism for the hash oracle: all tables derive from the
+    * rounded published codebooks, every reduction is an ascending-index
+    * left fold on both engines, and the stage sums fold s-ascending —
+    * the DuckDB replica reproduces each double bit-for-bit. */
+  def rqSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                   numStages: Int = 2, codewords: Int = 8,
+                   iters: Int = 2): DataFrame = {
+    val cbs = rqStageRows(embeddings, numStages, codewords, iters)
+      .map(rows => reshapeCodebook(rows).filter(_._3 > 0))
+    if (cbs.exists(_.isEmpty)) return emptyTopK(embeddings)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // encode: ONE shuffle-free corpus scan — per stage an L2-argmin over
+    // the collected codebook and a zip_with residual subtract
+    var coded = embeddings.select(col("vec_id").as("neighbor_id"),
+      vec(col("embedding")).as("v_0"))
+    for (s <- 0 until numStages) {
+      coded = coded.withColumn(s"code_$s",
+        nearestCodewordL2(col(s"v_$s"), cbs(s)))
+      if (s < numStages - 1)
+        coded = coded.withColumn(s"v_${s + 1}",
+          zip_with(col(s"v_$s"),
+            element_at(codebookArray(cbs(s), codewords),
+              col(s"code_$s").cast("int") + 1),
+            (a, b) => a - b))
+    }
+    val codes = coded.select(col("neighbor_id") +:
+      (0 until numStages).map(s => col(s"code_$s")): _*)
+    // literal tables from the rounded codebooks (gaps 0.0, never looked
+    // up): per-stage codeword squared norms and per-stage-pair cross
+    // inner products — all fresh ascending folds (dotSeq), never a
+    // sqrt-then-square detour
+    val nsqTabs: Seq[Seq[Double]] = cbs.map { cb =>
+      val m = cb.map(e => e._1 -> dotSeq(e._2, e._2)).toMap
+      (0 until codewords).map(j => m.getOrElse(j.toLong, 0.0))
+    }
+    val crossTabs: Map[(Int, Int), Seq[Seq[Double]]] =
+      (for { s <- 0 until numStages; t <- s + 1 until numStages } yield {
+        val ms = cbs(s).map(e => e._1 -> e._2).toMap
+        val mt = cbs(t).map(e => e._1 -> e._2).toMap
+        (s, t) -> (0 until codewords).map { i =>
+          (0 until codewords).map { j =>
+            (ms.get(i.toLong), mt.get(j.toLong)) match {
+              case (Some(a), Some(b)) => dotSeq(a, b)
+              case _ => 0.0
+            }
+          }.toSeq
+        }.toSeq
+      }).toMap
+    // queries collected once (numQueries·dim doubles — metadata scale)
+    val queryRows = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), vec(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq.sortBy(_._1)
+    val queryTabs = queryRows.map { case (qid, qv) =>
+      val tabs = cbs.map { cb =>
+        val m = cb.map(e => e._1 -> dotSeq(qv, e._2)).toMap
+        (0 until codewords).map(j => m.getOrElse(j.toLong, 0.0))
+      }
+      (qid, tabs, math.sqrt(dotSeq(qv, qv)))
+    }.toDF("query_id", "num_tabs", "qnrm")
+    val num = (0 until numStages).map { s =>
+      element_at(element_at(col("num_tabs"), s + 1),
+        col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val nsqSum = (0 until numStages).map { s =>
+      element_at(array(nsqTabs(s).map(lit): _*),
+        col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val crossCols =
+      for { s <- 0 until numStages; t <- s + 1 until numStages } yield {
+        val arr = array(crossTabs((s, t)).map(row =>
+          array(row.map(lit): _*)): _*)
+        element_at(element_at(arr, col(s"code_$s").cast("int") + 1),
+          col(s"code_$t").cast("int") + 1)
+      }
+    // one stage ⇒ no cross terms ⇒ densum degenerates to PQ's separable
+    // form exactly (x + 2·0 ≡ x in IEEE for x ≥ 0) — RQ(1 stage) must be
+    // row-identical to PQ(1 subspace), spec-pinned
+    val crossSum =
+      if (crossCols.isEmpty) lit(0.0) else crossCols.reduce(_ + _)
+    val densum = nsqSum + lit(2.0) * crossSum
+    val scored = codes
+      .join(broadcast(queryTabs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("c0", num / (col("qnrm") * sqrt(densum)))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("c0").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        roundFixed(col("c0"), 4).as("adc_cosine"), col("rank"))
+  }
+
   /** The Lloyd loop itself: returns the final (cluster_id, dim,
     * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
   private def kmeansRows(embeddings: DataFrame, k: Int,

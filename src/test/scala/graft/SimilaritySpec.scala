@@ -500,6 +500,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(finalPlan.split("Exchange hashpartitioning").length - 1 == 1, plan)
   }
 
+  test("rq codebooks: additive stages strictly reduce aggregate reconstruction error") {
+    // the POINT of residual quantization: stage s+1 quantizes what stage
+    // s left over, so ‖x − x̂‖² summed over the corpus must shrink when
+    // the stage-1 codeword is added to the reconstruction. Replicate the
+    // encode in plain Scala against the published (rounded) codebooks.
+    val cb = Similarity.rqCodebooks(emb, numStages = 2, k = 8, iters = 2)
+      .collect()
+      .groupBy(r => (r.getAs[Int]("stage"), r.getAs[Long]("cluster_id")))
+      .map { case (key, rs) =>
+        key -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid_val"))
+      }
+    val vecs = emb.collect().map(r =>
+      r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def argmin(v: Array[Double], stage: Int): Array[Double] = {
+      val cands = cb.collect { case ((s, _), cw) if s == stage => cw }
+        .filter(cw => cw.map(x => x * x).sum > 0)
+      cands.minBy(cw => cw.zip(v).map { case (c, x) => (x - c) * (x - c) }.sum)
+    }
+    def err(rs: Seq[Array[Double]]): Double =
+      rs.map(_.map(x => x * x).sum).sum
+    val r1 = vecs.toSeq.map { v =>
+      val c = argmin(v, 0); v.zip(c).map { case (x, cc) => x - cc }
+    }
+    val r2 = r1.map { r =>
+      val c = argmin(r, 1); r.zip(c).map { case (x, cc) => x - cc }
+    }
+    assert(err(r2) < err(r1) * 0.95,
+      s"stage 1 must materially reduce residual energy: ${err(r1)} -> ${err(r2)}")
+  }
+
+  test("rq ADC search: one stage degenerates to flat PQ exactly; plan shape matches the ADC discipline") {
+    // RQ with a single stage IS flat one-subspace PQ (no cross terms, the
+    // same rounded codebook, the same ADC estimator) — row-identical
+    val rq1 = Similarity.rqSearchTopK(emb, numQueries = 10, k = 5,
+      numStages = 1, codewords = 8, iters = 2)
+    val pq1 = Similarity.pqSearchTopK(emb, numQueries = 10, k = 5,
+      numSubspaces = 1, codewords = 8, iters = 2)
+    assert(rq1.collect().map(_.toSeq).toSet == pq1.collect().map(_.toSeq).toSet)
+    // the 2-stage serving plan: corpus vectors never join queries — one
+    // broadcast of the 10-row query tables, shuffle-free encode, single
+    // window exchange
+    val rq2 = Similarity.rqSearchTopK(emb, numQueries = 10, k = 5)
+    val plan = rq2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.split("Exchange hashpartitioning").length - 1 == 1, plan)
+    // determinism + shape invariants
+    val rows = rq2.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), q)
+    }
+    assert(rows.map(_.toSeq).toSet ==
+      Similarity.rqSearchTopK(emb, numQueries = 10, k = 5)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("rq ADC search: degenerate inputs degrade to empty, not to a crash") {
+    val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Similarity.rqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
+  }
+
   test("pq ADC search: degenerate inputs degrade to empty, not to a crash") {
     val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
     assert(Similarity.pqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
