@@ -524,6 +524,18 @@ object SparkEntry {
     // sorts instead of global windows, O(log maxDocLen) rounds
     "doc_suffix_ranks" -> ((s, dir) =>
       TextOps.suffixRanks(Tables.documents(s, dir))),
+    // ...the LCP array over that permutation (r9 verdict #7 — the Lee et
+    // al. pipeline's second half): adjacent-rank pairs by dense-rank
+    // equi-join, cap-bounded suffix slices, closed-form first-mismatch
+    // LCP on both engines
+    "doc_lcp" -> ((s, dir) =>
+      TextOps.suffixLcp(Tables.documents(s, dir))),
+    // ...and the dedup DECISION: maximal per-doc duplicated intervals
+    // (lcp >= 8 pairs mark both sides, islands-merge per doc) — exact
+    // extents even where the per-pair lcp saturates at the cap.
+    // (doc_dup_spans was taken: that is the positional-gram RATIO query)
+    "doc_dup_intervals" -> ((s, dir) =>
+      TextOps.dupSpans(Tables.documents(s, dir))),
     // longest repeated substring: binary-searched answer length over
     // linear gram probes vs the oracle's brute-force all-length table
     "doc_lrs" -> ((s, dir) =>
@@ -2270,6 +2282,41 @@ object SparkEntry {
        FROM pos p JOIN r12 USING (gpos) CROSS JOIN nd
        WHERE NOT p.sentinel"""
   }
+
+  /** Shared LCP-array oracle chain (doc_lcp / doc_dup_spans): wraps
+    * [[suffixRanksOracleSql]] as a materialized CTE, attaches the same
+    * cap-bounded suffix slices the engine carries, and computes the
+    * first-mismatch LCP exactly like the engine (`list_position` over
+    * the null-safe comparison list ≡ Spark's `array_position` over the
+    * `zip_with(_, _, <=>)` list — both pad the shorter slice with NULLs
+    * up to the longer length). Ends in
+    * `lcprel(rank, doc_id, pos, prev_doc_id, prev_pos, lcp)`. */
+  private def lcpOracleCtes(cap: Int): String =
+    s"""sr AS MATERIALIZED ($suffixRanksOracleSql),
+        tok2 AS (
+          SELECT doc_id,
+            COALESCE(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> ''), CAST([] AS VARCHAR[])) AS t
+          FROM documents),
+        sfx AS MATERIALIZED (
+          SELECT r.doc_id, r.pos, r.suffix_rank,
+            t.t[r.pos + 1 : r.pos + $cap] AS s
+          FROM sr r JOIN tok2 t USING (doc_id)),
+        lcpairs AS (
+          SELECT hi.suffix_rank AS rank, hi.doc_id, hi.pos,
+            lo.doc_id AS prev_doc_id, lo.pos AS prev_pos,
+            lo.s AS sa, hi.s AS sb
+          FROM sfx hi JOIN sfx lo ON lo.suffix_rank = hi.suffix_rank - 1),
+        lcprel AS (
+          SELECT rank, doc_id, pos, prev_doc_id, prev_pos,
+            CAST(CASE WHEN ff = 0 THEN least(len(sa), len(sb))
+                 ELSE ff - 1 END AS BIGINT) AS lcp
+          FROM (
+            SELECT rank, doc_id, pos, prev_doc_id, prev_pos, sa, sb,
+              COALESCE(list_position(list_transform(
+                generate_series(1, greatest(len(sa), len(sb))),
+                i -> sa[i] IS NOT DISTINCT FROM sb[i]), false), 0) AS ff
+            FROM lcpairs))"""
 
   /** The gap-sessionization CTE chain, single-sourced by the
     * user_sessions oracle and the interval-join oracle built on it. */
@@ -4230,6 +4277,34 @@ object SparkEntry {
     // discipline)
     "doc_bloom_decontaminate" -> decontaminateOracleSql,
     "doc_suffix_ranks" -> suffixRanksOracleSql,
+    "doc_lcp" ->
+      s"""WITH ${lcpOracleCtes(64)}
+          SELECT rank, doc_id, pos, prev_doc_id, prev_pos, lcp FROM lcprel""",
+    // islands merge replicated with identical window semantics: the
+    // (s, e) sort is total on values (ties are identical rows), so the
+    // running max and group numbering are engine-independent
+    "doc_dup_intervals" ->
+      s"""WITH ${lcpOracleCtes(64)},
+          spans0 AS (
+            SELECT doc_id, pos AS s, pos + lcp AS e
+            FROM lcprel WHERE lcp >= 8
+            UNION ALL
+            SELECT prev_doc_id AS doc_id, prev_pos AS s, prev_pos + lcp AS e
+            FROM lcprel WHERE lcp >= 8),
+          flagged AS (
+            SELECT doc_id, s, e,
+              max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+            FROM spans0),
+          grp AS (
+            SELECT doc_id, s, e,
+              sum(CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM flagged)
+          SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+            max(e) - min(s) AS span_len, CAST(count(*) AS BIGINT) AS n_intervals
+          FROM grp GROUP BY doc_id, g""",
     // replica of TextOps.unigramSegment — brute force: ALL 2^(n-1) cut
     // masks per distinct word, same integer-micro piece scores, max
     // score then MIN mask (provably what the engine's per-suffix DP

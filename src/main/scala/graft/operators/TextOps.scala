@@ -3309,6 +3309,95 @@ object TextOps {
       .select(col("doc_id"), col("pos"), (col("r") - col("nd")).as("suffix_rank"))
   }
 
+  /** LCP ARRAY over [[suffixRanks]] — the second half of the Lee et al.
+    * 2022 exact-substring-dedup core: LCP[r] = length of the longest
+    * common token prefix of the suffixes ranked r−1 and r. Adjacent-rank
+    * suffixes maximize the LCP over all pairs, so every "this text
+    * occurs twice anywhere in the corpus" question reduces to a linear
+    * scan of this array (the classic suffix-array corollary).
+    *
+    * Distribution shape: the rank permutation joins its doc's token
+    * array once (doc_id equi-join), each suffix carries only a
+    * CAP-BOUNDED slice (`cap` tokens, default 64) — NOT its full tail,
+    * which would make the pair join O(corpus²) payload — and adjacent
+    * pairs meet by an equi-join on the dense unique rank (uniform
+    * shuffle, no skew by construction). An LCP that reaches `cap` is
+    * reported AS `cap` (saturated): exact enough for every ≥-threshold
+    * duplication decision with threshold ≤ cap, and [[dupSpans]] proves
+    * below that even span EXTENTS stay exact under saturation. At a
+    * 100 TB corpus you'd escalate the (rare) saturated pairs through a
+    * second pass with a bigger slice; the engine keeps the single-pass
+    * cap honest by naming it in the output contract.
+    *
+    * LCP itself is closed-form on both engines: zip the two slices
+    * null-safely, find the first mismatch position (`array_position` ≡
+    * DuckDB `list_position` over the same comparison list), subtract
+    * one; no mismatch within the window ⇒ min slice length. Output:
+    * (rank, doc_id, pos, prev_doc_id, prev_pos, lcp) for every rank ≥ 2. */
+  def suffixLcp(documents: DataFrame, cap: Int = 64): DataFrame = {
+    require(cap >= 1 && cap <= 512, s"cap in [1,512], got $cap")
+    val ranks = suffixRanks(documents)
+    val toked = documents.select(col("doc_id"),
+      coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
+    val sfx = ranks.join(toked, "doc_id")
+      .select(col("doc_id"), col("pos"), col("suffix_rank"),
+        slice(col("toks"), col("pos") + 1, lit(cap)).as("s"))
+    val hi = sfx.select(col("suffix_rank").as("rank"), col("doc_id"),
+      col("pos"), col("s").as("s_hi"))
+    val lo = sfx.select((col("suffix_rank") + 1).as("rank"),
+      col("doc_id").as("prev_doc_id"), col("pos").as("prev_pos"),
+      col("s").as("s_lo"))
+    val eqs = zip_with(col("s_lo"), col("s_hi"), (x, y) => x <=> y)
+    hi.join(lo, "rank")
+      .withColumn("ff", array_position(eqs, false))
+      .select(col("rank"), col("doc_id"), col("pos"),
+        col("prev_doc_id"), col("prev_pos"),
+        when(col("ff") === 0,
+          least(size(col("s_lo")), size(col("s_hi"))).cast("long"))
+          .otherwise(col("ff") - 1).as("lcp"))
+  }
+
+  /** Maximal DUPLICATED token intervals per document — [[suffixLcp]]
+    * turned into the dedup DECISION (Lee et al. 2022's "every substring
+    * of ≥ minLen tokens that occurs twice anywhere in the corpus"):
+    * each adjacent-rank pair with lcp ≥ minLen marks [pos, pos+lcp) in
+    * BOTH participating docs, and the per-doc interval union (the
+    * sort + running-max islands pattern, one bounded window per doc)
+    * merges them into maximal spans.
+    *
+    * Exactness under the LCP cap: a duplicated run longer than `cap`
+    * is still covered EXACTLY, because every interior position of the
+    * run is itself a qualifying pair start and the capped intervals
+    * chain-overlap to the run's true end — only the per-pair lcp VALUES
+    * saturate, never the merged extents. Output: (doc_id, span_start,
+    * span_end, span_len, n_intervals). */
+  def dupSpans(documents: DataFrame, minLen: Int = 8,
+               cap: Int = 64): DataFrame = {
+    require(minLen >= 2 && minLen <= cap,
+      s"minLen in [2,cap=$cap], got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val qualifying = suffixLcp(documents, cap).filter(col("lcp") >= minLen)
+    val spans0 = qualifying
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("lcp")).as("e"))
+      .unionByName(qualifying.select(col("prev_doc_id").as("doc_id"),
+        col("prev_pos").as("s"), (col("prev_pos") + col("lcp")).as("e")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    spans0
+      .withColumn("runmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("runmax").isNull || col("s") > col("runmax"), 1L)
+          .otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_intervals"))
+  }
+
   /** Longest repeated token substring across the WHOLE corpus — the
     * question a suffix array answers via adjacent-rank LCPs, asked the
     * Spark-first way: binary-search the answer length with O(log maxLen)

@@ -1220,6 +1220,82 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("suffix LCP array: matches a brute-force sorted-suffix comparison exactly") {
+    import spark.implicits._
+    val fix = Seq(10L -> "b a n a n a", 20L -> "a n a b a n",
+      50L -> "b a n a n a").toDF("doc_id", "text")
+    // brute force: sort all suffixes with the engine's sentinel order,
+    // LCP of each adjacent pair = count of equal leading TOKENS
+    val sufs = Seq(10L -> "b a n a n a", 20L -> "a n a b a n",
+      50L -> "b a n a n a").flatMap { case (id, t) =>
+      val toks = t.split(" ").toSeq
+      toks.indices.map(p => (id, p, toks.drop(p)))
+    }
+    val docOrd = Seq(10L, 20L, 50L).sorted.zipWithIndex.toMap
+    def cmp(a: (Long, Int, Seq[String]), b: (Long, Int, Seq[String])): Boolean = {
+      val (x, y) = (a._3, b._3)
+      var i = 0
+      while (i < math.min(x.length, y.length)) {
+        val c = x(i).compareTo(y(i))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      if (x.length != y.length) x.length < y.length
+      else docOrd(a._1) < docOrd(b._1)
+    }
+    val byRank = sufs.sortWith(cmp)
+    val expected = byRank.sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) =>
+        val lcp = lo._3.zip(hi._3).takeWhile(p => p._1 == p._2).length.toLong
+        (i + 2).toLong -> ((hi._1, hi._2, lo._1, lo._2, lcp))
+    }.toMap
+    val got = TextOps.suffixLcp(fix).collect().map { r =>
+      r.getAs[Long]("rank") -> ((r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[Long]("prev_doc_id"), r.getAs[Int]("prev_pos"),
+        r.getAs[Long]("lcp")))
+    }.toMap
+    assert(got == expected)
+    // the cap saturates honestly: cap=2 clamps every lcp at 2, nothing else
+    val capped = TextOps.suffixLcp(fix, cap = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("lcp")).toMap
+    expected.foreach { case (rank, (_, _, _, _, lcp)) =>
+      assert(capped(rank) == math.min(lcp, 2L), s"rank $rank")
+    }
+  }
+
+  test("dup spans reconcile with the gram-based excision on a planted fixture") {
+    import spark.implicits._
+    // two docs share one 12-token run; every other token is corpus-unique
+    // and nothing repeats within a doc — both pipelines must isolate the
+    // identical token intervals
+    val run = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val fix = Seq(
+      (0L, ((0 until 10).map(i => s"a$i").mkString(" ")) + " " + run + " " +
+        (0 until 10).map(i => s"b$i").mkString(" ")),
+      (1L, ((0 until 5).map(i => s"c$i").mkString(" ")) + " " + run + " " +
+        (0 until 8).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    // suffix-LCP pipeline: exact maximal spans, even with a cap BELOW the
+    // run length (interval chaining keeps extents exact under saturation)
+    val spans = TextOps.dupSpans(fix, minLen = 5, cap = 8).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Long]("span_end"))
+    }.toSet
+    assert(spans == Set((0L, 10, 22L), (1L, 5, 17L)), spans)
+    // gram-based transform half (Lee et al.): removes exactly the same
+    // token count, and the kept text is exactly the tokens OUTSIDE the
+    // spans — the two halves of the pipeline agree position by position
+    val excised = TextOps.exciseDupSpans(fix, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(excised(0L)._1 == 12L && excised(1L)._1 == 12L, excised)
+    assert(excised(0L)._2 ==
+      ((0 until 10).map(i => s"a$i") ++ (0 until 10).map(i => s"b$i"))
+        .mkString(" "))
+    assert(excised(1L)._2 ==
+      ((0 until 5).map(i => s"c$i") ++ (0 until 8).map(i => s"e$i"))
+        .mkString(" "))
+  }
+
   test("unigram segmentation: DP picks the max-likelihood pieces, hand-exact") {
     import spark.implicits._
     // corpus "aa a": piece counts a=3 (2 inside aa + 1 alone), aa=1, total 4
