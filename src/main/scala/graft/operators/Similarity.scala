@@ -1566,19 +1566,7 @@ object Similarity {
                 knownCount: Long = -1L): DataFrame = {
     val n = if (knownCount >= 0L) knownCount else embeddings.count()
     val bits = autoBits(n)
-    val all = planes(numTables * bits, dim)
-    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
-    // one banding pass; a node of level L participates in layers 0..L,
-    // with the layer-l bucket = the table bucket's top (bits − 2l) sign
-    // bits (integer shift — exact on both engines)
-    val lb = e
-      .withColumn("lvl", hnswLevel(maxLevel))
-      .select(col("vec_id"), col("lvl"),
-        posexplode(graft.functions.VectorExpressions.lshBuckets(
-          col("v"), all, numTables, bits)).as(Seq("t", "b")))
-      .select(col("vec_id"),
-        explode(sequence(lit(0), col("lvl"))).as("level"), col("t"), col("b"))
-      .withColumn("bl", expr(s"shiftright(b, least(2 * level, ${bits - 4}))"))
+    val lb = hnswBandRows(embeddings, numTables, maxLevel, dim, bits)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("level"), col("t"), col("bl"))
           .orderBy(col("vec_id"))))
@@ -1591,6 +1579,40 @@ object Similarity {
       .select(col("x.level").as("level"), col("x.vec_id").as("src"),
         col("y.vec_id").as("dst"))
       .distinct()
+    rankHnswCandidates(embeddings, cand, m)
+  }
+
+  /** The banding half of [[hnswBuild]], shared with the streaming ingest
+    * path ([[graft.streaming.StreamingHnsw]]): one pass per vector; a
+    * node of level L participates in layers 0..L, with the layer-l
+    * bucket = the table bucket's top (bits − 2l) sign bits (integer
+    * shift — exact on both engines). Returns (vec_id, level, t, bl)
+    * UNCAPPED — the batch build applies the row_number bucket cap, the
+    * stream applies the equivalent first-`bucketCap`-arrivals state cap
+    * (identical sets under monotone-id ingest). */
+  private[graft] def hnswBandRows(embeddings: DataFrame, numTables: Int,
+                                  maxLevel: Int, dim: Int,
+                                  bits: Int): DataFrame = {
+    val all = planes(numTables * bits, dim)
+    embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("lvl", hnswLevel(maxLevel))
+      .select(col("vec_id"), col("lvl"),
+        posexplode(graft.functions.VectorExpressions.lshBuckets(
+          col("v"), all, numTables, bits)).as(Seq("t", "b")))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), col("lvl"))).as("level"), col("t"), col("b"))
+      .withColumn("bl", expr(s"shiftright(b, least(2 * level, ${bits - 4}))"))
+      .select(col("vec_id"), col("level"), col("t"), col("bl"))
+  }
+
+  /** The ranking tail of [[hnswBuild]], shared with the streaming ingest
+    * path so stream-accumulated candidates rank IDENTICALLY by
+    * construction: join both endpoints' vectors, exact cosine, top-`m`
+    * per (level, src) with the (cosine DESC, dst ASC) tie-break. `cand`
+    * must be a distinct (level, src, dst) relation. */
+  private[graft] def rankHnswCandidates(embeddings: DataFrame,
+                                        cand: DataFrame, m: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), vec(col("embedding")).as("v"))
     val withNorm = e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val w = Window.partitionBy(col("level"), col("src"))
       .orderBy(col("cosine0").desc, col("dst").asc)

@@ -797,4 +797,44 @@ class StreamingEtlSpec extends AnyFunSuite {
       assert(streamed.keys.forall { case (_, b) => b >= 0 && b < 16 })
     } finally q.stop()
   }
+
+  test("streaming HNSW ingest: incrementally built graph equals the batch build edge for edge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    // real vectors, streamed in FOUR ascending-id micro-batches (the
+    // ingest contract: new corpus additions get new, larger ids); the
+    // accumulated candidate log, snapshot-ranked, must equal a
+    // from-scratch batch build over the same vectors — the index is
+    // maintainable without rebuilds
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val n = rows.length.toLong
+    val bits = Similarity.autoBits(n)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingHnsw.candidateEdges(
+        input.toDF().toDF("vec_id", "embedding"), bits = bits)
+      .writeStream.format("memory").queryName("hnsw_ingest")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = graft.streaming.StreamingHnsw.snapshotEdges(
+        emb, spark.table("hnsw_ingest")).collect().map(_.toSeq).toSet
+      val batch = Similarity.hnswBuild(emb, knownCount = n)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"stream-built graph diverged: ${streamed.size} vs ${batch.size} edges")
+      // the candidate log is append-only and duplicate-tolerant: feeding
+      // NOTHING more and snapshotting again is a no-op (publish-once
+      // refresh discipline)
+      val again = graft.streaming.StreamingHnsw.snapshotEdges(
+        emb, spark.table("hnsw_ingest")).collect().map(_.toSeq).toSet
+      assert(again == batch)
+    } finally q.stop()
+  }
 }
