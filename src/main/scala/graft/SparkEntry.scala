@@ -203,6 +203,21 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir))),
     "top_customers" -> ((s, dir) =>
       Relational.topCustomers(Tables.orders(s, dir), Tables.customer(s, dir), 10)),
+    // TPC-H Q3 (shipping priority): three pushed filters, stats-gated
+    // dimension joins, TakeOrderedAndProject top-k
+    "shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q4's EXISTS shape: left-semi with a non-equi residual —
+    // the semi join IS the per-order dedup, no row multiplication
+    "late_priority_orders" -> ((s, dir) =>
+      Relational.latePriorityOrders(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // TPC-H Q19's disjunctive predicate: Catalyst factors the part-only
+    // halves of the OR branches down to the part scan (spec-pinned)
+    "disjunctive_revenue" -> ((s, dir) =>
+      Relational.disjunctiveRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     "customer_order_counts" -> ((s, dir) =>
       Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
@@ -536,6 +551,11 @@ object SparkEntry {
     // (doc_dup_spans was taken: that is the positional-gram RATIO query)
     "doc_dup_intervals" -> ((s, dir) =>
       TextOps.dupSpans(Tables.documents(s, dir))),
+    // ...and the excision TRANSFORM those intervals drive — the suffix-
+    // array end of Lee et al. end-to-end (within-doc repeats excised
+    // too, unlike the cross-doc gram transform doc_dedup_excise)
+    "doc_dedup_excise_sa" -> ((s, dir) =>
+      TextOps.exciseDupIntervals(Tables.documents(s, dir))),
     // longest repeated substring: binary-searched answer length over
     // linear gram probes vs the oracle's brute-force all-length table
     "doc_lrs" -> ((s, dir) =>
@@ -779,6 +799,11 @@ object SparkEntry {
     // what makes the whole chain oracle-replayable
     "emb_rq_codebooks" -> ((s, dir) =>
       Similarity.rqCodebooks(Tables.embeddings(s, dir))),
+    // RQ encoding: per-stage codes by chained argmin + residual subtract
+    // against the published codebooks — one shuffle-free scan, stages
+    // exploded row-locally
+    "emb_rq_codes" -> ((s, dir) =>
+      Similarity.rqAssignCodes(Tables.embeddings(s, dir))),
     // ...and its ADC serving path: additive reconstruction cosine via
     // per-stage query tables + codeword-norm and stage-pair CROSS tables
     // (‖Σ c_s‖² is not stage-separable — the cross inner products are the
@@ -2318,6 +2343,34 @@ object SparkEntry {
                 i -> sa[i] IS NOT DISTINCT FROM sb[i]), false), 0) AS ff
             FROM lcpairs))"""
 
+  /** The maximal-duplicated-intervals chain over [[lcpOracleCtes]]
+    * (single-sourced by doc_dup_intervals and doc_dedup_excise_sa):
+    * qualifying pairs mark both sides, per-doc islands merge. Ends in
+    * `merged(doc_id, span_start, span_end, n_intervals)`. */
+  private def dupIntervalsCtes(cap: Int, minLen: Int): String =
+    s"""${lcpOracleCtes(cap)},
+        spans0 AS (
+          SELECT doc_id, pos AS s, pos + lcp AS e
+          FROM lcprel WHERE lcp >= $minLen
+          UNION ALL
+          SELECT prev_doc_id AS doc_id, prev_pos AS s, prev_pos + lcp AS e
+          FROM lcprel WHERE lcp >= $minLen),
+        flagged AS (
+          SELECT doc_id, s, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+          FROM spans0),
+        grp AS (
+          SELECT doc_id, s, e,
+            sum(CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM flagged),
+        merged AS (
+          SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+            CAST(count(*) AS BIGINT) AS n_intervals
+          FROM grp GROUP BY doc_id, g)"""
+
   /** The gap-sessionization CTE chain, single-sourced by the
     * user_sessions oracle and the interval-join oracle built on it. */
   private def sessionCtes: String =
@@ -2940,6 +2993,11 @@ object SparkEntry {
     "emb_ivfpq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
       iters = 2, numQueries = 10, topK = 5, ivf = Some((8, 4))),
     "emb_rq_codebooks" -> rqOracle(numStages = 2, k = 8, iters = 2),
+    "emb_rq_codes" -> (0 until 2).map { s =>
+      s"""SELECT vec_id, $s AS stage, code
+          FROM (${kmeansOracle(8, 2, rqResidualSrc(s, 8, 2),
+            emit = "codes")})"""
+    }.mkString("\n UNION ALL "),
     "emb_rq_search" -> rqSearchOracle(k = 8, iters = 2, numQueries = 10,
       topK = 5),
     "trip_enrich" ->
@@ -3231,6 +3289,39 @@ object SparkEntry {
                UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM sup)""",
     // replica of Relational.promoRevenue (Q14 shape): both rounded sums,
     // then the ratio of the ROUNDED values — same arithmetic order
+    "shipping_priority" ->
+      """SELECT l_orderkey, revenue, o_orderdate FROM (
+           SELECT l.l_orderkey,
+             floor(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+               AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+             o.o_orderdate
+           FROM customer c
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01'
+             AND l.l_shipdate > TIMESTAMP '1998-01-01'
+           GROUP BY l.l_orderkey, o.o_orderdate)
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "late_priority_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY 1""",
+    "disjunctive_revenue" ->
+      """SELECT
+           floor(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+             AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+           count(*) AS n_items
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)""",
     "promo_revenue" ->
       """WITH s AS (
            SELECT
@@ -4284,27 +4375,38 @@ object SparkEntry {
     // (s, e) sort is total on values (ties are identical rows), so the
     // running max and group numbering are engine-independent
     "doc_dup_intervals" ->
-      s"""WITH ${lcpOracleCtes(64)},
-          spans0 AS (
-            SELECT doc_id, pos AS s, pos + lcp AS e
-            FROM lcprel WHERE lcp >= 8
-            UNION ALL
-            SELECT prev_doc_id AS doc_id, prev_pos AS s, prev_pos + lcp AS e
-            FROM lcprel WHERE lcp >= 8),
-          flagged AS (
-            SELECT doc_id, s, e,
-              max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
-            FROM spans0),
-          grp AS (
-            SELECT doc_id, s, e,
-              sum(CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END)
-                OVER (PARTITION BY doc_id ORDER BY s, e
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-            FROM flagged)
-          SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-            max(e) - min(s) AS span_len, CAST(count(*) AS BIGINT) AS n_intervals
-          FROM grp GROUP BY doc_id, g""",
+      s"""WITH ${dupIntervalsCtes(64, 8)}
+          SELECT doc_id, span_start, span_end,
+            span_end - span_start AS span_len, n_intervals
+          FROM merged""",
+    // the excision transform those intervals drive: tokens whose 0-based
+    // index falls inside any merged span are cut; a doc with no spans
+    // LEFT-JOINs a NULL span list, which the NULL-propagating fold turns
+    // into keep-everything — the engine's empty-Seq branch
+    "doc_dedup_excise_sa" ->
+      s"""WITH ${dupIntervalsCtes(64, 8)},
+          sp AS (
+            SELECT doc_id,
+              list(struct_pack(s := span_start, e := span_end)) AS spans
+            FROM merged GROUP BY 1),
+          toksd AS (
+            SELECT doc_id,
+              COALESCE(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> ''), CAST([] AS VARCHAR[])) AS t
+            FROM documents),
+          cutrows AS (
+            SELECT td.doc_id, td.t,
+              list_transform(list_filter(generate_series(0, len(td.t) - 1),
+                j -> NOT coalesce(list_reduce(list_transform(sp.spans,
+                     p -> j >= p.s AND j < p.e), (a, b) -> a OR b), false)),
+                j -> td.t[CAST(j + 1 AS INT)]) AS kept
+            FROM toksd td LEFT JOIN sp USING (doc_id))
+          SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+            -- DuckDB's array_to_string([]) is NULL; the engine's
+            -- mkString is '' — a fully-excised doc must read as ''
+            COALESCE(array_to_string(kept, ' '), '') AS clean_text
+          FROM cutrows""",
     // replica of TextOps.unigramSegment — brute force: ALL 2^(n-1) cut
     // masks per distinct word, same integer-micro piece scores, max
     // score then MIN mask (provably what the engine's per-suffix DP

@@ -1612,6 +1612,69 @@ object Relational {
     * join stats-gates to broadcast, and both sums ride one hash
     * aggregate — the ratio divides the two decimal-exact ROUNDED sums,
     * so no unrounded float crosses the engine boundary. */
+  /** TPC-H Q3 (shipping priority): segment-filtered customers ⋈ open
+    * orders ⋈ future-shipping lineitems, revenue per order, top-k. The
+    * filters all reach their scans (segment on customer, date on orders
+    * and lineitem — `.explain` shows PushedFilters on all three), the
+    * dimension-side joins stats-gate to broadcast at test SF (customer
+    * is SF-growing: no hint), and the top-k is a TakeOrderedAndProject —
+    * only k rows per partition reach the driver-side final ordering. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String = "BUILDING",
+                       date: String = "1998-01-01", k: Int = 10): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit(date)))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > to_timestamp(lit(date)))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumRounded(disc, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+  }
+
+  /** TPC-H Q4's EXISTS shape on this schema (lineitem carries no
+    * commit/receipt dates): orders with at least one line item shipped
+    * AFTER the order date, counted per priority class. The correlated
+    * EXISTS is declared as a LEFT SEMI join with a non-equi conjunct —
+    * Spark keeps the equi key as the hash join key and evaluates the
+    * date comparison as the join residual, so each order probes once and
+    * short-circuits on the first match (no row multiplication, no
+    * distinct needed — the semi join IS the dedup). */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q19's disjunctive-predicate shape (no p_container column here;
+    * brand × size-range × quantity-range branches instead): revenue over
+    * an OR of conjunctions that each mix columns from BOTH join sides.
+    * The planning story is the point: Catalyst factors the part-only
+    * half of each branch out of the disjunction and pushes
+    * `(brand=12 ∧ size≤5) ∨ (brand=23 ∧ size≤10) ∨ (brand=4 ∧ size≤15)`
+    * down to the part SCAN (PushedFilters shows the Or tree —
+    * spec-pinned), so the join build side is pre-shrunk ~8× before the
+    * residual mixed predicate runs. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val branches =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(branches)
+      .agg(sumRounded(disc, 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   def promoRevenue(lineitem: DataFrame, part: DataFrame,
                    fromDate: String = "1996-03-01",
                    untilDate: String = "1996-04-01"): DataFrame = {

@@ -756,6 +756,39 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** RQ encoding — the companion of [[rqCodebooks]] ([[pqAssignCodes]]'s
+    * additive twin): each vector's per-stage codes, assigned by chained
+    * L2-argmin + residual subtraction against the ROUNDED published
+    * codebooks. ONE shuffle-free corpus scan emits all stages (the
+    * stage structs explode row-locally). Output: (vec_id, stage, code). */
+  def rqAssignCodes(embeddings: DataFrame, numStages: Int = 2, k: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    val cbs = rqStageRows(embeddings, numStages, k, iters)
+      .map(rows => reshapeCodebook(rows).filter(_._3 > 0))
+    require(cbs.forall(_.nonEmpty) || cbs.head.isEmpty,
+      "RQ stage collapsed — see rqStageRows")
+    if (cbs.exists(_.isEmpty))
+      return embeddings.select(col("vec_id"), lit(0).as("stage"),
+        lit(0L).as("code")).filter(lit(false))
+    var coded = embeddings.select(col("vec_id"),
+      vec(col("embedding")).as("v_0"))
+    for (s <- 0 until numStages) {
+      coded = coded.withColumn(s"code_$s",
+        nearestCodewordL2(col(s"v_$s"), cbs(s)))
+      if (s < numStages - 1)
+        coded = coded.withColumn(s"v_${s + 1}",
+          zip_with(col(s"v_$s"),
+            element_at(codebookArray(cbs(s), k),
+              col(s"code_$s").cast("int") + 1),
+            (a, b) => a - b))
+    }
+    coded
+      .select(col("vec_id"), explode(array((0 until numStages).map(s =>
+        struct(lit(s).as("stage"), col(s"code_$s").as("code"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.stage").as("stage"),
+        col("sc.code").as("code"))
+  }
+
   /** RQ asymmetric-distance top-k search — [[pqSearchTopK]]'s additive
     * twin: the corpus is represented ONLY by its per-stage codes, and
     * the approximate cosine of (q, x) is the EXACT cosine between q and

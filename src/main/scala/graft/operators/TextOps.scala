@@ -3398,6 +3398,39 @@ object TextOps {
         col("n_intervals"))
   }
 
+  /** The excision TRANSFORM driven by [[dupSpans]] — the suffix-array
+    * end of the Lee et al. pipeline made end-to-end: cut every token
+    * inside a maximal duplicated interval and re-emit the cleaned text
+    * ([[exciseDupSpans]]'s output contract, but the spans come from the
+    * exact suffix/LCP machinery instead of cross-doc gram hashes, so
+    * WITHIN-document repeats are excised too and the minimum duplicated
+    * run is measured in exact token LCPs, not gram width). The cut runs
+    * in a typed map over (doc, collected span list) — bounded per doc,
+    * the [[exciseDupSpans]] discipline. Output: (doc_id, n_tokens,
+    * n_removed, clean_text). */
+  def exciseDupIntervals(documents: DataFrame, minLen: Int = 8,
+                         cap: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val spans = dupSpans(documents, minLen, cap)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").cast("long").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left_outer")
+      .as[(Long, Seq[String], Seq[(Long, Long)])]
+      .map { case (id, toks0, spans0) =>
+        val toks = if (toks0 == null) Seq.empty[String] else toks0
+        val sp = if (spans0 == null) Seq.empty[(Long, Long)] else spans0
+        val kept = toks.iterator.zipWithIndex.collect {
+          case (w, j) if !sp.exists(p => j >= p._1 && j < p._2) => w
+        }.toSeq
+        (id, toks.length.toLong, (toks.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "clean_text")
+  }
+
   /** Longest repeated token substring across the WHOLE corpus — the
     * question a suffix array answers via adjacent-rank LCPs, asked the
     * Spark-first way: binary-search the answer length with O(log maxLen)

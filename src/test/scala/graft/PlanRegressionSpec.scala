@@ -80,6 +80,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
+  test("shipping_priority: all three filters reach their scans, top-k is TakeOrderedAndProject") {
+    val p = plan("shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // segment filter pushed to the customer scan; both date filters
+    // pushed to their fact scans
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("late_priority_orders: the EXISTS plans as one LEFT SEMI hash join, no row multiplication") {
+    val p = plan("late_priority_orders")
+    assert(p.contains("LeftSemi"), p)
+    // the semi join IS the per-order dedup: no Distinct/second agg
+    assert(!p.contains("SortAggregate") &&
+      count(p, "HashAggregate") == 2, p) // partial + final of the count
+  }
+
+  test("disjunctive_revenue: the part-only halves of the OR branches reach the part scan") {
+    val p = plan("disjunctive_revenue")
+    // Catalyst factors the single-side halves out of the mixed
+    // disjunction and pushes an Or tree into BOTH scans: the brand/size
+    // branches reach part, the quantity ranges reach lineitem
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pricing_summary: column pruning reaches the parquet scan (5 columns, not 16)") {
     // the toString format elides ReadSchema; the scan's OUTPUT column list
     // carries the same pruning evidence (the 2 group keys + 3 agg inputs)
