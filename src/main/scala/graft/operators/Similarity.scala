@@ -900,6 +900,88 @@ object Similarity {
         roundFixed(col("c0"), 4).as("adc_cosine"), col("rank"))
   }
 
+  // --------------------------------------- optimized product quantization
+
+  /** PARAMETRIC OPQ rotation (Ge et al., CVPR 2013 §4 — "OPQ-P"): the
+    * data-driven orthogonal rotation that product quantization should
+    * apply BEFORE slicing, so each subspace carries a balanced share of
+    * the corpus variance (plain PQ quantizes raw coordinate slices —
+    * if the first slice holds most of the energy, its 8 codewords do
+    * all the work while the rest quantize noise). The parametric
+    * variant — unlike the alternating non-parametric one — is a CLOSED
+    * construction off the covariance eigensystem:
+    *
+    *  1. eigendecompose the (collected, d²-cell, hash-oracled)
+    *     covariance — [[jacobiEigen]], the [[pcaProject]] machinery;
+    *  2. ALLOCATE principal components to the `numSubspaces` groups by
+    *     the greedy balanced-log-product rule (each component, in
+    *     descending-λ order, joins the unfilled group with the smallest
+    *     Σ log λ — Ge et al.'s eigenvalue allocation, which equalizes
+    *     the per-subspace variance PRODUCTS that bound quantization
+    *     distortion);
+    *  3. the rotation's rows are the eigenvectors in allocation order —
+    *     orthonormal by construction (spec-pinned RRᵀ = I).
+    *
+    * Returned as driver-side rows (d² doubles — metadata-scale, the
+    * collected-codebook discipline). API+spec-only like [[pcaProject]]:
+    * the eigensolver is iterative, so no SQL oracle can replay it; the
+    * covariance INPUT is the oracled emb_covariance. */
+  def opqRotation(embeddings: DataFrame,
+                  numSubspaces: Int = 4): Array[Array[Double]] = {
+    val covRows = covarianceMatrix(embeddings).collect()
+    require(covRows.nonEmpty, "empty corpus has no covariance")
+    val d = covRows.iterator.map(_.getAs[Int]("i")).max + 1
+    require(d % numSubspaces == 0,
+      s"dim $d must divide evenly into $numSubspaces subspaces")
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
+    }
+    val (eigvals, eigvecs) = jacobiEigen(cov)
+    val w = d / numSubspaces
+    val logProd = Array.fill(numSubspaces)(0.0)
+    val fill = Array.fill(numSubspaces)(0)
+    val alloc = Array.fill(numSubspaces)(Vector.empty[Int])
+    for (c <- 0 until d) {
+      val s = (0 until numSubspaces).filter(fill(_) < w)
+        .minBy(s => (logProd(s), s)) // deterministic tie-break
+      alloc(s) = alloc(s) :+ c
+      logProd(s) += math.log(math.max(eigvals(c), 1e-12))
+      fill(s) += 1
+    }
+    alloc.flatten.map(c => eigvecs(c).clone()).toArray
+  }
+
+  /** Apply an orthogonal rotation as ONE per-row expression (the d-row
+    * literal matrix transforms the vector with a higher-order fold —
+    * no shuffle, no UDF); inner products and norms are invariant, so
+    * downstream cosine semantics are unchanged. */
+  private[graft] def rotateVectors(embeddings: DataFrame,
+                                   r: Array[Array[Double]]): DataFrame = {
+    val matrix = typedLit(r.map(_.toSeq).toSeq)
+    embeddings.select(col("vec_id"),
+      transform(matrix, row => dot(row, vec(col("embedding"))))
+        .as("embedding"))
+  }
+
+  /** OPQ-rotated ADC search: [[opqRotation]] + plain [[pqSearchTopK]]
+    * over the rotated corpus — the rotation is invisible to the ADC
+    * estimator (cosines are rotation-invariant), it only changes WHAT
+    * each subspace codebook gets to quantize. Completes the compression
+    * family: flat / IVF / PQ / OPQ / RQ / binary / graph. API+spec
+    * (the eigensolver half is not oracle-able; the PQ half's oracle
+    * discipline is already proven on emb_pq_search): the spec pins
+    * orthonormality, rotation-invariant exact top-k, determinism, and
+    * a materially LOWER reconstruction error than plain PQ on an
+    * anisotropic fixture — the property OPQ exists for. */
+  def opqSearchTopK(embeddings: DataFrame, numQueries: Int = 10, k: Int = 5,
+                    numSubspaces: Int = 4, codewords: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    val r = opqRotation(embeddings, numSubspaces)
+    pqSearchTopK(rotateVectors(embeddings, r), numQueries, k,
+      numSubspaces, codewords, iters, dim = r.length)
+  }
+
   /** The Lloyd loop itself: returns the final (cluster_id, dim,
     * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
   private def kmeansRows(embeddings: DataFrame, k: Int,

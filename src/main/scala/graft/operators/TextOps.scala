@@ -3174,19 +3174,34 @@ object TextOps {
         coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
     val lens = toked.select(col("doc_id"),
       (size(col("toks")) + 1).cast("long").as("len"))
-    // ONE fused pass yields both per-doc prefix sums: the token offset
-    // (Σ len) and the doc ordinal (Σ 1) share the same doc_id order
-    val offsets = exclusivePrefixSum2(
-        lens.withColumn("one", lit(1L)), "doc_id", "len", "one")
-      .select(col("doc_id"), col("offset1").as("offset"),
-        col("offset2").as("ord"))
     val ndocsRow = toked.agg(count(lit(1)).as("nd"))
-    // token bucket starts: r = nd + 1 + (occurrences of smaller tokens),
-    // group size = the token's own count; doc ordinals the same way
     val tokCnt = toked.select(explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val tokStart = exclusivePrefixSum(tokCnt, "term", "cnt")
-      .join(tokCnt, "term") // vocab-scale join back for the group size
+    // The prelude's three EAGER pieces (the fused doc prefix-sum pass,
+    // the vocab prefix-sum pass, and the maxLen/total agg) are
+    // independent jobs on independent inputs — submit them concurrently
+    // (Spark's scheduler interleaves jobs from multiple threads) instead
+    // of serializing three cluster round-trips. Honesty note: at
+    // local[32] this measures FLAT (each job is sub-100 ms, so there is
+    // nothing to overlap); the win it buys is per-job scheduling LATENCY
+    // on a real cluster, where three serialized job round-trips cost
+    // seconds regardless of data volume.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // ONE fused pass yields both per-doc prefix sums: the token offset
+    // (Σ len) and the doc ordinal (Σ 1) share the same doc_id order
+    val offsetsF = Future(exclusivePrefixSum2(
+        lens.withColumn("one", lit(1L)), "doc_id", "len", "one")
+      .select(col("doc_id"), col("offset1").as("offset"),
+        col("offset2").as("ord")))
+    // token bucket starts: r = nd + 1 + (occurrences of smaller tokens),
+    // group size = the token's own count; doc ordinals the same way
+    val tokStartF = Future(exclusivePrefixSum(tokCnt, "term", "cnt")
+      .join(tokCnt, "term")) // vocab-scale join back for the group size
+    val aggRowF = Future(lens.agg(max(col("len")), sum(col("len"))).head())
+    val offsets = Await.result(offsetsF, Duration.Inf)
+    val tokStart = Await.result(tokStartF, Duration.Inf)
     val tokRows = toked
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "term")))
       .join(tokStart, "term") // vocab-scale, unhinted (vocab grows with corpus)
@@ -3205,7 +3220,7 @@ object TextOps {
 
     // empty corpus: the aggregates come back NULL — return the empty
     // result instead of tripping a primitive-extraction NPE
-    val aggRow = lens.agg(max(col("len")), sum(col("len"))).head()
+    val aggRow = Await.result(aggRowF, Duration.Inf)
     if (aggRow.isNullAt(0))
       return documents.sparkSession.createDataFrame(
         documents.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],

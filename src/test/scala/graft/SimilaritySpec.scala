@@ -559,6 +559,71 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("opq: orthonormal rotation, rotation-invariant exact top-k, materially lower PQ distortion on anisotropic data") {
+    import spark.implicits._
+    // anisotropic fixture — the case OPQ exists for: the first 16 of 64
+    // dims carry 8x the per-dim energy, so plain PQ's contiguous slices
+    // concentrate the corpus variance into ONE subspace's 8 codewords
+    // while three subspaces quantize noise
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 120L).map { i =>
+      i -> (0 until 64).map(j =>
+        (rnd.nextGaussian() * (if (j < 16) 8.0 else 1.0)).toFloat)
+    }
+    val fix = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.opqRotation(fix, numSubspaces = 4)
+    // orthonormal by construction: R rows are covariance eigenvectors
+    for (i <- r.indices; j <- r.indices) {
+      val d = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8, s"RR^T($i,$j)=$d")
+    }
+    // rotation preserves inner products and norms -> the EXACT top-k is
+    // invariant (pair sets compared; rounded cosines can move an ulp)
+    val rotated = Similarity.rotateVectors(fix, r)
+    assert(topkSet(Similarity.bruteForceTopK(fix, numQueries = 8, k = 5)) ==
+      topkSet(Similarity.bruteForceTopK(rotated, numQueries = 8, k = 5)))
+    // PQ reconstruction distortion: sum over vectors/subspaces of
+    // ||slice - codeword||^2, computed from the published artifacts.
+    // Total energy is rotation-invariant, so the comparison is fair.
+    def distortion(df: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.pqCodebooks(df, 4, 8, 2, 64).collect()
+        .groupBy(rr => (rr.getAs[Int]("subspace"), rr.getAs[Long]("cluster_id")))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("centroid_val"))
+        }
+      val codes = Similarity.pqAssignCodes(df, 4, 8, 2, 64).collect()
+        .map(rr => (rr.getAs[Long]("vec_id"), rr.getAs[Int]("subspace")) ->
+          rr.getAs[Long]("code")).toMap
+      val vs = df.collect().map(rr => rr.getAs[Long]("vec_id") ->
+        rr.getAs[scala.collection.Seq[AnyVal]]("embedding").map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray).toMap
+      vs.iterator.map { case (id, v) =>
+        (0 until 4).map { s =>
+          val slice = v.slice(s * 16, (s + 1) * 16)
+          val cw = cb((s, codes((id, s))))
+          slice.zip(cw).map { case (x, c) => (x - c) * (x - c) }.sum
+        }.sum
+      }.sum
+    }
+    val plain = distortion(fix)
+    val opq = distortion(rotated)
+    assert(opq < plain * 0.8,
+      s"OPQ must materially cut distortion on anisotropic data: $opq vs $plain")
+    // end-to-end serving path is deterministic with the standard shape
+    val res = Similarity.opqSearchTopK(fix, numQueries = 8, k = 5)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), q)
+    }
+    assert(rows.map(_.toSeq).toSet ==
+      Similarity.opqSearchTopK(fix, numQueries = 8, k = 5)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("rq ADC search: degenerate inputs degrade to empty, not to a crash") {
     val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
     assert(Similarity.rqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
