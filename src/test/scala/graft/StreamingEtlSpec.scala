@@ -798,6 +798,42 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming covariance: maintained d2-cell grid equals the batch operator cell for cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingCovariance.covarianceStream(
+        input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("cov_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // update mode re-emits refreshed cells; the maintained grid is the
+      // LATEST emission per (i, j) = the one with the largest count
+      val streamed = spark.table("cov_stream").collect()
+        .groupBy(r => (r.getAs[Int]("i"), r.getAs[Int]("j")))
+        .map { case (k, rs) =>
+          val last = rs.maxBy(_.getAs[Long]("n_vectors"))
+          k -> ((last.getAs[Long]("n_vectors"), last.getAs[Double]("cov")))
+        }
+      val batch = Similarity.covarianceMatrix(emb).collect()
+        .map { r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+          ((r.getAs[Long]("n_vectors"), r.getAs[Double]("cov"))) }.toMap
+      // decimal-exact moments + the identical finishing tree: the
+      // streamed snapshot must EQUAL the batch grid, not approximate it
+      assert(streamed == batch,
+        s"${streamed.size} streamed cells vs ${batch.size} batch cells")
+    } finally q.stop()
+  }
+
   test("streaming HNSW ingest: incrementally built graph equals the batch build edge for edge") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
