@@ -3177,31 +3177,24 @@ object TextOps {
     val ndocsRow = toked.agg(count(lit(1)).as("nd"))
     val tokCnt = toked.select(explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    // The prelude's three EAGER pieces (the fused doc prefix-sum pass,
-    // the vocab prefix-sum pass, and the maxLen/total agg) are
-    // independent jobs on independent inputs — submit them concurrently
-    // (Spark's scheduler interleaves jobs from multiple threads) instead
-    // of serializing three cluster round-trips. Honesty note: at
-    // local[32] this measures FLAT (each job is sub-100 ms, so there is
-    // nothing to overlap); the win it buys is per-job scheduling LATENCY
-    // on a real cluster, where three serialized job round-trips cost
-    // seconds regardless of data volume.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    // NOTE (round 10): submitting the three eager prelude pieces as
+    // concurrent futures was tried and REVERTED — it intermittently
+    // corrupted the rank permutation (two suffixes sharing a final
+    // rank; caught by the brute-force LCP spec in the full-suite run).
+    // Concurrent first-materialization of sibling exclusivePrefixSum
+    // pipelines over the shared un-cached `toked` lineage is not safe
+    // to assume, and the overlap bought nothing at local[32] anyway
+    // (sub-100 ms jobs). The prelude runs sequentially, on purpose.
     // ONE fused pass yields both per-doc prefix sums: the token offset
     // (Σ len) and the doc ordinal (Σ 1) share the same doc_id order
-    val offsetsF = Future(exclusivePrefixSum2(
+    val offsets = exclusivePrefixSum2(
         lens.withColumn("one", lit(1L)), "doc_id", "len", "one")
       .select(col("doc_id"), col("offset1").as("offset"),
-        col("offset2").as("ord")))
+        col("offset2").as("ord"))
     // token bucket starts: r = nd + 1 + (occurrences of smaller tokens),
     // group size = the token's own count; doc ordinals the same way
-    val tokStartF = Future(exclusivePrefixSum(tokCnt, "term", "cnt")
-      .join(tokCnt, "term")) // vocab-scale join back for the group size
-    val aggRowF = Future(lens.agg(max(col("len")), sum(col("len"))).head())
-    val offsets = Await.result(offsetsF, Duration.Inf)
-    val tokStart = Await.result(tokStartF, Duration.Inf)
+    val tokStart = exclusivePrefixSum(tokCnt, "term", "cnt")
+      .join(tokCnt, "term") // vocab-scale join back for the group size
     val tokRows = toked
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "term")))
       .join(tokStart, "term") // vocab-scale, unhinted (vocab grows with corpus)
@@ -3220,7 +3213,7 @@ object TextOps {
 
     // empty corpus: the aggregates come back NULL — return the empty
     // result instead of tripping a primitive-extraction NPE
-    val aggRow = Await.result(aggRowF, Duration.Inf)
+    val aggRow = lens.agg(max(col("len")), sum(col("len"))).head()
     if (aggRow.isNullAt(0))
       return documents.sparkSession.createDataFrame(
         documents.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
