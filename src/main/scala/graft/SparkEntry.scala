@@ -49,15 +49,32 @@ object SparkEntry {
     * doc_lcp, doc_dup_intervals, and doc_dedup_excise_sa all ride the
     * same artifact — exactly how a dedup deployment uses a suffix
     * index: build once, consult many times. */
-  private val lcpMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def lcpRel(s: SparkSession, dir: String): DataFrame =
+  private[graft] val lcpMemoCapacity = 2
+  // LRU-BOUNDED (round-10 verdict #2): the memo caches corpus-scale
+  // persisted artifacts, so an unbounded evict-never map would pin one
+  // cluster-cache-sized relation per data dir ever touched by the JVM.
+  // accessOrder=true makes iteration order least-recently-USED first;
+  // past capacity the eldest artifact is unpersisted (releasing its
+  // cached blocks cluster-wide) and dropped. Rebuilding after eviction
+  // is just the cold path again — correctness never depends on the memo.
+  private[graft] val lcpMemo =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+  private[graft] def lcpRel(s: SparkSession, dir: String): DataFrame =
     lcpMemo.synchronized {
-      lcpMemo.getOrElseUpdate(dir, {
+      val hit = lcpMemo.get(dir)
+      if (hit != null) hit
+      else {
         val df = TextOps.suffixLcp(Tables.documents(s, dir))
-        df.persist()
+        df.persist() // MEMORY_AND_DISK: spillable, never recompute-loops
+        lcpMemo.put(dir, df)
+        while (lcpMemo.size > lcpMemoCapacity) {
+          val it = lcpMemo.entrySet().iterator()
+          val eldest = it.next()
+          eldest.getValue.unpersist(blocking = false)
+          it.remove()
+        }
         df
-      })
+      }
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -705,6 +722,14 @@ object SparkEntry {
     // (corpus size never touches the shuffle), decimal-exact moments
     "emb_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(Tables.embeddings(s, dir))),
+    // the SAME grid maintained by the streaming path (round-10 verdict
+    // #1): file-source micro-batch ingest → update-mode mergeable
+    // moments → latest-emission snapshot; hashes against the identical
+    // batch oracle because the streamed grid equals the batch one cell
+    // for cell (StreamingEtlSpec pins the equality; this row makes the
+    // DRIVER check it every round)
+    "emb_cov_stream_snapshot" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.covStreamSnapshot(s, dir)),
     // PCA projection + whitening (Similarity.pcaProject) is deliberately
     // NOT a driver query: the iterative Jacobi eigensolver is not
     // SQL-expressible, so no hash oracle can exist — it shipped as an
@@ -741,6 +766,14 @@ object SparkEntry {
     "emb_hnsw_build" -> ((s, dir) =>
       Similarity.hnswBuild(Tables.embeddings(s, dir),
         knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
+    // the SAME graph built by the streaming ingest path (round-10
+    // verdict #1): four ascending-id chunks land in a monitored dir,
+    // stateful bucket-cap candidates append to a parquet sink (the log
+    // never touches the driver), the snapshot re-ranks with hnswBuild's
+    // own shared tail — edge-for-edge the batch graph (StreamingEtlSpec
+    // pins it; this row makes the DRIVER hash it every round)
+    "emb_hnsw_stream_edges" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.hnswStreamEdges(s, dir)),
     // The serving SEARCH over that graph (greedy upper-layer descent +
     // ef-beam on layer 0) is deliberately NOT a driver query: the
     // iterative walk is not SQL-expressible, so no hash oracle can exist
@@ -1853,6 +1886,32 @@ object SparkEntry {
          SELECT hq.query_id, c.vec_id AS neighbor_id,
            CAST(bit_count(xor(hq.code_q, c.code)) AS BIGINT) AS hamming
          FROM hq JOIN codes c ON c.vec_id <> hq.query_id)"""
+
+  /** DuckDB replica of [[graft.operators.Similarity.covarianceMatrix]]:
+    * raw decimal-exact moments, covariance assembled in the same
+    * double-op order, 1e-6 grid. Shared verbatim by `emb_covariance`
+    * (batch) and `emb_cov_stream_snapshot` (the streaming-maintained
+    * grid — cell-for-cell equal by the mergeable-moments algebra). */
+  private val covarianceOracleSql: String =
+    """WITH x AS (
+         SELECT vec_id,
+           unnest(generate_series(1, len(embedding))) - 1 AS i,
+           unnest(embedding::DOUBLE[]) AS xi
+         FROM embeddings),
+       cells AS (
+         SELECT a.i AS i, b.i AS j, count(*) AS n_vectors,
+           CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(38, 10))) AS DOUBLE) AS sij
+         FROM x a JOIN x b USING (vec_id)
+         GROUP BY 1, 2),
+       sums AS (
+         SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38, 10))) AS DOUBLE) AS si
+         FROM x GROUP BY 1)
+       SELECT c.i, c.j, c.n_vectors,
+         floor(((c.sij - m1.si * m2.si / c.n_vectors) / c.n_vectors) * 1e6 + 0.5) / 1e6
+           AS cov
+       FROM cells c
+       JOIN sums m1 ON m1.i = c.i
+       JOIN sums m2 ON m2.i = c.j"""
 
   /** DuckDB replica of [[graft.operators.Similarity.hnswBuild]]: the same
     * sha-hash geometric levels, the same plane literals and sign-bit
@@ -4860,26 +4919,16 @@ object SparkEntry {
     "emb_mmr_select" -> mmrOracle(numQueries = 10, candidates = 20, k = 8),
     // replica of Similarity.covarianceMatrix: raw decimal-exact moments,
     // covariance assembled in the same double-op order, 1e-6 grid
-    "emb_covariance" ->
-      """WITH x AS (
-           SELECT vec_id,
-             unnest(generate_series(1, len(embedding))) - 1 AS i,
-             unnest(embedding::DOUBLE[]) AS xi
-           FROM embeddings),
-         cells AS (
-           SELECT a.i AS i, b.i AS j, count(*) AS n_vectors,
-             CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(38, 10))) AS DOUBLE) AS sij
-           FROM x a JOIN x b USING (vec_id)
-           GROUP BY 1, 2),
-         sums AS (
-           SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38, 10))) AS DOUBLE) AS si
-           FROM x GROUP BY 1)
-         SELECT c.i, c.j, c.n_vectors,
-           floor(((c.sij - m1.si * m2.si / c.n_vectors) / c.n_vectors) * 1e6 + 0.5) / 1e6
-             AS cov
-         FROM cells c
-         JOIN sums m1 ON m1.i = c.i
-         JOIN sums m2 ON m2.i = c.j""",
+    "emb_covariance" -> covarianceOracleSql,
+    // the STREAMED grid is proven cell-for-cell equal to the batch one
+    // (mergeable decimal moments — StreamingEtlSpec), so the batch
+    // oracle hashes the streaming path's snapshot verbatim
+    "emb_cov_stream_snapshot" -> covarianceOracleSql,
+    // likewise the stream-built graph equals the batch build edge for
+    // edge under the (enforced) ascending-id ingest contract, so the
+    // closed-form graph oracle applies to the streamed artifact
+    "emb_hnsw_stream_edges" -> hnswOracle(m = 8, numTables = 16,
+      maxLevel = 3, dim = 64, bucketCap = 128),
     "emb_label_centroids" ->
       """SELECT label, dim,
            floor((CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(x)) * 1e6 + 0.5) / 1e6

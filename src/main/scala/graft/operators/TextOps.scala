@@ -3167,11 +3167,31 @@ object TextOps {
     * valid doc length — the operator handles any length by running more
     * rounds). */
   def suffixRanks(documents: DataFrame): DataFrame = {
+    // the tokenization is cached for the build's lifetime (see
+    // suffixRanksToked — the prelude alone scans it four times);
+    // released before returning, by which point every consumer is
+    // checkpoint-materialized
+    val toked = tokedDocs(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try suffixRanksToked(toked)
+    finally toked.unpersist(blocking = false)
+  }
+
+  /** The shared tokenization: one regex pass per document, null-safe. */
+  private def tokedDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
+
+  /** [[suffixRanks]] over a PRE-TOKENIZED (ideally cached) relation —
+    * the prelude consults `toked` four times (lens, doc count, token
+    * counts, token rows) and [[suffixLcp]] a fifth time for its slices,
+    * so tokenizing once and caching (round-10 verdict #3) removes three
+    * to four full regex passes over the corpus from the build's critical
+    * path. MEMORY_AND_DISK: the tokenized corpus is corpus-sized, so the
+    * cache must spill, never OOM, at scale. */
+  private def suffixRanksToked(toked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = documents.sparkSession
-    val toked = documents
-      .select(col("doc_id"),
-        coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
+    val spark = toked.sparkSession
     val lens = toked.select(col("doc_id"),
       (size(col("toks")) + 1).cast("long").as("len"))
     val ndocsRow = toked.agg(count(lit(1)).as("nd"))
@@ -3215,8 +3235,8 @@ object TextOps {
     // result instead of tripping a primitive-extraction NPE
     val aggRow = lens.agg(max(col("len")), sum(col("len"))).head()
     if (aggRow.isNullAt(0))
-      return documents.sparkSession.createDataFrame(
-        documents.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType()
           .add("doc_id", org.apache.spark.sql.types.LongType)
           .add("pos", org.apache.spark.sql.types.IntegerType)
@@ -3272,8 +3292,21 @@ object TextOps {
           .agg(pivotAggs.head, pivotAggs.tail: _*)
         val wFull = Window.partitionBy(col("r"))
           .orderBy((1 to kMax).map(k => col(s"rk$k")): _*)
+        // composite-key uniqueness is an INVARIANT (sentinel argument),
+        // not an assumption to trust silently: rank()==row_number() iff
+        // the composite has no tie, and both ride the SAME window exec,
+        // so the check is free. A tie — the failure mode behind round
+        // 10's reverted concurrent prelude, and what rank() alone would
+        // turn into duplicate final ranks — now kills the job loudly
+        // (round-10 advisor).
+        val rnk = rank().over(wFull)
+        val rn = row_number().over(wFull)
         parts += paired.select(col("gpos"),
-          (col("r") + rank().over(wFull) - lit(1L)).as("r"))
+          (col("r") + when(rnk === rn, rn).otherwise(raise_error(concat(
+            lit("suffixRanks full-resolve invariant violated: composite "),
+            lit("key tie within rank group "), col("r"),
+            lit(" — duplicate final ranks would result")))
+            .cast("long")) - lit(1L)).as("r"))
         exhausted = true
       }
       else {
@@ -3344,9 +3377,16 @@ object TextOps {
     * (rank, doc_id, pos, prev_doc_id, prev_pos, lcp) for every rank ≥ 2. */
   def suffixLcp(documents: DataFrame, cap: Int = 64): DataFrame = {
     require(cap >= 1 && cap <= 512, s"cap in [1,512], got $cap")
-    val ranks = suffixRanks(documents)
-    val toked = documents.select(col("doc_id"),
-      coalesce(tokens(col("text")), array().cast("array<string>")).as("toks"))
+    // one tokenization, cached across the rank build's four prelude
+    // scans AND this function's slice join (round-10 verdict #3);
+    // released lazily — the rank parts are checkpoint-materialized by
+    // build end, and the slice join below costs at most one recompute
+    // pass if the caller materializes after the release
+    val toked = tokedDocs(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks =
+      try suffixRanksToked(toked)
+      finally toked.unpersist(blocking = false)
     val sfx = ranks.join(toked, "doc_id")
       .select(col("doc_id"), col("pos"), col("suffix_rank"),
         slice(col("toks"), col("pos") + 1, lit(cap)).as("s"))

@@ -254,7 +254,7 @@ object Tables {
     * finding, round 9) — plus the per-run token for cross-process
     * isolation. Registered for recursive deletion at JVM shutdown so
     * per-run dirs don't accumulate in /tmp. */
-  private def scratchDir(prefix: String, input: DataFrame): String = {
+  private[graft] def scratchDir(prefix: String, input: DataFrame): String = {
     val paths = input.inputFiles.sorted
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(paths.mkString("\n").getBytes("UTF-8"))

@@ -52,12 +52,18 @@ object StreamingHnsw {
 
   /** The stateful half: banded STREAMING vectors in, candidate edges
     * (level, src, dst) out — append mode, bounded per-bucket id state.
-    * `bits` must be the batch build's [[Similarity.autoBits]] of the
-    * final corpus size (the bucket geometry is part of the artifact
-    * contract, like `numQueries` on the sharded searcher). */
-  def candidateEdges(vectors: DataFrame, numTables: Int = 16,
-                     maxLevel: Int = 3, dim: Int = 64, bucketCap: Int = 128,
-                     bits: Int = 4): DataFrame = {
+    * `bits` has NO default (round-10 advisor): it must be the batch
+    * build's [[Similarity.autoBits]] of the final corpus size — the
+    * bucket geometry is part of the artifact contract, like `numQueries`
+    * on the sharded searcher — and a silent 4-bit footgun default made
+    * stream-vs-batch divergence invisible. The ascending-id ingest
+    * contract is ENFORCED, not assumed: each bucket's state carries the
+    * largest id it has ever seen, and an arrival below it fails the
+    * stream loudly instead of silently admitting a different member set
+    * than the batch cap would. */
+  def candidateEdges(vectors: DataFrame, bits: Int, numTables: Int = 16,
+                     maxLevel: Int = 3, dim: Int = 64,
+                     bucketCap: Int = 128): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val banded = Similarity
@@ -65,16 +71,28 @@ object StreamingHnsw {
       .as[(Long, Int, Int, Long)]
     banded
       .groupByKey { case (_, level, t, bl) => (level, t, bl) }
-      .flatMapGroupsWithState[Seq[Long], (Int, Long, Long)](
+      .flatMapGroupsWithState[(Seq[Long], Long), (Int, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((level, _, _), rows, state: GroupState[Seq[Long]]) =>
+        case ((level, _, _), rows, state: GroupState[(Seq[Long], Long)]) =>
+          val (prev, prevMax) = state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
           val members = scala.collection.mutable.ArrayBuffer.empty[Long]
-          members ++= state.getOption.getOrElse(Seq.empty)
+          members ++= prev
           val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-          // ascending within the batch; the ingest contract makes ids
-          // ascending ACROSS batches, so "bucket full" is final — the
-          // batch build's lowest-bucketCap-ids cap, reached incrementally
-          rows.map(_._1).toSeq.sorted.foreach { x =>
+          // ascending within the batch (sorted here); the ingest contract
+          // makes ids ascending ACROSS batches, so "bucket full" is final —
+          // the batch build's lowest-bucketCap-ids cap, reached
+          // incrementally. The contract is checked against the bucket's
+          // high-water mark: a smaller id arriving after a larger one has
+          // committed means a replayed/out-of-order ingest whose admitted
+          // set could differ from the batch cap's — fail fast.
+          val incoming = rows.map(_._1).toSeq.sorted
+          incoming.headOption.foreach { lo =>
+            if (lo < prevMax) throw new IllegalStateException(
+              s"StreamingHnsw ingest contract violated: vec_id $lo arrived " +
+                s"after $prevMax in the same bucket; ids must ascend across " +
+                "micro-batches for stream==batch equality")
+          }
+          incoming.foreach { x =>
             if (members.size < bucketCap && !members.contains(x)) {
               members.foreach { y =>
                 out += ((level, x, y)); out += ((level, y, x))
@@ -82,7 +100,8 @@ object StreamingHnsw {
               members += x
             }
           }
-          state.update(members.toSeq)
+          state.update((members.toSeq,
+            math.max(prevMax, incoming.lastOption.getOrElse(prevMax))))
           out.iterator
       }
       .toDF("level", "src", "dst")

@@ -873,4 +873,34 @@ class StreamingEtlSpec extends AnyFunSuite {
       assert(again == batch)
     } finally q.stop()
   }
+
+  test("streaming HNSW ingest: a non-monotone vec_id arrival fails the stream loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two IDENTICAL vectors land in the same buckets in every table; id 2
+    // commits in batch 1, id 1 arrives in batch 2 — the ingest-contract
+    // high-water-mark check must kill the query instead of silently
+    // admitting a member set the batch cap would never produce
+    // (round-10 advisor)
+    val v = Seq.fill(64)(0.5f)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingHnsw.candidateEdges(
+        input.toDF().toDF("vec_id", "embedding"), bits = 4)
+      .writeStream.format("memory").queryName("hnsw_ingest_bad")
+      .outputMode("append").start()
+    try {
+      input.addData((2L, v))
+      q.processAllAvailable()
+      input.addData((1L, v))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootChain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(rootChain(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("ingest contract violated")),
+        s"expected the contract IllegalStateException, got: $e")
+    } finally q.stop()
+  }
 }

@@ -1263,6 +1263,46 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lcpMemo is LRU-bounded: a third dir evicts and unpersists the least-recently-used artifact") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // three tiny corpora on disk, shaped like a data dir (round-10
+    // verdict #2: the memo caches PERSISTED corpus-scale relations, so
+    // it must evict + unpersist past capacity instead of pinning one
+    // artifact per dir forever)
+    val base = java.nio.file.Files.createTempDirectory("lcp_memo_spec").toString
+    val dirs = (0 until 3).map { i =>
+      val d = s"$base/d$i"
+      Seq((1L, s"a b c d$i"), (2L, s"b c d$i e")).toDF("doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    SparkEntry.lcpMemo.synchronized(SparkEntry.lcpMemo.clear())
+    assert(SparkEntry.lcpMemoCapacity == 2)
+    val first = SparkEntry.lcpRel(spark, dirs(0))
+    val second = SparkEntry.lcpRel(spark, dirs(1))
+    assert(first.storageLevel != StorageLevel.NONE)
+    // same dir returns the SAME cached relation, no rebuild
+    assert(SparkEntry.lcpRel(spark, dirs(0)) eq first)
+    // third dir: capacity 2 evicts the least-recently-used (dirs(1) —
+    // dirs(0) was touched after it) and RELEASES its cached blocks
+    val third = SparkEntry.lcpRel(spark, dirs(2))
+    assert(second.storageLevel == StorageLevel.NONE,
+      "evicted artifact must be unpersisted")
+    assert(first.storageLevel != StorageLevel.NONE)
+    assert(third.storageLevel != StorageLevel.NONE)
+    assert(SparkEntry.lcpMemo.synchronized(!SparkEntry.lcpMemo.containsKey(dirs(1))))
+    assert(SparkEntry.lcpMemo.synchronized(SparkEntry.lcpMemo.size) == 2)
+    // an evicted dir just takes the cold path again — correctness never
+    // depended on the memo
+    val rebuilt = SparkEntry.lcpRel(spark, dirs(1))
+    assert(!(rebuilt eq second) && rebuilt.storageLevel != StorageLevel.NONE)
+    SparkEntry.lcpMemo.synchronized {
+      SparkEntry.lcpMemo.values.forEach(_.unpersist(blocking = false): Unit)
+      SparkEntry.lcpMemo.clear()
+    }
+  }
+
   test("dup spans reconcile with the gram-based excision on a planted fixture") {
     import spark.implicits._
     // two docs share one 12-token run; every other token is corpus-unique
