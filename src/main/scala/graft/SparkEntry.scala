@@ -91,6 +91,12 @@ object SparkEntry {
     "station_day_agg_salted" -> ((s, dir) =>
       operators.Skew.saltedStationDayAgg(
         TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)))),
+    // skew insurance (round-10 verdict #5): a rigged hot key (~half of
+    // all events land on skew_key 0) aggregated with the two-phase
+    // salted plan; the oracle is the PLAIN group-by — salting must
+    // change the shuffle shape, never the answer
+    "events_zipf_salted" -> ((s, dir) =>
+      operators.Skew.zipfSaltedAgg(Tables.events(s, dir))),
     // incremental maintenance path: mergeable state (decimal sum + count
     // instead of avg) built per slice, merged, finalized — oracled by the
     // SAME SQL as station_day_agg, proving merge(history, batch) == full
@@ -254,6 +260,21 @@ object SparkEntry {
     "disjunctive_revenue" -> ((s, dir) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, dir),
         Tables.part(s, dir))),
+    // TPC-H Q21's semi/anti pair on the SAME table (EXISTS another
+    // supplier in the order, NOT EXISTS another LATE supplier) — both
+    // declared as hash joins with the disequality as residual
+    "waiting_suppliers" -> ((s, dir) =>
+      Relational.waitingSuppliers(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.nation(s, dir))),
+    // TPC-H Q8's two-level agg-over-join: per-year market share of one
+    // supplier nation inside one customer region — both sums in ONE
+    // hash aggregate, ratio of the rounded decimals at the edge
+    "nation_market_share" -> ((s, dir) =>
+      Relational.nationMarketShare(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir), Tables.part(s, dir))),
     "customer_order_counts" -> ((s, dir) =>
       Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
@@ -3113,6 +3134,20 @@ object SparkEntry {
          MAX(e.ts) AS update_time
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2""",
+    // replica of Skew.zipfSaltedAgg's PLAIN form: the same portable-hash
+    // hot-key assignment (integer arithmetic only), one group-by — the
+    // salted two-phase plan must hash-match this exactly, proving the
+    // salt changes the shuffle shape and never the answer
+    "events_zipf_salted" -> s"""
+         WITH e AS (
+           SELECT ${shaFoldSql("'zipf:' || CAST(event_id AS VARCHAR)")} % 1000
+               AS h, value
+           FROM events)
+         SELECT CASE WHEN h % 10 < 5 THEN 0 ELSE h END AS skew_key,
+           count(*) AS n_events,
+           floor(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS value_sum
+         FROM e GROUP BY 1""",
     "dangling_station_fks" ->
       """SELECT e.user_id, COUNT(*) AS n_dangling
          FROM events e
@@ -3401,6 +3436,58 @@ object SparkEntry {
                 AND l.l_quantity BETWEEN 10 AND 20)
             OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
                 AND l.l_quantity BETWEEN 20 AND 30)""",
+    // replica of Relational.waitingSuppliers: the l_returnflag='R' late
+    // marker, EXISTS / NOT EXISTS on the same lineitem table, one
+    // finished-orders filter, one nation filter
+    "waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+           AND o.o_orderstatus = 'F'
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+           AND n.n_name = 'NATION_7'
+         WHERE l.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l.l_orderkey
+                         AND l2.l_suppkey <> l.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l.l_orderkey
+                             AND l3.l_suppkey <> l.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY 1""",
+    // replica of Relational.nationMarketShare: decimal-exact volume sums
+    // rounded at 2 BEFORE the ratio, ratio of the rounded doubles at 6 —
+    // the same arithmetic order as the Spark side
+    "nation_market_share" ->
+      """WITH v AS (
+           SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           WHERE EXISTS (SELECT 1 FROM part p
+                         WHERE p.p_partkey = l.l_partkey
+                           AND p.p_type = 'ECONOMY')
+             AND EXISTS (SELECT 1 FROM customer c
+                         JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                         JOIN region r ON r.r_regionkey = cn.n_regionkey
+                         WHERE c.c_custkey = o.o_custkey
+                           AND r.r_name = 'ASIA')),
+         a AS (
+           SELECT o_year,
+             floor(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7'
+                 THEN volume ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE)
+               * 1e2 + 0.5) / 1e2 AS share_rev,
+             floor(CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE)
+               * 1e2 + 0.5) / 1e2 AS total_rev
+           FROM v GROUP BY 1)
+         SELECT o_year,
+           floor(share_rev / total_rev * 1e6 + 0.5) / 1e6 AS mkt_share,
+           share_rev, total_rev
+         FROM a""",
     "promo_revenue" ->
       """WITH s AS (
            SELECT

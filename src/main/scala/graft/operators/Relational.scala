@@ -1675,6 +1675,97 @@ object Relational {
       .agg(sumRounded(disc, 2).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q21's multi-join semi/anti shape (suppliers who kept orders
+    * waiting), on this schema (lineitem carries no commit/receipt dates
+    * — the "late line" marker is l_returnflag = 'R'): for finished
+    * orders, count per supplier the late lines where ANOTHER supplier
+    * contributed to the order (EXISTS) but NO OTHER supplier was late
+    * (NOT EXISTS on the same table). The planning story is the point:
+    * the correlated EXISTS / NOT EXISTS pair declares as one LEFT SEMI
+    * and one LEFT ANTI join against the SAME lineitem relation, each
+    * with the equi orderkey as the hash key and the `suppkey <>`
+    * disequality as the join residual — no row multiplication, no
+    * distinct, and the anti side is pre-filtered to late lines so its
+    * build input is a third of the table. Orders filters to status 'F'
+    * at the scan; the nation filter reduces supplier 25× before the
+    * supplier join; only nation (fixed 25 rows) is broadcast-hinted —
+    * supplier grows with SF, so its join stays stats-gated. */
+  def waitingSuppliers(supplier: DataFrame, lineitem: DataFrame,
+                       orders: DataFrame, nation: DataFrame,
+                       nationName: String = "NATION_7"): DataFrame = {
+    val others = lineitem.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val otherLate = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+    lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(others, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(otherLate, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(supplier
+          .join(broadcast(nation.filter(col("n_name") === nationName)),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q8's two-level agg-over-join shape (national market share):
+    * the inner level builds per-line volume over a five-way join —
+    * lineitem ⋈ type-filtered part ⋈ orders ⋈ region-filtered customers
+    * ⋈ supplier ⋈ nation — and the outer level aggregates the SAME rows
+    * twice per year (the share nation's volume and the total) so the
+    * ratio needs exactly one hash aggregate, never a self-join of two
+    * aggregated relations. Distribution: the customer region membership
+    * comes from a LEFT SEMI against a broadcast nation⋈region product
+    * (fixed 25×5 rows — the only broadcast hints; part, customer, and
+    * supplier all grow with SF and stay stats-gated), and both sums are
+    * decimal-exact then rounded BEFORE the ratio, so no
+    * order-dependent float crosses the engine boundary. */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        part: DataFrame, regionName: String = "ASIA",
+                        shareNation: String = "NATION_7",
+                        pType: String = "ECONOMY"): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rn_key"))
+    val regionCustomers = customer
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("rn_key"), "left_semi")
+      .select(col("c_custkey"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(part.filter(col("p_type") === pType)
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(regionCustomers, col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sumRounded(when(col("supp_nation") === shareNation, disc)
+          .otherwise(lit(0.0)), 2).as("share_rev"),
+        sumRounded(disc, 2).as("total_rev"))
+      .select(col("o_year"),
+        roundFixed(col("share_rev") / col("total_rev"), 6).as("mkt_share"),
+        col("share_rev"), col("total_rev"))
+  }
+
   def promoRevenue(lineitem: DataFrame, part: DataFrame,
                    fromDate: String = "1996-03-01",
                    untilDate: String = "1996-04-01"): DataFrame = {

@@ -73,6 +73,43 @@ object Skew {
     * state (collect-style, distinct counts) or a reduce-side concentration
     * that map-side combine can't fix (few mappers, many hot rows each).
     */
+  /** The skew-insurance demo the first real 100 TB incident calls for
+    * (round-10 verdict #5): a DELIBERATELY hot-keyed aggregate over
+    * events — the key is a portable hash bucket rigged so bucket 0
+    * receives ~half of ALL rows (one hot key + ~500 cold ones, the
+    * "one station gets 30% of traffic" regime) — computed with the
+    * two-phase salted plan. Phase 1 aggregates per (key, salt) — the
+    * hot key's rows spread over `salt` reducers, so no task sees more
+    * than ~1/salt of the hot key — and phase 2 merges ≤ salt partials
+    * per key. Every aggregate is algebraic (counts add, the decimal
+    * value sum adds exactly in any order), so the result is
+    * bit-identical to the plain one-phase aggregate: the DuckDB oracle
+    * IS the plain GROUP BY, which is the whole point — salting changes
+    * the shuffle shape, never the answer. The salt itself is
+    * xxhash64-derived (deterministic for retries/speculation) and never
+    * crosses the engine boundary.
+    *
+    * The hot KEY is portable (sha-based [[TextOps.portableHash64]],
+    * pure integer arithmetic after the fold — no float log2 whose
+    * libm rounding could differ across engines) so the oracle rebuilds
+    * the exact key assignment. */
+  def zipfSaltedAgg(events: DataFrame, salt: Int = 16): DataFrame = {
+    val wide = DecimalType(38, 10)
+    val h = pmod(graft.operators.TextOps.portableHash64(
+      concat(lit("zipf:"), col("event_id").cast("string"))), lit(1000L))
+    val key = when(pmod(h, lit(10L)) < 5, lit(0L)).otherwise(h)
+    events
+      .withColumn("skew_key", key)
+      .withColumn("__salt", saltOf("event_id", salt))
+      .groupBy(col("skew_key"), col("__salt"))
+      .agg(count(lit(1)).as("n_p"),
+        sum(col("value").cast(wide)).as("sum_p"))
+      .groupBy(col("skew_key"))
+      .agg(sum(col("n_p")).as("n_events"),
+        DeterministicAgg.roundFixed(sum(col("sum_p")).cast("double"), 4)
+          .as("value_sum"))
+  }
+
   def saltedStationDayAgg(enriched: DataFrame, salt: Int = 16): DataFrame = {
     val wide = DecimalType(38, 10)
     enriched

@@ -92,21 +92,73 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("late_priority_orders: the EXISTS plans as one LEFT SEMI hash join, no row multiplication") {
+    // coarse invariants only (round-10 advisor: exact operator counts
+    // and toString shapes are brittle across Spark/AQE upgrades): the
+    // semi join IS the per-order dedup — so it must be present and no
+    // Distinct-style second aggregation pass may appear
     val p = plan("late_priority_orders")
     assert(p.contains("LeftSemi"), p)
-    // the semi join IS the per-order dedup: no Distinct/second agg
-    assert(!p.contains("SortAggregate") &&
-      count(p, "HashAggregate") == 2, p) // partial + final of the count
+    assert(!p.contains("SortAggregate") && !p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("disjunctive_revenue: the part-only halves of the OR branches reach the part scan") {
-    val p = plan("disjunctive_revenue")
     // Catalyst factors the single-side halves out of the mixed
-    // disjunction and pushes an Or tree into BOTH scans: the brand/size
-    // branches reach part, the quantity ranges reach lineitem
-    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
-    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
+    // disjunction and pushes a disjunctive filter into BOTH scans.
+    // Asserted coarsely (round-10 advisor: the exact Or(Or(And(...
+    // nesting is a toString artifact): each scan's PushedFilters must
+    // contain SOME disjunction over that side's columns.
+    val p = plan("disjunctive_revenue")
+    // per-line match: the toString TRUNCATES long PushedFilters lists
+    // (trailing "..." with no closing bracket)
+    val pushed = "PushedFilters: \\[[^\\n]*".r.findAllIn(p).toSeq
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("p_brand")),
+      s"no disjunction reached the part scan:\n$p")
+    assert(pushed.exists(f => f.contains("Or(") && f.contains("l_quantity")),
+      s"no disjunction reached the lineitem scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("waiting_suppliers: the EXISTS/NOT EXISTS pair is one semi + one anti hash join, filters reach the scans") {
+    val p = plan("waiting_suppliers")
+    // EXISTS(other supplier) → LeftSemi, NOT EXISTS(other LATE supplier)
+    // → LeftAnti, both against lineitem with the suppkey disequality as
+    // the join residual — never a nested-loop or cartesian expansion
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the late-line and finished-order markers prune at the scans
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("nation_market_share: both sums ride ONE aggregate over ONE lineitem scan; memberships are semi joins") {
+    val p = plan("nation_market_share")
+    // the share/total ratio must come from one aggregate pass — the
+    // aggregate-twice-and-self-join alternative scans lineitem twice
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("l_orderkey")) == 1,
+      s"lineitem scanned more than once:\n$p")
+    // the three memberships (part type, region→customer, customer→
+    // orders) all stay semi joins — no row multiplication anywhere
+    assert(count(p, "LeftSemi") == 3, p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_zipf_salted: phase-1 partitioning includes the salt; no single-partition stage") {
+    val p = plan("events_zipf_salted")
+    // the straggler insurance: the first exchange hash-partitions on
+    // (skew_key, __salt), so the hot key's rows spread over `salt`
+    // reducers instead of serializing into one task — and nothing in
+    // the plan funnels to a single partition
+    assert("hashpartitioning\\(skew_key[^)]*__salt".r.findFirstIn(p).isDefined,
+      s"partial agg does not partition on the salt:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // two-phase shape: per-(key,salt) partials, per-key merge
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
   test("pricing_summary: column pruning reaches the parquet scan (5 columns, not 16)") {
