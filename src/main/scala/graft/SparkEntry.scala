@@ -865,6 +865,14 @@ object SparkEntry {
     // drops to O(N·(nprobe/c)) table lookups
     "emb_ivfpq_search" -> ((s, dir) =>
       Similarity.ivfpqSearchTopK(Tables.embeddings(s, dir))),
+    // the OPQ-family driver check (round-10 verdict #7): total PQ
+    // quantization error under the serpentine variance allocation — the
+    // allocation half of OPQ is closed-form from the oracled covariance
+    // diagonal, so DuckDB replays permutation, Lloyd chains, encode, and
+    // error fold exactly (the eigen-ROTATION stays API+spec: a Jacobi
+    // eigensolve is not SQL-expressible — the emb_pca_project precedent)
+    "emb_opq_distortion" -> ((s, dir) =>
+      Similarity.opqDistortion(Tables.embeddings(s, dir))),
     // residual-quantization codebooks (r9 verdict #6 — the one major
     // compression scheme the flat/IVF/PQ/binary/graph family lacked):
     // stage s+1 quantizes what stage s left over, so the reconstruction
@@ -1526,6 +1534,53 @@ object SparkEntry {
       s"""SELECT vec_id, $s AS subspace, code
           FROM (${kmeansOracle(k, iters, src, emit = "codes")})"""
     }.mkString("\n UNION ALL ")
+
+  /** DuckDB replica of [[graft.operators.Similarity.opqDistortion]]: the
+    * serpentine variance allocation rebuilt from the covariance oracle's
+    * 1e-6-rounded diagonal (row_number over var DESC, dim ASC — the
+    * identical sort keys the engine's driver-side sortBy uses), each
+    * subspace's permuted slice assembled by `list(… ORDER BY slot)`,
+    * then per subspace one [[kmeansOracle]] `codes` chain + one
+    * `centroids` chain and the ascending-dim error fold — every double
+    * bit-identical, so the decimal-exact distortion sums hash-match. */
+  private def opqDistortionOracle(numSubspaces: Int, k: Int,
+                                  iters: Int): String = {
+    val subs = (0 until numSubspaces).map { s =>
+      val src = s"""(SELECT e.vec_id,
+             list(e.embedding[a.dim0 + 1] ORDER BY a.slot) AS embedding
+           FROM embeddings e CROSS JOIN alloc a
+           WHERE a.subspace = $s
+           GROUP BY e.vec_id)"""
+      s"""SELECT $s AS subspace, count(*) AS n_vectors,
+           floor(CAST(SUM(CAST(err AS DECIMAL(38,10))) AS DOUBLE)
+             * 1e4 + 0.5) / 1e4 AS distortion
+         FROM (
+           SELECT list_reduce(list_transform(generate_series(1, len(sv.v)),
+               i -> (sv.v[i] - cb.cv[i]) * (sv.v[i] - cb.cv[i])),
+             (x, y) -> x + y) AS err
+           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM $src) sv
+           JOIN (${kmeansOracle(k, iters, src, emit = "codes")}) cd
+             ON cd.vec_id = sv.vec_id
+           JOIN (SELECT cluster_id, list(centroid_val ORDER BY dim) AS cv
+                 FROM (${kmeansOracle(k, iters, src)}) GROUP BY 1) cb
+             ON cb.cluster_id = cd.code)"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH vars AS (
+          SELECT i AS dim0, cov AS var
+          FROM ($covarianceOracleSql) WHERE i = j),
+        ranked AS (
+          SELECT dim0,
+            row_number() OVER (ORDER BY var DESC, dim0 ASC) - 1 AS r
+          FROM vars),
+        alloc AS (
+          SELECT dim0,
+            CASE WHEN (r // $numSubspaces) % 2 = 0 THEN r % $numSubspaces
+                 ELSE $numSubspaces - 1 - (r % $numSubspaces) END
+              AS subspace,
+            r // $numSubspaces AS slot
+          FROM ranked)
+        $subs"""
+  }
 
   /** DuckDB replica of [[graft.operators.Similarity.pqSearchTopK]] — the
     * ADC estimator replayed exactly: per-subspace rounded codebooks and
@@ -3087,6 +3142,8 @@ object SparkEntry {
          FROM e""",
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
+    "emb_opq_distortion" ->
+      opqDistortionOracle(numSubspaces = 4, k = 8, iters = 2),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_pq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
       iters = 2, numQueries = 10, topK = 5),

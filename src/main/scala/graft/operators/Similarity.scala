@@ -982,6 +982,89 @@ object Similarity {
       numSubspaces, codewords, iters, dim = r.length)
   }
 
+  /** Serpentine variance ALLOCATION — the closed-form sibling of
+    * [[opqRotation]]'s greedy eigenvalue allocation, and the
+    * ORACLE-ABLE OPQ-family representative: input dimensions (no basis
+    * change) are dealt to subspaces in descending-variance serpentine
+    * order (0,1,…,S−1,S−1,…,1,0,0,1,…) — the classic balanced deal the
+    * greedy log-product argmin approximates. Variances are the
+    * 1e-6-rounded DIAGONAL of the oracled [[covarianceMatrix]], so both
+    * engines sort identical doubles (ties broken by dimension index).
+    * Returns the flattened permutation: output position k reads input
+    * dimension perm(k); subspace s owns positions [s·w, (s+1)·w). */
+  def opqPermutation(embeddings: DataFrame,
+                     numSubspaces: Int = 4): Array[Int] = {
+    val vars = covarianceMatrix(embeddings)
+      .filter(col("i") === col("j"))
+      .select(col("i"), col("cov")).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Double]("cov")))
+    require(vars.nonEmpty, "empty corpus has no variances")
+    val d = vars.length
+    require(d % numSubspaces == 0,
+      s"dim $d must divide evenly into $numSubspaces subspaces")
+    val order = vars.sortBy { case (d0, v) => (-v, d0) }.map(_._1)
+    val alloc = Array.fill(numSubspaces)(Vector.empty[Int])
+    order.zipWithIndex.foreach { case (d0, r) =>
+      val p = r % numSubspaces
+      val s = if ((r / numSubspaces) % 2 == 0) p else numSubspaces - 1 - p
+      alloc(s) = alloc(s) :+ d0
+    }
+    alloc.flatten.toArray
+  }
+
+  /** Total PQ quantization error under the serpentine variance
+    * allocation — the DRIVER-CHECKABLE OPQ-family scalar (round-10
+    * verdict #7). The eigen-ROTATION stays API+spec (a Jacobi
+    * eigensolve is not SQL-expressible, the emb_pca_project precedent),
+    * but the ALLOCATION step — the half of OPQ that decides what each
+    * codebook gets to quantize — is closed-form from the oracled
+    * covariance diagonal, so DuckDB replays the permutation, the
+    * per-slice Lloyd chains, the rounded-codebook encode, and the error
+    * fold exactly. Per subspace: train PQ on the permuted slice, encode
+    * each vector against the ROUNDED published codebook (the
+    * [[pqAssignCodes]] discipline — L2 argmin, id-ascending ties,
+    * zero-norm codewords filtered), and sum ‖x_s − c_code(x_s)‖²
+    * decimal-exactly; the per-row error is an ascending-dim left fold,
+    * bit-identical on both engines. Output: (subspace, n_vectors,
+    * distortion) — distortion rounded 1e-4. */
+  def opqDistortion(embeddings: DataFrame, numSubspaces: Int = 4,
+                    codewords: Int = 8, iters: Int = 2): DataFrame =
+    pqDistortionUnder(embeddings, opqPermutation(embeddings, numSubspaces),
+      numSubspaces, codewords, iters)
+
+  /** [[opqDistortion]]'s core under an EXPLICIT permutation — exposed so
+    * the spec can compare against the identity permutation (= plain
+    * contiguous-slice PQ) on the same machinery. */
+  private[graft] def pqDistortionUnder(embeddings: DataFrame,
+                                       perm: Array[Int], numSubspaces: Int,
+                                       codewords: Int = 8,
+                                       iters: Int = 2): DataFrame = {
+    val w = perm.length / numSubspaces
+    val permuted = embeddings.select(col("vec_id"),
+      transform(typedLit(perm.toSeq),
+        p => element_at(col("embedding"), p + lit(1))).as("embedding"))
+    (0 until numSubspaces).map { s =>
+      val sliced = permuted.select(col("vec_id"),
+        slice(col("embedding"), s * w + 1, w).as("embedding"))
+      val cb = reshapeCodebook(
+        kmeansCentroids(sliced, codewords, iters).collect().toSeq
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
+        .filter(_._3 > 0)
+      val cwByCode = typedLit(cb.map { case (id, cw, _) => id -> cw }.toMap)
+      val cw = element_at(cwByCode, col("code"))
+      val diff = (i: Column) =>
+        element_at(col("v"), i + lit(1)) - element_at(cw, i + lit(1))
+      sliced.select(vec(col("embedding")).as("v"))
+        .select(col("v"), nearestCodewordL2(col("v"), cb).as("code"))
+        .select(aggregate(sequence(lit(0), lit(w - 1)), lit(0.0),
+          (acc, i) => acc + diff(i) * diff(i)).as("err"))
+        .agg(count(lit(1)).as("n_vectors"),
+          graft.functions.DeterministicAgg.sumRounded(col("err"), 4)
+            .as("distortion"))
+        .select(lit(s).as("subspace"), col("n_vectors"), col("distortion"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The Lloyd loop itself: returns the final (cluster_id, dim,
     * centroid_val) rows. Empty init set (empty corpus / k = 0) → empty. */
   private def kmeansRows(embeddings: DataFrame, k: Int,

@@ -624,6 +624,38 @@ class SimilaritySpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("opq serpentine permutation: valid, spreads the hot block evenly, and cuts distortion vs contiguous slices") {
+    import spark.implicits._
+    // the rotation spec's anisotropic fixture: dims 0..15 carry 8x the
+    // energy, so contiguous-slice PQ concentrates the corpus variance
+    // into ONE subspace's 8 codewords
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map { i =>
+      i -> (0 until 64).map(j =>
+        (rnd.nextGaussian() * (if (j < 16) 8.0 else 1.0)).toFloat)
+    }
+    val fix = vecs.toDF("vec_id", "embedding")
+    val perm = Similarity.opqPermutation(fix, numSubspaces = 4)
+    // a genuine permutation of 0..63, w dims per subspace
+    assert(perm.sorted.toSeq == (0 until 64), perm.mkString(","))
+    // the serpentine deal gives each subspace exactly 4 of the 16
+    // high-variance dims — the balancing OPQ's allocation exists for
+    (0 until 4).foreach { s =>
+      val hot = perm.slice(s * 16, (s + 1) * 16).count(_ < 16)
+      assert(hot == 4, s"subspace $s got $hot hot dims: ${perm.mkString(",")}")
+    }
+    // deterministic artifact, and materially lower total quantization
+    // error than the identity permutation (= plain contiguous PQ)
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getAs[Double]("distortion")).sum
+    val opq = total(Similarity.opqDistortion(fix))
+    assert(opq == total(Similarity.opqDistortion(fix)), "non-deterministic")
+    val plain = total(Similarity.pqDistortionUnder(
+      fix, (0 until 64).toArray, numSubspaces = 4))
+    assert(opq < plain * 0.8,
+      s"variance-balanced allocation must cut distortion: $opq vs $plain")
+  }
+
   test("rq ADC search: degenerate inputs degrade to empty, not to a crash") {
     val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
     assert(Similarity.rqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
