@@ -3396,14 +3396,25 @@ object TextOps {
       col("doc_id").as("prev_doc_id"), col("pos").as("prev_pos"),
       col("s").as("s_lo"))
     val eqs = zip_with(col("s_lo"), col("s_hi"), (x, y) => x <=> y)
+    // the build cap travels WITH the artifact (column metadata survives
+    // select/persist/caching): a consumer whose threshold exceeds the
+    // cap this relation was built with would silently read saturated
+    // values as exact — dupSpans validates against this tag (round-10
+    // advisor)
+    val capMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(lcpCapMetaKey, cap.toLong).build()
     hi.join(lo, "rank")
       .withColumn("ff", array_position(eqs, false))
       .select(col("rank"), col("doc_id"), col("pos"),
         col("prev_doc_id"), col("prev_pos"),
         when(col("ff") === 0,
           least(size(col("s_lo")), size(col("s_hi"))).cast("long"))
-          .otherwise(col("ff") - 1).as("lcp"))
+          .otherwise(col("ff") - 1).as("lcp", capMeta))
   }
+
+  /** Column-metadata key carrying the cap a [[suffixLcp]] relation was
+    * built with. */
+  private[graft] val lcpCapMetaKey = "graft.lcp.cap"
 
   /** Maximal DUPLICATED token intervals per document — [[suffixLcp]]
     * turned into the dedup DECISION (Lee et al. 2022's "every substring
@@ -3427,7 +3438,23 @@ object TextOps {
     // `lcpRel`: a PUBLISHED [[suffixLcp]] relation (cached/bucketed) —
     // the dedup decision and transform both ride the same LCP artifact,
     // so a caller that computes it once (SparkEntry memoizes per dir)
-    // never rebuilds the suffix array per downstream query
+    // never rebuilds the suffix array per downstream query. The artifact
+    // must have been built with a cap ≥ minLen — a smaller build cap
+    // would saturate below the threshold and silently MISS qualifying
+    // pairs — so the build cap carried in the lcp column's metadata is
+    // validated here instead of trusted (round-10 advisor). A foreign
+    // relation without the tag is rejected: the contract is part of the
+    // artifact, exactly like `bits` on the streaming HNSW ingest.
+    lcpRel.foreach { rel =>
+      val m = rel.schema("lcp").metadata
+      require(m.contains(lcpCapMetaKey),
+        s"lcpRel carries no $lcpCapMetaKey metadata — build it with " +
+          "suffixLcp so the saturation cap travels with the artifact")
+      val builtCap = m.getLong(lcpCapMetaKey)
+      require(builtCap >= minLen,
+        s"lcpRel was built with cap=$builtCap < minLen=$minLen: " +
+          "saturated LCPs below the threshold would silently drop spans")
+    }
     val qualifying = lcpRel.getOrElse(suffixLcp(documents, cap))
       .filter(col("lcp") >= minLen)
     val spans0 = qualifying

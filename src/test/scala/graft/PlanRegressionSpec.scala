@@ -474,6 +474,42 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "FileScan parquet") == 3, p)
   }
 
+  test("global-window audit: the set of queries planning an un-partitioned Window is pinned") {
+    // The bench harness silences org.apache.spark.sql.execution.window
+    // at ERROR (the known-bounded warning storm), so the LOG can no
+    // longer catch a new genuinely-unbounded global window — this audit
+    // can (round-10 advisor): every registered query's optimized plan is
+    // swept for Window nodes with an EMPTY partitionSpec, and the
+    // offender set must equal the reviewed allowlist below. Each entry
+    // is bounded by construction: the windowed relation is
+    // vocabulary/group/k-scale, never corpus rows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
+    val allow = Set(
+      // final presentation rank over the already-aggregated, minCount-
+      // filtered collocation relation (vocab-scale, not corpus rows)
+      "doc_collocations",
+      // rank over the bounded 30-min-bin count relation (one row per bin)
+      "events_in_windows_ranked",
+      // whole-relation model statistics over the BOUNDED bigram vocab
+      // (knBigramLogProb's wAll — the dsir-totals argument)
+      "doc_kn_logprob",
+      // corpus-total window over the bounded token-bucket counts relation
+      "doc_dsir_weights",
+      // median-by-histogram cumulative window over ≤256 hist-bin rows
+      "doc_datasheet")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      lp.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+        case w: LWindowGroupLimit if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.toSet == allow,
+      s"un-partitioned-window set drifted:\n  new: ${
+        (offenders.toSet -- allow).toSeq.sorted.mkString(", ")}\n  gone: ${
+        (allow -- offenders.toSet).toSeq.sorted.mkString(", ")}")
+  }
+
   test("customer_k_anon / customer_dp_counts: class-scale aggs, no cartesian") {
     val pk = plan("customer_k_anon")
     // three cascade levels = three class aggregations joined back; the

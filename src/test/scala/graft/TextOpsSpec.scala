@@ -1303,6 +1303,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpans rejects an lcpRel built with a smaller cap than minLen, and any untagged relation") {
+    import spark.implicits._
+    val fix = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    // cap 4 < minLen 6: saturated LCPs would silently MISS qualifying
+    // pairs — the metadata tag on the artifact makes that loud
+    val small = TextOps.suffixLcp(fix, cap = 4)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dupSpans(fix, minLen = 6, cap = 8, lcpRel = Some(small))
+    }
+    assert(e.getMessage.contains("cap=4"), e.getMessage)
+    // a foreign relation without the tag is rejected too
+    val untagged = small.select(col("rank"), col("doc_id"), col("pos"),
+      col("prev_doc_id"), col("prev_pos"), col("lcp") + lit(0L) as "lcp")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.dupSpans(fix, minLen = 3, cap = 8, lcpRel = Some(untagged))
+    }
+    assert(e2.getMessage.contains("graft.lcp.cap"), e2.getMessage)
+    // an adequately-capped artifact passes through and the tag survives
+    // persist/select (the memoized SparkEntry path)
+    val ok = TextOps.suffixLcp(fix, cap = 8).persist()
+    try {
+      assert(TextOps.dupSpans(fix, minLen = 6, cap = 8,
+        lcpRel = Some(ok)).collect().nonEmpty)
+    } finally { ok.unpersist(blocking = false): Unit }
+  }
+
   test("dup spans reconcile with the gram-based excision on a planted fixture") {
     import spark.implicits._
     // two docs share one 12-token run; every other token is corpus-unique
