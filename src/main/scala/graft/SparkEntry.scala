@@ -419,6 +419,12 @@ object SparkEntry {
     // so unplanted heavy hitters would be vacuous at any honest threshold)
     "event_heavy_users" -> ((s, dir) =>
       Relational.heavyUsers(Relational.plantHeavyUsers(Tables.events(s, dir)))),
+    // Count-Min frequency estimation (the sketch family's fourth leg:
+    // MG=which keys, KMV/HLL=how many distinct, CM=how often is THIS
+    // key): d×w portable-hash counter grid, min-over-rows estimates for
+    // a fixed probe set, exact counts alongside — est ≥ exact always
+    "event_cm_counts" -> ((s, dir) =>
+      Relational.countMinCounts(Tables.events(s, dir))),
     "event_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
     // mergeable equi-width histogram sketch (r7): approximate per-type
@@ -2998,6 +3004,37 @@ object SparkEntry {
          SELECT c.user_id, c.n_events
          FROM c, t
          WHERE c.n_events >= CAST(ceil(t.n * 0.01) AS BIGINT)""",
+    // replica of Relational.countMinCounts: the identical portable-hash
+    // d×w grid, min-over-rows estimate per probe key, exact counts by
+    // plain filter+group-by
+    "event_cm_counts" -> s"""
+         WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+         g AS (
+           SELECT rows_.r,
+             ${shaFoldSql(
+               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+               % 256 AS c,
+             count(*) AS cnt
+           FROM events e CROSS JOIN rows_
+           GROUP BY 1, 2),
+         p AS (SELECT unnest(generate_series(0, 19)) AS user_id),
+         pc AS (
+           SELECT p.user_id, rows_.r,
+             ${shaFoldSql(
+               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
+               % 256 AS c
+           FROM p CROSS JOIN rows_),
+         est AS (
+           SELECT pc.user_id,
+             CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+           FROM pc LEFT JOIN g ON g.r = pc.r AND g.c = pc.c
+           GROUP BY 1),
+         ex AS (
+           SELECT user_id, count(*) AS exact_count
+           FROM events WHERE user_id BETWEEN 0 AND 19 GROUP BY 1)
+         SELECT est.user_id, est.est_count,
+           coalesce(ex.exact_count, 0) AS exact_count
+         FROM est LEFT JOIN ex ON ex.user_id = est.user_id""",
     "event_type_kmv_users" ->
       s"""WITH h AS (
            SELECT DISTINCT event_type,

@@ -588,9 +588,10 @@ object Relational {
     * frequency estimates for ANY key from bounded state, the streaming/
     * scale complement to exact GROUP BY counting and the probabilistic
     * sibling of the exact Misra-Gries heavy-hitter path
-    * ([[heavyUsers]] — which stays the driver-oracled representative:
-    * like HLL, the CMS binary layout is engine-defined and cannot
-    * hash-oracle). The returned sketch column deserializes with
+    * ([[heavyUsers]] — and, like HLL, the builtin CMS binary layout is
+    * engine-defined and cannot hash-oracle; the from-scratch rebuild
+    * [[countMinCounts]] is the driver-oracled representative, round 11).
+    * The returned sketch column deserializes with
     * `org.apache.spark.util.sketch.CountMinSketch.readFrom`;
     * RelationalSpec bounds its estimates instead: CMS never
     * under-counts, and over-counts by at most eps·N with confidence
@@ -926,6 +927,56 @@ object Relational {
     * the oracle computes the identical expression, so no boundary case can
     * disagree.
     */
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005), built FROM SCRATCH
+    * so it hash-oracles — the driver-checked rebuild of
+    * [[eventTypeCmsUsers]] (whose builtin `count_min_sketch` buffer is
+    * engine-defined binary, like HLL's registers; this is the same
+    * demote-builtin/oracle-the-rebuild move as eventTypeHllUsers):
+    * [[heavyUsers]]' Misra–Gries answers "which keys are frequent", KMV
+    * answers "how many distinct", Count-Min answers "about how often is
+    * THIS key" in d·w counters whatever the key cardinality — the sketch
+    * a 100 TB pipeline probes when exact per-key counts don't fit
+    * anywhere. Each of `depth` rows
+    * hashes every event's user_id into one of `width` cells
+    * (h_r = portable sha hash of "cm:r:key" mod width — deterministic
+    * and engine-replayable, like every hash the oracles replay); the
+    * estimate for a key is the MIN over its d cells — an upper bound on
+    * the true count, within ε·N with probability 1−δ for w = ⌈e/ε⌉,
+    * d = ⌈ln 1/δ⌉.
+    *
+    * Scale shape: the build explodes each row ×depth BEFORE the
+    * aggregate, but map-side partial aggregation collapses the shuffle
+    * to ≤ depth·width rows per task — the grid, not the corpus, moves.
+    * The probe side joins the (depth·width)-row grid BROADCAST, and the
+    * exact comparison counts push the probe-set In-filter to the scan
+    * (the [[heavyUsers]] verify discipline). Output per probe key:
+    * (user_id, est_count, exact_count) with est ≥ exact always. */
+  def countMinCounts(events: DataFrame, depth: Int = 4, width: Int = 256,
+                     probeLo: Long = 0L, probeHi: Long = 19L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def cell(r: Column, key: Column): Column =
+      pmod(graft.operators.TextOps.portableHash64(
+        concat(lit("cm:"), r.cast("string"), lit(":"), key.cast("string"))),
+        lit(width.toLong))
+    val rs = explode(sequence(lit(0), lit(depth - 1))).as("r")
+    val grid = events.select(rs, col("user_id"))
+      .select(col("r"), cell(col("r"), col("user_id")).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val probes = (probeLo to probeHi).toDF("user_id")
+    val est = probes.select(col("user_id"), rs)
+      .select(col("user_id"), col("r"), cell(col("r"), col("user_id")).as("c"))
+      .join(broadcast(grid), Seq("r", "c"), "left_outer")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+    val exact = events
+      .filter(col("user_id").between(probeLo, probeHi))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
   def heavyUsers(events: DataFrame, k: Int = 200,
                  minFrac: Double = 0.01): DataFrame = {
     require(1.0 / k < minFrac,

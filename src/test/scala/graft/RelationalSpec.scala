@@ -986,6 +986,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(mad(0.1) > mad(10.0) * 3, "epsilon must govern the spread")
   }
 
+  test("count-min: estimate upper-bounds the exact count, exact at generous width, grid broadcasts") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val out = Relational.countMinCounts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 20)
+    // the CM guarantee: min-over-rows never undercounts
+    out.foreach { case (u, est, exact) =>
+      assert(est >= exact, s"user $u: est $est < exact $exact")
+    }
+    // deterministic sketch
+    assert(Relational.countMinCounts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      out.toSeq)
+    // with width >> distinct keys, collisions vanish and est == exact on
+    // a planted fixture whose key set is known
+    val planted = (0L until 50L).flatMap(u =>
+      Seq.fill((u % 5).toInt + 1)(u)).toDF("user_id")
+    Relational.countMinCounts(planted, depth = 4, width = 1 << 16,
+        probeLo = 0L, probeHi = 49L)
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"user ${r.getLong(0)}: width 2^16 over 50 keys should be exact")
+      }
+    // plan shape: the bounded grid broadcasts; the probe side never
+    // shuffles the corpus, and the exact side's range filter reaches
+    // the scan
+    val p = Relational.countMinCounts(ev).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(user_id,0)") ||
+      p.contains("In(user_id"), s"probe range not pushed:\n$p")
+  }
+
   test("pareto skyline: dominance filter equals brute force, ties survive") {
     import spark.implicits._
     // (id, x maximize, y maximize): c dominated by a; d/e tie — both stay;
