@@ -46,9 +46,10 @@ object StreamingSnapshots {
   }
 
   /** The maintained d²-cell covariance grid, streamed: the corpus is
-    * staged as THREE parquet splits, the file source replays them one
-    * per micro-batch (`maxFilesPerTrigger 1` — a genuine multi-batch
-    * ingest, not a single-batch degenerate), the update-mode memory sink
+    * staged as 48 parquet splits, the file source replays them 16 per
+    * micro-batch (three genuine micro-batches, not a single-batch
+    * degenerate — with 16-way map parallelism inside each batch), the
+    * update-mode memory sink
     * records every refreshed cell emission, and the snapshot is the
     * LATEST emission per cell — selected declaratively by max-struct on
     * `n_vectors`, which strictly increases per re-emission because every
@@ -61,16 +62,40 @@ object StreamingSnapshots {
     val emb = Tables.embeddings(spark, sfDir)
     val base = Tables.scratchDir("graft_covstream", emb)
     wipe(base)
+    // 48 staged files at 16 per trigger = the same 3 genuine
+    // micro-batches as a 3-file staging, but each batch's heavy map side
+    // (the d² pair explode + partial aggregate — the corpus-scale work)
+    // reads 16 file splits in parallel instead of ONE: a 1-file batch
+    // pinned ~2.7M exploded rows into a single task (measured 9-11 s
+    // addBatch per batch at sf0.1, 25× the batch query's per-row cost;
+    // 16-way drops it to ~1-2.7 s — the remaining floor is streaming
+    // per-batch scheduling, not data)
     emb.select(col("vec_id"), col("embedding"))
-      .repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      .repartition(48).write.mode("overwrite").parquet(s"$base/in")
     val name = s"cov_stream_snap_${seq.incrementAndGet()}"
-    val q = StreamingCovariance.covarianceStream(
-        spark.readStream.schema(embSchema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$base/in"))
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    // STATE-PARTITION SIZING: the stream's aggregate state is the FIXED
+    // d² cell grid (4096 rows at d=64), so 32 state partitions would pay
+    // 32 HDFS-state delta commits + fsyncs PER MICRO-BATCH to shard a
+    // few thousand cells — measured as the dominant cost (~26 s/query at
+    // sf0.1, ~4× the aggregate work). Four partitions carry ~1k cells
+    // each; at any corpus size the grid is still d², so this is the
+    // right sizing at 100 TB too, not a test shortcut. The conf is
+    // stream-scoped (restored immediately — the snapshot re-rank below
+    // and every other query keep the session's 32).
+    // held through the whole drain, not just .start(): the partition
+    // count is captured at FIRST micro-batch planning, which runs on the
+    // stream thread after start() returns — an immediate restore races it
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = StreamingCovariance.covarianceStream(
+          spark.readStream.schema(embSchema)
+            .option("maxFilesPerTrigger", 16).parquet(s"$base/in"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
       .groupBy(col("i"), col("j"))
       .agg(max(struct(col("n_vectors"), col("cov"))).as("last"))
@@ -104,22 +129,31 @@ object StreamingSnapshots {
         .write.mode("overwrite").parquet(s"$base/stage$c")
     }
     Files.createDirectories(Paths.get(s"$base/in"))
-    val q = StreamingHnsw.candidateEdges(
-        spark.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
-      .writeStream.format("parquet").option("path", s"$base/cand")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append").start()
+    // same state-partition sizing as the covariance stream (held through
+    // the drain — the count is captured at first micro-batch planning):
+    // the fMGWS state is bucket-grid-bounded, and 32 partitions × 4
+    // batches would pay 128 state-delta commits plus 128 sink files for
+    // a few thousand bucket groups
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      (0 until chunks).foreach { c =>
-        val stage = Paths.get(s"$base/stage$c")
-        Files.list(stage).filter(_.getFileName.toString.startsWith("part-"))
-          .forEach { (p: Path) =>
-            Files.move(p, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
-              StandardCopyOption.ATOMIC_MOVE): Unit
-          }
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StreamingHnsw.candidateEdges(
+          spark.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
+        .writeStream.format("parquet").option("path", s"$base/cand")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try {
+        (0 until chunks).foreach { c =>
+          val stage = Paths.get(s"$base/stage$c")
+          Files.list(stage).filter(_.getFileName.toString.startsWith("part-"))
+            .forEach { (p: Path) =>
+              Files.move(p, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
+                StandardCopyOption.ATOMIC_MOVE): Unit
+            }
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val candSchema = StructType(Seq(StructField("level", IntegerType),
       StructField("src", LongType), StructField("dst", LongType)))
     StreamingHnsw.snapshotEdges(emb,
