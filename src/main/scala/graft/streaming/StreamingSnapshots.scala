@@ -122,7 +122,18 @@ object StreamingSnapshots {
     val base = Tables.scratchDir("graft_hnswstream", emb)
     wipe(base)
     val chunks = 4
-    val bound = (c: Int) => n * c / chunks
+    // chunk bounds from the ACTUAL id range, not `n·c/chunks`: the
+    // arithmetic form silently assumed dense ids [0, n) and DROPPED
+    // every vector outside it on a strided corpus (caught by the 10×
+    // scale replica, whose copies live at id + k·10⁶ — the streamed
+    // graph there covered a tenth of the corpus). Range quarters cover
+    // [min, max] for ANY id distribution; uneven chunk sizes are fine —
+    // the ingest contract needs ascending disjoint ranges, not equal
+    // ones — and an empty chunk just contributes no files to its batch.
+    val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (idLo, idHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val bound = (c: Int) => idLo + (idHi - idLo + 1) * c / chunks
     (0 until chunks).foreach { c =>
       emb.select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") >= bound(c) && col("vec_id") < bound(c + 1))

@@ -874,6 +874,29 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hnswStreamEdges covers a STRIDED-id corpus: stream == batch when ids are not dense in [0, n)") {
+    import spark.implicits._
+    // ids at i·10⁶ — the 10x scale replica's shape, and the case the
+    // original n·c/chunks chunk bounds silently DROPPED (only ids < n
+    // were ever staged; the streamed graph covered a fraction of the
+    // corpus while the dense-id driver gate stayed green). Range-quarter
+    // bounds must stage every vector whatever the id distribution.
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_stride").toString
+    (0L until 40L).map { i =>
+      i * 1000000L -> Seq.fill(64)(rnd.nextGaussian().toFloat)
+    }.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val streamed = graft.streaming.StreamingSnapshots
+      .hnswStreamEdges(spark, dir).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Similarity.hnswBuild(
+        graft.sources.Tables.embeddings(spark, dir), knownCount = 40L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"strided-id stream diverged: ${streamed.size} vs ${batch.size} edges")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming HNSW ingest: a non-monotone vec_id arrival fails the stream loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
