@@ -425,6 +425,13 @@ object SparkEntry {
     // a fixed probe set, exact counts alongside — est ≥ exact always
     "event_cm_counts" -> ((s, dir) =>
       Relational.countMinCounts(Tables.events(s, dir))),
+    // the SAME grid maintained by a streaming update-mode aggregate
+    // (per-cell counts are mergeable state — the covariance-moments
+    // argument), snapshot = latest emission per cell, probe/verify tail
+    // shared with the batch query; the batch oracle hashes the streamed
+    // sketch verbatim
+    "event_cm_stream_counts" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.cmStreamCounts(s, dir)),
     "event_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
     // mergeable equi-width histogram sketch (r7): approximate per-type
@@ -1230,6 +1237,41 @@ object SparkEntry {
          floor(mmr * 1e4 + 0.5) / 1e4 AS mmr_score
        FROM selall$k"""
   }
+
+  /** DuckDB replica of [[graft.operators.Relational.countMinCounts]]:
+    * the identical portable-hash d×w grid, min-over-rows estimate per
+    * probe key, exact counts by plain filter+group-by. Shared verbatim
+    * by `event_cm_counts` (batch) and `event_cm_stream_counts` (the
+    * streaming-maintained grid — per-cell counts are mergeable, so the
+    * streamed grid converges to the batch one exactly). */
+  private lazy val countMinOracleSql: String = s"""
+         WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+         g AS (
+           SELECT rows_.r,
+             ${shaFoldSql(
+               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+               % 256 AS c,
+             count(*) AS cnt
+           FROM events e CROSS JOIN rows_
+           GROUP BY 1, 2),
+         p AS (SELECT unnest(generate_series(0, 19)) AS user_id),
+         pc AS (
+           SELECT p.user_id, rows_.r,
+             ${shaFoldSql(
+               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
+               % 256 AS c
+           FROM p CROSS JOIN rows_),
+         est AS (
+           SELECT pc.user_id,
+             CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
+           FROM pc LEFT JOIN g ON g.r = pc.r AND g.c = pc.c
+           GROUP BY 1),
+         ex AS (
+           SELECT user_id, count(*) AS exact_count
+           FROM events WHERE user_id BETWEEN 0 AND 19 GROUP BY 1)
+         SELECT est.user_id, est.est_count,
+           coalesce(ex.exact_count, 0) AS exact_count
+         FROM est LEFT JOIN ex ON ex.user_id = est.user_id"""
 
   private def shaFoldSql(arg: String): String =
     s"""list_reduce(list_transform(string_split(substr(sha256($arg), 1, 15), ''),
@@ -3007,34 +3049,10 @@ object SparkEntry {
     // replica of Relational.countMinCounts: the identical portable-hash
     // d×w grid, min-over-rows estimate per probe key, exact counts by
     // plain filter+group-by
-    "event_cm_counts" -> s"""
-         WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
-         g AS (
-           SELECT rows_.r,
-             ${shaFoldSql(
-               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
-               % 256 AS c,
-             count(*) AS cnt
-           FROM events e CROSS JOIN rows_
-           GROUP BY 1, 2),
-         p AS (SELECT unnest(generate_series(0, 19)) AS user_id),
-         pc AS (
-           SELECT p.user_id, rows_.r,
-             ${shaFoldSql(
-               "'cm:' || CAST(rows_.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)")}
-               % 256 AS c
-           FROM p CROSS JOIN rows_),
-         est AS (
-           SELECT pc.user_id,
-             CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est_count
-           FROM pc LEFT JOIN g ON g.r = pc.r AND g.c = pc.c
-           GROUP BY 1),
-         ex AS (
-           SELECT user_id, count(*) AS exact_count
-           FROM events WHERE user_id BETWEEN 0 AND 19 GROUP BY 1)
-         SELECT est.user_id, est.est_count,
-           coalesce(ex.exact_count, 0) AS exact_count
-         FROM est LEFT JOIN ex ON ex.user_id = est.user_id""",
+    "event_cm_counts" -> countMinOracleSql,
+    // the streamed grid converges to the batch grid exactly (mergeable
+    // per-cell counts), so the SAME oracle hashes the streaming path
+    "event_cm_stream_counts" -> countMinOracleSql,
     "event_type_kmv_users" ->
       s"""WITH h AS (
            SELECT DISTINCT event_type,

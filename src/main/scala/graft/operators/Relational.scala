@@ -952,20 +952,42 @@ object Relational {
     * (the [[heavyUsers]] verify discipline). Output per probe key:
     * (user_id, est_count, exact_count) with est ≥ exact always. */
   def countMinCounts(events: DataFrame, depth: Int = 4, width: Int = 256,
-                     probeLo: Long = 0L, probeHi: Long = 19L): DataFrame = {
+                     probeLo: Long = 0L, probeHi: Long = 19L): DataFrame =
+    countMinEstimates(events, countMinGrid(events, depth, width),
+      depth, width, probeLo, probeHi)
+
+  /** The CM hash: row r's cell for `key` on a `width`-cell row. */
+  private[graft] def cmCell(r: Column, key: Column, width: Int): Column =
+    pmod(graft.operators.TextOps.portableHash64(
+      concat(lit("cm:"), r.cast("string"), lit(":"), key.cast("string"))),
+      lit(width.toLong))
+
+  /** The d×w counter grid — (r, c, cnt), ≤ depth·width rows. Exposed so
+    * the STREAMING maintenance path ([[graft.streaming.StreamingSnapshots]])
+    * can build the identical grid incrementally: per-cell counts are
+    * classic mergeable state, the covariance-moments argument. */
+  private[graft] def countMinGrid(events: DataFrame, depth: Int,
+                                  width: Int): DataFrame =
+    events
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col("user_id"))
+      .select(col("r"), cmCell(col("r"), col("user_id"), width).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+
+  /** The probe/verify tail over an already-built grid: min-over-rows
+    * estimates for the fixed probe range + exact comparison counts. */
+  private[graft] def countMinEstimates(events: DataFrame, grid: DataFrame,
+                                       depth: Int, width: Int,
+                                       probeLo: Long,
+                                       probeHi: Long): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    def cell(r: Column, key: Column): Column =
-      pmod(graft.operators.TextOps.portableHash64(
-        concat(lit("cm:"), r.cast("string"), lit(":"), key.cast("string"))),
-        lit(width.toLong))
-    val rs = explode(sequence(lit(0), lit(depth - 1))).as("r")
-    val grid = events.select(rs, col("user_id"))
-      .select(col("r"), cell(col("r"), col("user_id")).as("c"))
-      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
     val probes = (probeLo to probeHi).toDF("user_id")
-    val est = probes.select(col("user_id"), rs)
-      .select(col("user_id"), col("r"), cell(col("r"), col("user_id")).as("c"))
+    val est = probes
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("user_id"), col("r"),
+        cmCell(col("r"), col("user_id"), width).as("c"))
       .join(broadcast(grid), Seq("r", "c"), "left_outer")
       .groupBy(col("user_id"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))

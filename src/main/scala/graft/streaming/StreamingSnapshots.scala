@@ -170,4 +170,43 @@ object StreamingSnapshots {
     StreamingHnsw.snapshotEdges(emb,
       spark.read.schema(candSchema).parquet(s"$base/cand"))
   }
+
+  /** The Count-Min grid maintained by a stream — the third member of the
+    * streaming-maintenance family (covariance moments, HNSW candidates,
+    * CM counters): per-cell counts are classic mergeable state, so the
+    * update-mode streaming aggregate over the SAME explode+hash pipeline
+    * ([[graft.operators.Relational.countMinGrid]], shared code) converges
+    * to the batch grid exactly; the snapshot takes the LATEST emission
+    * per cell (`max(cnt)` — a cell's count is strictly monotone across
+    * its re-emissions) and runs the batch probe/verify tail over it, so
+    * `event_cm_counts`' DuckDB oracle hashes the streamed sketch
+    * verbatim. Staging/trigger/state sizing follow [[covStreamSnapshot]]:
+    * 24 splits at 8 per trigger (3 genuine micro-batches, parallel map
+    * side), 4 state partitions for a ≤ depth·width-cell grid. */
+  def cmStreamCounts(spark: SparkSession, sfDir: String,
+                     depth: Int = 4, width: Int = 256): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_cmstream", ev)
+    wipe(base)
+    ev.select(col("user_id"))
+      .repartition(24).write.mode("overwrite").parquet(s"$base/in")
+    val name = s"cm_stream_snap_${seq.incrementAndGet()}"
+    val userSchema = StructType(Seq(StructField("user_id", LongType)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.operators.Relational.countMinGrid(
+          spark.readStream.schema(userSchema)
+            .option("maxFilesPerTrigger", 8).parquet(s"$base/in"),
+          depth, width)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val grid = spark.table(name)
+      .groupBy(col("r"), col("c")).agg(max(col("cnt")).as("cnt"))
+    graft.operators.Relational.countMinEstimates(
+      ev, grid, depth, width, probeLo = 0L, probeHi = 19L)
+  }
 }

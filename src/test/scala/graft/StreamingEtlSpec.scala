@@ -874,6 +874,21 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min: the maintained grid's estimates equal the batch sketch row for row") {
+    // per-cell counts are mergeable state, so the update-mode streaming
+    // aggregate over the SHARED grid pipeline must converge to the batch
+    // grid exactly — same argument as the covariance moments, checked
+    // end-to-end through the probe/verify tail
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSnapshots
+      .cmStreamCounts(spark, dir).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Relational
+      .countMinCounts(graft.sources.Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("hnswStreamEdges covers a STRIDED-id corpus: stream == batch when ids are not dense in [0, n)") {
     import spark.implicits._
     // ids at i·10⁶ — the 10x scale replica's shape, and the case the
