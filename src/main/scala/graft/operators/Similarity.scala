@@ -225,14 +225,32 @@ object Similarity {
     * NOT a driver-side loop over data. Anchors only need to be FIXED for
     * the partitioning to be consistent.
     */
-  private def anchors(embeddings: DataFrame, c: Int): Seq[(Long, Seq[Double], Double)] =
-    embeddings.filter(col("vec_id") < c)
+  private def anchors(embeddings: DataFrame, c: Int): Seq[(Long, Seq[Double], Double)] = {
+    val found = embeddings.filter(col("vec_id") < c)
       .select(col("vec_id").as("anchor_id"), vec(col("embedding")).as("v_a"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
       .toSeq
+    // FAIL-FAST on the dense-id seed contract (round-11, the
+    // hnswStreamEdges lesson generalized): the seed set is "the rows
+    // with vec_id < k" — the deterministic choice every training oracle
+    // mirrors — which silently DEGENERATES on a corpus whose ids don't
+    // start at 0 (zero seeds → empty codebook → empty codes/search, all
+    // gate-consistent because the oracle degenerates identically). The
+    // probe job below runs only when seeds came up short, i.e. never on
+    // the healthy path and only a LIMIT-1 scan otherwise.
+    if (found.length < c &&
+        embeddings.filter(col("vec_id") >= c).limit(1).count() > 0L)
+      throw new IllegalArgumentException(
+        s"k-means seed contract violated: only ${found.length} of $c rows " +
+          s"have vec_id < $c, but the corpus has more rows at higher ids " +
+          "— vec_ids must be dense from 0 (the seed set is 'the first k " +
+          "ids', mirrored by every training oracle); re-key the corpus " +
+          "or pass it through a dense-id projection first")
+    found
+  }
 
   /** Top-`keep` nearest anchor IDS of a row's vector (best first), as ONE
     * per-row native expression: the codebook rides into generated code as a

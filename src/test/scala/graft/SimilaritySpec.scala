@@ -656,6 +656,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"variance-balanced allocation must cut distortion: $opq vs $plain")
   }
 
+  test("k-means seeds fail fast on a non-dense-id corpus instead of training an empty codebook") {
+    import spark.implicits._
+    // ids offset by 1000: zero rows satisfy vec_id < k, yet the corpus
+    // is non-empty — the old behavior trained an EMPTY codebook and
+    // every downstream artifact degenerated gate-consistently (the
+    // oracle replays the same seed rule); now it refuses loudly
+    val offset = (0L until 30L).map { i =>
+      (i + 1000L) -> Seq.fill(64)(0.1f * (i % 7))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(offset, k = 8, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("dense from 0"), e.getMessage)
+    // a corpus SMALLER than k with dense ids stays legal (every row
+    // seeds — the established small-corpus behavior)
+    val rnd = new scala.util.Random(3)
+    val tiny = (0L until 3L).map { i =>
+      i -> Seq.fill(64)(rnd.nextGaussian().toFloat)
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.kmeansCentroids(tiny, k = 8, iters = 1)
+      .select(col("cluster_id")).distinct().count() == 3)
+  }
+
   test("rq ADC search: degenerate inputs degrade to empty, not to a crash") {
     val empty = emb.filter(org.apache.spark.sql.functions.lit(false))
     assert(Similarity.rqSearchTopK(empty, numQueries = 10, k = 5).count() == 0)
