@@ -3378,10 +3378,15 @@ object TextOps {
   def suffixLcp(documents: DataFrame, cap: Int = 64): DataFrame = {
     require(cap >= 1 && cap <= 512, s"cap in [1,512], got $cap")
     // one tokenization, cached across the rank build's four prelude
-    // scans AND this function's slice join (round-10 verdict #3);
-    // released lazily — the rank parts are checkpoint-materialized by
-    // build end, and the slice join below costs at most one recompute
-    // pass if the caller materializes after the release
+    // scans (round-10 verdict #3) — those run EAGERLY inside
+    // suffixRanksToked (the per-round counts materialize the
+    // checkpoints), so they all hit the cache. The unpersist in the
+    // finally fires at plan-CONSTRUCTION time, before any caller
+    // materializes the returned relation, so the slice join below pays
+    // one honest re-tokenization pass when the LCP artifact is first
+    // materialized (round-11 review — there is no sound lazy hook to
+    // release the cache after an action the caller owns; one regex pass
+    // per artifact build, then the caller's persist() takes over).
     val toked = tokedDocs(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranks =

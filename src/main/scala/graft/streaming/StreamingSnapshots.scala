@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,28 +81,39 @@ object StreamingSnapshots {
     // few thousand cells — measured as the dominant cost (~26 s/query at
     // sf0.1, ~4× the aggregate work). Four partitions carry ~1k cells
     // each; at any corpus size the grid is still d², so this is the
-    // right sizing at 100 TB too, not a test shortcut. The conf is
-    // stream-scoped (restored immediately — the snapshot re-rank below
-    // and every other query keep the session's 32).
-    // held through the whole drain, not just .start(): the partition
-    // count is captured at FIRST micro-batch planning, which runs on the
-    // stream thread after start() returns — an immediate restore races it
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = StreamingCovariance.covarianceStream(
-          spark.readStream.schema(embSchema)
-            .option("maxFilesPerTrigger", 16).parquet(s"$base/in"))
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
+    // right sizing at 100 TB too, not a test shortcut.
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val q = StreamingCovariance.covarianceStream(
+        ss.readStream.schema(embSchema)
+          .option("maxFilesPerTrigger", 16).parquet(s"$base/in"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
       .groupBy(col("i"), col("j"))
       .agg(max(struct(col("n_vectors"), col("cov"))).as("last"))
       .select(col("i"), col("j"),
         col("last.n_vectors").as("n_vectors"), col("last.cov").as("cov"))
+  }
+
+  /** A CLONED session for one streaming-snapshot run: shares the
+    * SparkContext and every table/view of the parent but carries its OWN
+    * SQLConf, so sizing `spark.sql.shuffle.partitions` to the stream's
+    * bounded state never leaks into queries planned concurrently on the
+    * caller's session (round-11 review). The memory-sink temp view also
+    * registers in THIS session's catalog, so abandoning the clone after
+    * the snapshot releases the accumulated emissions to GC instead of
+    * piling one sink table per invocation into the shared catalog for
+    * the JVM's lifetime (the lcpMemo evict-never lesson). The conf must
+    * be set before .start() and NEVER restored mid-run: the partition
+    * count is captured at FIRST micro-batch planning, on the stream
+    * thread, after start() returns. */
+  private def streamSession(spark: SparkSession,
+                            shufflePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss
   }
 
   /** The incrementally built HNSW graph, streamed: the corpus is staged
@@ -133,38 +146,53 @@ object StreamingSnapshots {
     val mm = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
     val (idLo, idHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
-    val bound = (c: Int) => idLo + (idHi - idLo + 1) * c / chunks
+    // bounds in BigInt: (span · c) wraps Long for spans past 2^63/chunks
+    // (ids hashed into the full 63-bit space — exactly the non-dense-id
+    // regime), inverting the ranges into silent emptiness; each final
+    // bound is ≤ idHi + 1, so the narrowing back to Long is safe
+    val bound = (c: Int) =>
+      (BigInt(idLo) + (BigInt(idHi) - idLo + 1) * c / chunks).toLong
     (0 until chunks).foreach { c =>
+      // ONE file per chunk: the landing move below must be atomic as a
+      // UNIT — per-file moves of a multi-file chunk race the live file
+      // source's listing (trigger polls run between renames), which can
+      // split a chunk across micro-batches and trip the ingest-contract
+      // check on a semantically correct ingest (round-11 review). A
+      // single parquet file still READS with row-group parallelism, and
+      // the stateful banding, not the chunk scan, is this stream's cost.
       emb.select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") >= bound(c) && col("vec_id") < bound(c + 1))
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$base/stage$c")
     }
     Files.createDirectories(Paths.get(s"$base/in"))
-    // same state-partition sizing as the covariance stream (held through
-    // the drain — the count is captured at first micro-batch planning):
+    // state-partition sizing as in covStreamSnapshot, on a cloned session:
     // the fMGWS state is bucket-grid-bounded, and 32 partitions × 4
     // batches would pay 128 state-delta commits plus 128 sink files for
     // a few thousand bucket groups
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = streamSession(spark, shufflePartitions = 8)
+    val q = StreamingHnsw.candidateEdges(
+        ss.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
+      .writeStream.format("parquet").option("path", s"$base/cand")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = StreamingHnsw.candidateEdges(
-          spark.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
-        .writeStream.format("parquet").option("path", s"$base/cand")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").start()
-      try {
-        (0 until chunks).foreach { c =>
-          val stage = Paths.get(s"$base/stage$c")
-          Files.list(stage).filter(_.getFileName.toString.startsWith("part-"))
-            .forEach { (p: Path) =>
-              Files.move(p, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
-                StandardCopyOption.ATOMIC_MOVE): Unit
-            }
-          q.processAllAvailable()
+      (0 until chunks).foreach { c =>
+        val stage = Paths.get(s"$base/stage$c")
+        val parts = {
+          val ls = Files.list(stage) // close: leaks a directory fd otherwise
+          try {
+            ls.filter(_.getFileName.toString.startsWith("part-"))
+              .iterator().asScala.toList
+          } finally ls.close()
         }
-      } finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        parts.foreach { p =>
+          Files.move(p, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
+            StandardCopyOption.ATOMIC_MOVE): Unit
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     val candSchema = StructType(Seq(StructField("level", IntegerType),
       StructField("src", LongType), StructField("dst", LongType)))
     StreamingHnsw.snapshotEdges(emb,
@@ -192,21 +220,22 @@ object StreamingSnapshots {
       .repartition(24).write.mode("overwrite").parquet(s"$base/in")
     val name = s"cm_stream_snap_${seq.incrementAndGet()}"
     val userSchema = StructType(Seq(StructField("user_id", LongType)))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.operators.Relational.countMinGrid(
-          spark.readStream.schema(userSchema)
-            .option("maxFilesPerTrigger", 8).parquet(s"$base/in"),
-          depth, width)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val grid = spark.table(name)
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val q = graft.operators.Relational.countMinGrid(
+        ss.readStream.schema(userSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$base/in"),
+        depth, width)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val grid = ss.table(name)
       .groupBy(col("r"), col("c")).agg(max(col("cnt")).as("cnt"))
+    // the estimate tail runs entirely on the clone too — mixing
+    // DataFrames from two sessions in one plan is unsupported; the tiny
+    // output (20 rows) is session-agnostic for the consumer
     graft.operators.Relational.countMinEstimates(
-      ev, grid, depth, width, probeLo = 0L, probeHi = 19L)
+      Tables.events(ss, sfDir), grid, depth, width,
+      probeLo = 0L, probeHi = 19L)
   }
 }
