@@ -656,6 +656,54 @@ class SimilaritySpec extends AnyFunSuite {
       s"variance-balanced allocation must cut distortion: $opq vs $plain")
   }
 
+  test("power iteration converges to Jacobi's dominant eigenpair on gapped data, unit norm, deterministic") {
+    import spark.implicits._
+    // ONE dominant direction (a spike-plus-noise model): every vector is
+    // a ±20-scaled copy of a fixed direction plus small isotropic noise,
+    // so lambda1/lambda2 ~ 400/0.25 and 10 iterations converge many
+    // orders past the 1e-6 grid (a merely anisotropic 16-hot-dim fixture
+    // has NEAR-TIED top eigenvalues — power iteration's rate is
+    // (lambda2/lambda1)^t, so it was still 1.3% off after 10 rounds)
+    val rnd = new scala.util.Random(21)
+    val u = Array.tabulate(64)(j => math.sin(j + 1.0))
+    val fix = (0L until 150L).map { i =>
+      val a = rnd.nextGaussian() * 20.0
+      i -> (0 until 64).map(j =>
+        (a * u(j) + rnd.nextGaussian() * 0.5).toFloat)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.powerIteration(fix).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val v = rows.map(_._2)
+    val lam = rows.head._3
+    assert(rows.length == 64 && rows.forall(_._3 == lam))
+    // unit vector (1e-6 rounding slack) and positive dominant eigenvalue
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(lam > 0.0)
+    // agrees with the full Jacobi solve's dominant pair: same eigenvalue
+    // and |cosine(v, v_jacobi)| ~ 1 (signs are independently fixed)
+    val covRows = Similarity.covarianceMatrix(fix).collect()
+    val d = 64
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach(r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov"))
+    val (eigvals, eigvecs) = Similarity.jacobiEigen(cov)
+    assert(math.abs(lam - eigvals.max) < 1e-3 * math.abs(eigvals.max),
+      s"power $lam vs jacobi ${eigvals.max}")
+    val vj = eigvecs(eigvals.indexOf(eigvals.max))
+    val cos = v.zip(vj).map { case (a, b) => a * b }.sum
+    assert(math.abs(math.abs(cos) - 1.0) < 1e-4, s"cos=$cos")
+    // residual: ||C v - lambda v|| small relative to lambda
+    val res = (0 until d).map { i =>
+      val cvi = (0 until d).map(j => cov(i)(j) * v(j)).sum
+      val r = cvi - lam * v(i); r * r
+    }.sum
+    assert(math.sqrt(res) < 1e-3 * lam, s"residual ${math.sqrt(res)}")
+    // deterministic artifact
+    assert(Similarity.powerIteration(fix).collect().map(_.toSeq).toSeq ==
+      Similarity.powerIteration(fix).collect().map(_.toSeq).toSeq)
+  }
+
   test("k-means seeds fail fast on a non-dense-id corpus instead of training an empty codebook") {
     import spark.implicits._
     // ids offset by 1000: zero rows satisfy vec_id < k, yet the corpus
