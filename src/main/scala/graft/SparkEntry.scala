@@ -892,6 +892,16 @@ object SparkEntry {
     // Jacobi solve behind pcaProject (which stays API+spec)
     "emb_power_eigvec" -> ((s, dir) =>
       Similarity.powerIteration(Tables.embeddings(s, dir))),
+    // ...and the corpus PROJECTED onto that basis (round-12 verdict #1 —
+    // the driver-checked promotion of pcaProject's projection half):
+    // per-vector centered scores against the published component-1
+    // iterate, and against the component-2 iterate of the Hotelling-
+    // deflated grid — one corpus scan each, dot against broadcast
+    // d-vectors, nothing corpus-scale on the driver
+    "emb_pca1_scores" -> ((s, dir) =>
+      Similarity.powerScores(Tables.embeddings(s, dir), component = 1)),
+    "emb_pca2_scores" -> ((s, dir) =>
+      Similarity.powerScores(Tables.embeddings(s, dir), component = 2)),
     // residual-quantization codebooks (r9 verdict #6 — the one major
     // compression scheme the flat/IVF/PQ/binary/graph family lacked):
     // stage s+1 quantizes what stage s left over, so the reconstruction
@@ -1596,48 +1606,105 @@ object SparkEntry {
     * sqrt, per-component division, Rayleigh quotient from the pre-sign
     * vector, argmax-|component| sign fix (dim-ascending ties) — every
     * double bit-identical, so the eigenpair hash-matches. */
-  private def powerIterationOracle(iters: Int): String = {
+  /** The fixed-`iters` von Mises chain over a covariance CTE named
+    * `covName`, as a CTE-list fragment (no WITH) whose names carry prefix
+    * `p` so two chains can coexist in one statement (the component-2
+    * deflated re-run in [[powerScoresOracle]]). Terminates in
+    * `${p}pe(dim, eig_vec, eig_val)` — the 1e-6-rounded sign-fixed
+    * published pair, exactly [[graft.operators.Similarity.powerEig]]. */
+  private def powerChainCtes(iters: Int, covName: String,
+                             p: String = ""): String = {
     // every CTE in the chain is MATERIALIZED: DuckDB inlines CTEs by
     // default, and w_t is referenced twice per level (n_t and v_t), so
     // the un-materialized 10-level chain expands EXPONENTIALLY (2^10
     // plan copies, each re-scanning the parquet — observed as "Too many
     // open files" before it could even finish planning)
     val iterCtes = (1 to iters).map { t =>
-      s"""w$t AS MATERIALIZED (
+      s"""${p}w$t AS MATERIALIZED (
            SELECT c.i AS dim,
              list_reduce(list(c.cov * v.val ORDER BY c.j),
                (x, y) -> x + y) AS x
-           FROM cov c JOIN v${t - 1} v ON v.dim = c.j
+           FROM $covName c JOIN ${p}v${t - 1} v ON v.dim = c.j
            GROUP BY 1),
-         n$t AS MATERIALIZED (
+         ${p}n$t AS MATERIALIZED (
            SELECT sqrt(list_reduce(list(x * x ORDER BY dim),
              (x2, y2) -> x2 + y2)) AS nrm
-           FROM w$t),
-         v$t AS MATERIALIZED (
-           SELECT dim, x / (SELECT nrm FROM n$t) AS val FROM w$t)"""
+           FROM ${p}w$t),
+         ${p}v$t AS MATERIALIZED (
+           SELECT dim, x / (SELECT nrm FROM ${p}n$t) AS val FROM ${p}w$t)"""
     }.mkString(",\n")
-    s"""WITH cov AS MATERIALIZED (
-          SELECT i, j, cov FROM ($covarianceOracleSql)),
-        v0 AS (
-          SELECT DISTINCT i AS dim, CAST(0.125 AS DOUBLE) AS val FROM cov),
+    s"""${p}v0 AS (
+          SELECT DISTINCT i AS dim, CAST(0.125 AS DOUBLE) AS val
+          FROM $covName),
         $iterCtes,
-        cv AS (
+        ${p}cv AS (
           SELECT c.i AS dim,
             list_reduce(list(c.cov * v.val ORDER BY c.j),
               (x, y) -> x + y) AS x
-          FROM cov c JOIN v$iters v ON v.dim = c.j
+          FROM $covName c JOIN ${p}v$iters v ON v.dim = c.j
           GROUP BY 1),
-        lam AS (
+        ${p}lam AS (
           SELECT list_reduce(list(v.val * cv.x ORDER BY v.dim),
             (x, y) -> x + y) AS l
-          FROM v$iters v JOIN cv ON cv.dim = v.dim),
-        sgn AS (
+          FROM ${p}v$iters v JOIN ${p}cv cv ON cv.dim = v.dim),
+        ${p}sgn AS (
           SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
-          FROM v$iters ORDER BY abs(val) DESC, dim ASC LIMIT 1)
-        SELECT v.dim,
-          floor(sgn.s * v.val * 1e6 + 0.5) / 1e6 AS eig_vec,
-          floor(lam.l * 1e6 + 0.5) / 1e6 AS eig_val
-        FROM v$iters v CROSS JOIN sgn CROSS JOIN lam"""
+          FROM ${p}v$iters ORDER BY abs(val) DESC, dim ASC LIMIT 1),
+        ${p}pe AS MATERIALIZED (
+          SELECT v.dim,
+            floor(sgn.s * v.val * 1e6 + 0.5) / 1e6 AS eig_vec,
+            floor(lam.l * 1e6 + 0.5) / 1e6 AS eig_val
+          FROM ${p}v$iters v CROSS JOIN ${p}sgn sgn CROSS JOIN ${p}lam lam)"""
+  }
+
+  private def powerIterationOracle(iters: Int): String =
+    s"""WITH cov AS MATERIALIZED (
+          SELECT i, j, cov FROM ($covarianceOracleSql)),
+        ${powerChainCtes(iters, "cov")}
+        SELECT dim, eig_vec, eig_val FROM pe"""
+
+  /** DuckDB replica of [[graft.operators.Similarity.powerScores]]: the
+    * [[powerChainCtes]] published pair, for component 2 one Hotelling
+    * deflation (cov − λ₁·v₁ᵢ·v₁ⱼ from the ROUNDED pair — the identical
+    * left-assoc double ops) feeding a second prefixed chain, the per-dim
+    * centering mean as the decimal-exact sum over count (the engine's
+    * S_i/n division verbatim), and the per-vector score as the
+    * dim-ascending fold of (x_i − μ_i)·v_i — the dotNative/zip_with
+    * semantics — quantized at 1e-4 only at the edge. */
+  private def powerScoresOracle(component: Int, iters: Int): String = {
+    val defl = if (component != 2) "" else s""",
+        cov2 AS MATERIALIZED (
+          SELECT c.i AS i, c.j AS j,
+            c.cov - lam.l * pi.eig_vec * pj.eig_vec AS cov
+          FROM cov c
+          JOIN pe pi ON pi.dim = c.i
+          JOIN pe pj ON pj.dim = c.j
+          CROSS JOIN (SELECT max(eig_val) AS l FROM pe) lam),
+        ${powerChainCtes(iters, "cov2", "b")}"""
+    val peName = if (component == 2) "bpe" else "pe"
+    s"""WITH cov AS MATERIALIZED (
+          SELECT i, j, cov FROM ($covarianceOracleSql)),
+        ${powerChainCtes(iters, "cov")}$defl,
+        mu AS MATERIALIZED (
+          SELECT i AS dim,
+            CAST(SUM(CAST(xi AS DECIMAL(38, 10))) AS DOUBLE) / COUNT(xi) AS m
+          FROM (
+            SELECT unnest(generate_series(1, len(embedding))) - 1 AS i,
+              unnest(embedding::DOUBLE[]) AS xi
+            FROM embeddings)
+          GROUP BY 1),
+        ax AS MATERIALIZED (
+          SELECT p.dim, p.eig_vec, mu.m
+          FROM $peName p JOIN mu ON mu.dim = p.dim),
+        sc AS (
+          SELECT e.vec_id,
+            list_reduce(
+              list((e.v[ax.dim + 1] - ax.m) * ax.eig_vec ORDER BY ax.dim),
+              (x, y) -> x + y) AS score
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+          CROSS JOIN ax
+          GROUP BY 1)
+        SELECT vec_id, floor(score * 1e4 + 0.5) / 1e4 AS score FROM sc"""
   }
 
   /** DuckDB replica of [[graft.operators.Similarity.opqDistortion]]: the
@@ -3257,6 +3324,8 @@ object SparkEntry {
     "emb_opq_distortion" ->
       opqDistortionOracle(numSubspaces = 4, k = 8, iters = 2),
     "emb_power_eigvec" -> powerIterationOracle(iters = 10),
+    "emb_pca1_scores" -> powerScoresOracle(component = 1, iters = 10),
+    "emb_pca2_scores" -> powerScoresOracle(component = 2, iters = 10),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_pq_search" -> pqSearchOracle(numSubspaces = 4, w = 16, k = 8,
       iters = 2, numQueries = 10, topK = 5),

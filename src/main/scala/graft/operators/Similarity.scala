@@ -1465,6 +1465,21 @@ object Similarity {
   def powerIteration(embeddings: DataFrame, iters: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val (cov, d, _) = collectedCovariance(embeddings)
+    val (v, lam) = powerEig(cov, d, iters)
+    import graft.functions.DeterministicAgg.roundFixedLocal
+    (0 until d).map { k =>
+      (k, roundFixedLocal(v(k), 6), roundFixedLocal(lam, 6))
+    }.toDF("dim", "eig_vec", "eig_val")
+  }
+
+  /** The collected d×d covariance grid (metadata-scale — the
+    * collected-codebook discipline shared by [[powerIteration]],
+    * [[powerScores]] and [[pcaProject]]): the 1e-6-rounded ORACLED
+    * [[covarianceMatrix]] cells as a dense array, plus d and the vector
+    * count n carried by every cell. */
+  private def collectedCovariance(
+      embeddings: DataFrame): (Array[Array[Double]], Int, Double) = {
     val covRows = covarianceMatrix(embeddings).collect()
     require(covRows.nonEmpty, "empty corpus has no covariance")
     val d = covRows.iterator.map(_.getAs[Int]("i")).max + 1
@@ -1472,6 +1487,18 @@ object Similarity {
     covRows.foreach { r =>
       cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov")
     }
+    (cov, d, covRows.head.getAs[Long]("n_vectors").toDouble)
+  }
+
+  /** The fixed-`iters` von Mises iterate over a collected symmetric grid:
+    * sign-fixed (largest-|component| positive, earliest index on ties)
+    * UNROUNDED unit vector plus its Rayleigh quotient — the closed-form
+    * arithmetic core shared by [[powerIteration]] (dominant pair) and
+    * [[powerScores]] (whose second component re-runs it on the deflated
+    * grid). Every reduction is an ascending-index fold so the DuckDB
+    * oracle replays every double bit-for-bit. */
+  private def powerEig(cov: Array[Array[Double]], d: Int,
+                       iters: Int): (Array[Double], Double) = {
     var v = Array.fill(d)(0.125)
     for (_ <- 1 to iters) {
       val w = Array.tabulate(d) { i =>
@@ -1500,10 +1527,57 @@ object Similarity {
     var si = 1
     while (si < d) { if (math.abs(v(si)) > math.abs(v(bi))) bi = si; si += 1 }
     val sgn = if (v(bi) < 0.0) -1.0 else 1.0
+    (v.map(sgn * _), lam)
+  }
+
+  /** PCA projection scores onto the POWER-ITERATION basis — the
+    * driver-checked promotion of [[pcaProject]]'s projection half
+    * (round-12 verdict #1): per vector, its mean-centered dot product
+    * with the published (1e-6-rounded) fixed-iteration eigenvector.
+    * `component = 1` projects onto [[powerIteration]]'s dominant iterate;
+    * `component = 2` onto the iterate of the HOTELLING-DEFLATED grid
+    * C₂ = C − λ₁·v₁v₁ᵀ built from the ROUNDED published pair — still
+    * closed-form arithmetic (fixed iterations, fixed start, rounded
+    * inputs), so DuckDB replays the deflation and the second chain
+    * bit-for-bit where a data-dependent Jacobi pivot could not be.
+    *
+    * Scale shape: one metadata-scale covariance collect (d² cells), one
+    * d-row mean collect, then ONE corpus scan with a per-row codegen'd
+    * dot against two broadcast d-vectors — at 100 TB the scan dominates
+    * and nothing corpus-scale ever reaches the driver. The centering
+    * mean is μ_i = S_i/n from the decimal-exact per-dim sums (the same
+    * divisions [[pcaProject]] uses), so scores are true centered PCA
+    * projections, not raw dots. */
+  def powerScores(embeddings: DataFrame, component: Int = 1,
+                  iters: Int = 10): DataFrame = {
+    require(component == 1 || component == 2,
+      s"only the first two power components are published (got $component)")
     import graft.functions.DeterministicAgg.roundFixedLocal
-    (0 until d).map { k =>
-      (k, roundFixedLocal(sgn * v(k), 6), roundFixedLocal(lam, 6))
-    }.toDF("dim", "eig_vec", "eig_val")
+    val (cov, d, n) = collectedCovariance(embeddings)
+    val (v1, lam1) = powerEig(cov, d, iters)
+    val v1r = v1.map(roundFixedLocal(_, 6))
+    val vr = if (component == 1) v1r else {
+      // deflate with the PUBLISHED (rounded) pair — both engines agree on
+      // those artifacts exactly, so the deflated grid is bit-identical
+      val lam1r = roundFixedLocal(lam1, 6)
+      val defl = Array.tabulate(d, d) { (i, j) =>
+        cov(i)(j) - lam1r * v1r(i) * v1r(j)
+      }
+      powerEig(defl, d, iters)._1.map(roundFixedLocal(_, 6))
+    }
+    val mu = {
+      val sums = embeddings
+        .select(posexplode(vec(col("embedding"))).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(graft.functions.DeterministicAgg.exactSum(col("xi")).as("si"))
+        .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("si")).toMap
+      Array.tabulate(d)(i => sums(i) / n)
+    }
+    embeddings
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        roundFixed(dot(zip_with(col("v"), typedLit(mu.toSeq), (a, b) => a - b),
+          typedLit(vr.toSeq)), 4).as("score"))
   }
 
   /** Cyclic Jacobi eigensolver for a small symmetric matrix (the d×d

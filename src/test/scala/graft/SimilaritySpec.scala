@@ -704,6 +704,57 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.powerIteration(fix).collect().map(_.toSeq).toSeq)
   }
 
+  test("power scores match pcaProject's top-two centered projections on gapped data") {
+    import spark.implicits._
+    // TWO well-separated spikes (scales 20 and 8 on near-orthogonal fixed
+    // directions) + small noise: lambda1/lambda2 ~ 400/64 and
+    // lambda2/lambda3 ~ 64/0.25, so both the dominant chain and the
+    // deflated chain converge many orders past the 1e-4 score grid
+    val rnd = new scala.util.Random(22)
+    val u1 = Array.tabulate(64)(j => math.sin(j + 1.0))
+    val u2 = Array.tabulate(64)(j => math.cos(j + 1.0))
+    val fix = (0L until 200L).map { i =>
+      val a = rnd.nextGaussian() * 20.0
+      val b = rnd.nextGaussian() * 8.0
+      i -> (0 until 64).map(j =>
+        (a * u1(j) + b * u2(j) + rnd.nextGaussian() * 0.3).toFloat)
+    }.toDF("vec_id", "embedding")
+    def scoreMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = scoreMap(Similarity.powerScores(fix, component = 1))
+    val s2 = scoreMap(Similarity.powerScores(fix, component = 2))
+    assert(s1.size == 200 && s2.size == 200)
+    // the Jacobi reference: pcaProject's (vec_id, component, score) rows
+    val pca = Similarity.pcaProject(fix, k = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("component")) ->
+        r.getAs[Double]("score")).toMap
+    val scale1 = s1.values.map(math.abs).max
+    val scale2 = s2.values.map(math.abs).max
+    assert(scale1 > 1.0 && scale2 > 1.0, s"degenerate fixture $scale1 $scale2")
+    // power component k projects onto (approximately) the same sign-fixed
+    // basis vector Jacobi finds — agreement within a relative whisker
+    // (both artifacts independently round at 1e-4; convergence leaves
+    // ~(lambda2/lambda1)^10 relative direction error)
+    s1.foreach { case (id, s) =>
+      assert(math.abs(s - pca((id, 0))) < 1e-3 * scale1,
+        s"component-1 score for $id: $s vs ${pca((id, 0))}")
+    }
+    s2.foreach { case (id, s) =>
+      assert(math.abs(s - pca((id, 1))) < 1e-3 * scale2,
+        s"component-2 score for $id: $s vs ${pca((id, 1))}")
+    }
+    // empirical orthogonality of the two score columns (centered data):
+    // |corr| should be noise-level
+    val n = s1.size.toDouble
+    val xy = s1.keys.map(id => s1(id) * s2(id)).sum / n
+    val v1 = s1.values.map(x => x * x).sum / n
+    val v2 = s2.values.map(x => x * x).sum / n
+    assert(math.abs(xy) / math.sqrt(v1 * v2) < 0.05,
+      s"score columns not orthogonal: corr=${xy / math.sqrt(v1 * v2)}")
+    // deterministic artifact
+    assert(scoreMap(Similarity.powerScores(fix, component = 2)) == s2)
+  }
+
   test("k-means seeds fail fast on a non-dense-id corpus instead of training an empty codebook") {
     import spark.implicits._
     // ids offset by 1000: zero rows satisfy vec_id < k, yet the corpus
