@@ -275,6 +275,13 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir), Tables.part(s, dir))),
+    // TPC-H Q20's excess-stock shape with lineitem as the ledger: the
+    // same-relation correlated scalar collapses into one conditional
+    // aggregate (year sum vs half the all-time sum, decimal-exact)
+    "excess_shippers" -> ((s, dir) =>
+      Relational.excessShippers(Tables.lineitem(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir))),
     "customer_order_counts" -> ((s, dir) =>
       Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
@@ -3727,6 +3734,29 @@ object SparkEntry {
            floor(share_rev / total_rev * 1e6 + 0.5) / 1e6 AS mkt_share,
            share_rev, total_rev
          FROM a""",
+    // replica of Relational.excessShippers (TPC-H Q20 shape): both sums
+    // in one pass per (supplier, part), the decimal-exact 2·year > total
+    // comparison, name filter via EXISTS, one nation filter
+    "excess_shippers" ->
+      """WITH ex AS (
+           SELECT l_suppkey, count(*) AS n_excess_parts FROM (
+             SELECT l_suppkey, l_partkey,
+               SUM(CASE WHEN year(l_shipdate) = 1996
+                 THEN CAST(l_quantity AS DECIMAL(38,10))
+                 ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS qty_year,
+               SUM(CAST(l_quantity AS DECIMAL(38,10))) AS qty_total
+             FROM lineitem l
+             WHERE EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey
+                             AND p.p_name LIKE 'small%')
+             GROUP BY 1, 2)
+           WHERE 2 * qty_year > qty_total
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, ex.n_excess_parts
+         FROM ex
+         JOIN supplier s ON s.s_suppkey = ex.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_7'""",
     "promo_revenue" ->
       """WITH s AS (
            SELECT

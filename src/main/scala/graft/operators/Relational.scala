@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.DeterministicAgg.{avgRounded, roundFixed, sumRounded}
 
 /** Relational coverage beyond the reference's single join/agg (SURVEY.md
@@ -1787,6 +1788,51 @@ object Relational {
         col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q20's excess-stock shape on this schema (no partsupp table —
+    * the availability ledger IS lineitem): suppliers who in `year`
+    * shipped, for some name-filtered part, MORE than half that
+    * (supplier, part) pair's all-time shipped quantity, counted per
+    * supplier within one nation. The correlated scalar here ranges over
+    * the SAME relation as the outer aggregate
+    * (`sum(qty) in year > 0.5 × sum(qty) all-time per (supp, part)`), so
+    * the decorrelation collapses past Q17's agg-side join into ONE
+    * conditional aggregate — both sums in a single pass over the
+    * part-pruned lineitem, no self-join at all (with a separate ledger
+    * table it would be Q17's join-back; same-relation correlation earns
+    * the stronger rewrite). The threshold comparison is decimal-exact
+    * (`2·qty_year > qty_total` — no float ever crosses the engine
+    * boundary), the part name filter pushes to the part scan and prunes
+    * lineitem via LEFT SEMI before the aggregate, and only nation
+    * (fixed 25 rows) is broadcast-hinted — supplier grows with SF and
+    * stays stats-gated. */
+  def excessShippers(lineitem: DataFrame, part: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     namePrefix: String = "small", yr: Int = 1996,
+                     nationName: String = "NATION_7"): DataFrame = {
+    val wide = DecimalType(38, 10)
+    val parts = part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val pairAgg = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_shipdate"))
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === yr, col("l_quantity"))
+          .otherwise(lit(0.0)).cast(wide)).as("qty_year"),
+        sum(col("l_quantity").cast(wide)).as("qty_total"))
+    pairAgg
+      .filter(lit(2) * col("qty_year") > col("qty_total"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess_parts"))
+      .join(supplier
+          .join(broadcast(nation.filter(col("n_name") === nationName)),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess_parts"))
   }
 
   /** TPC-H Q8's two-level agg-over-join shape (national market share):

@@ -389,6 +389,40 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") == 2, p)
   }
 
+  test("part_small_qty_revenue: the correlated scalar decorrelates — agg joined back once, no subquery re-execution") {
+    val p = plan("part_small_qty_revenue")
+    // Catalyst's RewriteCorrelatedScalarSubquery must leave NO subquery
+    // node in the physical plan: the per-part 0.2×avg threshold runs as
+    // ONE aggregate whose result joins back by partkey, with the
+    // quantity comparison as the join residual — never a per-outer-row
+    // re-execution of the inner query
+    assert(!p.contains("Subquery"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashJoin") && l.contains("0.2 *")),
+      s"threshold comparison not a join residual:\n$p")
+    // equi hash joins only; the threshold relation is per-part-small
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly two aggregates (threshold avg + final revenue), each
+    // partial+final — a third would mean the rewrite re-aggregated
+    assert(count(p, "HashAggregate") == 4, p)
+  }
+
+  test("excess_shippers: same-relation correlated scalar collapses to ONE conditional agg over ONE lineitem scan") {
+    val p = plan("excess_shippers")
+    // the year-share vs all-time threshold needs no self-join: both sums
+    // ride one (suppkey, partkey) aggregate — one lineitem scan total
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem")) == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("(2 * qty_year"), s"exact decimal threshold gone:\n$p")
+    // part name prune reaches the part scan and gates lineitem as a semi
+    assert(p.contains("StringStartsWith(p_name,small)"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(n_name,NATION_7)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("part_dominant_suppliers: ONE lineitem scan — part totals are a window over the agg, not a rescan") {
     val p = plan("part_dominant_suppliers")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
