@@ -161,6 +161,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("events_zipf_salted_join: fact shuffles on (key, salt); dim replicates ×16; shuffled hash join, no hot-key funnel") {
+    val p = plan("events_zipf_salted_join")
+    // the fact side's join exchange must include the salt — that is the
+    // whole insurance: the hot key's ~half-of-all-rows spread over 16
+    // reducers instead of landing on the one skew_key=0 partition
+    assert("hashpartitioning\\(skew_key[^)]*__salt".r.findFirstIn(p).isDefined,
+      s"fact join exchange does not partition on the salt:\n$p")
+    // the dimension replicates once per salt value (explode of the
+    // 16-element literal array), and the join is the pinned shuffled
+    // hash join — broadcast would hide the salting at test scale
+    assert(p.contains("explode([0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15])"),
+      s"dim salt replication missing:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pricing_summary: column pruning reaches the parquet scan (5 columns, not 16)") {
     // the toString format elides ReadSchema; the scan's OUTPUT column list
     // carries the same pruning evidence (the 2 group keys + 3 agg inputs)
