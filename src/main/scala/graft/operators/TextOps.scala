@@ -359,6 +359,50 @@ object TextOps {
     verifiedJaccard(candidates, sh, threshold)
   }
 
+  /** [[minhashPairs]]'s signature+banding computed PER ROW — the
+    * streaming-side formulation ([[graft.streaming.StreamingMinhash]]):
+    * a streaming source cannot run the batch explode→groupBy(min)
+    * aggregation before its stateful operator, but the k seeded minima
+    * are row-local facts of the shingle set, so `array_min(transform(…))`
+    * over the same 8-byte hash set yields the IDENTICAL Long per seed —
+    * exact equality, not an approximation — and the band hashes follow.
+    * Emits (doc_id, band, bh); documents with empty/null shingle sets
+    * are dropped exactly like the batch explode drops them. Shuffle-free:
+    * one narrow pass, ~numHashes·|sh| xxhash64 calls per document — the
+    * same hash budget the batch aggregation pays. */
+  private[graft] def minhashBandRows(documents: DataFrame, n: Int = 5,
+                                     numHashes: Int = 64,
+                                     bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be divisible by bandRows")
+    val sh = shingleSets(documents, n)
+      .filter(col("sh").isNotNull && size(col("sh")) > 0)
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("sh"), x => xxhash64(lit(i), x))).as(s"h$i")
+    }
+    val sigs = sh.select(col("doc_id") +: sigCols: _*)
+    val numBands = numHashes / bandRows
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** The batch verification tail over an EXTERNAL candidate set — shared
+    * by the streaming dedup snapshot so the streamed pipeline ends in the
+    * batch path's own exact-Jaccard code, not a replica. Candidates are
+    * distinct'd (a pair colliding in several bands arrives once per
+    * band). */
+  private[graft] def verifyCandidatePairs(documents: DataFrame,
+                                          candidates: DataFrame,
+                                          n: Int = 5,
+                                          threshold: Double = 0.7): DataFrame =
+    verifiedJaccard(
+      candidates.select(col("doc_a"), col("doc_b")).distinct(),
+      shingleSets(documents, n), threshold)
+
   /** BLEU-2 scoring of verified near-duplicate pairs — the EVAL-METRIC
     * view of duplication a curation report publishes next to Jaccard:
     * clipped n-gram precision is asymmetric (how much of A is copied

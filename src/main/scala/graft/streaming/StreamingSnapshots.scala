@@ -199,6 +199,80 @@ object StreamingSnapshots {
       spark.read.schema(candSchema).parquet(s"$base/cand"))
   }
 
+  /** The band-bucket dedup state maintained by a stream — the TEXT-side
+    * member of the streaming-maintenance family (round-11 verdict #2:
+    * dedup-against-a-growing-corpus is the streaming case a training-data
+    * pipeline actually runs daily). The document corpus is staged as FOUR
+    * ascending-doc_id range chunks (the ingest contract — new documents
+    * get new, larger ids), each chunk MOVED atomically into the monitored
+    * landing dir and drained before the next lands; per-(band, bucket)
+    * member-set state emits candidate pairs as later documents collide
+    * with earlier residents ([[StreamingMinhash.candidatePairs]] — fMGWS
+    * with the high-water-mark contract check), candidates append to
+    * a PARQUET sink, and the snapshot runs the batch path's own
+    * exact-Jaccard verify tail — so `doc_minhash_pairs`' exact-recall
+    * DuckDB oracle hashes the STREAMED dedup verbatim. */
+  def minhashStreamPairs(spark: SparkSession, sfDir: String,
+                         threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = Tables.scratchDir("graft_mhstream", docs)
+    wipe(base)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val chunks = 4
+    // chunk bounds from the ACTUAL id range (the hnswStreamEdges lesson:
+    // arithmetic n·c/chunks bounds silently drop strided ids), BigInt
+    // intermediate so the span·c product cannot wrap
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (idLo, idHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val bound = (c: Int) =>
+      (BigInt(idLo) + (BigInt(idHi) - idLo + 1) * c / chunks).toLong
+    (0 until chunks).foreach { c =>
+      // ONE file per chunk: the landing move must be atomic as a unit or
+      // the live listing can split a chunk across micro-batches and trip
+      // the ingest-contract check on a semantically correct ingest
+      docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") >= bound(c) && col("doc_id") < bound(c + 1))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage$c")
+    }
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // cloned session + bounded state partitions (the covStreamSnapshot
+    // sizing rule): the per-bucket member lists are small and the key
+    // space shards fine over 8 partitions; 32 would pay 128 state-delta
+    // commits across the 4 batches for no parallelism the map side needs
+    val ss = streamSession(spark, shufflePartitions = 8)
+    val q = StreamingMinhash.candidatePairs(
+        ss.readStream.schema(docSchema).parquet(s"$base/in"))
+      .writeStream.format("parquet").option("path", s"$base/cand")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks).foreach { c =>
+        val stage = Paths.get(s"$base/stage$c")
+        val parts = {
+          val ls = Files.list(stage)
+          try {
+            ls.filter(_.getFileName.toString.startsWith("part-"))
+              .iterator().asScala.toList
+          } finally ls.close()
+        }
+        parts.foreach { p =>
+          Files.move(p, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
+            StandardCopyOption.ATOMIC_MOVE): Unit
+        }
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val candSchema = StructType(Seq(StructField("doc_a", LongType),
+      StructField("doc_b", LongType)))
+    StreamingMinhash.snapshotPairs(docs,
+      spark.read.schema(candSchema).parquet(s"$base/cand"),
+      threshold = threshold)
+  }
+
   /** The Count-Min grid maintained by a stream — the third member of the
     * streaming-maintenance family (covariance moments, HNSW candidates,
     * CM counters): per-cell counts are classic mergeable state, so the

@@ -912,6 +912,80 @@ class StreamingEtlSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming MinHash dedup: the maintained band-bucket state yields the batch pairs verbatim") {
+    // the text-side streaming-maintenance proof: four ascending-doc_id
+    // chunk arrivals through the real file-source harness, candidate log
+    // appended across micro-batches, batch verify tail — must equal the
+    // batch minhashPairs output row for row (the candidate-set equality
+    // argument in StreamingMinhash's scaladoc, checked end to end)
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSnapshots
+      .minhashStreamPairs(spark, dir).collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps
+      .minhashPairs(graft.sources.Tables.documents(spark, dir),
+        n = 5, threshold = 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed dedup diverged: ${streamed.size} vs ${batch.size} pairs")
+    assert(batch.nonEmpty, "fixture has no near-dup pairs — vacuous test")
+  }
+
+  test("minhashStreamPairs covers a STRIDED-id corpus: stream == batch when ids are not dense") {
+    import spark.implicits._
+    // the hnswStreamEdges lesson applied to the text side: ids at i·10⁶
+    // (the 10x replica's shape) must all be staged by the range-quarter
+    // chunk bounds; duplicate texts guarantee same-bucket collisions so
+    // the candidate path is actually exercised
+    def sentence(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 40).map(_ => s"w${r.nextInt(30)}").mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mh_stride").toString
+    (0L until 30L).map { i =>
+      // 10 base sentences, each repeated 3x at strided ids -> real dups
+      (i * 1000000L, sentence((i % 10).toInt), "en", "synth", 200L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val streamed = graft.streaming.StreamingSnapshots
+      .minhashStreamPairs(spark, dir).collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps
+      .minhashPairs(graft.sources.Tables.documents(spark, dir),
+        n = 5, threshold = 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"strided-id stream diverged: ${streamed.size} vs ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming MinHash dedup: a non-monotone doc_id arrival fails the stream loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two IDENTICAL texts share every band bucket; id 2 commits in batch
+    // 1, id 1 arrives in batch 2 — the per-bucket high-water-mark check
+    // must kill the query instead of silently emitting a misoriented or
+    // duplicate pair (the StreamingHnsw ingest-contract rule)
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingMinhash.candidatePairs(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mh_ingest_bad")
+      .outputMode("append").start()
+    try {
+      input.addData((2L, text))
+      q.processAllAvailable()
+      input.addData((1L, text))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootChain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(rootChain(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("ingest contract violated")),
+        s"expected the contract IllegalStateException, got: $e")
+    } finally q.stop()
+  }
+
   test("streaming HNSW ingest: a non-monotone vec_id arrival fails the stream loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
