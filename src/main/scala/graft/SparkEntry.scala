@@ -49,7 +49,13 @@ object SparkEntry {
     * doc_lcp, doc_dup_intervals, and doc_dedup_excise_sa all ride the
     * same artifact — exactly how a dedup deployment uses a suffix
     * index: build once, consult many times. */
-  private[graft] val lcpMemoCapacity = 2
+  // capacity is a knob, not a constant (round-11 advisor): a workload
+  // alternating across capacity+1 data dirs would otherwise thrash the
+  // memo, rebuilding the corpus-scale artifact on every access — still
+  // correct, but a silent performance cliff. -Dgraft.lcpMemo.capacity=N
+  // raises it; the eviction log below makes any thrash observable.
+  private[graft] def lcpMemoCapacity: Int =
+    sys.props.get("graft.lcpMemo.capacity").map(_.toInt).getOrElse(2)
   // LRU-BOUNDED (round-10 verdict #2): the memo caches corpus-scale
   // persisted artifacts, so an unbounded evict-never map would pin one
   // cluster-cache-sized relation per data dir ever touched by the JVM.
@@ -70,6 +76,9 @@ object SparkEntry {
         while (lcpMemo.size > lcpMemoCapacity) {
           val it = lcpMemo.entrySet().iterator()
           val eldest = it.next()
+          System.err.println(s"graft: lcpMemo evicting '${eldest.getKey}' " +
+            s"(capacity $lcpMemoCapacity, now caching '$dir') — frequent " +
+            "evictions mean thrash; raise -Dgraft.lcpMemo.capacity")
           eldest.getValue.unpersist(blocking = false)
           it.remove()
         }
@@ -3766,7 +3775,8 @@ object SparkEntry {
                * 1e2 + 0.5) / 1e2 AS total_rev
            FROM v GROUP BY 1)
          SELECT o_year,
-           floor(share_rev / total_rev * 1e6 + 0.5) / 1e6 AS mkt_share,
+           floor(share_rev / nullif(total_rev, 0.0) * 1e6 + 0.5) / 1e6
+             AS mkt_share,
            share_rev, total_rev
          FROM a""",
     // replica of Relational.excessShippers (TPC-H Q20 shape): both sums

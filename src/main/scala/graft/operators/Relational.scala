@@ -1881,7 +1881,11 @@ object Relational {
           .otherwise(lit(0.0)), 2).as("share_rev"),
         sumRounded(disc, 2).as("total_rev"))
       .select(col("o_year"),
-        roundFixed(col("share_rev") / col("total_rev"), 6).as("mkt_share"),
+        // nullif guards the degenerate year whose volumes all round to
+        // 0.00: 0/0 would publish NaN — emit NULL instead, mirrored in
+        // the oracle (round-11 advisor)
+        roundFixed(col("share_rev") / nullif(col("total_rev"), lit(0.0)), 6)
+          .as("mkt_share"),
         col("share_rev"), col("total_rev"))
   }
 

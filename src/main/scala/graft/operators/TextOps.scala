@@ -3495,6 +3495,12 @@ object TextOps {
     // relation without the tag is rejected: the contract is part of the
     // artifact, exactly like `bits` on the streaming HNSW ingest.
     lcpRel.foreach { rel =>
+      // guard the column lookup itself: a relation without an lcp column
+      // should fail with the CONTRACT message, not Spark's generic
+      // field-not-found (round-11 advisor)
+      require(rel.schema.fieldNames.contains("lcp"),
+        "lcpRel has no 'lcp' column — build it with suffixLcp so the " +
+          "saturation cap travels with the artifact")
       val m = rel.schema("lcp").metadata
       require(m.contains(lcpCapMetaKey),
         s"lcpRel carries no $lcpCapMetaKey metadata — build it with " +

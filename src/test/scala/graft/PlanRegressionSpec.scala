@@ -556,11 +556,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     // aggregation plans are the same shapes — ARE swept above, and the
     // streaming aggregates cannot plan a Window at all
     val skipStreaming = Set("emb_cov_stream_snapshot",
-      "emb_hnsw_stream_edges", "event_cm_stream_counts")
+      "emb_hnsw_stream_edges", "event_cm_stream_counts",
+      "doc_minhash_stream_pairs")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>
-        val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        // name the offender on construction failure: some constructors
+        // (emb_power_eigvec, the PQ family) run real driver-side jobs, so
+        // an unrelated breakage would otherwise surface as an anonymous
+        // stack out of a 200-query fold (round-11 advisor)
+        val lp = try {
+          SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        } catch {
+          case e: Throwable =>
+            fail(s"query '$q' failed during construction: $e", e)
+        }
         lp.collectWithSubqueries {
           case w: LWindow if w.partitionSpec.isEmpty => w
           case w: LWindowGroupLimit if w.partitionSpec.isEmpty => w

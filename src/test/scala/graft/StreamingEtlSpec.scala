@@ -94,6 +94,53 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T4 under the RocksDB state store provider: agg converges and RocksDB actually runs") {
+    // the reference's state store IS RocksDB (KafkaConsumer.kt:52-55);
+    // the repo's parity argument has been "config, not code" — this runs
+    // the same update-mode aggregation with the provider flipped to
+    // Spark's RocksDB implementation and asserts (a) the converged values
+    // are unchanged and (b) RocksDB really served the state (its custom
+    // metrics appear in the progress), so the claim is proven once, not
+    // assumed. A cloned session scopes the provider conf: it is captured
+    // at first micro-batch planning, never leaking to parallel suites.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[TripStation]
+    val streamDf = input.toDF()
+      .withColumnRenamed("tripTime", "trip_time")
+      .withColumnRenamed("stationName", "station_name")
+      .withColumnRenamed("tripType", "trip_type")
+    val q = StreamingEtl.stationDayAggStreaming(streamDf)
+      .writeStream.format("memory").queryName("sda_rocks")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        TripStation("A", ts("2024-01-01 10:00:00"), "purchase", 10.0),
+        TripStation("A", ts("2024-01-01 11:00:00"), "view", 30.0))
+      q.processAllAvailable()
+      input.addData(
+        TripStation("A", ts("2024-01-01 12:00:00"), "purchase", 20.0),
+        TripStation("B", ts("2024-01-01 12:30:00"), "view", 5.0))
+      q.processAllAvailable()
+      val lastPerKey = ss.table("sda_rocks").collect()
+        .groupBy(_.getAs[String]("station_name"))
+        .map { case (k, rs) => k -> rs.last }
+      assert(lastPerKey("A").getAs[Long]("started_trips") == 2L)
+      assert(lastPerKey("A").getAs[Long]("ended_trips") == 1L)
+      assert(lastPerKey("A").getAs[Double]("avg_temperature") == 20.0)
+      assert(lastPerKey("B").getAs[Long]("ended_trips") == 1L)
+      // the provider proof: RocksDB's own custom metrics in the state
+      // operator progress — absent under the default HDFS-backed provider
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb custom metrics — provider did not run: ${metrics.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("hopping windows compose unchanged onto a stream and converge to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
