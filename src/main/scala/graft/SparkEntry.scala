@@ -838,6 +838,14 @@ object SparkEntry {
     // pins it; this row makes the DRIVER hash it every round)
     "emb_hnsw_stream_edges" -> ((s, dir) =>
       graft.streaming.StreamingSnapshots.hnswStreamEdges(s, dir)),
+    // the FIXED-STEP serving walk (round-11 verdict #5 — the
+    // powerIteration precedent applied to traversal): round-synchronous
+    // greedy descent + round-synchronous ef-beam, every knob fixed, so
+    // the walk is closed-form over the oracled graph and DuckDB replays
+    // it stage by stage; the best-first heap walk stays API+spec
+    "emb_hnsw_walk" -> ((s, dir) =>
+      Similarity.hnswWalkFixedTopK(Tables.embeddings(s, dir),
+        knownCount = Tables.parquetRowCount(s, dir, "embeddings"))),
     // The serving SEARCH over that graph (greedy upper-layer descent +
     // ef-beam on layer 0) is deliberately NOT a driver query: the
     // iterative walk is not SQL-expressible, so no hash oracle can exist
@@ -2243,6 +2251,91 @@ object SparkEntry {
         FROM ranked WHERE rank <= $m"""
   }
 
+  /** DuckDB replica of [[graft.operators.Similarity.hnswWalkFixedTopK]]:
+    * the fixed-step serving walk unrolled as MATERIALIZED CTE stages
+    * over the already-oracled graph ([[hnswOracle]] verbatim as the
+    * `edges` source). One cross-join cosine table (`qc` — the
+    * brute-force oracle's shape) feeds every stage; each upper-layer
+    * round is an argmax row_number over {cur} ∪ N_l(cur), each beam
+    * round a top-`ef` row_number over the deduped beam ∪ neighbors —
+    * the identical strict (cosine DESC, id ASC) order on bit-identical
+    * doubles, so every stage selects the engine's rows. */
+  private def hnswWalkOracle(numQueries: Int, k: Int, ef: Int,
+                             upperRounds: Int, beamRounds: Int,
+                             m: Int, numTables: Int,
+                             maxLevel: Int): String = {
+    def dotIdx(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def nrm(a: String) =
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, b) -> a + b))"
+    val upperCtes = (for {
+      (l, li) <- (maxLevel to 1 by -1).zipWithIndex
+      r <- 1 to upperRounds
+    } yield {
+      val i = li * upperRounds + r
+      s"""u$i AS MATERIALIZED (
+           SELECT query_id, node, cos FROM (
+             SELECT x.query_id, x.node, x.cos,
+               row_number() OVER (PARTITION BY x.query_id
+                 ORDER BY x.cos DESC, x.node ASC) AS rn
+             FROM (
+               SELECT query_id, node, cos FROM u${i - 1}
+               UNION ALL
+               SELECT u.query_id, qc.node, qc.cos
+               FROM u${i - 1} u
+               JOIN edges e ON e.level = $l AND e.src = u.node
+               JOIN qc ON qc.query_id = u.query_id AND qc.node = e.dst
+             ) x) WHERE rn = 1)"""
+    }).mkString(",\n")
+    val uLast = maxLevel * upperRounds
+    val beamCtes = (1 to beamRounds).map { r =>
+      val prev = if (r == 1) s"u$uLast" else s"b${r - 1}"
+      s"""b$r AS MATERIALIZED (
+           SELECT query_id, node, cos FROM (
+             SELECT x.query_id, x.node, x.cos,
+               row_number() OVER (PARTITION BY x.query_id
+                 ORDER BY x.cos DESC, x.node ASC) AS rn
+             FROM (
+               SELECT DISTINCT query_id, node, cos FROM (
+                 SELECT query_id, node, cos FROM $prev
+                 UNION ALL
+                 SELECT b.query_id, qc.node, qc.cos
+                 FROM $prev b
+                 JOIN edges e ON e.level = 0 AND e.src = b.node
+                 JOIN qc ON qc.query_id = b.query_id AND qc.node = e.dst
+               )) x) WHERE rn <= $ef)"""
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+          SELECT level, src, dst
+          FROM (${hnswOracle(m, numTables, maxLevel, dim = 64,
+            bucketCap = 128)})),
+        env AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+            ${nrm("embedding::DOUBLE[]")} AS nm
+          FROM embeddings),
+        qc AS MATERIALIZED (
+          SELECT q.vec_id AS query_id, c.vec_id AS node,
+            ${dotIdx("q.v", "c.v")} / (q.nm * c.nm) AS cos
+          FROM env q CROSS JOIN env c
+          WHERE q.vec_id < $numQueries),
+        ent AS (
+          SELECT min(src) AS node FROM edges
+          WHERE level = (SELECT max(level) FROM edges)),
+        u0 AS (
+          SELECT qc.query_id, qc.node, qc.cos
+          FROM qc JOIN ent ON qc.node = ent.node),
+        $upperCtes,
+        $beamCtes
+        SELECT query_id, node AS neighbor_id,
+          floor(cos * 1e4 + 0.5) / 1e4 AS cosine, rank
+        FROM (
+          SELECT query_id, node, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, node ASC) AS rank
+          FROM b$beamRounds WHERE node <> query_id)
+        WHERE rank <= $k"""
+  }
+
   /** The engine-parity-critical LSH scaffolding, SINGLE-SOURCED for
     * every oracle that replays the sign-bit banding
     * ([[lshOracle]] and [[hnswOracle]]): plane literals (shortest
@@ -2957,6 +3050,8 @@ object SparkEntry {
       recallOracle(numQueries = 10, k = 5, c = 16, nprobe = 4),
     "emb_mrl_recall" ->
       mrlOracle(numQueries = 10, k = 5, dims = Seq(8, 16, 32)),
+    "emb_hnsw_walk" -> hnswWalkOracle(numQueries = 10, k = 5, ef = 8,
+      upperRounds = 2, beamRounds = 3, m = 8, numTables = 16, maxLevel = 3),
     "emb_hnsw_build" -> hnswOracle(m = 8, numTables = 16, maxLevel = 3,
       dim = 64, bucketCap = 128),
     "emb_lsh_pairs" -> lshOracle(threshold = 0.85, numTables = 16, dim = 64,

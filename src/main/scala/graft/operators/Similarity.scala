@@ -2184,6 +2184,103 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** FIXED-STEP serving walk over the layered graph — the DRIVER-CHECKED
+    * member of the serving family (round-11 verdict #5, the
+    * powerIteration-vs-Jacobi precedent applied to graph traversal). The
+    * production walk ([[hnswWalk]]) is best-first with an early-exit
+    * heap — its VISIT ORDER is data-dependent and not SQL-expressible,
+    * so it stays API+spec. This variant fixes every data-dependent knob:
+    *
+    *  - upper layers maxLevel..1: `upperRounds` ROUND-SYNCHRONOUS greedy
+    *    steps each — per round, move to the argmax of {cur} ∪ N_l(cur)
+    *    on the strict (cosine DESC, id ASC) order (a round at a layer
+    *    the node has no edges in is a no-op, so unrolling all maxLevel
+    *    layers is safe whatever the actual top level);
+    *  - layer 0: `beamRounds` ROUND-SYNCHRONOUS beam expansions — the
+    *    beam unions all residents' neighbors, dedups, and keeps the
+    *    top-`ef` on the same order. Round-synchronous beam search is
+    *    itself a real serving strategy (it is what GPU graph-ANN
+    *    traversals run, where a heap's serial pops defeat parallelism),
+    *    not a toy: the artifact is a legitimate search result AND
+    *    closed-form — a FIXED number of expand-rank rounds from a fixed
+    *    entry, which DuckDB replays as unrolled MATERIALIZED CTE stages
+    *    over the already-oracled graph.
+    *
+    * Uses the [[hnswIndex]] collected artifact (the sanctioned bounded
+    * single-searcher collect) with the same broadcast-and-flatMap shape
+    * as [[hnswSearchWithIndex]]: queries distribute, the graph ships
+    * once, no shuffle. Output: top-`k` of the final beam per query
+    * (self excluded), cosine rounded 1e-4, ranked. */
+  def hnswWalkFixedTopK(embeddings: DataFrame, numQueries: Int = 10,
+                        k: Int = 5, ef: Int = 8, upperRounds: Int = 2,
+                        beamRounds: Int = 3, m: Int = 8,
+                        numTables: Int = 16, maxLevel: Int = 3,
+                        dim: Int = 64, bucketCap: Int = 128,
+                        knownCount: Long = -1L): DataFrame = {
+    require(k < ef, s"k=$k must leave beam room under ef=$ef (self may " +
+      "occupy one slot)")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val index = hnswIndex(embeddings, m, numTables, maxLevel, dim,
+      bucketCap, knownCount)
+    val bcast = spark.sparkContext.broadcast((index.adj, index.vecs,
+      index.entry))
+    val queries = embeddings.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])]
+    queries.flatMap { case (qid, qSeq) =>
+      val (adjB, vecsB, entryB) = bcast.value
+      if (entryB < 0L) Iterator.empty
+      else fixedWalk(qid, qSeq.toArray, adjB, vecsB, entryB, maxLevel,
+        k, ef, upperRounds, beamRounds)
+    }.toDF("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** One query's fixed-step traversal (see [[hnswWalkFixedTopK]]): the
+    * identical cosine fold as [[hnswWalk]], round-synchronous argmax
+    * descent, round-synchronous ef-beam. Every comparison runs on the
+    * strict (cosine, −id) order over bit-identical doubles, so the
+    * DuckDB row_number replica selects the same rows. */
+  private def fixedWalk(qid: Long, q: Array[Double],
+                        adjB: Map[(Int, Long), Array[Long]],
+                        vecsB: Map[Long, Array[Double]],
+                        entryB: Long, maxLevel: Int, k: Int, ef: Int,
+                        upperRounds: Int,
+                        beamRounds: Int): Iterator[(Long, Long, Double, Int)] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def cos(id: Long): Double = {
+      val v = vecsB(id)
+      var d = 0.0; var vv = 0.0; var i = 0
+      while (i < math.min(v.length, q.length)) {
+        d += q(i) * v(i); vv += v(i) * v(i); i += 1
+      }
+      d / (qn * math.sqrt(vv))
+    }
+    def better(c1: Double, id1: Long, c2: Double, id2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && id1 < id2)
+    var cur = entryB
+    var curCos = cos(cur)
+    for (l <- maxLevel to 1 by -1; _ <- 1 to upperRounds) {
+      var bestC = curCos; var bestId = cur
+      adjB.getOrElse((l, cur), Array.empty[Long]).foreach { nb =>
+        val c = cos(nb)
+        if (better(c, nb, bestC, bestId)) { bestC = c; bestId = nb }
+      }
+      cur = bestId; curCos = bestC
+    }
+    var beam = Vector((curCos, cur))
+    for (_ <- 1 to beamRounds) {
+      val cand = (beam.map(_._2) ++
+        beam.flatMap(b => adjB.getOrElse((0, b._2), Array.empty[Long])))
+        .distinct
+      beam = cand.map(id => (cos(id), id))
+        .sortBy { case (c, id) => (-c, id) }.take(ef).toVector
+    }
+    beam.iterator.filter(_._2 != qid).take(k).zipWithIndex.map {
+      case ((c, id), i) => (qid, id, math.floor(c * 1e4 + 0.5) / 1e4, i + 1)
+    }
+  }
+
   /** One query's graph traversal — the HNSW descent both serving paths
     * share ([[hnswSearchWithIndex]] broadcasts the index;
     * [[hnswSearchDistributed]] runs it inside per-shard typed groups):

@@ -1064,4 +1064,31 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"hnsw recall $recall")
   }
+
+  test("fixed-step walk: deterministic, self-excluded, and a real approximation of brute force") {
+    val res = Similarity.hnswWalkFixedTopK(emb, numQueries = 10, k = 5)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(res.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "cosine", "rank"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length), q)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), s"self in top-k of $q")
+    }
+    // run-to-run determinism — the whole point of fixing the step count
+    val again = Similarity.hnswWalkFixedTopK(emb, numQueries = 10, k = 5)
+      .collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // the round-synchronous beam is a genuine serving strategy, not a
+    // hash stunt: it must approximate the exact answer about as well as
+    // the best-first walk (same graph, same ef-bounded frontier class)
+    val exact = topkSet(Similarity.bruteForceTopK(emb, numQueries = 10, k = 5))
+    val approx = topkSet(res)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"fixed-step walk recall $recall")
+    // and it should mostly agree with the production best-first walk
+    val prod = topkSet(Similarity.hnswSearchTopK(emb, numQueries = 10, k = 5))
+    val agree = (prod & approx).size.toDouble / prod.size
+    assert(agree >= 0.7, s"fixed-step vs best-first agreement $agree")
+  }
 }
