@@ -297,6 +297,17 @@ object SparkEntry {
       Relational.excessShippers(Tables.lineitem(s, dir),
         Tables.part(s, dir), Tables.supplier(s, dir),
         Tables.nation(s, dir))),
+    // TPC-H Q7 shape: nation in two roles + the symmetric OR'd pair
+    // predicate that only evaluates above BOTH dimension joins
+    "nation_trade_volume" -> ((s, dir) =>
+      Relational.nationTradeVolume(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q11 shape: UNcorrelated scalar subquery in HAVING — the
+    // one-independent-scalar-job plan Q17's correlated rewrite contrasts
+    "important_parts" -> ((s, dir) =>
+      Relational.importantParts(Tables.lineitem(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
     "customer_order_counts" -> ((s, dir) =>
       Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
@@ -3591,6 +3602,33 @@ object SparkEntry {
     // subquery decorrelation preserves semantics
     "part_small_qty_revenue" ->
       graft.operators.Relational.smallQuantitySql("lineitem", "part"),
+    // Q11 shape: the SAME SQL string the Spark query runs (shared-source
+    // discipline, the Q17 precedent) — uncorrelated scalar in HAVING
+    "important_parts" ->
+      graft.operators.Relational.importantPartsSql(
+        "lineitem", "supplier", "nation", "NATION_12"),
+    // Q7 replica: identical pair pruning, OR residual, year grouping,
+    // per-row decimal quantization and shared rounding grid
+    "nation_trade_volume" ->
+      """WITH v AS (
+           SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1.0 - l.l_discount) AS volume
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '2000-01-01'
+             AND ((sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_13')
+               OR (sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_12')))
+         SELECT supp_nation, cust_nation, l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           floor(CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE)
+             * 1e2 + 0.5) / 1e2 AS revenue
+         FROM v GROUP BY 1, 2, 3""",
     "large_orders" ->
       """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
          floor(o.o_totalprice * 1e2 + 0.5) / 1e2 AS total_price, q.sum_qty

@@ -1889,6 +1889,121 @@ object Relational {
         col("share_rev"), col("total_rev"))
   }
 
+  /** TPC-H Q7 shape — bilateral trade volume: the NATION dimension
+    * playing TWO ROLES in one query (supplier's nation and customer's
+    * nation) with the symmetric OR'd pair predicate
+    * `(A→B) OR (B→A)` that references BOTH roles at once — the one
+    * classic join-shape the plan library lacked: Catalyst can push the
+    * two-name membership into EACH role independently (done here
+    * explicitly — the nation dims are pre-filtered to the pair before
+    * their joins, so each dimension join prunes ~2/25 of its fact rows),
+    * but the pair predicate itself is only evaluable ABOVE both joins
+    * and must survive as a post-join residual, never a scan filter.
+    *
+    * Distribution: the two 2-row nation slices are broadcast-hinted
+    * (fixed size); the nation-pruned supplier/customer slices grow with
+    * SF and stay stats-gated (the round-8 broadcast discipline) — at
+    * test SF AQE broadcasts them, at 100 TB they degrade to shuffle
+    * joins instead of OOMing an executor. The date filter pushes to the
+    * lineitem scan, and the supplier-side prune lands BEFORE the one
+    * big shuffle join (orders), so the expensive exchange moves ~2/25
+    * of the date-filtered rows. Revenue is decimal-exact then rounded
+    * on the shared grid. */
+  def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        nationA: String = "NATION_12",
+                        nationB: String = "NATION_13",
+                        fromDate: String = "1996-01-01",
+                        untilDate: String = "2000-01-01"): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val pair = Seq(nationA, nationB)
+    val supps = supplier
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custs = customer
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(fromDate)) &&
+        col("l_shipdate") < to_timestamp(lit(untilDate)))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(supps, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custs, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA &&
+          col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(count(lit(1)).as("n_lines"), sumRounded(disc, 2).as("revenue"))
+  }
+
+  /** The Q11 ("important stock") SQL, written ONCE and shared verbatim by
+    * the Spark query (over temp views) and the DuckDB oracle (over the
+    * parquet views) — the UNCORRELATED-scalar-subquery-in-HAVING surface:
+    * per-part stock value (from one nation's suppliers; lineitem is this
+    * schema's availability ledger, the [[excessShippers]] adaptation)
+    * kept only where it exceeds 2× the average per-part value of the
+    * same restricted ledger. TPC-H's fixed FRACTION threshold is
+    * deliberately replaced by the average-relative one: the synthetic
+    * corpus is skew-free, so `> fraction · total` selects a row count
+    * that swings from everything to nothing across SFs, while
+    * `> 2 · total/count` is scale-invariant.
+    *
+    * Contrast with [[smallQuantityRevenue]] (Q17): there the subquery is
+    * CORRELATED and the right plan REWRITES it away (the spec pins "no
+    * Subquery node"); here it is UNCORRELATED and the right plan KEEPS
+    * it — one independent scalar job whose result enters the HAVING
+    * filter as a literal. That costs a second scan of the restricted
+    * ledger; [[topRevenueSuppliers]] (Q15) is the hand-planned twin that
+    * reuses the grouped aggregate instead — this entry exists to pin
+    * what the SQL SURFACE form plans to, not to replace the hand-tuned
+    * shape. Both aggregates quantize per-row to DECIMAL(38,10) (the
+    * shared grid), and the threshold comparison runs in double with the
+    * identical op order on both engines. */
+  private[graft] def importantPartsSql(lineitem: String, supplier: String,
+                                       nation: String,
+                                       nationName: String): String =
+    s"""SELECT l.l_partkey,
+         floor(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+           AS stock_value
+       FROM $lineitem l
+       JOIN $supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN $nation n ON n.n_nationkey = s.s_nationkey
+       WHERE n.n_name = '$nationName'
+       GROUP BY l.l_partkey
+       HAVING CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(38,10))) AS DOUBLE) >
+         (SELECT 2.0 * CAST(SUM(CAST(l2.l_extendedprice * (1.0 - l2.l_discount)
+                  AS DECIMAL(38,10))) AS DOUBLE)
+                / CAST(COUNT(DISTINCT l2.l_partkey) AS DOUBLE)
+          FROM $lineitem l2
+          JOIN $supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN $nation n2 ON n2.n_nationkey = s2.s_nationkey
+          WHERE n2.n_name = '$nationName')"""
+
+  /** TPC-H Q11 shape — see [[importantPartsSql]]. */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame,
+                     nationName: String = "NATION_12"): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_q11_lineitem")
+    supplier.createOrReplaceTempView("graft_q11_supplier")
+    nation.createOrReplaceTempView("graft_q11_nation")
+    spark.sql(importantPartsSql("graft_q11_lineitem", "graft_q11_supplier",
+      "graft_q11_nation", nationName))
+  }
+
   def promoRevenue(lineitem: DataFrame, part: DataFrame,
                    fromDate: String = "1996-03-01",
                    untilDate: String = "1996-04-01"): DataFrame = {

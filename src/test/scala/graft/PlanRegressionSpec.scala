@@ -441,6 +441,44 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("nation_trade_volume: pair membership pushes into BOTH nation roles, the OR pair predicate survives as a join residual") {
+    val p = plan("nation_trade_volume")
+    // each role's scan gets the two-name membership (independently
+    // pushable), so both dimension joins prune ~2/25 of their fact rows
+    assert(p.linesIterator.count(l => l.contains("Filter (") &&
+      l.contains("IN (NATION_12,NATION_13)")) == 2, p)
+    // the symmetric (A→B) OR (B→A) predicate references both roles at
+    // once — it can only evaluate ABOVE both joins, and the right plan
+    // carries it as the final join's residual condition, not a scan
+    // filter and not a cartesian
+    assert(p.linesIterator.exists(l => l.contains("HashJoin") &&
+      l.contains("supp_nation") && l.contains("cust_nation") &&
+      l.contains(" OR ")),
+      s"OR pair predicate not a join residual:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the date window reaches the lineitem scan (compact-form Filter
+    // lines are untruncated; the PushedFilters rendering is not)
+    assert(p.contains(">= 1996-01-01") && p.contains("< 2000-01-01"), p)
+  }
+
+  test("important_parts: the UNcorrelated HAVING scalar stays ONE independent subquery, never a per-group re-execution") {
+    val p = plan("important_parts")
+    // Q17's pin is "no Subquery node" (correlated → rewritten to a join);
+    // this shape is the dual: the uncorrelated threshold is ONE scalar
+    // job whose result enters the HAVING filter as a literal
+    assert(count(p, "\\+- Subquery subquery") == 1,
+      s"expected exactly one scalar subquery:\n$p")
+    assert(p.contains("> Subquery subquery"),
+      s"HAVING threshold not fed by the scalar subquery:\n$p")
+    // aggregate census: outer partial+final grouped pair (2) + the
+    // subquery's per-part merge pair (2) + its distinct-count global
+    // pair (2) — a 7th would mean a re-aggregation crept in
+    assert(count(p, "HashAggregate") == 6, p)
+    assert(p.linesIterator.count(l => l.contains("Filter (") &&
+      l.contains("= NATION_12")) == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("part_dominant_suppliers: ONE lineitem scan — part totals are a window over the agg, not a rescan") {
     val p = plan("part_dominant_suppliers")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)

@@ -10,6 +10,63 @@ class RelationalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("nation_trade_volume: both directions present, no same-nation rows, revenue matches a direct recompute") {
+    val out = Relational.nationTradeVolume(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir)).collect()
+    val pairs = out.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    // the symmetric OR admits exactly the two cross directions — a
+    // same-nation pair surviving means the residual was dropped
+    assert(pairs.subsetOf(Set(("NATION_12", "NATION_13"),
+      ("NATION_13", "NATION_12"))), pairs.toString)
+    assert(pairs.size == 2, s"one direction missing: $pairs")
+    // spot-check one cell against an independent two-filter recompute
+    val (sn, cn, yr) = ("NATION_12", "NATION_13", 1997)
+    val nat = Tables.nation(spark, dir)
+    val sk = Tables.supplier(spark, dir)
+      .join(nat.filter(col("n_name") === sn), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"))
+    val ck = Tables.customer(spark, dir)
+      .join(nat.filter(col("n_name") === cn), col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"))
+    val expected = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "2000-01-01" &&
+        year(col("l_shipdate")) === yr)
+      .join(sk, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(Tables.orders(spark, dir).join(ck,
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    val cell = out.find(r => r.getAs[String]("supp_nation") == sn &&
+      r.getAs[String]("cust_nation") == cn && r.getAs[Int]("l_year") == yr)
+    assert(cell.map(_.getAs[Long]("n_lines")) == Some(expected), cell.toString)
+  }
+
+  test("important_parts: every surviving part exceeds twice the independently computed average stock value") {
+    val li = Tables.lineitem(spark, dir)
+    val restricted = li
+      .join(Tables.supplier(spark, dir)
+          .join(Tables.nation(spark, dir).filter(col("n_name") === "NATION_12"),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(38,10)")).as("val"))
+    val vals = restricted.collect()
+      .map(r => r.getAs[Long]("l_partkey") ->
+        r.getAs[java.math.BigDecimal]("val").doubleValue()).toMap
+    val threshold = 2.0 * vals.values.sum / vals.size
+    val survivors = Relational.importantParts(li,
+      Tables.supplier(spark, dir), Tables.nation(spark, dir))
+      .collect().map(_.getAs[Long]("l_partkey")).toSet
+    val expected = vals.filter(_._2 > threshold).keySet
+    assert(survivors == expected,
+      s"diff: ${(survivors diff expected) ++ (expected diff survivors)}")
+  }
+
   test("approx_count_distinct stays within 5% of the exact distinct count") {
     val events = Tables.events(spark, dir)
     val approx = Relational.eventTypeApproxUsers(events)

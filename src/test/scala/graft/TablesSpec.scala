@@ -75,11 +75,13 @@ class TablesSpec extends AnyFunSuite {
     val agg = Tables.orcRoundTrip(spark, docs).collect()
     assert(agg.map(_.getAs[Long]("n_docs")).sum == docs.count())
     // a lang equality filter on the read side must hit PartitionFilters,
-    // not a row-level post-scan filter — the layout IS the index
-    val key = java.lang.Long.toHexString(
-      docs.inputFiles.sorted.headOption.getOrElse("mem").hashCode.toLong
-        & 0xffffffffL)
-    val scan = spark.read.orc(s"/tmp/graft_orc_$key")
+    // not a row-level post-scan filter — the layout IS the index. Resolve
+    // the scratch dir through scratchDir itself — a re-derived copy of the
+    // key formula here silently rotted when the formula changed (it kept
+    // passing against a STALE /tmp dir from earlier runs until the
+    // environment was wiped), which is exactly the drift-between-copies
+    // failure mode the shared helper exists to prevent.
+    val scan = spark.read.orc(Tables.scratchDir("graft_orc", docs))
       .filter(col("lang") === "en")
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined, scan)
