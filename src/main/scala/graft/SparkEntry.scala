@@ -427,6 +427,13 @@ object SparkEntry {
     // mergeability that makes sketch tiles work at 100 TB
     "event_type_hll_rollup" -> ((s, dir) =>
       Relational.eventTypeHllRollup(Tables.events(s, dir))),
+    // the SAME register table maintained by a streaming update-mode
+    // aggregate (register maxima are idempotent mergeable state — the
+    // strongest merge algebra in the streaming-maintenance family),
+    // snapshot = latest emission per register, estimate tail shared with
+    // the batch sketch; the batch oracle hashes the streamed registers
+    "event_hll_stream_users" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.hllStreamUsers(s, dir)),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
     // SCD Type-2 dimension build: per-user event_type runs collapsed to
@@ -1337,6 +1344,41 @@ object SparkEntry {
          SELECT est.user_id, est.est_count,
            coalesce(ex.exact_count, 0) AS exact_count
          FROM est LEFT JOIN ex ON ex.user_id = est.user_id"""
+
+  /** HLL replica: identical register split (low 8 bits), identical exact
+    * leading-zero count via bin(), identical integer register sum in units
+    * of 2^-53, and the final float expressions mirrored token-for-token
+    * (same literals, same parenthesization → same IEEE doubles). Shared
+    * verbatim by `event_type_hll_users` (batch) and
+    * `event_hll_stream_users` (the streaming-maintained register table —
+    * register maxima are idempotent mergeable state, so the streamed
+    * sketch converges to the batch one exactly). */
+  private lazy val hllUsersOracleSql: String =
+    s"""WITH h AS (
+           SELECT event_type,
+             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events WHERE user_id IS NOT NULL),
+         b AS (
+           SELECT event_type, h % 256 AS reg,
+             CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END AS rho
+           FROM h),
+         r AS (SELECT event_type, reg, max(rho) AS r FROM b GROUP BY 1, 2),
+         s AS (SELECT event_type,
+                 sum(1::BIGINT << (53 - r)) AS s_present,
+                 count(*) AS n_reg
+               FROM r GROUP BY 1),
+         e AS (SELECT event_type, 256 - n_reg AS v_empty,
+                 (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+                   / CAST(s_present + (256 - n_reg) * (1::BIGINT << 53) AS DOUBLE)
+                   AS raw
+               FROM s)
+         SELECT event_type,
+           floor((CASE WHEN raw <= 640.0 AND v_empty > 0
+                       THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
+                       ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_users,
+           v_empty
+         FROM e"""
 
   private def shaFoldSql(arg: String): String =
     s"""list_reduce(list_transform(string_split(substr(sha256($arg), 1, 15), ''),
@@ -3425,36 +3467,11 @@ object SparkEntry {
                        ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_users,
            v_empty
          FROM e""",
-    // HLL replica: identical register split (low 8 bits), identical exact
-    // leading-zero count via bin(), identical integer register sum in units
-    // of 2^-53, and the final float expressions mirrored token-for-token
-    // (same literals, same parenthesization → same IEEE doubles)
-    "event_type_hll_users" ->
-      s"""WITH h AS (
-           SELECT event_type,
-             ${shaFoldSql("CAST(user_id AS VARCHAR)")} AS h
-           FROM events WHERE user_id IS NOT NULL),
-         b AS (
-           SELECT event_type, h % 256 AS reg,
-             CASE WHEN h // 256 = 0 THEN 53
-                  ELSE 53 - length(bin(h // 256)) END AS rho
-           FROM h),
-         r AS (SELECT event_type, reg, max(rho) AS r FROM b GROUP BY 1, 2),
-         s AS (SELECT event_type,
-                 sum(1::BIGINT << (53 - r)) AS s_present,
-                 count(*) AS n_reg
-               FROM r GROUP BY 1),
-         e AS (SELECT event_type, 256 - n_reg AS v_empty,
-                 (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
-                   / CAST(s_present + (256 - n_reg) * (1::BIGINT << 53) AS DOUBLE)
-                   AS raw
-               FROM s)
-         SELECT event_type,
-           floor((CASE WHEN raw <= 640.0 AND v_empty > 0
-                       THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))
-                       ELSE raw END) * 1e4 + 0.5) / 1e4 AS hll_users,
-           v_empty
-         FROM e""",
+    "event_type_hll_users" -> hllUsersOracleSql,
+    // the streamed register table converges to the batch one exactly
+    // (register maxima are idempotent mergeable state), so the SAME
+    // oracle hashes the streaming-maintained sketch
+    "event_hll_stream_users" -> hllUsersOracleSql,
     "emb_kmeans" -> kmeansOracle(k = 8, iters = 3),
     "emb_pq_codebooks" -> pqOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
     "emb_opq_distortion" ->

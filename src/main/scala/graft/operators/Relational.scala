@@ -750,11 +750,22 @@ object Relational {
     */
   def eventTypeHllUsers(events: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 14, s"precision p must be in [4, 14], got $p")
+    hllEstimateTail(hllRegisters(events, p), p)
+  }
+
+  /** The per-(group, register) max-rho table — [[eventTypeHllUsers]]'s
+    * stage 1, exposed so the STREAMING maintenance path
+    * ([[graft.streaming.StreamingSnapshots.hllStreamUsers]]) can build
+    * the identical table incrementally: register maxima are idempotent
+    * mergeable state (max is associative, commutative, idempotent — the
+    * covariance-moments argument with an even stronger algebra), so an
+    * update-mode streaming aggregate over this same projection converges
+    * to the batch register table exactly. */
+  private[graft] def hllRegisters(events: DataFrame, p: Int): DataFrame = {
     val m = 1 << p           // register count
     val w = 60 - p           // tail bits of the portable 60-bit hash
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard alpha_m for m >= 128
     val tail = shiftright(col("h"), p)
-    val registers = events
+    events
       .filter(col("user_id").isNotNull)
       .select(col("event_type"),
         graft.operators.TextOps.portableHash64(col("user_id").cast("string")).as("h"))
@@ -764,6 +775,16 @@ object Relational {
           .otherwise(lit(w + 1) - length(bin(tail))).as("rho"))
       .groupBy(col("event_type"), col("reg"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** The estimate tail over an already-built register table (the
+    * [[countMinEstimates]] split: the streaming twin feeds its maintained
+    * registers through the identical expressions, so the batch oracle
+    * hashes the streamed sketch verbatim). */
+  private[graft] def hllEstimateTail(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val w = 60 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // standard alpha_m for m >= 128
     registers
       .groupBy(col("event_type"))
       .agg(

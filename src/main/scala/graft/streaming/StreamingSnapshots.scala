@@ -359,4 +359,47 @@ object StreamingSnapshots {
       Tables.events(ss, sfDir), grid, depth, width,
       probeLo = 0L, probeHi = 19L)
   }
+
+  /** The HyperLogLog register table maintained by a stream — the sixth
+    * member of the streaming-maintenance family (covariance moments,
+    * HNSW candidates, MinHash band buckets, CM counters, station aggs),
+    * and the one with the STRONGEST merge algebra: register maxima are
+    * idempotent as well as associative/commutative, so late or replayed
+    * arrivals are free, not just mergeable. The update-mode streaming
+    * aggregate runs the SAME hash/rho projection as the batch sketch
+    * ([[graft.operators.Relational.hllRegisters]], shared code) and
+    * therefore converges to the batch register table exactly; the
+    * snapshot takes the LATEST emission per (type, register) (`max(r)` —
+    * a register is monotone across its re-emissions) and feeds the batch
+    * estimate tail, so `event_type_hll_users`' DuckDB oracle hashes the
+    * streamed sketch verbatim. Staging/trigger/state sizing follow
+    * [[cmStreamCounts]]: 24 splits at 8 per trigger (3 genuine
+    * micro-batches with a parallel map side), 4 state partitions for a
+    * ≤ groups·m-register table — state is sketch-bounded, never
+    * corpus-bounded, at any SF. */
+  def hllStreamUsers(spark: SparkSession, sfDir: String,
+                     p: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_hllstream", ev)
+    wipe(s"$base/ckpt")
+    ensureStaged(Seq(s"$base/in")) {
+      ev.select(col("event_type"), col("user_id"))
+        .repartition(24).write.mode("overwrite").parquet(s"$base/in")
+    }
+    val name = s"hll_stream_snap_${seq.incrementAndGet()}"
+    val evSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("user_id", LongType)))
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val q = graft.operators.Relational.hllRegisters(
+        ss.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$base/in"), p)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val regs = ss.table(name)
+      .groupBy(col("event_type"), col("reg")).agg(max(col("r")).as("r"))
+    graft.operators.Relational.hllEstimateTail(regs, p)
+  }
 }

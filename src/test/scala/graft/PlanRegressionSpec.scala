@@ -595,7 +595,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // streaming aggregates cannot plan a Window at all
     val skipStreaming = Set("emb_cov_stream_snapshot",
       "emb_hnsw_stream_edges", "event_cm_stream_counts",
-      "doc_minhash_stream_pairs")
+      "doc_minhash_stream_pairs", "event_hll_stream_users")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>

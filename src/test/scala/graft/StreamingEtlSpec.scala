@@ -936,6 +936,22 @@ class StreamingEtlSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming HLL: the maintained registers' estimates equal the batch sketch row for row") {
+    // register maxima are idempotent mergeable state (the strongest
+    // algebra in the streaming-maintenance family — replays are free,
+    // not just mergeable), so the update-mode streaming aggregate over
+    // the SHARED hash/rho projection must converge to the batch register
+    // table exactly — checked end-to-end through the estimate tail
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSnapshots
+      .hllStreamUsers(spark, dir).collect().map(_.toSeq).toSet
+    val batch = graft.operators.Relational
+      .eventTypeHllUsers(graft.sources.Tables.events(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("hnswStreamEdges covers a STRIDED-id corpus: stream == batch when ids are not dense in [0, n)") {
     import spark.implicits._
     // ids at i·10⁶ — the 10x scale replica's shape, and the case the
