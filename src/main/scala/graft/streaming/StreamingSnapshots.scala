@@ -201,7 +201,9 @@ object StreamingSnapshots {
     // state-partition sizing as in covStreamSnapshot, on a cloned session:
     // the fMGWS state is bucket-grid-bounded, and 32 partitions × 4
     // batches would pay 128 state-delta commits plus 128 sink files for
-    // a few thousand bucket groups
+    // a few thousand bucket groups (4 vs 8 A/B'd at sf0.1: a wash —
+    // 3.58 vs 3.56 s; THIS stream's cost is the stateful banding compute,
+    // which does use the map parallelism, so 8 stays)
     val ss = streamSession(spark, shufflePartitions = 8)
     val q = StreamingHnsw.candidateEdges(
         ss.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
@@ -280,9 +282,11 @@ object StreamingSnapshots {
     }
     // cloned session + bounded state partitions (the covStreamSnapshot
     // sizing rule): the per-bucket member lists are small and the key
-    // space shards fine over 8 partitions; 32 would pay 128 state-delta
-    // commits across the 4 batches for no parallelism the map side needs
-    val ss = streamSession(spark, shufflePartitions = 8)
+    // space shards fine over 4 partitions (A/B'd vs 8 at sf0.1:
+    // 5.3 → 4.4 s — halving the per-batch state-delta commits, 16 for
+    // the 4 batches, outweighs any map parallelism the bounded groups
+    // could use); 32 would pay 128 commits for no benefit at all
+    val ss = streamSession(spark, shufflePartitions = 4)
     val q = StreamingMinhash.candidatePairs(
         ss.readStream.schema(docSchema).parquet(s"$base/in"))
       .writeStream.format("parquet").option("path", s"$base/cand")
