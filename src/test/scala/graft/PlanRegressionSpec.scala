@@ -16,6 +16,18 @@ class PlanRegressionSpec extends AnyFunSuite {
   private def count(hay: String, needle: String): Int =
     needle.r.findAllIn(hay).size
 
+  test("driver contract: every query has an oracle and every oracle has a query") {
+    // a typo'd or forgotten oracleSql key silently downgrades that query
+    // to a rows-only check in the driver's gate — the exact weakening the
+    // all-hash-oracled guarantee (zero rows-only entries since round 10)
+    // exists to prevent; pin the correspondence both ways
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o,
+      s"queries without oracle: ${(q diff o).toSeq.sorted}; " +
+        s"oracles without query: ${(o diff q).toSeq.sorted}")
+  }
+
   test("doc_dsir_weights: bounded llr table broadcasts, no cartesian, corpus shuffled only on its keys") {
     val p = plan("doc_dsir_weights")
     // the ≤4096-row llr table broadcasts into the token join, and the final
