@@ -297,6 +297,16 @@ object SparkEntry {
       Relational.excessShippers(Tables.lineitem(s, dir),
         Tables.part(s, dir), Tables.supplier(s, dir),
         Tables.nation(s, dir))),
+    // TPC-H Q6 shape: three pushed range predicates + a global agg —
+    // the query whose whole cost is pushdown and pruning (no join, no
+    // keyed shuffle); completes the Q1-Q22 shape set
+    "forecast_revenue" -> ((s, dir) =>
+      Relational.forecastRevenue(Tables.lineitem(s, dir))),
+    // TPC-H Q12 shape: the canonical stats-gated BIG-BIG join (both
+    // sides grow with SF) + conditional priority split in one aggregate
+    "shipmode_priority" -> ((s, dir) =>
+      Relational.shipmodePriorityCounts(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // TPC-H Q7 shape: nation in two roles + the symmetric OR'd pair
     // predicate that only evaluates above BOTH dimension joins
     "nation_trade_volume" -> ((s, dir) =>
@@ -3619,6 +3629,30 @@ object SparkEntry {
     // subquery decorrelation preserves semantics
     "part_small_qty_revenue" ->
       graft.operators.Relational.smallQuantitySql("lineitem", "part"),
+    // Q6 replica: same three inclusive/exclusive range bounds, same
+    // per-row decimal quantization of the price*discount product
+    "forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           floor(CAST(SUM(CAST(l_extendedprice * l_discount
+               AS DECIMAL(38,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    // Q12 replica: identical mode IN-list + date window, identical
+    // conditional split over the joined rows
+    "shipmode_priority" ->
+      """SELECT l.l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_returnflag IN ('R', 'A')
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
     // Q11 shape: the SAME SQL string the Spark query runs (shared-source
     // discipline, the Q17 precedent) — uncorrelated scalar in HAVING
     "important_parts" ->

@@ -1910,6 +1910,62 @@ object Relational {
         col("share_rev"), col("total_rev"))
   }
 
+  /** TPC-H Q6 shape — the pure scan-predicate global aggregate (revenue
+    * forecast): THREE independent range predicates (date window, discount
+    * band, quantity cap) that must ALL reach the parquet scan as pushed
+    * filters, a two-column arithmetic payload, and one global aggregate.
+    * There is no join and no keyed shuffle anywhere — the entire query is
+    * a scan whose cost at 100 TB is decided solely by predicate pushdown
+    * and column pruning (4 of 11 lineitem columns read: the two payload
+    * columns plus the two non-date filter columns; with date-partitioned
+    * or min/max-indexed storage the date window prunes whole files
+    * before any row is read). The revenue product quantizes per row to
+    * DECIMAL(38,10) (the shared grid) so the partial+final aggregation
+    * is partition-order-proof. Completes the classic TPC-H shape set —
+    * every one of Q1-Q22's plan patterns now has an adapted, oracled
+    * representative. */
+  def forecastRevenue(lineitem: DataFrame,
+                      fromDate: String = "1996-01-01",
+                      untilDate: String = "1997-01-01",
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= to_timestamp(lit(fromDate)) &&
+        col("l_shipdate") < to_timestamp(lit(untilDate)) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        sumRounded(col("l_extendedprice") * col("l_discount"), 2)
+          .as("revenue"))
+
+  /** TPC-H Q12 shape on this schema (no l_shipmode column — l_returnflag
+    * is the mode surrogate): the BIG-BIG equi join with conditional
+    * aggregation. lineitem pre-filters by the mode IN-list and date
+    * window (both pushed to the scan — the fact shrinks before the
+    * shuffle), orders contributes exactly two columns, and the
+    * priority split is a pair of conditional sums over the SAME rows —
+    * one aggregate, never two joins or a pivot. Unlike the dimension
+    * joins elsewhere, BOTH sides here grow with SF — this is the plan
+    * library's canonical stats-gated big-big join: broadcast at test SF,
+    * a co-partitioned shuffle join at 100 TB, chosen by Spark/AQE rather
+    * than a hint that would OOM an executor at scale. */
+  def shipmodePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                             modes: Seq[String] = Seq("R", "A"),
+                             fromDate: String = "1996-01-01",
+                             untilDate: String = "1998-01-01"): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_returnflag").isin(modes: _*) &&
+        col("l_shipdate") >= to_timestamp(lit(fromDate)) &&
+        col("l_shipdate") < to_timestamp(lit(untilDate)))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+  }
+
   /** TPC-H Q7 shape — bilateral trade volume: the NATION dimension
     * playing TWO ROLES in one query (supplier's nation and customer's
     * nation) with the symmetric OR'd pair predicate

@@ -453,6 +453,34 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("forecast_revenue: all three range predicates reach the scan, no join, one global agg pair") {
+    val p = plan("forecast_revenue")
+    // the whole query is a scan + global aggregate: its 100 TB cost is
+    // decided entirely by pushdown and pruning
+    assert(count(p, "FileScan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "HashAggregate") == 2, p)
+    assert(count(p, "Exchange") == 1, p)
+    // date window, discount band, and quantity cap all present in the
+    // scan-adjacent Filter (compact-form Filter lines are untruncated)
+    val f = p.linesIterator.find(l => l.contains("Filter (")).getOrElse("")
+    Seq(">= 1996-01-01", "< 1997-01-01", ">= 0.05", "<= 0.07", "< 24.0")
+      .foreach(b => assert(f.contains(b), s"bound $b missing from: $f"))
+  }
+
+  test("shipmode_priority: mode IN-list + dates prune the fact before the join, one conditional-split aggregate") {
+    val p = plan("shipmode_priority")
+    // the priority split is conditional sums over ONE aggregate — a
+    // second agg pair would mean an aggregate-per-branch rewrite
+    assert(count(p, "HashAggregate") == 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the fact's IN-list and date window sit scan-adjacent, shrinking
+    // the big side before the (stats-gated) join
+    assert(p.linesIterator.exists(l => l.contains("Filter (") &&
+      l.contains("IN (R,A)") && l.contains(">= 1996-01-01")), p)
+  }
+
   test("nation_trade_volume: pair membership pushes into BOTH nation roles, the OR pair predicate survives as a join residual") {
     val p = plan("nation_trade_volume")
     // each role's scan gets the two-name membership (independently
