@@ -958,6 +958,14 @@ object SparkEntry {
     // Jacobi solve behind pcaProject (which stays API+spec)
     "emb_power_eigvec" -> ((s, dir) =>
       Similarity.powerIteration(Tables.embeddings(s, dir))),
+    // ...and the Jacobi ALGORITHM itself promoted via its fixed-sweep
+    // twin on the leading 4x4 covariance block: 3 cyclic sweeps (18
+    // closed-form rotations) replayed stage by stage in DuckDB, with
+    // the post-sweep off-diagonal mass hashed as a convergence
+    // certificate (off2 = 0.0 at the 1e-9 grid — quadratic Jacobi
+    // convergence proven in the driver gate, not just in a spec)
+    "emb_jacobi_eigvals" -> ((s, dir) =>
+      Similarity.jacobiFixedEigvals(Tables.embeddings(s, dir))),
     // ...and the corpus PROJECTED onto that basis (round-12 verdict #1 —
     // the driver-checked promotion of pcaProject's projection half):
     // per-vector centered scores against the published component-1
@@ -1756,6 +1764,77 @@ object SparkEntry {
             floor(sgn.s * v.val * 1e6 + 0.5) / 1e6 AS eig_vec,
             floor(lam.l * 1e6 + 0.5) / 1e6 AS eig_val
           FROM ${p}v$iters v CROSS JOIN ${p}sgn sgn CROSS JOIN ${p}lam lam)"""
+  }
+
+  /** DuckDB replica of [[graft.operators.Similarity.jacobiFixedEigvals]]:
+    * the leading subDims×subDims block of the rounded covariance grid,
+    * then one MATERIALIZED stage PAIR per rotation — b$k applies the
+    * column phase, m$k the row phase over b$k (the two-phase boundary
+    * mirrors the Scala loop exactly: phase 2 reads phase 1's outputs) —
+    * with each rotation's c/s from the identical theta/t formulas. The
+    * off-diagonal certificate folds val² in (i, j)-ascending order (the
+    * Scala accumulation order; 0.0+x == x so the missing explicit zero
+    * seed cannot differ), and eigenvalues sort DESC with the diag-index
+    * tiebreak mirrored on both engines. */
+  private def jacobiFixedOracle(subDims: Int, sweeps: Int): String = {
+    val pairs = for {
+      _ <- 1 to sweeps
+      p <- 0 until subDims - 1
+      q <- p + 1 until subDims
+    } yield (p, q)
+    val stages = pairs.zipWithIndex.map { case ((p, q), idx) =>
+      val k = idx + 1
+      val prev = s"m$idx"
+      s"""rot$k AS MATERIALIZED (
+           SELECT CASE WHEN skip THEN 1.0
+                       ELSE 1.0 / sqrt(t * t + 1.0) END AS c,
+                  CASE WHEN skip THEN 0.0
+                       ELSE t * (1.0 / sqrt(t * t + 1.0)) END AS s
+           FROM (
+             SELECT skip,
+               (CASE WHEN theta >= 0 THEN 1.0 ELSE -1.0 END)
+                 / (abs(theta) + sqrt(theta * theta + 1.0)) AS t
+             FROM (
+               SELECT abs(apq) <= 1e-300 AS skip,
+                 (aqq - app) / (2.0 * apq) AS theta
+               FROM (SELECT
+                 (SELECT val FROM $prev WHERE i = $p AND j = $q) AS apq,
+                 (SELECT val FROM $prev WHERE i = $p AND j = $p) AS app,
+                 (SELECT val FROM $prev WHERE i = $q AND j = $q) AS aqq)))),
+         b$k AS MATERIALIZED (
+           SELECT m.i, m.j,
+             CASE WHEN m.j = $p THEN r.c * m.val - r.s * mq.val
+                  WHEN m.j = $q THEN r.s * mp.val + r.c * m.val
+                  ELSE m.val END AS val
+           FROM $prev m
+           CROSS JOIN rot$k r
+           LEFT JOIN $prev mq ON mq.i = m.i AND mq.j = $q
+           LEFT JOIN $prev mp ON mp.i = m.i AND mp.j = $p),
+         m$k AS MATERIALIZED (
+           SELECT b.i, b.j,
+             CASE WHEN b.i = $p THEN r.c * b.val - r.s * bq.val
+                  WHEN b.i = $q THEN r.s * bp.val + r.c * b.val
+                  ELSE b.val END AS val
+           FROM b$k b
+           CROSS JOIN rot$k r
+           LEFT JOIN b$k bq ON bq.j = b.j AND bq.i = $q
+           LEFT JOIN b$k bp ON bp.j = b.j AND bp.i = $p)"""
+    }.mkString(",\n")
+    val last = s"m${pairs.size}"
+    s"""WITH m0 AS MATERIALIZED (
+          SELECT i, j, cov AS val FROM ($covarianceOracleSql)
+          WHERE i < $subDims AND j < $subDims),
+        $stages,
+        off AS (
+          SELECT floor(coalesce(list_reduce(
+              list(val * val ORDER BY i, j), (x, y) -> x + y), 0.0)
+            * 1e9 + 0.5) / 1e9 AS off2
+          FROM $last WHERE i <> j)
+        SELECT CAST(row_number() OVER (ORDER BY d.val DESC, d.i ASC)
+            AS BIGINT) AS k,
+          floor(d.val * 1e6 + 0.5) / 1e6 AS eig_val,
+          off.off2
+        FROM (SELECT i, val FROM $last WHERE i = j) d CROSS JOIN off"""
   }
 
   private def powerIterationOracle(iters: Int): String =
@@ -3487,6 +3566,7 @@ object SparkEntry {
     "emb_opq_distortion" ->
       opqDistortionOracle(numSubspaces = 4, k = 8, iters = 2),
     "emb_power_eigvec" -> powerIterationOracle(iters = 10),
+    "emb_jacobi_eigvals" -> jacobiFixedOracle(subDims = 4, sweeps = 3),
     "emb_pca1_scores" -> powerScoresOracle(component = 1, iters = 10),
     "emb_pca2_scores" -> powerScoresOracle(component = 2, iters = 10),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),

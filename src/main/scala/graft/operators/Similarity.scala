@@ -1580,6 +1580,78 @@ object Similarity {
           typedLit(vr.toSeq)), 4).as("score"))
   }
 
+  /** FIXED-SWEEP cyclic Jacobi eigenvalues on a small leading subspace —
+    * the [[powerIteration]]/fixed-step-walk promotion move applied to
+    * [[jacobiEigen]] ITSELF, the last non-oracled algorithm in the PCA
+    * family: the production solver's sweep count is convergence-gated
+    * (data-dependent, not SQL-expressible), but a FIXED number of cyclic
+    * sweeps over the FIXED pivot order (0,1),(0,2)…(d−2,d−1) is
+    * closed-form arithmetic DuckDB replays rotation by rotation. Runs on
+    * the leading `subDims`×`subDims` block of the ORACLED 1e-6 covariance
+    * grid (block restriction is exact — the covariance of dims i,j < k
+    * involves no other dimension), computed over the SLICED corpus so the
+    * pair explode is subDims², not d². Each rotation mirrors
+    * [[jacobiEigen]]'s two-phase update order (columns p,q for every row,
+    * THEN rows p,q for every column — the phase boundary matters: phase 2
+    * reads phase 1's outputs) and its exact theta/t/c/s formulas; the SQL
+    * replica mirrors them token for token, one MATERIALIZED stage pair
+    * per rotation (the emb_power_eigvec lesson).
+    *
+    * Output: the block's eigenvalues descending (diag-index tiebreak),
+    * rounded 1e-6, plus the off-diagonal sum of squares AFTER the fixed
+    * sweeps rounded 1e-9 — a hash-checked CONVERGENCE certificate: three
+    * sweeps drive a 4×4 far below the grid, so the oracle pins
+    * off2 = 0.0, turning "Jacobi converges quadratically" from a spec
+    * assertion into a driver-gate fact. 18 rotations at subDims = 4 —
+    * driver-side metadata-scale arithmetic (the collected-codebook
+    * discipline); at 100 TB the corpus cost is the sliced covariance
+    * scan, nothing else. */
+  def jacobiFixedEigvals(embeddings: DataFrame, subDims: Int = 4,
+                         sweeps: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(subDims >= 2 && subDims <= 8,
+      s"subDims=$subDims outside the metadata-scale window 2..8")
+    val sliced = embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, subDims).as("embedding"))
+    val (a, d, _) = collectedCovariance(sliced)
+    require(d == subDims, s"corpus carries $d dims, requested $subDims")
+    for (_ <- 1 to sweeps; p <- 0 until d - 1; q <- p + 1 until d) {
+      val apq = a(p)(q)
+      if (math.abs(apq) > 1e-300) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+        val t = (if (theta >= 0) 1.0 else -1.0) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var r = 0
+        while (r < d) { // phase 1: columns p and q, every row
+          val arp = a(r)(p); val arq = a(r)(q)
+          a(r)(p) = c * arp - s * arq
+          a(r)(q) = s * arp + c * arq
+          r += 1
+        }
+        r = 0
+        while (r < d) { // phase 2: rows p and q, every column
+          val apr = a(p)(r); val aqr = a(q)(r)
+          a(p)(r) = c * apr - s * aqr
+          a(q)(r) = s * apr + c * aqr
+          r += 1
+        }
+      }
+    }
+    import graft.functions.DeterministicAgg.roundFixedLocal
+    var off2 = 0.0
+    for (i <- 0 until d; j <- 0 until d if i != j) off2 += a(i)(j) * a(i)(j)
+    val off2r = roundFixedLocal(off2, 9)
+    (0 until d).map(i => (a(i)(i), i))
+      .sortBy { case (v, i) => (-v, i) }
+      .zipWithIndex
+      .map { case ((v, _), k) =>
+        ((k + 1).toLong, roundFixedLocal(v, 6), off2r)
+      }.toDF("k", "eig_val", "off2")
+  }
+
   /** Cyclic Jacobi eigensolver for a small symmetric matrix (the d×d
     * covariance — metadata-scale, driver-side by design, the collected-
     * codebook discipline): returns eigenpairs sorted by eigenvalue

@@ -704,6 +704,37 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.powerIteration(fix).collect().map(_.toSeq).toSeq)
   }
 
+  test("fixed-sweep Jacobi matches the convergence-gated solver on the same block, certificate tiny, deterministic") {
+    // the driver query's 4x4 leading block on the real test corpus: the
+    // FIXED 3-sweep chain must land on the production jacobiEigen's
+    // eigenvalues (which iterates to 1e-18 off-diagonal) — 3 sweeps on a
+    // 4x4 converge quadratically far past the 1e-6 output grid
+    val rows = Similarity.jacobiFixedEigvals(emb).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("eig_val"),
+        r.getAs[Double]("off2"))).sortBy(_._1)
+    assert(rows.length == 4)
+    // the hashed convergence certificate: off-diagonal mass after the
+    // fixed sweeps rounds to zero even at the 1e-9 grid
+    assert(rows.forall(_._3 == 0.0), rows.mkString(", "))
+    // eigenvalues descending
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // equal to the production solver on the identical rounded block
+    import org.apache.spark.sql.functions.{col, slice}
+    val covRows = Similarity.covarianceMatrix(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding")))
+      .collect()
+    val cov = Array.ofDim[Double](4, 4)
+    covRows.foreach(r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("cov"))
+    val (eigvals, _) = Similarity.jacobiEigen(cov)
+    rows.map(_._2).zip(eigvals).foreach { case (fixed, full) =>
+      assert(math.abs(fixed - full) < 1e-5, s"fixed $fixed vs full $full")
+    }
+    // deterministic artifact
+    assert(Similarity.jacobiFixedEigvals(emb).collect().map(_.toSeq).toSeq ==
+      Similarity.jacobiFixedEigvals(emb).collect().map(_.toSeq).toSeq)
+  }
+
   test("power scores match pcaProject's top-two centered projections on gapped data") {
     import spark.implicits._
     // TWO well-separated spikes (scales 20 and 8 on near-orthogonal fixed
