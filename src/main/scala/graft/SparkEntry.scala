@@ -237,6 +237,15 @@ object SparkEntry {
     // seeked past, one row per shard leaves the reader)
     "wds_stats" -> ((s, dir) =>
       graft.sources.TarShards.shardStats(s, Tables.documents(s, dir), 8)),
+    // the END-TO-END standing curation job (round-12 verdict #5): tar
+    // landing shards -> streaming exact dedup -> per-batch output tar
+    // shards (ShardPipeline.reshardDeduped, exactly-once), read back
+    // through the connector and aggregated per batch dir; the oracle is
+    // closed-form over documents + planted replays (one representative
+    // per sha256 group, batched by the chunk of its min id) — replays
+    // surviving dedup would surface as extra batch rows
+    "wds_reshard_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.reshardStreamShards(s, dir)),
     // retention cohort matrix (first-event week x week offset -> exact
     // distinct active users): one user_id shuffle (window, not
     // groupBy+join-back), then a metadata-scale matrix agg
@@ -327,6 +336,14 @@ object SparkEntry {
     "pricing_rollup" -> ((s, dir) => Relational.pricingRollup(Tables.lineitem(s, dir))),
     "asof_last_error" -> ((s, dir) =>
       Relational.lastErrorBeforePurchase(Tables.events(s, dir))),
+    // the STREAM–STREAM form, driver-checked (round-12 verdict #1): both
+    // event classes land as ascending event-time chunks into a REAL
+    // transformWithState join (cross-batch right state, dominance-pruned;
+    // lefts watermark-released via timers), two-round sentinel flush,
+    // oracled by the SAME ASOF JOIN SQL — row count included, so an
+    // unflushed or double-released purchase fails the gate
+    "asof_stream_last_error" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.asOfStreamLastError(s, dir)),
     // the NATIVE as-of join (custom LogicalPlan + Strategy + SparkPlan,
     // plans/AsOfJoin.scala): oracled by the SAME SQL as asof_last_error,
     // so the hash match proves the custom operator ≡ the window form
@@ -446,6 +463,15 @@ object SparkEntry {
       graft.streaming.StreamingSnapshots.hllStreamUsers(s, dir)),
     "user_sessions" -> ((s, dir) =>
       Relational.sessionize(Tables.events(s, dir), gapMinutes = 30)),
+    // the SAME session set maintained by a REAL stream (round-12 verdict
+    // #2): native session_window MERGING state across four event-time
+    // chunk landings, append-mode finalized-once emission after a
+    // sentinel flush, batch-presentation tail (seq by start order, end =
+    // last event) — the seventh streaming-maintenance proof and the
+    // first over merging (not additive/idempotent) state; oracled by
+    // user_sessions' SQL verbatim
+    "user_sessions_stream" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.userSessionsStream(s, dir)),
     // SCD Type-2 dimension build: per-user event_type runs collapsed to
     // [valid_from, valid_to) validity intervals; one Exchange reused by
     // both windows and the run agg
@@ -469,6 +495,15 @@ object SparkEntry {
     // so unplanted heavy hitters would be vacuous at any honest threshold)
     "event_heavy_users" -> ((s, dir) =>
       Relational.heavyUsers(Relational.plantHeavyUsers(Tables.events(s, dir)))),
+    // the MG sketch maintained by a REAL stream (round-12 verdict #4):
+    // per-type Misra-Gries state (≤ k−1 entries per key forever) folded
+    // across micro-batches, snapshot = each type's last emission, then
+    // the batch operator's own exact-recount tail — the candidate UNION
+    // is a provable superset under any arrival order (Σ N_t = N and
+    // 1/k < minFrac), so the plain GROUP BY/HAVING oracle hashes the
+    // streamed pipeline verbatim
+    "event_heavy_stream_users" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.heavyStreamUsers(s, dir)),
     // Count-Min frequency estimation (the sketch family's fourth leg:
     // MG=which keys, KMV/HLL=how many distinct, CM=how often is THIS
     // key): d×w portable-hash counter grid, min-over-rows estimates for
@@ -513,6 +548,13 @@ object SparkEntry {
     "doc_contamination" -> ((s, dir) =>
       TextOps.contamination(Tables.documents(s, dir))),
     "doc_dedup_docs" -> ((s, dir) => TextOps.dedupedDocs(Tables.documents(s, dir))),
+    // streaming EXACT dedup (round-12 verdict #3): corpus + planted
+    // replays (doc_id ≡ 3 mod 7 re-ingested at +max+1) land in ascending
+    // duplicate-rank chunks through dropDuplicatesWithinWatermark state;
+    // keep-first-arrival under that ingest contract ≡ keep-min-id, so
+    // the oracle replays the planting and mins per sha256 group
+    "doc_dedup_stream_docs" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.dedupStreamDocs(s, dir)),
     "doc_dup_spans" -> ((s, dir) => TextOps.dupSpanRatio(Tables.documents(s, dir))),
     // ...and the TRANSFORM half (Lee et al. exact-substring dedup): every
     // token covered by a cross-document 5-gram is cut, text re-emitted
@@ -966,6 +1008,16 @@ object SparkEntry {
     // convergence proven in the driver gate, not just in a spec)
     "emb_jacobi_eigvals" -> ((s, dir) =>
       Similarity.jacobiFixedEigvals(Tables.embeddings(s, dir))),
+    // the d=8 octave of the same certificate (round-12 verdict #7,
+    // stretch): 28 rotations/sweep × 3 sweeps = 84 closed-form rotations
+    // replayed as ~252 MATERIALIZED CTE stages in DuckDB — probing
+    // whether the fixed-sweep replay technique hits a wall one octave up
+    // (measured cost documented in PLANS.md); 3 sweeps still land the
+    // 8×8 off-diagonal mass at 0.0 on the 1e-9 grid (quadratic
+    // convergence has more to chew but converges faster than the octave
+    // grows)
+    "emb_jacobi8_eigvals" -> ((s, dir) =>
+      Similarity.jacobiFixedEigvals(Tables.embeddings(s, dir), subDims = 8)),
     // ...and the corpus PROJECTED onto that basis (round-12 verdict #1 —
     // the driver-checked promotion of pcaProject's projection half):
     // per-vector centered scores against the published component-1
@@ -2963,6 +3015,34 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_intervals
           FROM grp GROUP BY doc_id, g)"""
 
+  /** Replica of heavyUsers over plantHeavyUsers, single-sourced by the
+    * batch query and its streaming-MG twin: the MG sketch is only a
+    * candidate pruner (exact verify pass), so the oracle is the plain
+    * GROUP BY + HAVING over the same planted union; threshold is the
+    * identical IEEE-double ceil(n * 0.01) on both engines. */
+  private val heavyUsersOracleSql: String =
+    """WITH ev AS (
+         SELECT user_id FROM events
+         UNION ALL
+         SELECT e.user_id FROM events e
+         CROSS JOIN generate_series(1, 19) g(i)
+         WHERE e.user_id % 500 = 7),
+       t AS (SELECT count(*) AS n FROM ev),
+       c AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY 1)
+       SELECT c.user_id, c.n_events
+       FROM c, t
+       WHERE c.n_events >= CAST(ceil(t.n * 0.01) AS BIGINT)"""
+
+  /** The backward as-of replica, single-sourced by asof_last_error, its
+    * custom-operator twin (asof_last_error_native), and the stream-stream
+    * twin (asof_stream_last_error): DuckDB's native ASOF JOIN with the
+    * inclusive `p.ts >= e.ts` bound all three implementations pin. */
+  private val asofBackwardOracleSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ON p.user_id = e.user_id AND p.ts >= e.ts"""
+
   /** The gap-sessionization CTE chain, single-sourced by the
     * user_sessions oracle and the interval-join oracle built on it. */
   private def sessionCtes: String =
@@ -3421,22 +3501,12 @@ object SparkEntry {
          SELECT term, n,
            CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
          FROM c ORDER BY n DESC, term ASC LIMIT 1000""",
-    // replica of heavyUsers over plantHeavyUsers: the MG sketch is only a
-    // candidate pruner (exact verify pass), so the oracle is the plain
-    // GROUP BY + HAVING over the same planted union; threshold is the
-    // identical IEEE-double ceil(n * 0.01) on both engines
-    "event_heavy_users" ->
-      """WITH ev AS (
-           SELECT user_id FROM events
-           UNION ALL
-           SELECT e.user_id FROM events e
-           CROSS JOIN generate_series(1, 19) g(i)
-           WHERE e.user_id % 500 = 7),
-         t AS (SELECT count(*) AS n FROM ev),
-         c AS (SELECT user_id, count(*) AS n_events FROM ev GROUP BY 1)
-         SELECT c.user_id, c.n_events
-         FROM c, t
-         WHERE c.n_events >= CAST(ceil(t.n * 0.01) AS BIGINT)""",
+    "event_heavy_users" -> heavyUsersOracleSql,
+    // identical BY DESIGN: the streamed per-type MG state + the batch
+    // exact-recount tail must equal the plain GROUP BY/HAVING — the
+    // candidate-union superset argument makes the sketch's arrival-order
+    // nondeterminism invisible to the exact second pass
+    "event_heavy_stream_users" -> heavyUsersOracleSql,
     // replica of Relational.countMinCounts: the identical portable-hash
     // d×w grid, min-over-rows estimate per probe key, exact counts by
     // plain filter+group-by
@@ -3567,6 +3637,9 @@ object SparkEntry {
       opqDistortionOracle(numSubspaces = 4, k = 8, iters = 2),
     "emb_power_eigvec" -> powerIterationOracle(iters = 10),
     "emb_jacobi_eigvals" -> jacobiFixedOracle(subDims = 4, sweeps = 3),
+    // one octave up: the identical stage-pair replay at 8×8 — the
+    // generator is shared, only the block size changes
+    "emb_jacobi8_eigvals" -> jacobiFixedOracle(subDims = 8, sweeps = 3),
     "emb_pca1_scores" -> powerScoresOracle(component = 1, iters = 10),
     "emb_pca2_scores" -> powerScoresOracle(component = 2, iters = 10),
     "emb_pq_codes" -> pqCodesOracle(numSubspaces = 4, w = 16, k = 8, iters = 2),
@@ -3879,6 +3952,34 @@ object SparkEntry {
          CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
          CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents WHERE text IS NOT NULL GROUP BY 1""",
+    // the end-to-end reshard pipeline, closed-form: one representative
+    // per sha256 group of the PLANTED union (replays at +max+1, the
+    // doc_dedup_stream_docs planting), batched by the id-range chunk of
+    // its MIN doc_id (integer division `//` here ≡ Spark's `div` in the
+    // landing stager), wds_roundtrip-style content aggregates per batch —
+    // originals fill chunks 0-1, so replays surviving dedup would surface
+    // as extra batch rows and fail the row-count compare
+    "wds_reshard_dedup" ->
+      s"""WITH lohi AS (
+           SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS hs
+           FROM documents WHERE text IS NOT NULL),
+         u AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents
+                            WHERE text IS NOT NULL), text
+           FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3),
+         g AS (
+           SELECT min(doc_id) AS first_id, min(text) AS text
+           FROM u GROUP BY sha256(text)),
+         b AS (
+           SELECT ((first_id - lo) * 4) // (2 * hs) AS batch, text
+           FROM g, lohi)
+         SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           bit_xor(${shaFoldSql("text")}) AS content_hash
+         FROM b GROUP BY 1""",
     "wds_samples" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          bit_xor(${shaFoldSql("text")}) AS text_hash
@@ -4174,11 +4275,11 @@ object SparkEntry {
            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
            AS events_last_hour
          FROM events""",
-    "asof_last_error" ->
-      """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-           ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    "asof_last_error" -> asofBackwardOracleSql,
+    // identical BY DESIGN: the stream-stream transformWithState join must
+    // reproduce the batch window form on the full corpus — the shared
+    // replica is the stream ≡ batch equivalence proof
+    "asof_stream_last_error" -> asofBackwardOracleSql,
     // replica of the FORWARD+tolerance as-of without the custom operator:
     // union both event classes, carry the earliest following purchase ts
     // per user (errors sort before same-instant purchases so the inclusive
@@ -4201,11 +4302,7 @@ object SparkEntry {
     // identical to asof_last_error BY DESIGN: the custom physical operator
     // must reproduce the window formulation — the shared replica is the
     // equivalence proof
-    "asof_last_error_native" ->
-      """SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
-           ON p.user_id = e.user_id AND p.ts >= e.ts""",
+    "asof_last_error_native" -> asofBackwardOracleSql,
     // replica of Relational.eventTypePivot as plain conditional aggregation
     "event_type_pivot" ->
       """SELECT user_id,
@@ -4380,6 +4477,15 @@ object SparkEntry {
            ON e.ts >= iv.win_start AND e.ts < iv.win_end
          GROUP BY 1, 2""",
     "user_sessions" ->
+      s"""WITH $sessionCtes
+         SELECT user_id, session_seq, session_start, session_end,
+           n_events, duration_us
+         FROM sess""",
+    // identical BY DESIGN: the native session_window stream (merging
+    // state across micro-batches, append-mode finalized emission, batch
+    // presentation re-derived in the snapshot tail) must reproduce the
+    // batch two-window sessionization session for session
+    "user_sessions_stream" ->
       s"""WITH $sessionCtes
          SELECT user_id, session_seq, session_start, session_end,
            n_events, duration_us
@@ -4697,6 +4803,22 @@ object SparkEntry {
     "doc_dedup_docs" ->
       """SELECT d.* FROM documents d
          WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))""",
+    // the streaming twin's oracle replays the PLANTED union (every
+    // doc_id ≡ 3 mod 7 re-ingested at +max+1 — the corpus ships distinct
+    // texts, so unplanted streaming dedup would be vacuous) and keeps
+    // min(doc_id) per sha256 group: keep-first-arrival under the
+    // ascending-duplicate-rank ingest contract IS keep-min-id
+    "doc_dedup_stream_docs" ->
+      """WITH u AS (
+           SELECT doc_id, text, lang, source, n_chars
+           FROM documents WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents
+                            WHERE text IS NOT NULL),
+             text, lang, source, n_chars
+           FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3)
+         SELECT u.* FROM u
+         WHERE u.doc_id IN (SELECT min(doc_id) FROM u GROUP BY sha256(text))""",
     // positional (with-repeats) 5-gram spans, so ps/pg differ from the
     // shingle family's DISTINCT sets: the ratio weighs every span position
     "doc_dup_spans" ->

@@ -1963,7 +1963,12 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag").as("ship_mode"))
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        // low = NOT-high, written as when(high, 0).otherwise(1) — the same
+        // shape as the oracle's CASE WHEN high THEN 0 ELSE 1: a NULL
+        // o_orderpriority falls to the ELSE branch (counts as low) on BOTH
+        // engines, where `when(!high, 1)` would send NULL to otherwise=0
+        // and silently diverge (round-12 advisor)
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
   /** TPC-H Q7 shape — bilateral trade volume: the NATION dimension

@@ -44,11 +44,25 @@ object StreamAsOf {
   final case class AsOfStreamEvent(
       userId: Long, isLeft: Boolean, id: Long, ts: Timestamp, value: Double)
 
-  /** Buffered left row awaiting watermark release. */
-  final case class BufLeft(tsMs: Long, eventId: Long)
+  /** Buffered left row awaiting watermark release. State carries epoch
+    * MICROSECONDS — full event-time precision: `Timestamp.getTime` is
+    * ms-only and silently truncated sub-ms event times through the join
+    * (caught when the µs-grained corpus was promoted to the driver gate);
+    * watermark gating still compares at ms (the watermark's own grain),
+    * matching compares at µs (exact). */
+  final case class BufLeft(tsUs: Long, eventId: Long)
 
-  /** Right-side state: candidate match rows. */
-  final case class BufRight(tsMs: Long, errorId: Long, value: Double)
+  /** Right-side state: candidate match rows (epoch µs, as [[BufLeft]]). */
+  final case class BufRight(tsUs: Long, errorId: Long, value: Double)
+
+  private def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  private def usToMsFloor(us: Long): Long = Math.floorDiv(us, 1000L)
 
   /** Join output: left columns plus the matched right columns (None when
     * no right row at-or-before the left's time exists). */
@@ -78,13 +92,13 @@ object StreamAsOf {
       val wm = timers.getCurrentWatermarkInMs()
       rows.foreach { e =>
         if (e.isLeft) {
-          lefts.appendValue(BufLeft(e.ts.getTime, e.id))
+          lefts.appendValue(BufLeft(tsToUs(e.ts), e.id))
           // release gate: fire once the watermark passes this left's time
           // (max() guards the ts == wm boundary — rows strictly behind the
           // watermark never reach here, Spark's late-row filter drops them)
           getHandle.registerTimer(math.max(e.ts.getTime, wm + 1L))
         } else {
-          rights.appendValue(BufRight(e.ts.getTime, e.id, e.value))
+          rights.appendValue(BufRight(tsToUs(e.ts), e.id, e.value))
         }
       }
       Iterator.empty // all emission is watermark-gated in the timer
@@ -93,21 +107,21 @@ object StreamAsOf {
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[StreamAsOfJoined] = {
       val wm = timers.getCurrentWatermarkInMs()
-      val allRights = rights.get().toArray.sortBy(_.tsMs)
+      val allRights = rights.get().toArray.sortBy(_.tsUs)
       val allLefts = lefts.get().toArray
-      val (ready, pending) = allLefts.partition(_.tsMs <= wm)
+      val (ready, pending) = allLefts.partition(l => usToMsFloor(l.tsUs) <= wm)
       // deterministic emission order; matches stay correct regardless
-      val out = ready.sortBy(l => (l.tsMs, l.eventId)).iterator.map { l =>
-        // latest right at-or-before the left's time: binary search for the
-        // first index whose time exceeds l.tsMs
+      val out = ready.sortBy(l => (l.tsUs, l.eventId)).iterator.map { l =>
+        // latest right at-or-before the left's time (µs-exact): binary
+        // search for the first index whose time exceeds l.tsUs
         var lo = 0; var hi = allRights.length
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
-          if (allRights(mid).tsMs <= l.tsMs) lo = mid + 1 else hi = mid
+          if (allRights(mid).tsUs <= l.tsUs) lo = mid + 1 else hi = mid
         }
         val m = if (lo > 0) Some(allRights(lo - 1)) else None
-        StreamAsOfJoined(key, l.eventId, new Timestamp(l.tsMs),
-          m.map(_.errorId), m.map(r => new Timestamp(r.tsMs)), m.map(_.value))
+        StreamAsOfJoined(key, l.eventId, usToTs(l.tsUs),
+          m.map(_.errorId), m.map(r => usToTs(r.tsUs)), m.map(_.value))
       }.toArray
       if (ready.nonEmpty) {
         lefts.clear()
@@ -116,7 +130,7 @@ object StreamAsOf {
       // dominance prune: of the rights at-or-before the watermark only the
       // latest can ever match again (every unreleased left is later than
       // the watermark); rights beyond the watermark all stay
-      val cut = allRights.lastIndexWhere(_.tsMs <= wm)
+      val cut = allRights.lastIndexWhere(r => usToMsFloor(r.tsUs) <= wm)
       if (cut > 0) { // index 0 with cut==0 is already minimal
         val keep = allRights.drop(cut) // keeps the latest <= wm + all > wm
         rights.clear()
@@ -190,11 +204,11 @@ object StreamAsOf {
       val wm = timers.getCurrentWatermarkInMs()
       rows.foreach { e =>
         if (e.isLeft) {
-          lefts.appendValue(BufLeft(e.ts.getTime, e.id))
+          lefts.appendValue(BufLeft(tsToUs(e.ts), e.id))
           // decidable once the watermark passes the end of its window
           getHandle.registerTimer(math.max(e.ts.getTime + tolMs, wm + 1L))
         } else {
-          rights.appendValue(BufRight(e.ts.getTime, e.id, e.value))
+          rights.appendValue(BufRight(tsToUs(e.ts), e.id, e.value))
         }
       }
       Iterator.empty
@@ -203,20 +217,23 @@ object StreamAsOf {
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[StreamAsOfFwdJoined] = {
       val wm = timers.getCurrentWatermarkInMs()
-      val allRights = rights.get().toArray.sortBy(r => (r.tsMs, r.errorId))
+      val tolUs = tolMs * 1000L
+      val allRights = rights.get().toArray.sortBy(r => (r.tsUs, r.errorId))
       val allLefts = lefts.get().toArray
-      val (ready, pending) = allLefts.partition(_.tsMs + tolMs <= wm)
-      val out = ready.sortBy(l => (l.tsMs, l.eventId)).iterator.map { l =>
-        // earliest right in [l.ts, l.ts + tol]: first index at-or-after
+      val (ready, pending) =
+        allLefts.partition(l => usToMsFloor(l.tsUs) + tolMs <= wm)
+      val out = ready.sortBy(l => (l.tsUs, l.eventId)).iterator.map { l =>
+        // earliest right in [l.ts, l.ts + tol] (µs-exact): first index
+        // at-or-after
         var lo = 0; var hi = allRights.length
         while (lo < hi) {
           val mid = (lo + hi) >>> 1
-          if (allRights(mid).tsMs < l.tsMs) lo = mid + 1 else hi = mid
+          if (allRights(mid).tsUs < l.tsUs) lo = mid + 1 else hi = mid
         }
-        val m = if (lo < allRights.length && allRights(lo).tsMs <= l.tsMs + tolMs)
+        val m = if (lo < allRights.length && allRights(lo).tsUs <= l.tsUs + tolUs)
           Some(allRights(lo)) else None
-        StreamAsOfFwdJoined(key, l.eventId, new Timestamp(l.tsMs),
-          m.map(_.errorId), m.map(r => new Timestamp(r.tsMs)), m.map(_.value))
+        StreamAsOfFwdJoined(key, l.eventId, usToTs(l.tsUs),
+          m.map(_.errorId), m.map(r => usToTs(r.tsUs)), m.map(_.value))
       }.toArray
       if (ready.nonEmpty) {
         lefts.clear()
@@ -224,7 +241,7 @@ object StreamAsOf {
       }
       // time-cutoff prune: a right at-or-before wm − tol is out of every
       // pending or future left's window (pending lefts have ts > wm − tol)
-      val keep = allRights.filter(_.tsMs > wm - tolMs)
+      val keep = allRights.filter(r => usToMsFloor(r.tsUs) > wm - tolMs)
       if (keep.length != allRights.length) {
         rights.clear()
         if (keep.nonEmpty) rights.put(keep)

@@ -625,18 +625,34 @@ object StreamingEtl {
     */
   def sessionizedStreaming(enriched: DataFrame, gapMinutes: Int = 30,
                            watermark: String = "1 day"): DataFrame =
-    enriched
-      .withWatermark("trip_time", watermark)
+    sessionWindows(enriched, "trip_time", "station_name", gapMinutes, watermark)
+
+  /** The shared session-window core (used by [[sessionizedStreaming]] and
+    * the driver-checked `user_sessions_stream` snapshot): native
+    * `session_window` keyed on `keyCol` over event time `tsCol`. Gap
+    * semantics are IDENTICAL to the batch
+    * [[graft.operators.Relational.sessionize]]: two events exactly
+    * `gapMinutes` apart MERGE (Spark merges when the next event's window
+    * start touches the previous window's half-open end — probed
+    * empirically and pinned by the boundary specs on both forms), a
+    * microsecond past splits. Emission contract is the output mode's:
+    * Append emits each session ONCE when the watermark passes its end
+    * (last event + gap) — the finalized-set shape the snapshot hashes;
+    * Update/Complete re-emit refreshed sessions per batch. */
+  def sessionWindows(events: DataFrame, tsCol: String, keyCol: String,
+                     gapMinutes: Int, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
       .groupBy(
-        session_window(col("trip_time"), s"$gapMinutes minutes"),
-        col("station_name"))
+        session_window(col(tsCol), s"$gapMinutes minutes"),
+        col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
-        max(col("trip_time")).as("last_event"))
+        max(col(tsCol)).as("last_event"))
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("station_name"), col("n_events"), col("last_event"))
+        col(keyCol), col("n_events"), col("last_event"))
 
   /** Trip CSV schema for the replay path (field order = the reference's
     * positional parse, narrowed to the consumed columns —

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -147,6 +147,33 @@ object StreamingSnapshots {
     ss
   }
 
+  /** Land one staged chunk's files into a live landing dir: copy each
+    * file to the run's tmp dir, then ATOMIC-move into `inDir`. The stage
+    * file must SURVIVE (it is the reusable staging), and the landing
+    * itself must be atomic against the live source's listing — a direct
+    * copy into the landing dir could be listed half-written (trigger
+    * polls run between renames). `prefix` keeps per-chunk names unique
+    * across landings. */
+  private def landChunk(stageDir: String, tmpDir: String, inDir: String,
+                        prefix: String,
+                        fileFilter: String => Boolean =
+                          _.startsWith("part-")): Unit = {
+    val stage = Paths.get(stageDir)
+    val parts = {
+      val ls = Files.list(stage) // close: leaks a directory fd otherwise
+      try {
+        ls.filter(p => fileFilter(p.getFileName.toString))
+          .iterator().asScala.toList
+      } finally ls.close()
+    }
+    parts.foreach { p =>
+      val tmp = Paths.get(s"$tmpDir/$prefix-${p.getFileName}")
+      Files.copy(p, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, Paths.get(s"$inDir/$prefix-${p.getFileName}"),
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+  }
+
   /** The incrementally built HNSW graph, streamed: the corpus is staged
     * as FOUR ascending-vec_id range chunks (the ingest contract — new
     * corpus additions get new, larger ids), each chunk is MOVED into the
@@ -212,24 +239,7 @@ object StreamingSnapshots {
       .outputMode("append").start()
     try {
       (0 until chunks).foreach { c =>
-        val stage = Paths.get(s"$base/stage$c")
-        val parts = {
-          val ls = Files.list(stage) // close: leaks a directory fd otherwise
-          try {
-            ls.filter(_.getFileName.toString.startsWith("part-"))
-              .iterator().asScala.toList
-          } finally ls.close()
-        }
-        parts.foreach { p =>
-          // copy → tmp → atomic move: the stage file must SURVIVE (it is
-          // the reusable staging), and the landing itself must still be
-          // atomic against the live source's listing — a direct copy
-          // into in/ could be listed half-written
-          val tmp = Paths.get(s"$base/tmp/stage$c-${p.getFileName}")
-          Files.copy(p, tmp, StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
-            StandardCopyOption.ATOMIC_MOVE): Unit
-        }
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -294,24 +304,7 @@ object StreamingSnapshots {
       .outputMode("append").start()
     try {
       (0 until chunks).foreach { c =>
-        val stage = Paths.get(s"$base/stage$c")
-        val parts = {
-          val ls = Files.list(stage)
-          try {
-            ls.filter(_.getFileName.toString.startsWith("part-"))
-              .iterator().asScala.toList
-          } finally ls.close()
-        }
-        parts.foreach { p =>
-          // copy → tmp → atomic move: the stage file must SURVIVE (it is
-          // the reusable staging), and the landing itself must still be
-          // atomic against the live source's listing — a direct copy
-          // into in/ could be listed half-written
-          val tmp = Paths.get(s"$base/tmp/stage$c-${p.getFileName}")
-          Files.copy(p, tmp, StandardCopyOption.REPLACE_EXISTING)
-          Files.move(tmp, Paths.get(s"$base/in/stage$c-${p.getFileName}"),
-            StandardCopyOption.ATOMIC_MOVE): Unit
-        }
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -405,5 +398,409 @@ object StreamingSnapshots {
     val regs = ss.table(name)
       .groupBy(col("event_type"), col("reg")).agg(max(col("r")).as("r"))
     graft.operators.Relational.hllEstimateTail(regs, p)
+  }
+
+  /** The STREAM–STREAM backward as-of join, driver-checked (round-12
+    * verdict #1): purchases and errors are staged as FOUR ascending
+    * event-time range chunks EACH (the arrival contract a log-shipping
+    * ingest satisfies by construction — both feeds land roughly in event
+    * order, and the watermark delay absorbs the residual disorder; here
+    * chunk ranges make it exact), landed pairwise and drained, so lefts
+    * buffer across micro-batches, rights dominance-prune, and every
+    * release is watermark-gated through
+    * [[StreamAsOf.asOfEnrichStreams]]'s transformWithState processor.
+    *
+    * FLUSH: the global watermark is the MIN over both branches'
+    * watermark nodes, so the two sentinel rounds land a far-future row
+    * on BOTH sides (sentinel user −1 — matches nothing, filtered from
+    * the snapshot; round N's sentinel releases round N−1's, the last is
+    * never released). After the flush every REAL purchase has been
+    * emitted exactly once with its latest at-or-before error, so
+    * `asof_last_error`'s DuckDB `ASOF JOIN` oracle hashes the STREAMED
+    * join verbatim — including the row COUNT: an unflushed left fails
+    * the gate as a missing row, an over-release as a duplicate. */
+  def asOfStreamLastError(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_asofstream", ev)
+    Seq("ckpt", "inP", "inE", "tmp").foreach(d => wipe(s"$base/$d"))
+    val chunks = 4
+    val mm = ev.filter(col("event_type").isin("purchase", "error"))
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (tLo, tHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    // time-range quarters (BigInt: the span·c product must not wrap),
+    // SHARED bounds for both sides so cross-feed arrival respects event
+    // time — later chunks are never behind the watermark the earlier
+    // ones set (delay > 0 suffices; the operator default 10 min stays)
+    val bound = (c: Int) =>
+      (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
+    def inChunk(c: Int) =
+      unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
+    // sentinel event times: hours past the real span (µs → ms floor is
+    // dominated by the +1h/+2h margin)
+    def sentTs(round: Int) =
+      new java.sql.Timestamp(tHi / 1000L + (round + 1) * 3600L * 1000L)
+    val stageDirs = (0 until chunks + 2)
+      .flatMap(c => Seq(s"$base/stageP$c", s"$base/stageE$c"))
+    ensureStaged(stageDirs) {
+      (0 until chunks).foreach { c =>
+        ev.filter(col("event_type") === "purchase" && inChunk(c))
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageP$c")
+        ev.filter(col("event_type") === "error" && inChunk(c))
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"),
+            coalesce(col("value"), lit(0.0)).as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageE$c")
+      }
+      val sqlc = spark
+      import sqlc.implicits._
+      (0 until 2).foreach { i =>
+        Seq((-1L, -1L, sentTs(i))).toDF("event_id", "user_id", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageP${chunks + i}")
+        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("error_id", "user_id", "ts", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageE${chunks + i}")
+      }
+    }
+    val pSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val eSchema = StructType(Seq(
+      StructField("error_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    // per-user ListState is small (watermark-bounded lefts + pruned
+    // rights), so 4 state partitions carry it at ANY corpus — the
+    // covStreamSnapshot sizing rule; transformWithState requires the
+    // RocksDB provider (set on the clone only)
+    val ss = streamSession(spark, shufflePartitions = 4)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // PARQUET sink, not memory: the joined output is one row per
+    // purchase — corpus scale — and must never accumulate on the driver
+    // (the minhash/hnsw-stream sink discipline; memory sinks are for
+    // grid/sketch-bounded emissions only)
+    wipe(s"$base/sink")
+    val q = StreamAsOf.asOfEnrichStreams(
+        ss.readStream.schema(pSchema).parquet(s"$base/inP"),
+        ss.readStream.schema(eSchema).parquet(s"$base/inE"))
+      .toDF().writeStream.format("parquet").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks + 2).foreach { c =>
+        landChunk(s"$base/stageP$c", s"$base/tmp", s"$base/inP", s"P$c")
+        landChunk(s"$base/stageE$c", s"$base/tmp", s"$base/inE", s"E$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val outSchema = StructType(Seq(
+      StructField("userId", LongType), StructField("eventId", LongType),
+      StructField("ts", TimestampType), StructField("errorId", LongType),
+      StructField("errorTs", TimestampType), StructField("errorValue", DoubleType)))
+    spark.read.schema(outSchema).parquet(s"$base/sink")
+      .filter(col("userId") >= 0L) // drop the flushed sentinel
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("ts"), col("errorTs").as("last_error_ts"))
+  }
+
+  /** Streaming gap sessionization, driver-checked (round-12 verdict #2)
+    * — the SEVENTH streaming-maintenance proof and the first over
+    * MERGING (not additive/idempotent) state: the event stream lands as
+    * four ascending event-time range chunks, the native `session_window`
+    * state merges bursts across micro-batches
+    * ([[StreamingEtl.sessionWindows]] — the same core the §2-parity
+    * trip-session operator runs), and APPEND mode emits each session
+    * exactly once when the watermark passes its end. In-order chunk
+    * arrival makes stream ≡ batch unconditional: an event that could
+    * merge into a session always arrives before the watermark can close
+    * it (it is at most `gap` past the session's last event, and the
+    * watermark lags the landed maximum by the full delay).
+    *
+    * FLUSH: two far-future sentinel rows (user −1, whose own session is
+    * never emitted) walk the watermark past every real session's end +
+    * gap. The snapshot tail re-derives the batch presentation —
+    * `session_seq` by start order per user (disjoint sessions make
+    * row_number deterministic), `session_end` = last event (the batch
+    * convention; session_window.end is last + gap by definition) — so
+    * `user_sessions`' DuckDB oracle hashes the streamed session set
+    * verbatim. Boundary semantics match the batch operator exactly:
+    * events exactly `gap` apart merge (probed; RelationalSpec pins the
+    * batch side, StreamingEtlSpec the stream side). */
+  def userSessionsStream(spark: SparkSession, sfDir: String,
+                         gapMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_sessstream", ev)
+    Seq("ckpt", "in", "tmp").foreach(d => wipe(s"$base/$d"))
+    val chunks = 4
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (tLo, tHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val bound = (c: Int) =>
+      (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
+    // sentinels at +2h/+3h: the first alone puts the watermark (delay
+    // 1h) past every real session end (≤ tHi + gap) — the second is the
+    // same both-rounds margin the as-of flush carries
+    def sentTs(round: Int) =
+      new java.sql.Timestamp(tHi / 1000L + (round + 2) * 3600L * 1000L)
+    ensureStaged((0 until chunks + 2).map(c => s"$base/stage$c")) {
+      (0 until chunks).foreach { c =>
+        ev.filter(unix_micros(col("ts")) >= bound(c) &&
+            unix_micros(col("ts")) < bound(c + 1))
+          .select(col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$c")
+      }
+      val sqlc = spark
+      import sqlc.implicits._
+      (0 until 2).foreach { i =>
+        Seq((-1L, sentTs(i))).toDF("user_id", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage${chunks + i}")
+      }
+    }
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    // session state is O(open sessions) — watermark-bounded, never
+    // corpus-bounded; 4 state partitions per the family sizing rule.
+    // PARQUET sink: finalized sessions are corpus-scale output and must
+    // never accumulate on the driver (the minhash/hnsw sink discipline)
+    val ss = streamSession(spark, shufflePartitions = 4)
+    wipe(s"$base/sink")
+    val q = StreamingEtl.sessionWindows(
+        ss.readStream.schema(evSchema).parquet(s"$base/in"),
+        tsCol = "ts", keyCol = "user_id",
+        gapMinutes = gapMinutes, watermark = "1 hour")
+      .writeStream.format("parquet").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks + 2).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val outSchema = StructType(Seq(
+      StructField("session_start", TimestampType),
+      StructField("session_end", TimestampType),
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("last_event", TimestampType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    spark.read.schema(outSchema).parquet(s"$base/sink")
+      .filter(col("user_id") >= 0L) // drop the sentinel's open session
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("last_event").as("session_end"), col("n_events"),
+        (unix_micros(col("last_event")) - unix_micros(col("session_start")))
+          .as("duration_us"))
+  }
+
+  /** Streaming EXACT dedup, driver-checked (round-12 verdict #3): the
+    * corpus plus PLANTED replays (every doc_id ≡ 3 mod 7 re-ingested at
+    * doc_id + max + 1 — the corpus ships distinct texts, so unplanted
+    * streaming dedup would be vacuous) lands in ascending DUPLICATE-RANK
+    * order: chunk 0 carries each content's FIRST (minimum-id) copy,
+    * later chunks only replays. That is the ingest contract that makes
+    * keep-first-arrival ≡ keep-min-id — the batch `doc_dedup_docs`
+    * semantics — AND makes the run deterministic: no micro-batch ever
+    * holds two rows of one content whose survivor the engine could pick
+    * arbitrarily (chunk 0 is distinct by construction; later chunks only
+    * hit state, so every row drops regardless of within-batch order).
+    * [[StreamingEtl.dedupedDocsStreaming]]'s
+    * dropDuplicatesWithinWatermark state carries one digest per distinct
+    * content inside the watermark horizon; the staged ingest_ts steps
+    * one minute per chunk, all inside the 1-hour horizon, so every
+    * replay meets live state. The oracle replays the planting and keeps
+    * min(doc_id) per sha256 group — hashing the streamed survivor set
+    * verbatim. */
+  def dedupStreamDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val base = Tables.scratchDir("graft_dedupstream", docs)
+    Seq("ckpt", "in", "tmp").foreach(d => wipe(s"$base/$d"))
+    val chunks = 4
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    ensureStaged((0 until chunks).map(c => s"$base/stage$c")) {
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val planted = docs.select(cols.map(col): _*)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select((col("doc_id") + off).as("doc_id") +: cols.tail.map(col): _*))
+      // duplicate rank: the nth copy of a content lands in chunk n−1
+      // (ranks past the chunk count lump into the last chunk — all
+      // replays, all dropped against state); the arrival column is a
+      // pure function of the corpus, so the staging is reusable
+      val arrival = least(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))),
+        lit(chunks)) - 1
+      val ranked = planted.withColumn("arrival", arrival)
+      (0 until chunks).foreach { c =>
+        ranked.filter(col("arrival") === c).drop("arrival")
+          .withColumn("ingest_ts",
+            lit(new java.sql.Timestamp(1704067200000L + c * 60000L)))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$c")
+      }
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("ingest_ts", TimestampType)))
+    // state is one 32-byte digest per distinct content in the horizon —
+    // 4 partitions shard it at any corpus (the family sizing rule).
+    // PARQUET sink: survivors are the corpus itself — the one output that
+    // must NEVER sit in driver memory (the minhash/hnsw sink discipline)
+    val ss = streamSession(spark, shufflePartitions = 4)
+    wipe(s"$base/sink")
+    val q = StreamingEtl.dedupedDocsStreaming(
+        ss.readStream.schema(docSchema).parquet(s"$base/in"),
+        tsCol = "ingest_ts", watermark = "1 hour")
+      .writeStream.format("parquet").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val outSchema = StructType(docSchema.fields.toIndexedSeq :+
+      StructField("content_hash", StringType))
+    spark.read.schema(outSchema).parquet(s"$base/sink")
+      .select(cols.map(col): _*)
+  }
+
+  /** Streaming heavy hitters, driver-checked (round-12 verdict #4) — the
+    * sketch family's streaming proof beyond CM/HLL: the PLANTED-skew
+    * event feed ([[graft.operators.Relational.plantHeavyUsers]], the
+    * batch query's own fixture) streams through
+    * [[StreamingEtl.heavyHittersStreaming]]'s per-type Misra-Gries state
+    * (≤ k−1 entries per key forever), and the snapshot takes each type's
+    * LAST emission (nTotal strictly increases per re-emission). The tail
+    * is the batch operator's own pass 2 — exact recount of the candidate
+    * union, real threshold ceil(N·minFrac) — and that is what makes the
+    * sketch ORACLE-ABLE: MG's survivor set depends on arrival order, but
+    * with Σ_t N_t = N and 1/k < minFrac, a user below every per-type
+    * bound sums below N/k < ceil(N·minFrac), so the candidate UNION is a
+    * provable superset of the true heavy hitters under ANY order/merge —
+    * the exact recount then kills every false candidate. So
+    * `event_heavy_users`' plain GROUP BY/HAVING oracle hashes the
+    * streamed pipeline verbatim. */
+  def heavyStreamUsers(spark: SparkSession, sfDir: String, k: Int = 200,
+                       minFrac: Double = 0.01): DataFrame = {
+    require(1.0 / k < minFrac,
+      s"k=$k too small for minFrac=$minFrac: the per-type union superset " +
+        "guarantee needs 1/k < minFrac")
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_heavystream", ev)
+    wipe(s"$base/ckpt")
+    ensureStaged(Seq(s"$base/in")) {
+      graft.operators.Relational.plantHeavyUsers(ev)
+        .select(col("event_type"), col("user_id"))
+        .repartition(24).write.mode("overwrite").parquet(s"$base/in")
+    }
+    val evSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType)))
+    // state = ≤ 5 types × (k−1) MG entries — sketch-bounded at any SF
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val name = s"heavy_stream_snap_${seq.incrementAndGet()}"
+    val q = StreamingEtl.heavyHittersStreaming(
+        ss.readStream.schema(evSchema)
+          .option("maxFilesPerTrigger", 8).parquet(s"$base/in"), k = k)
+      .toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val finals = ss.table(name)
+      .groupBy(col("eventType"))
+      .agg(max(struct(col("nTotal"), col("candidates"))).as("last"))
+      .select(col("last.nTotal").as("nTotal"),
+        col("last.candidates").as("candidates"))
+      .collect() // ≤ #types rows of ≤ k−1 ids — metadata scale, like the
+                 // batch operator's own sketch collect
+    val n = finals.map(_.getAs[Long]("nTotal")).sum
+    val cands = finals
+      .flatMap(_.getAs[scala.collection.Seq[Long]]("candidates")).distinct.toSeq
+    val threshold = math.ceil(n * minFrac).toLong
+    graft.operators.Relational.plantHeavyUsers(Tables.events(ss, sfDir))
+      .filter(col("user_id").isin(cands: _*))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+  }
+
+  /** The END-TO-END standing curation job, driver-checked (round-12
+    * verdict #5): tar landing shards → streaming exact dedup → per-batch
+    * output tar shards, all through
+    * [[graft.streaming.ShardPipeline.reshardDeduped]] — tar DSv2 source,
+    * dropDuplicates state, foreachBatch tar sink, exactly-once. The
+    * corpus plus planted replays (doc_id ≡ 3 mod 7 at doc_id + max + 1)
+    * is packed into ONE tar shard per id-range chunk (one file per
+    * landing so a drain is always one micro-batch; the pipeline's
+    * content re-key rebalances lumpy landings by design), chunks land in
+    * ascending-id order, and the snapshot reads the OUTPUT shards back
+    * through the connector, aggregating per batch dir (rank-ordered =
+    * landing order): member count, payload bytes, XOR of the portable
+    * content hash. Content-keyed aggregation makes within-batch survivor
+    * choice irrelevant (twins share bytes), so the closed-form oracle —
+    * one representative per sha256 group, batched by the chunk of its
+    * MIN id, the wds_roundtrip recipe — hashes the whole pipeline: a
+    * replay surviving dedup surfaces as an extra batch dir (row-count
+    * fail), a lost/corrupt member flips count or XOR. */
+  def reshardStreamShards(spark: SparkSession, sfDir: String,
+                          nShards: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val base = Tables.scratchDir("graft_reshardstream", docs)
+    Seq("ckpt", "in", "out", "tmp").foreach(d => wipe(s"$base/$d"))
+    val chunks = 4
+    val mm = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (idLo, idHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val off = idHi + 1L
+    val halfSpan = idHi - idLo + 1L
+    // chunk index closed-form over the FIXED union id space
+    // [lo, lo + 2·halfSpan): originals fill chunks 0-1, replays 2-3 —
+    // DuckDB replays the identical INTEGER division (`div` here, `//`
+    // there; Column./ would be double division and shred the chunks)
+    val chunkOfDocId: Column =
+      expr(s"((doc_id - ${idLo}L) * 4L) div ${2L * halfSpan}L")
+    ensureStaged((0 until chunks).map(c => s"$base/stage$c")) {
+      val u = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      (0 until chunks).foreach { c =>
+        graft.sources.TarShards.writeShards(
+          u.filter(chunkOfDocId === c.toLong)
+            .select(lit(0).as("shard_id"),
+              concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+              encode(col("text"), "UTF-8").as("content")),
+          s"$base/stage$c", nShards = 1)
+        // writeShards has no _SUCCESS convention; ensureStaged keys on it
+        Files.createFile(Paths.get(s"$base/stage$c/_SUCCESS")): Unit
+      }
+    }
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val q = ShardPipeline.reshardDeduped(ss, s"$base/in", s"$base/out",
+      s"$base/ckpt", nShards)
+    try {
+      (0 until chunks).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"chunk$c",
+          fileFilter = _.endsWith(".tar"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // read the OUTPUT shards back, one row per batch dir in landing
+    // (= batch-id) order; empty batches wrote no dir, by the pipeline's
+    // isEmpty guard — their absence IS the cross-batch dedup proof
+    val batchDirs = {
+      val ls = Files.list(Paths.get(s"$base/out"))
+      try ls.iterator().asScala.toList finally ls.close()
+    }.map(_.getFileName.toString).filter(_.startsWith("batch-"))
+      .sortBy(_.stripPrefix("batch-").toLong)
+    require(batchDirs.nonEmpty, "reshard pipeline produced no output shards")
+    batchDirs.zipWithIndex.map { case (d, r) =>
+      spark.read.format("graft.sources.TarDataSource").load(s"$base/out/$d")
+        .agg(count(lit(1)).as("n_docs"), sum(col("size")).as("total_bytes"),
+          bit_xor(graft.operators.TextOps.portableHash64(col("content")))
+            .as("content_hash"))
+        .select(lit(r.toLong).as("batch"), col("n_docs"),
+          col("total_bytes"), col("content_hash"))
+    }.reduce(_ unionByName _)
   }
 }

@@ -635,7 +635,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     // streaming aggregates cannot plan a Window at all
     val skipStreaming = Set("emb_cov_stream_snapshot",
       "emb_hnsw_stream_edges", "event_cm_stream_counts",
-      "doc_minhash_stream_pairs", "event_hll_stream_users")
+      "doc_minhash_stream_pairs", "event_hll_stream_users",
+      // round-13 promotions — same rationale; user_sessions_stream's
+      // snapshot tail DOES plan a Window, partitioned by user_id (the
+      // batch twin user_sessions is swept above and pins the same shape)
+      "asof_stream_last_error", "user_sessions_stream",
+      "doc_dedup_stream_docs", "event_heavy_stream_users",
+      "wds_reshard_dedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>

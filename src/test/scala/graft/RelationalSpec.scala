@@ -55,10 +55,17 @@ class RelationalSpec extends AnyFunSuite {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(38,10)")).as("val"))
-    val vals = restricted.collect()
+    val decVals = restricted.collect()
       .map(r => r.getAs[Long]("l_partkey") ->
-        r.getAs[java.math.BigDecimal]("val").doubleValue()).toMap
-    val threshold = 2.0 * vals.values.sum / vals.size
+        r.getAs[java.math.BigDecimal]("val")).toMap
+    val vals = decVals.map { case (k, v) => k -> v.doubleValue() }
+    // threshold via a DECIMAL-exact total cast to double ONCE — matching
+    // the engine's exact-sum-then-cast order; an unordered double fold
+    // over per-part values carries enough noise to flip a part sitting
+    // within ulps of the threshold (round-12 advisor)
+    val total = decVals.values
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    val threshold = 2.0 * total / vals.size
     val survivors = Relational.importantParts(li,
       Tables.supplier(spark, dir), Tables.nation(spark, dir))
       .collect().map(_.getAs[Long]("l_partkey")).toSet
