@@ -359,6 +359,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("e_ts").as("last_error_ts"))
     }),
+    // the STREAM–STREAM FORWARD form, driver-checked — the direction
+    // matrix's last gate promotion: tolerance-bounded earliest-after
+    // matching through transformWithState (the tolerance is what makes
+    // the forward join decidable and the state bounded); sentinel
+    // rounds step by tolerance + delay, oracled by the SAME window SQL
+    "asof_stream_next_purchase" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.asOfStreamNextPurchase(s, dir)),
     // FORWARD as-of with tolerance (pandas merge_asof parity) through the
     // same custom exec: each error's next purchase within one hour
     "asof_next_purchase" -> ((s, dir) => {
@@ -3043,6 +3050,28 @@ object SparkEntry {
        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
          ON p.user_id = e.user_id AND p.ts >= e.ts"""
 
+  /** The forward+tolerance as-of replica, single-sourced by the custom
+    * physical operator's query (asof_next_purchase) and its
+    * stream-stream twin: union both event classes, carry the earliest
+    * following purchase ts per user (errors sort before same-instant
+    * purchases so the inclusive tie is in the following frame), bound by
+    * the 1-hour tolerance. */
+  private val asofForwardOracleSql: String =
+    """WITH u AS (
+         SELECT event_id, user_id, ts, event_type,
+           CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+         FROM events WHERE event_type IN ('error', 'purchase')),
+       w AS (
+         SELECT event_id, user_id, ts, event_type,
+           min(p_ts) OVER (PARTITION BY user_id
+             ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+         FROM u)
+       SELECT event_id, user_id, ts,
+         CASE WHEN next_p <= ts + INTERVAL 1 HOUR THEN next_p END
+           AS next_purchase_ts
+       FROM w WHERE event_type = 'error'"""
+
   /** The gap-sessionization CTE chain, single-sourced by the
     * user_sessions oracle and the interval-join oracle built on it. */
   private def sessionCtes: String =
@@ -4283,22 +4312,11 @@ object SparkEntry {
     // replica of the FORWARD+tolerance as-of without the custom operator:
     // union both event classes, carry the earliest following purchase ts
     // per user (errors sort before same-instant purchases so the inclusive
-    // tie is in the following frame), bound by the 1-hour tolerance
-    "asof_next_purchase" ->
-      """WITH u AS (
-           SELECT event_id, user_id, ts, event_type,
-             CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
-           FROM events WHERE event_type IN ('error', 'purchase')),
-         w AS (
-           SELECT event_id, user_id, ts, event_type,
-             min(p_ts) OVER (PARTITION BY user_id
-               ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
-           FROM u)
-         SELECT event_id, user_id, ts,
-           CASE WHEN next_p <= ts + INTERVAL 1 HOUR THEN next_p END
-             AS next_purchase_ts
-         FROM w WHERE event_type = 'error'""",
+    // tie is in the following frame), bound by the 1-hour tolerance.
+    // identical for the stream-stream form BY DESIGN: the
+    // transformWithState join must reproduce the window formulation
+    "asof_stream_next_purchase" -> asofForwardOracleSql,
+    "asof_next_purchase" -> asofForwardOracleSql,
     // identical to asof_last_error BY DESIGN: the custom physical operator
     // must reproduce the window formulation — the shared replica is the
     // equivalence proof

@@ -502,6 +502,93 @@ object StreamingSnapshots {
         col("ts"), col("errorTs").as("last_error_ts"))
   }
 
+  /** The STREAM–STREAM FORWARD as-of join, driver-checked — completing
+    * the direction matrix in the gate ([[asOfStreamLastError]] is the
+    * backward twin): each error matched to the EARLIEST purchase within
+    * the 1-hour tolerance after it, cross-batch, through
+    * [[StreamAsOf.asOfNextStreams]]'s transformWithState processor (the
+    * tolerance is what makes the forward join decidable and the state
+    * bounded — the operator's own contract). Harness as the backward
+    * twin: four shared event-time range chunks per side, pairwise
+    * landings, two sentinel rounds on both branches — stepped by
+    * tolerance + 1 h, because a forward left is only decidable once the
+    * watermark passes ts + tol — parquet sink, sentinel user −1
+    * filtered. Oracle = `asof_next_purchase`'s window-form SQL verbatim,
+    * row count included. */
+  def asOfStreamNextPurchase(spark: SparkSession, sfDir: String,
+                             toleranceMs: Long = 3600000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_asoffwdstream", ev)
+    Seq("ckpt", "inL", "inR", "tmp").foreach(d => wipe(s"$base/$d"))
+    val chunks = 4
+    val mm = ev.filter(col("event_type").isin("purchase", "error"))
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (tLo, tHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val bound = (c: Int) =>
+      (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
+    def inChunk(c: Int) =
+      unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
+    // each sentinel round must clear tol + the watermark delay past the
+    // previous maximum: a forward left releases only at wm > ts + tol
+    def sentTs(round: Int) = new java.sql.Timestamp(
+      tHi / 1000L + (round + 1) * (toleranceMs + 3600L * 1000L))
+    val stageDirs = (0 until chunks + 2)
+      .flatMap(c => Seq(s"$base/stageL$c", s"$base/stageR$c"))
+    ensureStaged(stageDirs) {
+      (0 until chunks).foreach { c =>
+        ev.filter(col("event_type") === "error" && inChunk(c))
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageL$c")
+        ev.filter(col("event_type") === "purchase" && inChunk(c))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("value"), lit(0.0)).as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageR$c")
+      }
+      val sqlc = spark
+      import sqlc.implicits._
+      (0 until 2).foreach { i =>
+        Seq((-1L, -1L, sentTs(i))).toDF("event_id", "user_id", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageL${chunks + i}")
+        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("event_id", "user_id", "ts", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageR${chunks + i}")
+      }
+    }
+    val lSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val rSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val ss = streamSession(spark, shufflePartitions = 4)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    wipe(s"$base/sink")
+    val q = StreamAsOf.asOfNextStreams(
+        ss.readStream.schema(lSchema).parquet(s"$base/inL"),
+        ss.readStream.schema(rSchema).parquet(s"$base/inR"),
+        toleranceMs = toleranceMs)
+      .toDF().writeStream.format("parquet").option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks + 2).foreach { c =>
+        landChunk(s"$base/stageL$c", s"$base/tmp", s"$base/inL", s"L$c")
+        landChunk(s"$base/stageR$c", s"$base/tmp", s"$base/inR", s"R$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val outSchema = StructType(Seq(
+      StructField("userId", LongType), StructField("eventId", LongType),
+      StructField("ts", TimestampType), StructField("matchedId", LongType),
+      StructField("matchedTs", TimestampType),
+      StructField("matchedValue", DoubleType)))
+    spark.read.schema(outSchema).parquet(s"$base/sink")
+      .filter(col("userId") >= 0L) // drop the flushed sentinel
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("ts"), col("matchedTs").as("next_purchase_ts"))
+  }
+
   /** Streaming gap sessionization, driver-checked (round-12 verdict #2)
     * — the SEVENTH streaming-maintenance proof and the first over
     * MERGING (not additive/idempotent) state: the event stream lands as

@@ -639,7 +639,8 @@ class PlanRegressionSpec extends AnyFunSuite {
       // round-13 promotions — same rationale; user_sessions_stream's
       // snapshot tail DOES plan a Window, partitioned by user_id (the
       // batch twin user_sessions is swept above and pins the same shape)
-      "asof_stream_last_error", "user_sessions_stream",
+      "asof_stream_last_error", "asof_stream_next_purchase",
+      "user_sessions_stream",
       "doc_dedup_stream_docs", "event_heavy_stream_users",
       "wds_reshard_dedup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -1095,6 +1095,29 @@ class StreamingEtlSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream FORWARD as-of snapshot equals the batch asof_next_purchase row for row") {
+    // the direction matrix's last gate promotion: the tolerance-bounded
+    // earliest-after join (transformWithState) over the full event corpus
+    // must reproduce the batch custom-operator query exactly
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamingSnapshots
+      .asOfStreamNextPurchase(spark, dir).collect().map(_.toSeq).toSet
+    val ev = graft.sources.Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = graft.plans.AsOf
+      .forward(errors, purchases, "user_id", "p_user", "ts", "p_ts",
+        tolerance = Some(3600L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts").as("next_purchase_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream diverged: ${streamed.size} vs ${batch.size} rows")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming sessionization snapshot equals the batch sessionize relation") {
     // MERGING state proof: native session_window across four event-time
     // chunk landings + sentinel flush == the batch two-window form,
