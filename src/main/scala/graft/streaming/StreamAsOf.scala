@@ -48,8 +48,15 @@ object StreamAsOf {
     * MICROSECONDS — full event-time precision: `Timestamp.getTime` is
     * ms-only and silently truncated sub-ms event times through the join
     * (caught when the µs-grained corpus was promoted to the driver gate);
-    * watermark gating still compares at ms (the watermark's own grain),
-    * matching compares at µs (exact). */
+    * watermark GATING is µs-exact too (round-13 advisor): Spark's late-row
+    * filter compares the µs event time against the ms watermark, so rows
+    * with tsUs in [wm·1000, wm·1000+999] are still admissible in LATER
+    * batches — a release/prune decision made at the ms floor could emit a
+    * left (or drop a dominated right) while a same-millisecond right that
+    * must win is still in flight. Every gate below therefore compares
+    * `tsUs` strictly against `wm · 1000` (conservative under either
+    * boundary convention of the late filter: any future-admitted row has
+    * tsUs ≥ wm·1000, hence strictly above every released left). */
   final case class BufLeft(tsUs: Long, eventId: Long)
 
   /** Right-side state: candidate match rows (epoch µs, as [[BufLeft]]). */
@@ -62,7 +69,7 @@ object StreamAsOf {
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
-  private def usToMsFloor(us: Long): Long = Math.floorDiv(us, 1000L)
+  private def wmToUs(wmMs: Long): Long = wmMs * 1000L
 
   /** Join output: left columns plus the matched right columns (None when
     * no right row at-or-before the left's time exists). */
@@ -93,10 +100,12 @@ object StreamAsOf {
       rows.foreach { e =>
         if (e.isLeft) {
           lefts.appendValue(BufLeft(tsToUs(e.ts), e.id))
-          // release gate: fire once the watermark passes this left's time
-          // (max() guards the ts == wm boundary — rows strictly behind the
-          // watermark never reach here, Spark's late-row filter drops them)
-          getHandle.registerTimer(math.max(e.ts.getTime, wm + 1L))
+          // release gate: fire once the watermark STRICTLY clears this
+          // left's millisecond — at floorMs(ts)+1 the µs-exact release
+          // condition (tsUs < wm·1000) is guaranteed to hold; max() keeps
+          // the timer ahead of the current watermark (a timer at-or-behind
+          // it is invalid)
+          getHandle.registerTimer(math.max(e.ts.getTime + 1L, wm + 1L))
         } else {
           rights.appendValue(BufRight(tsToUs(e.ts), e.id, e.value))
         }
@@ -106,10 +115,16 @@ object StreamAsOf {
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[StreamAsOfJoined] = {
-      val wm = timers.getCurrentWatermarkInMs()
-      val allRights = rights.get().toArray.sortBy(_.tsUs)
+      val wmUs = wmToUs(timers.getCurrentWatermarkInMs())
+      // (tsUs, errorId) order: equal-timestamp rights tie-break by id, so
+      // the "latest at-or-before" pick is deterministic across runs (the
+      // forward twin always sorted this way; round-13 advisor)
+      val allRights = rights.get().toArray.sortBy(r => (r.tsUs, r.errorId))
       val allLefts = lefts.get().toArray
-      val (ready, pending) = allLefts.partition(l => usToMsFloor(l.tsUs) <= wm)
+      // µs-exact release: only lefts STRICTLY behind the watermark boundary
+      // are decidable — an admissible future right has tsUs ≥ wm·1000,
+      // which cannot be at-or-before any released left
+      val (ready, pending) = allLefts.partition(l => l.tsUs < wmUs)
       // deterministic emission order; matches stay correct regardless
       val out = ready.sortBy(l => (l.tsUs, l.eventId)).iterator.map { l =>
         // latest right at-or-before the left's time (µs-exact): binary
@@ -127,10 +142,11 @@ object StreamAsOf {
         lefts.clear()
         if (pending.nonEmpty) lefts.put(pending)
       }
-      // dominance prune: of the rights at-or-before the watermark only the
-      // latest can ever match again (every unreleased left is later than
-      // the watermark); rights beyond the watermark all stay
-      val cut = allRights.lastIndexWhere(r => usToMsFloor(r.tsUs) <= wm)
+      // dominance prune (µs-exact): of the rights STRICTLY behind the
+      // watermark boundary only the latest can ever match again (every
+      // unreleased left has tsUs ≥ wm·1000); rights at-or-beyond the
+      // boundary all stay — a same-millisecond left may still be pending
+      val cut = allRights.lastIndexWhere(r => r.tsUs < wmUs)
       if (cut > 0) { // index 0 with cut==0 is already minimal
         val keep = allRights.drop(cut) // keeps the latest <= wm + all > wm
         rights.clear()
@@ -205,8 +221,10 @@ object StreamAsOf {
       rows.foreach { e =>
         if (e.isLeft) {
           lefts.appendValue(BufLeft(tsToUs(e.ts), e.id))
-          // decidable once the watermark passes the end of its window
-          getHandle.registerTimer(math.max(e.ts.getTime + tolMs, wm + 1L))
+          // decidable once the watermark STRICTLY clears the end of its
+          // window's millisecond (the µs-exact release needs
+          // tsUs + tolUs < wm·1000; floorMs(ts) + tol + 1 guarantees it)
+          getHandle.registerTimer(math.max(e.ts.getTime + tolMs + 1L, wm + 1L))
         } else {
           rights.appendValue(BufRight(tsToUs(e.ts), e.id, e.value))
         }
@@ -216,12 +234,15 @@ object StreamAsOf {
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[StreamAsOfFwdJoined] = {
-      val wm = timers.getCurrentWatermarkInMs()
+      val wmUs = wmToUs(timers.getCurrentWatermarkInMs())
       val tolUs = tolMs * 1000L
       val allRights = rights.get().toArray.sortBy(r => (r.tsUs, r.errorId))
       val allLefts = lefts.get().toArray
+      // µs-exact release: a left is decidable only when its whole window
+      // [ts, ts + tol] is STRICTLY behind the watermark boundary — an
+      // admissible future right has tsUs ≥ wm·1000 > ts + tol, outside it
       val (ready, pending) =
-        allLefts.partition(l => usToMsFloor(l.tsUs) + tolMs <= wm)
+        allLefts.partition(l => l.tsUs + tolUs < wmUs)
       val out = ready.sortBy(l => (l.tsUs, l.eventId)).iterator.map { l =>
         // earliest right in [l.ts, l.ts + tol] (µs-exact): first index
         // at-or-after
@@ -239,9 +260,11 @@ object StreamAsOf {
         lefts.clear()
         if (pending.nonEmpty) lefts.put(pending)
       }
-      // time-cutoff prune: a right at-or-before wm − tol is out of every
-      // pending or future left's window (pending lefts have ts > wm − tol)
-      val keep = allRights.filter(r => usToMsFloor(r.tsUs) > wm - tolMs)
+      // time-cutoff prune (µs-exact): every pending or future left has
+      // tsUs ≥ wm·1000 − tol (pending: its release gate has not passed;
+      // future: the late filter admits only tsUs ≥ wm·1000), so a right
+      // strictly below that can never land in a window again
+      val keep = allRights.filter(r => r.tsUs >= wmUs - tolUs)
       if (keep.length != allRights.length) {
         rights.clear()
         if (keep.nonEmpty) rights.put(keep)

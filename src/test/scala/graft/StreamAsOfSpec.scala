@@ -231,6 +231,99 @@ class StreamAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream as-of µs boundary: a same-millisecond right arriving a " +
+    "batch after the watermark reached that millisecond still wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val purchIn = MemoryStream[(Long, Long, Timestamp)]
+      val errIn = MemoryStream[(Long, Long, Timestamp, Double)]
+      val joined = graft.streaming.StreamAsOf.asOfEnrichStreams(
+        purchIn.toDF().toDF("event_id", "user_id", "ts"),
+        errIn.toDF().toDF("error_id", "user_id", "ts", "value"),
+        watermark = "10 minutes")
+      val q = joined.toDF().writeStream.format("memory").queryName("ss_usb")
+        .outputMode("append").start()
+      try {
+        // batch 1: left at 10:00:00.000800; movers on BOTH branches put the
+        // watermark EXACTLY at the left's millisecond (10:10 floor-ms minus
+        // the 10-min delay = 10:00:00.000 — Spark tracks watermarks in ms).
+        // A ms-floor release gate would free the left right here.
+        purchIn.addData((1L, 10L, ts("2024-01-01 10:00:00.0008")),
+          (900L, 99L, ts("2024-01-01 10:10:00.0001")))
+        errIn.addData((90L, 99L, ts("2024-01-01 10:10:00.0001"), 0.5))
+        q.processAllAvailable()
+
+        // batch 2: the matching right lands INSIDE the same millisecond
+        // (.0003 ≤ .0008), admissible because its µs event time is ahead
+        // of the ms watermark — the left must still be in state to see it
+        errIn.addData((50L, 10L, ts("2024-01-01 10:00:00.0003"), 1.5))
+        q.processAllAvailable()
+
+        // movers: walk the watermark decisively past the left
+        for (h <- Seq("10:40", "10:50")) {
+          purchIn.addData((8000L + h.take(2).toLong * 10, 99L, ts(s"2024-01-01 $h:00")))
+          errIn.addData((7000L + h.take(2).toLong * 10, 99L, ts(s"2024-01-01 $h:00"), 0.1))
+          q.processAllAvailable()
+        }
+
+        val out = spark.table("ss_usb").collect()
+          .map(r => r.getAs[Long]("eventId") ->
+            ((Option(r.getAs[Any]("errorId")), Option(r.getAs[Timestamp]("errorTs")))))
+          .toMap
+        assert(out.contains(1L), s"boundary left never released: ${out.keySet}")
+        assert(out(1L) == ((Some(50L), Some(ts("2024-01-01 10:00:00.0003")))),
+          s"same-millisecond right must win (ms-floor gating loses it): ${out(1L)}")
+      } finally q.stop()
+    }
+  }
+
+  test("stream-stream FORWARD as-of µs boundary: a right in the window-end " +
+    "millisecond arriving after the watermark reached it still wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val leftIn = MemoryStream[(Long, Long, Timestamp)]
+      val rightIn = MemoryStream[(Long, Long, Timestamp, Double)]
+      val tolMs = 30L * 60L * 1000L // 30 minutes
+      val joined = graft.streaming.StreamAsOf.asOfNextStreams(
+        leftIn.toDF().toDF("event_id", "user_id", "ts"),
+        rightIn.toDF().toDF("event_id", "user_id", "ts", "value"),
+        toleranceMs = tolMs, watermark = "10 minutes")
+      val q = joined.toDF().writeStream.format("memory").queryName("ss_fwd_usb")
+        .outputMode("append").start()
+      try {
+        // batch 1: left at 10:00:00.000200 — window [10:00:00.000200,
+        // 10:30:00.000200]; movers put the watermark EXACTLY at the
+        // window end's millisecond (10:40 − 10 min = 10:30:00.000)
+        leftIn.addData((1L, 10L, ts("2024-01-01 10:00:00.0002")),
+          (910L, 99L, ts("2024-01-01 10:40:00.0001")))
+        rightIn.addData((90L, 99L, ts("2024-01-01 10:40:00.0001"), 0.5))
+        q.processAllAvailable()
+
+        // batch 2: an in-window right inside the boundary millisecond
+        // (10:30:00.000100 ≤ window end .000200) — a ms-floor release
+        // would already have freed the left as unmatched
+        rightIn.addData((50L, 10L, ts("2024-01-01 10:30:00.0001"), 1.0))
+        q.processAllAvailable()
+
+        for (h <- Seq("11:40", "11:50")) {
+          leftIn.addData((8000L + h.take(2).toLong * 10, 99L, ts(s"2024-01-01 $h:00")))
+          rightIn.addData((7000L + h.take(2).toLong * 10, 99L, ts(s"2024-01-01 $h:00"), 0.1))
+          q.processAllAvailable()
+        }
+
+        val out = spark.table("ss_fwd_usb").collect()
+          .map(r => r.getAs[Long]("eventId") ->
+            ((Option(r.getAs[Any]("matchedId")), Option(r.getAs[Timestamp]("matchedTs")))))
+          .toMap
+        assert(out.contains(1L), s"boundary left never released: ${out.keySet}")
+        assert(out(1L) == ((Some(50L), Some(ts("2024-01-01 10:30:00.0001")))),
+          s"window-end-millisecond right must win: ${out(1L)}")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream as-of killed under fire: buffered lefts, right state, and " +
     "timers all survive the checkpoint restart; output equals batch") {
     import spark.implicits._
