@@ -119,6 +119,18 @@ object SparkEntry {
     "station_day_agg_incremental" -> ((s, dir) =>
       operators.Incremental.stationDayAggIncremental(
         TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)))),
+    // the reference FLAGSHIP as a LIVE STREAM (round-13 verdict #2): the
+    // etl-topic topology — enrich + update-mode per-(station, day)
+    // aggregate — run through Structured Streaming over ascending
+    // event-time chunk landings, snapshot = latest emission per group,
+    // oracled by station_day_agg's SQL VERBATIM
+    "station_day_agg_stream" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.stationDayAggStream(s, dir)),
+    // the reference's SECOND output topic as a live stream (round-13
+    // verdict #3): the anomalies-topic topology — enrich + windowed
+    // counts + threshold score — oracled by window_anomalies' SQL verbatim
+    "window_anomalies_stream" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.windowAnomaliesStream(s, dir)),
     // quoted as the LIST-FREE base variant (O(1) aggregation state per
     // group): no driver query may carry an unbounded per-group buffer
     // (round-3 verdict #4). The reference-shaped event-time list lives on in
@@ -3710,6 +3722,17 @@ object SparkEntry {
          MAX(e.ts) AS update_time
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2""",
+    // identical to station_day_agg BY DESIGN (round-13 verdict #2): the
+    // live streamed topology's latest-emission snapshot must equal the
+    // one-shot batch aggregate — the reference flagship's stream gate
+    "station_day_agg_stream" ->
+      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
+         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
+         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
+         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
+         MAX(e.ts) AS update_time
+         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+         GROUP BY 1, 2""",
     "station_day_agg_salted" ->
       """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
          COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
@@ -3767,6 +3790,24 @@ object SparkEntry {
          COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
          GROUP BY 1, 2, 3, 4""",
+    // identical to window_anomalies BY DESIGN (round-13 verdict #3): the
+    // anomalies-topic topology streamed live must score every (window,
+    // station) exactly like the batch plan — ratio rounding included
+    "window_anomalies_stream" ->
+      """SELECT window_start, station_name,
+         GREATEST(0, ended - started) AS returned_over_rented,
+         GREATEST(0, started - ended) AS rented_over_returned,
+         total_docks,
+         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
+         (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > 0.5 AS is_anomaly
+         FROM (
+           SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
+             s.s_name AS station_name,
+             CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
+             COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
+             COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
+           FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+           GROUP BY 1, 2, 3)""",
     "window_anomalies" ->
       """SELECT window_start, station_name,
          GREATEST(0, ended - started) AS returned_over_rented,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-import graft.functions.DeterministicAgg.avgRounded
+import graft.functions.DeterministicAgg.{avgRounded, roundFixed}
 import graft.model.{AggregatedInfo, TripStation}
 import graft.operators.TypedAgg
 import graft.sources.Tables
@@ -289,6 +289,14 @@ object StreamingEtl {
     * window's current score as it accumulates. The aggregate is list-free
     * (O(1) state per (window, station)) and the anomaly projection runs
     * per emitted row.
+    *
+    * Output is the batch [[graft.operators.TripEtl.windowAnomalies]] shape
+    * (incl. the rounded `n_to_docks_ratio`) plus one harness column:
+    * `n_events` = started + ended, which STRICTLY increases across a
+    * group's update-mode re-emissions (every folded event increments
+    * exactly one count) — the deterministic latest-emission selector the
+    * driver-checked snapshot (`window_anomalies_stream`) keys on; the
+    * snapshot drops it before hashing against the batch oracle.
     */
   def windowAnomaliesStreaming(enriched: DataFrame, windowMinutes: Int,
                                pPercent: Int,
@@ -310,9 +318,12 @@ object StreamingEtl {
         greatest(lit(0L), col("ended") - col("started")).as("returned_over_rented"),
         greatest(lit(0L), col("started") - col("ended")).as("rented_over_returned"),
         (col("station_nation").cast("long") + 1L).as("total_docks"),
+        roundFixed(abs(col("ended") - col("started")).cast("double") /
+          (col("station_nation").cast("long") + 1L), 4).as("n_to_docks_ratio"),
         (abs(col("ended") - col("started")).cast("double") /
           (col("station_nation").cast("long") + 1L) > lit(pPercent / 100.0))
-          .as("is_anomaly")
+          .as("is_anomaly"),
+        (col("started") + col("ended")).as("n_events")
       )
 
   /** S1 proper: the Kafka source wiring the reference consumes

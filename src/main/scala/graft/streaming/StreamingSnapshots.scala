@@ -400,6 +400,162 @@ object StreamingSnapshots {
     graft.operators.Relational.hllEstimateTail(regs, p)
   }
 
+  /** Shared staging of the reference-topology trip feed (round-13 verdict
+    * #2/#3): the events table as FOUR ascending event-time range chunks —
+    * the arrival contract a log-shipping ingest satisfies by construction —
+    * plus TWO far-future sentinel chunks (user −1) that walk the watermark
+    * past every real day's end + the 1-day delay, flushing both the
+    * station-day aggregate and the anomaly windows. ONE staging serves BOTH
+    * driver-checked reference streams (`station_day_agg_stream`,
+    * `window_anomalies_stream`) — the staging is a pure function of the
+    * corpus, so sharing it is the round-14 fixed-cost trim, not a semantic
+    * coupling; each query still lands into its OWN dir through its own
+    * checkpoint. NULLs in `value` are staged as-is: the declarative avg
+    * skips them exactly like the batch aggregate and the DuckDB oracle.
+    *
+    * Returns (scratch base, last real day, last real event time) — the
+    * day/ts bounds the snapshots use to drop the sentinel's own far-future
+    * groups (real groups all start at-or-before them; sentinel groups all
+    * after). */
+  private def tripStageBase(spark: SparkSession,
+                            sfDir: String): (String, java.sql.Date, java.sql.Timestamp) = {
+    val ev = Tables.events(spark, sfDir)
+    val base = Tables.scratchDir("graft_tripstream", ev)
+    val chunks = 4
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (tLo, tHi) =
+      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    val bound = (c: Int) =>
+      (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
+    def inChunk(c: Int) =
+      unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
+    // sentinel event times: round i at tHi + (i+2) days + (i+1) h — the
+    // first alone puts the 1-day-delay watermark a full hour past every
+    // real day's end (≤ tHi + 1 day); the second is the both-rounds margin
+    def sentTs(round: Int) = new java.sql.Timestamp(
+      tHi / 1000L + (round + 2) * 86400000L + (round + 1) * 3600000L)
+    ensureStaged((0 until chunks + 2).map(c => s"$base/stage$c")) {
+      (0 until chunks).foreach { c =>
+        ev.filter(inChunk(c))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"), col("props"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$c")
+      }
+      val sqlc = spark
+      import sqlc.implicits._
+      (0 until 2).foreach { i =>
+        Seq((-1L, -1L, "view", sentTs(i), 0.0, """{"k":0}"""))
+          .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage${chunks + i}")
+      }
+    }
+    val maxDay = java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(Math.floorDiv(tHi, 86400000000L)))
+    (base, maxDay, new java.sql.Timestamp(tHi / 1000L))
+  }
+
+  private val tripStreamSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("ts", TimestampType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The reference's FLAGSHIP computation as a driver-checked stream
+    * (round-13 verdict #2 — the `etl-topic` output, reference
+    * CustomTransformer.kt:22-46 + scripts/consumer.sh:6): the staged event
+    * chunks land in ascending event-time order, the live query runs the
+    * full topology — stream–static broadcast enrich
+    * ([[graft.operators.TripEtl.enrichTrips]]) into the shared update-mode
+    * per-(station, day) aggregate ([[StreamingEtl.stationDayAggStreaming]],
+    * 1-day tumbling window + 1-day watermark, decimal-exact avg) — and the
+    * memory sink records every refreshed group emission (station × day
+    * grid-bounded at ANY corpus: that is the aggregate's state bound, so
+    * the sink discipline holds). The snapshot is the LATEST emission per
+    * (station, day), selected by max-struct on started+ended — strictly
+    * increasing per re-emission because every folded event increments
+    * exactly one of the two counts — with the sentinel's own far-future
+    * day groups dropped by the staged day bound. `station_day_agg`'s
+    * DuckDB oracle applies VERBATIM, row count included: an unflushed or
+    * double-counted group fails the hash. */
+  def stationDayAggStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, maxDay, _) = tripStageBase(spark, sfDir)
+    Seq("aggCkpt", "aggIn", "aggTmp").foreach(d => wipe(s"$base/$d"))
+    // state = stations × open days — grid-bounded, the family sizing rule
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val name = s"stationday_stream_snap_${seq.incrementAndGet()}"
+    val enriched = graft.operators.TripEtl.enrichTrips(
+      ss.readStream.schema(tripStreamSchema).parquet(s"$base/aggIn"),
+      Tables.supplier(ss, sfDir))
+    val q = StreamingEtl.stationDayAggStreaming(enriched)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/aggCkpt")
+      .outputMode("update").start()
+    try {
+      (0 until 6).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/aggTmp", s"$base/aggIn", s"stage$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    ss.table(name)
+      .groupBy(col("station_name"), col("event_day"))
+      .agg(max(struct(
+        (col("started_trips") + col("ended_trips")).as("n"),
+        col("started_trips"), col("ended_trips"),
+        col("avg_temperature"), col("update_time"))).as("last"))
+      .filter(col("event_day") <= lit(maxDay)) // drop the sentinel's groups
+      .select(col("station_name"), col("event_day"),
+        col("last.started_trips").as("started_trips"),
+        col("last.ended_trips").as("ended_trips"),
+        col("last.avg_temperature").as("avg_temperature"),
+        col("last.update_time").as("update_time"))
+  }
+
+  /** The reference's SECOND declared output topic as a driver-checked
+    * stream (round-13 verdict #3 — `anomalies-topic`, reference
+    * TripStationSummaryInfo.kt:17-25 + scripts/consumer.sh:7): the SAME
+    * staged chunks (one staging serves both reference streams) land
+    * through an independent checkpoint into the live anomaly topology —
+    * broadcast enrich → tumbling 360-min windowed counts → summary /
+    * threshold score ([[StreamingEtl.windowAnomaliesStreaming]], update
+    * mode). The snapshot takes each (window, station)'s LATEST emission by
+    * max-struct on the strictly-increasing `n_events` harness column,
+    * drops it, and `window_anomalies`' DuckDB oracle hashes the streamed
+    * scores verbatim — ratio rounding included. */
+  def windowAnomaliesStream(spark: SparkSession, sfDir: String,
+                            windowMinutes: Int = 360,
+                            pPercent: Int = 50): DataFrame = {
+    val (base, _, maxTs) = tripStageBase(spark, sfDir)
+    Seq("anomCkpt", "anomIn", "anomTmp").foreach(d => wipe(s"$base/$d"))
+    // state = stations × open windows — grid-bounded per the watermark
+    val ss = streamSession(spark, shufflePartitions = 4)
+    val name = s"windowanom_stream_snap_${seq.incrementAndGet()}"
+    val enriched = graft.operators.TripEtl.enrichTrips(
+      ss.readStream.schema(tripStreamSchema).parquet(s"$base/anomIn"),
+      Tables.supplier(ss, sfDir))
+    val q = StreamingEtl.windowAnomaliesStreaming(enriched, windowMinutes, pPercent)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", s"$base/anomCkpt")
+      .outputMode("update").start()
+    try {
+      (0 until 6).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/anomTmp", s"$base/anomIn", s"stage$c")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    ss.table(name)
+      .groupBy(col("window_start"), col("station_name"))
+      .agg(max(struct(col("n_events"),
+        col("returned_over_rented"), col("rented_over_returned"),
+        col("total_docks"), col("n_to_docks_ratio"), col("is_anomaly")))
+        .as("last"))
+      .filter(col("window_start") <= lit(maxTs)) // sentinel windows are later
+      .select(col("window_start"), col("station_name"),
+        col("last.returned_over_rented").as("returned_over_rented"),
+        col("last.rented_over_returned").as("rented_over_returned"),
+        col("last.total_docks").as("total_docks"),
+        col("last.n_to_docks_ratio").as("n_to_docks_ratio"),
+        col("last.is_anomaly").as("is_anomaly"))
+  }
+
   /** The STREAM–STREAM backward as-of join, driver-checked (round-12
     * verdict #1): purchases and errors are staged as FOUR ascending
     * event-time range chunks EACH (the arrival contract a log-shipping

@@ -642,7 +642,9 @@ class PlanRegressionSpec extends AnyFunSuite {
       "asof_stream_last_error", "asof_stream_next_purchase",
       "user_sessions_stream",
       "doc_dedup_stream_docs", "event_heavy_stream_users",
-      "wds_reshard_dedup")
+      "wds_reshard_dedup",
+      // round-14 promotions (reference etl/anomaly topics) — same rationale
+      "station_day_agg_stream", "window_anomalies_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>
