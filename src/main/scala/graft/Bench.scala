@@ -8,23 +8,74 @@ import org.apache.spark.sql.SparkSession
   * through the `noop` sink (a `count()` would let column pruning delete most
   * of the measured work, e.g. JSON parsing).
   *
-  * Load robustness (round-5 verdict): the previous per-query min-of-2 ran
-  * both timed passes back-to-back, so a sustained host-load window billed
-  * BOTH samples of whichever queries it overlapped (driver r5 recorded
-  * 300.7s against a 33.6s cross-run noise floor, with the slow outliers on
-  * DIFFERENT queries in each run — the signature of contention, not code).
-  * Now the query list runs ROUND-ROBIN: one warmup pass over all queries,
-  * then timed pass 1 over all, then timed pass 2 over all, then a retry
-  * pass for any query whose two samples disagree by >2x. Per-query minima
-  * are reported, so a load window has to span the entire run to corrupt a
-  * query's floor. When pass disagreement is widespread (>25% of queries
-  * >2x apart even after retry) the line carries "load_suspect": true so
-  * the driver can tell contention from regression.
+  * Load robustness (round-5 verdict): the query list runs ROUND-ROBIN — one
+  * warmup pass over all queries, then timed pass 1 over all, then timed pass
+  * 2 over all, then a retry pass for any query whose two samples disagree by
+  * >2x. Per-query minima are reported, so a transient load window has to
+  * span the entire run to corrupt a query's floor.
+  *
+  * SELF-DIAGNOSIS (round-13 verdict #1): pass disagreement cannot see
+  * SUSTAINED contention — a load window spanning the whole run slows both
+  * round-robin passes equally and the flag stays false (exactly BENCH_r13:
+  * CPU-bound kernel queries at 6-14x their committed minima, load_suspect
+  * false). The record must let a reader attribute a driver-vs-committed
+  * delta to load vs code from the bench.json alone, so every sample now
+  * carries three channels, none of which an external hog can fake
+  * consistently:
+  *   - wall seconds (what the total reports);
+  *   - THIS PROCESS's CPU seconds over the sample
+  *     (OperatingSystemMXBean.getProcessCpuTime bracketing the run) — under
+  *     external contention a CPU-bound query's wall stretches while its cpu
+  *     stays ~flat (same work, fewer cores), where a real regression grows
+  *     cpu WITH wall;
+  *   - the MACHINE's external-busy fraction over the sample (/proc/stat
+  *     total busy minus this process's share, normalized by wall x cores) —
+  *     a direct reading of "someone else is eating the cores".
+  * `load_suspect` is set EITHER by widespread pass disagreement (the old
+  * rule, catches transients) OR by a sustained external-CPU median above
+  * 20% of the machine (catches exactly the r13 signature). bench.json keeps
+  * ALL samples per query (wall + cpu + ext), not just the min.
+  *
+  * MEMO-WARM-ALWAYS protocol for the lcp family (round-12 verdict #6;
+  * PROTOCOL NOTE, round-13 advisor): the three suffix-array consumers ride
+  * SparkEntry.lcpRel's cluster-cached relation, re-materialized immediately
+  * BEFORE each timed sample (outside the timer) so a timed pass never
+  * silently includes a cache rebuild. Committed minima for doc_lcp /
+  * doc_dup_intervals / doc_dedup_excise_sa from r13 onward are therefore
+  * NOT comparable to pre-r13 bench.json values (which could include
+  * rebuild smear) — r13 re-baselined all three under the new protocol.
   */
 object Bench {
+
+  /** (user+nice+system+irq+softirq+steal, idle+iowait) jiffies from the
+    * aggregate cpu line of /proc/stat — USER_HZ (100 on every Linux this
+    * runs on) jiffy units; only deltas are used, so the base is free. */
+  private def procStatBusy(): Option[Long] =
+    try {
+      val line = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next() finally src.close()
+      }
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // busy = everything but idle (3) and iowait (4)
+      Some(f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum)
+    } catch { case _: Throwable => None }
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def processCpuNs(): Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+    case _ => -1L
+  }
+
+  /** One timed sample: wall seconds, this-process CPU seconds, and the
+    * external-busy fraction of the whole machine over the interval
+    * (0 when unreadable — never poisons the load signal upward). */
+  final case class Sample(wall: Double, cpu: Double, ext: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nCores = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,25 +101,24 @@ object Bench {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
-    // MEMO-WARM-ALWAYS protocol for the lcp family (round-12 verdict #6):
-    // the three suffix-array consumers ride SparkEntry.lcpRel's
-    // cluster-cached relation. The warmup pass builds it, but blocks can
-    // be EVICTED by other queries' memory pressure between passes, so a
-    // timed sample sometimes silently includes a partial rebuild — which
-    // made committed minima depend on bench execution ORDER (r12's two
-    // worst "regressions" were exactly this artifact). Re-materializing
-    // the relation immediately BEFORE each timed sample (outside the
-    // timer) pins one protocol: lcp consumers are timed with the
-    // published artifact fully resident, every pass, every round — so
-    // round-over-round deltas measure plans, not cache order.
     val lcpConsumers = Set("doc_lcp", "doc_dup_intervals", "doc_dedup_excise_sa")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): Sample = {
       if (lcpConsumers(name)) SparkEntry.lcpRel(spark, sfDir).count(): Unit
+      val busy0 = procStatBusy()
+      val cpu0 = processCpuNs()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 else -1.0
+      // external busy = machine busy minus this process's share, as a
+      // fraction of the machine's total capacity over the interval
+      val ext = (for (b0 <- busy0; b1 <- procStatBusy()) yield {
+        val busySec = (b1 - b0) / 100.0 // USER_HZ=100 jiffies
+        math.max(0.0, (busySec - math.max(cpu, 0.0)) / (wall * nCores))
+      }).getOrElse(0.0)
+      Sample(wall, cpu, ext)
     }
 
     // dev-only subsetting (e.g. the scale-slope tool benches just the
@@ -77,14 +127,14 @@ object Bench {
     val prefixes = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.forall(_.exists(n.startsWith)))
-    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Sample]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def live = names.filterNot(errors.contains)
     def pass(record: Boolean, only: Set[String] = Set.empty): Unit =
       live.filter(n => only.isEmpty || only(n)).foreach { name =>
         try {
-          val t = runOnce(name)
-          if (record) samples(name) = t :: samples.getOrElse(name, Nil)
+          val s = runOnce(name)
+          if (record) samples(name) = s :: samples.getOrElse(name, Nil)
         } catch {
           case e: Throwable =>
             samples.remove(name)
@@ -93,33 +143,70 @@ object Bench {
         }
       }
     def disagreeing = samples.collect {
-      case (n, ts) if ts.size >= 2 && ts.max / math.max(ts.min, 1e-9) > 2.0 => n
+      case (n, ss) if ss.size >= 2 && {
+        val ts = ss.map(_.wall)
+        ts.max / math.max(ts.min, 1e-9) > 2.0
+      } => n
     }.toSet
 
     pass(record = false)          // warmup: JVM/codegen/parquet footers
     pass(record = true)           // timed pass 1, all queries
     pass(record = true)           // timed pass 2, all queries (round-robin)
     pass(record = true, only = disagreeing) // targeted retry of noisy ones
-    val loadSuspect = names.nonEmpty &&
-      disagreeing.size.toDouble / math.max(samples.size, 1) > 0.25
 
-    val timed = samples.toSeq.sortBy(_._1).map { case (k, ts) => k -> ts.min }
-    val qs = timed.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    val transientSuspect = names.nonEmpty &&
+      disagreeing.size.toDouble / math.max(samples.size, 1) > 0.25
+    // sustained-contention signal: the median per-sample external-busy
+    // fraction across the whole run — a hog must eat >20% of the machine
+    // for more than half the samples to trip it, and nothing this process
+    // does (GC, shuffle, spill) can, because its own CPU is subtracted
+    val extAll = samples.values.flatten.map(_.ext).toSeq.sorted
+    val extMedian = if (extAll.isEmpty) 0.0 else extAll(extAll.size / 2)
+    val sustainedSuspect = extMedian > 0.20
+    val loadSuspect = transientSuspect || sustainedSuspect
+    val loadReason =
+      if (transientSuspect && sustainedSuspect) "transient+sustained"
+      else if (transientSuspect) "transient_disagreement"
+      else if (sustainedSuspect) "sustained_external_cpu"
+      else "none"
+
+    // headline per query: the min-wall sample (its cpu rides along, so a
+    // future reader can compare cpu at the floor, not a mixed pair)
+    val timed = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
+      k -> ss.minBy(_.wall)
+    }
+    def f3(v: Double) = "%.3f".format(v)
+    val qs = timed.map { case (k, s) => s""""$k":${f3(s.wall)}""" }
       .mkString("{", ",", "}")
+    // the full sample record: wall/cpu/ext per sample, oldest last (the
+    // list is built head-prepend) — this is what makes the run
+    // self-diagnosing: driver wall >> committed wall with cpu ~equal and
+    // ext high reads as starvation; cpu growing with wall reads as code
+    val sampleRec = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
+      val arr = ss.reverse.map(s =>
+        s"""[${f3(s.wall)},${f3(s.cpu)},${f3(s.ext)}]""").mkString(",")
+      s""""$k":[$arr]"""
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
+    val total = timed.map(_._2.wall).sum
+    val cpuTotal = timed.map(_._2.cpu).sum
+    // machine-level utilization summary of the timed floor: this process's
+    // parallelism (cpu/wall) and the external-busy median
+    val cpuPerWall = if (total > 0) cpuTotal / total else 0.0
+    val diag =
+      s""""cpu_sec_total":${f3(cpuTotal)},"cpu_per_wall":${f3(cpuPerWall)},""" +
+        s""""ext_busy_median":${f3(extMedian)},"cores":$nCores,""" +
+        s""""load_reason":"$loadReason""""
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"samples":$sampleRec,"errors":$errs,"load_suspect":$loadSuspect,$diag,"sf":"$sfDir"}"""
     // The driver's scraper keeps only a ~2000-char TAIL of stdout, so the
     // final line must be short or its head (where the totals live) is cut
-    // off — that, not the sbt [info] wrapping fixed in round 8, is why
-    // BENCH_r0*.json stayed parsed:null through r8 (the full 134-query line
-    // is ~3.6 KB). Stdout therefore carries a totals-only record as the
-    // LAST line; the full per-query map lives in bench.json (the file
+    // off. Stdout therefore carries a totals-only record as the LAST line;
+    // the full per-query map and samples live in bench.json (the file
     // channel) and nowhere else on stdout.
     val shortLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"load_suspect":$loadSuspect,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${timed.size},"n_errors":${errors.size},"load_suspect":$loadSuspect,$diag,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     println(shortLine)
     spark.stop()
