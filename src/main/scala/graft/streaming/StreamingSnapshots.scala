@@ -429,12 +429,15 @@ object StreamingSnapshots {
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
     def inChunk(c: Int) =
       unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
-    // sentinel event times: round i at tHi + (i+2) days + (i+1) h — the
-    // first alone puts the 1-day-delay watermark a full hour past every
-    // real day's end (≤ tHi + 1 day); the second is the both-rounds margin
-    def sentTs(round: Int) = new java.sql.Timestamp(
-      tHi / 1000L + (round + 2) * 86400000L + (round + 1) * 3600000L)
-    ensureStaged((0 until chunks + 2).map(c => s"$base/stage$c")) {
+    // ONE sentinel round at tHi + 2 days + 1 h: it puts the 1-day-delay
+    // watermark a full hour past every real day's end (≤ tHi + 1 day), so
+    // the live streams also exercise watermark-driven state EVICTION (the
+    // update-mode snapshots don't need a flush for emission — groups emit
+    // on data — but T3 eviction should run in the gated topology too);
+    // Spark's no-data micro-batch applies the advanced watermark in the
+    // same drain (the asOfSentinelRounds A/B)
+    val sentTs = new java.sql.Timestamp(tHi / 1000L + 2 * 86400000L + 3600000L)
+    ensureStaged((0 to chunks).map(c => s"$base/stage$c")) {
       (0 until chunks).foreach { c =>
         ev.filter(inChunk(c))
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -443,11 +446,9 @@ object StreamingSnapshots {
       }
       val sqlc = spark
       import sqlc.implicits._
-      (0 until 2).foreach { i =>
-        Seq((-1L, -1L, "view", sentTs(i), 0.0, """{"k":0}"""))
-          .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage${chunks + i}")
-      }
+      Seq((-1L, -1L, "view", sentTs, 0.0, """{"k":0}"""))
+        .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$chunks")
     }
     val maxDay = java.sql.Date.valueOf(
       java.time.LocalDate.ofEpochDay(Math.floorDiv(tHi, 86400000000L)))
@@ -490,7 +491,7 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/aggCkpt")
       .outputMode("update").start()
     try {
-      (0 until 6).foreach { c =>
+      (0 until 5).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/aggTmp", s"$base/aggIn", s"stage$c")
         q.processAllAvailable()
       }
@@ -536,7 +537,7 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/anomCkpt")
       .outputMode("update").start()
     try {
-      (0 until 6).foreach { c =>
+      (0 until 5).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/anomTmp", s"$base/anomIn", s"stage$c")
         q.processAllAvailable()
       }
@@ -567,62 +568,89 @@ object StreamingSnapshots {
     * [[StreamAsOf.asOfEnrichStreams]]'s transformWithState processor.
     *
     * FLUSH: the global watermark is the MIN over both branches'
-    * watermark nodes, so the two sentinel rounds land a far-future row
-    * on BOTH sides (sentinel user −1 — matches nothing, filtered from
-    * the snapshot; round N's sentinel releases round N−1's, the last is
-    * never released). After the flush every REAL purchase has been
-    * emitted exactly once with its latest at-or-before error, so
+    * watermark nodes, so each sentinel round lands a far-future row on
+    * BOTH sides (sentinel user −1 — matches nothing, filtered from the
+    * snapshot; its own left is never released). One round suffices: the
+    * sentinel batch advances the watermark and Spark's no-data
+    * micro-batch then fires every released timer ([[asOfSentinelRounds]]
+    * — A/B'd against two rounds, identical output). After the flush every
+    * REAL purchase has been emitted exactly once with its latest
+    * at-or-before error, so
     * `asof_last_error`'s DuckDB `ASOF JOIN` oracle hashes the STREAMED
     * join verbatim — including the row COUNT: an unflushed left fails
     * the gate as a missing row, an over-release as a duplicate. */
-  def asOfStreamLastError(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Number of far-future sentinel landing rounds the as-of pair uses to
+    * flush watermark-held state at stream end. ONE round suffices — Spark
+    * runs a no-data micro-batch whenever a batch's data advances the
+    * watermark (`noDataMicroBatches`, on by default), and that batch fires
+    * every timer the new watermark released — but the count is a named
+    * constant so the A/B that established it (PLANS.md round-14 notes:
+    * 1-round output row counts hash-identical to 2-round, both oracles
+    * green) stays legible and revertible. */
+  private val asOfSentinelRounds = 1
+
+  /** SHARED staging for BOTH stream–stream as-of queries (round-13 verdict
+    * #4 — the backward and forward joins staged the same purchase/error
+    * chunk ranges twice): purchases and errors each as FOUR ascending
+    * event-time range chunks with uniform (event_id, user_id, ts, value)
+    * columns — each query renames per its own side assignment post-read —
+    * plus the sentinel rounds. Sentinel steps are the FORWARD join's
+    * requirement (tolerance + delay margin: a forward left is decidable
+    * only at wm > ts + tol); the backward join needs only wm > tHi, which
+    * any forward-compatible schedule satisfies. Shared time-range bounds
+    * for both sides keep cross-feed arrival inside the watermark delay. */
+  private def asOfStageBase(spark: SparkSession, sfDir: String,
+                            toleranceMs: Long): (String, Int) = {
     val ev = Tables.events(spark, sfDir)
-    val base = Tables.scratchDir("graft_asofstream", ev)
-    Seq("ckpt", "inP", "inE", "tmp").foreach(d => wipe(s"$base/$d"))
+    val base = Tables.scratchDir("graft_asofshared", ev)
     val chunks = 4
     val mm = ev.filter(col("event_type").isin("purchase", "error"))
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
-    // time-range quarters (BigInt: the span·c product must not wrap),
-    // SHARED bounds for both sides so cross-feed arrival respects event
-    // time — later chunks are never behind the watermark the earlier
-    // ones set (delay > 0 suffices; the operator default 10 min stays)
+    // time-range quarters (BigInt: the span·c product must not wrap)
     val bound = (c: Int) =>
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
     def inChunk(c: Int) =
       unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
-    // sentinel event times: hours past the real span (µs → ms floor is
-    // dominated by the +1h/+2h margin)
-    def sentTs(round: Int) =
-      new java.sql.Timestamp(tHi / 1000L + (round + 1) * 3600L * 1000L)
-    val stageDirs = (0 until chunks + 2)
+    // each sentinel round clears tol + an hour's margin past the previous
+    // maximum (µs → ms floor is dominated by the margin)
+    def sentTs(round: Int) = new java.sql.Timestamp(
+      tHi / 1000L + (round + 1) * (toleranceMs + 3600L * 1000L))
+    val stageDirs = (0 until chunks + asOfSentinelRounds)
       .flatMap(c => Seq(s"$base/stageP$c", s"$base/stageE$c"))
     ensureStaged(stageDirs) {
       (0 until chunks).foreach { c =>
         ev.filter(col("event_type") === "purchase" && inChunk(c))
-          .select(col("event_id"), col("user_id"), col("ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("value"), lit(0.0)).as("value"))
           .coalesce(1).write.mode("overwrite").parquet(s"$base/stageP$c")
         ev.filter(col("event_type") === "error" && inChunk(c))
-          .select(col("event_id").as("error_id"), col("user_id"), col("ts"),
+          .select(col("event_id"), col("user_id"), col("ts"),
             coalesce(col("value"), lit(0.0)).as("value"))
           .coalesce(1).write.mode("overwrite").parquet(s"$base/stageE$c")
       }
       val sqlc = spark
       import sqlc.implicits._
-      (0 until 2).foreach { i =>
-        Seq((-1L, -1L, sentTs(i))).toDF("event_id", "user_id", "ts")
+      (0 until asOfSentinelRounds).foreach { i =>
+        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("event_id", "user_id", "ts", "value")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/stageP${chunks + i}")
-        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("error_id", "user_id", "ts", "value")
+        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("event_id", "user_id", "ts", "value")
           .coalesce(1).write.mode("overwrite").parquet(s"$base/stageE${chunks + i}")
       }
     }
-    val pSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("ts", TimestampType)))
-    val eSchema = StructType(Seq(
-      StructField("error_id", LongType), StructField("user_id", LongType),
-      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    (base, chunks + asOfSentinelRounds)
+  }
+
+  private val asOfFeedSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+  def asOfStreamLastError(spark: SparkSession, sfDir: String): DataFrame = {
+    // tolerance here only fixes the shared sentinel schedule (the backward
+    // join has none of its own); it must match the forward twin's
+    val (base, rounds) = asOfStageBase(spark, sfDir, toleranceMs = 3600000L)
+    Seq("bwdCkpt", "bwdInP", "bwdInE", "bwdTmp").foreach(d => wipe(s"$base/$d"))
     // per-user ListState is small (watermark-bounded lefts + pruned
     // rights), so 4 state partitions carry it at ANY corpus — the
     // covStreamSnapshot sizing rule; transformWithState requires the
@@ -634,17 +662,20 @@ object StreamingSnapshots {
     // purchase — corpus scale — and must never accumulate on the driver
     // (the minhash/hnsw-stream sink discipline; memory sinks are for
     // grid/sketch-bounded emissions only)
-    wipe(s"$base/sink")
+    wipe(s"$base/bwdSink")
     val q = StreamAsOf.asOfEnrichStreams(
-        ss.readStream.schema(pSchema).parquet(s"$base/inP"),
-        ss.readStream.schema(eSchema).parquet(s"$base/inE"))
-      .toDF().writeStream.format("parquet").option("path", s"$base/sink")
-      .option("checkpointLocation", s"$base/ckpt")
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/bwdInP")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/bwdInE")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"),
+            col("value")))
+      .toDF().writeStream.format("parquet").option("path", s"$base/bwdSink")
+      .option("checkpointLocation", s"$base/bwdCkpt")
       .outputMode("append").start()
     try {
-      (0 until chunks + 2).foreach { c =>
-        landChunk(s"$base/stageP$c", s"$base/tmp", s"$base/inP", s"P$c")
-        landChunk(s"$base/stageE$c", s"$base/tmp", s"$base/inE", s"E$c")
+      (0 until rounds).foreach { c =>
+        landChunk(s"$base/stageP$c", s"$base/bwdTmp", s"$base/bwdInP", s"P$c")
+        landChunk(s"$base/stageE$c", s"$base/bwdTmp", s"$base/bwdInE", s"E$c")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -652,7 +683,7 @@ object StreamingSnapshots {
       StructField("userId", LongType), StructField("eventId", LongType),
       StructField("ts", TimestampType), StructField("errorId", LongType),
       StructField("errorTs", TimestampType), StructField("errorValue", DoubleType)))
-    spark.read.schema(outSchema).parquet(s"$base/sink")
+    spark.read.schema(outSchema).parquet(s"$base/bwdSink")
       .filter(col("userId") >= 0L) // drop the flushed sentinel
       .select(col("eventId").as("event_id"), col("userId").as("user_id"),
         col("ts"), col("errorTs").as("last_error_ts"))
@@ -665,72 +696,36 @@ object StreamingSnapshots {
     * [[StreamAsOf.asOfNextStreams]]'s transformWithState processor (the
     * tolerance is what makes the forward join decidable and the state
     * bounded — the operator's own contract). Harness as the backward
-    * twin: four shared event-time range chunks per side, pairwise
-    * landings, two sentinel rounds on both branches — stepped by
+    * twin — literally: BOTH queries drain the one [[asOfStageBase]]
+    * staging (four shared event-time range chunks per side, pairwise
+    * landings, [[asOfSentinelRounds]] sentinel round(s) stepped by
     * tolerance + 1 h, because a forward left is only decidable once the
-    * watermark passes ts + tol — parquet sink, sentinel user −1
+    * watermark passes ts + tol) — parquet sink, sentinel user −1
     * filtered. Oracle = `asof_next_purchase`'s window-form SQL verbatim,
     * row count included. */
   def asOfStreamNextPurchase(spark: SparkSession, sfDir: String,
                              toleranceMs: Long = 3600000L): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val base = Tables.scratchDir("graft_asoffwdstream", ev)
-    Seq("ckpt", "inL", "inR", "tmp").foreach(d => wipe(s"$base/$d"))
-    val chunks = 4
-    val mm = ev.filter(col("event_type").isin("purchase", "error"))
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val (tLo, tHi) =
-      if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
-    val bound = (c: Int) =>
-      (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
-    def inChunk(c: Int) =
-      unix_micros(col("ts")) >= bound(c) && unix_micros(col("ts")) < bound(c + 1)
-    // each sentinel round must clear tol + the watermark delay past the
-    // previous maximum: a forward left releases only at wm > ts + tol
-    def sentTs(round: Int) = new java.sql.Timestamp(
-      tHi / 1000L + (round + 1) * (toleranceMs + 3600L * 1000L))
-    val stageDirs = (0 until chunks + 2)
-      .flatMap(c => Seq(s"$base/stageL$c", s"$base/stageR$c"))
-    ensureStaged(stageDirs) {
-      (0 until chunks).foreach { c =>
-        ev.filter(col("event_type") === "error" && inChunk(c))
-          .select(col("event_id"), col("user_id"), col("ts"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageL$c")
-        ev.filter(col("event_type") === "purchase" && inChunk(c))
-          .select(col("event_id"), col("user_id"), col("ts"),
-            coalesce(col("value"), lit(0.0)).as("value"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageR$c")
-      }
-      val sqlc = spark
-      import sqlc.implicits._
-      (0 until 2).foreach { i =>
-        Seq((-1L, -1L, sentTs(i))).toDF("event_id", "user_id", "ts")
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageL${chunks + i}")
-        Seq((-1L, -1L, sentTs(i), 0.0)).toDF("event_id", "user_id", "ts", "value")
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stageR${chunks + i}")
-      }
-    }
-    val lSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("ts", TimestampType)))
-    val rSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    // SHARED staging with the backward twin (round-13 verdict #4): errors
+    // land as this join's LEFTS (from stageE), purchases as its RIGHTS
+    // (from stageP) — the same chunk files, renamed per side post-read
+    val (base, rounds) = asOfStageBase(spark, sfDir, toleranceMs)
+    Seq("fwdCkpt", "fwdInL", "fwdInR", "fwdTmp").foreach(d => wipe(s"$base/$d"))
     val ss = streamSession(spark, shufflePartitions = 4)
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    wipe(s"$base/sink")
+    wipe(s"$base/fwdSink")
     val q = StreamAsOf.asOfNextStreams(
-        ss.readStream.schema(lSchema).parquet(s"$base/inL"),
-        ss.readStream.schema(rSchema).parquet(s"$base/inR"),
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/fwdInL")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/fwdInR"),
         toleranceMs = toleranceMs)
-      .toDF().writeStream.format("parquet").option("path", s"$base/sink")
-      .option("checkpointLocation", s"$base/ckpt")
+      .toDF().writeStream.format("parquet").option("path", s"$base/fwdSink")
+      .option("checkpointLocation", s"$base/fwdCkpt")
       .outputMode("append").start()
     try {
-      (0 until chunks + 2).foreach { c =>
-        landChunk(s"$base/stageL$c", s"$base/tmp", s"$base/inL", s"L$c")
-        landChunk(s"$base/stageR$c", s"$base/tmp", s"$base/inR", s"R$c")
+      (0 until rounds).foreach { c =>
+        landChunk(s"$base/stageE$c", s"$base/fwdTmp", s"$base/fwdInL", s"L$c")
+        landChunk(s"$base/stageP$c", s"$base/fwdTmp", s"$base/fwdInR", s"R$c")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -739,7 +734,7 @@ object StreamingSnapshots {
       StructField("ts", TimestampType), StructField("matchedId", LongType),
       StructField("matchedTs", TimestampType),
       StructField("matchedValue", DoubleType)))
-    spark.read.schema(outSchema).parquet(s"$base/sink")
+    spark.read.schema(outSchema).parquet(s"$base/fwdSink")
       .filter(col("userId") >= 0L) // drop the flushed sentinel
       .select(col("eventId").as("event_id"), col("userId").as("user_id"),
         col("ts"), col("matchedTs").as("next_purchase_ts"))
@@ -758,9 +753,10 @@ object StreamingSnapshots {
     * it (it is at most `gap` past the session's last event, and the
     * watermark lags the landed maximum by the full delay).
     *
-    * FLUSH: two far-future sentinel rows (user −1, whose own session is
-    * never emitted) walk the watermark past every real session's end +
-    * gap. The snapshot tail re-derives the batch presentation —
+    * FLUSH: one far-future sentinel row (user −1, whose own session is
+    * never emitted) walks the watermark past every real session's end +
+    * gap; the no-data micro-batch then emits the closed sessions in the
+    * same drain. The snapshot tail re-derives the batch presentation —
     * `session_seq` by start order per user (disjoint sessions make
     * row_number deterministic), `session_end` = last event (the batch
     * convention; session_window.end is last + gap by definition) — so
@@ -779,12 +775,13 @@ object StreamingSnapshots {
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
     val bound = (c: Int) =>
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
-    // sentinels at +2h/+3h: the first alone puts the watermark (delay
-    // 1h) past every real session end (≤ tHi + gap) — the second is the
-    // same both-rounds margin the as-of flush carries
-    def sentTs(round: Int) =
-      new java.sql.Timestamp(tHi / 1000L + (round + 2) * 3600L * 1000L)
-    ensureStaged((0 until chunks + 2).map(c => s"$base/stage$c")) {
+    // ONE sentinel at +2h: it puts the watermark (delay 1h) past every
+    // real session end (≤ tHi + gap), and Spark's no-data micro-batch
+    // applies the advanced watermark — emitting the closed sessions —
+    // inside the same drain (the asOfSentinelRounds A/B: one round's
+    // output is row-for-row the two-round output)
+    val sentTs = new java.sql.Timestamp(tHi / 1000L + 2 * 3600L * 1000L)
+    ensureStaged((0 to chunks).map(c => s"$base/stage$c")) {
       (0 until chunks).foreach { c =>
         ev.filter(unix_micros(col("ts")) >= bound(c) &&
             unix_micros(col("ts")) < bound(c + 1))
@@ -793,10 +790,8 @@ object StreamingSnapshots {
       }
       val sqlc = spark
       import sqlc.implicits._
-      (0 until 2).foreach { i =>
-        Seq((-1L, sentTs(i))).toDF("user_id", "ts")
-          .coalesce(1).write.mode("overwrite").parquet(s"$base/stage${chunks + i}")
-      }
+      Seq((-1L, sentTs)).toDF("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage$chunks")
     }
     val evSchema = StructType(Seq(
       StructField("user_id", LongType), StructField("ts", TimestampType)))
@@ -814,7 +809,7 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append").start()
     try {
-      (0 until chunks + 2).foreach { c =>
+      (0 to chunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
