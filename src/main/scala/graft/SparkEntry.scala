@@ -95,6 +95,13 @@ object SparkEntry {
         TripEtl.enrichTrips(Tables.events(s, dir), Tables.supplier(s, dir)))),
     "dangling_station_fks" -> ((s, dir) =>
       TripEtl.danglingStationFks(Tables.events(s, dir), Tables.supplier(s, dir))),
+    // planted-NULL twin: NULL user_id facts through the ANTI join — a
+    // NULL key matches nothing, so every planted row must surface as one
+    // NULL dangling group (round-13 verdict #6)
+    "dangling_station_fks_nulls" -> ((s, dir) =>
+      TripEtl.danglingStationFks(
+        operators.Relational.plantNullUserIds(Tables.events(s, dir)),
+        Tables.supplier(s, dir))),
     // hot-key path: salted two-phase aggregation, oracled by the SAME SQL as
     // station_day_agg — the driver hash-match IS the equivalence proof
     "station_day_agg_salted" -> ((s, dir) =>
@@ -328,6 +335,14 @@ object SparkEntry {
     "shipmode_priority" -> ((s, dir) =>
       Relational.shipmodePriorityCounts(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // planted-NULL twin (round-13 verdict #6): NULL o_orderpriority rows
+    // provably flow through the conditional split — the CASE's ELSE
+    // branch (NULL counts as low) is now data-exercised, not just
+    // mirrored by construction
+    "shipmode_priority_nulls" -> ((s, dir) =>
+      Relational.shipmodePriorityCounts(
+        Relational.plantNullPriorities(Tables.orders(s, dir)),
+        Tables.lineitem(s, dir))),
     // TPC-H Q7 shape: nation in two roles + the symmetric OR'd pair
     // predicate that only evaluates above BOTH dimension joins
     "nation_trade_volume" -> ((s, dir) =>
@@ -341,6 +356,12 @@ object SparkEntry {
         Tables.supplier(s, dir), Tables.nation(s, dir))),
     "customer_order_counts" -> ((s, dir) =>
       Relational.customerOrderCounts(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // planted-NULL twin: NULL o_custkey facts through the OUTER join —
+    // they must vanish from every count while zero-order customers keep
+    // their n_orders = 0 / null-revenue rows
+    "customer_order_counts_nulls" -> ((s, dir) =>
+      Relational.customerOrderCounts(Tables.customer(s, dir),
+        Relational.plantNullCustKeys(Tables.orders(s, dir)))),
     "order_sequence" -> ((s, dir) => Relational.orderSequence(Tables.orders(s, dir))),
     "user_activity" -> ((s, dir) => Relational.userActivity(Tables.events(s, dir))),
     "purchasers_without_errors" -> ((s, dir) =>
@@ -3781,6 +3802,18 @@ object SparkEntry {
          FROM events e
          WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
          GROUP BY 1""",
+    // planted-NULL anti-join twin: the CTE replays plantNullUserIds; a
+    // NULL key satisfies NOT EXISTS (the = predicate is NULL for every
+    // supplier row), so the planted rows form one NULL dangling group
+    "dangling_station_fks_nulls" ->
+      """WITH e AS (
+           SELECT CASE WHEN event_id % 31 = 5 THEN NULL
+                       ELSE user_id END AS user_id
+           FROM events)
+         SELECT e.user_id, COUNT(*) AS n_dangling
+         FROM e
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+         GROUP BY 1""",
     "window_counts" ->
       """SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
          time_bucket(INTERVAL '360 minutes', e.ts) + INTERVAL '360 minutes' AS window_end,
@@ -3872,6 +3905,25 @@ object SparkEntry {
            CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_returnflag IN ('R', 'A')
+           AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    // planted-NULL Q12 twin: the CTE replays plantNullPriorities'
+    // integer-arithmetic planting verbatim; NULL IN (...) is NULL, so the
+    // CASE falls to ELSE (low) — the branch the Spark side must take too
+    "shipmode_priority_nulls" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 7 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+           FROM orders)
+         SELECT l.l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
          WHERE l.l_returnflag IN ('R', 'A')
            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
            AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -4318,6 +4370,20 @@ object SparkEntry {
          floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
            AS revenue
          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         GROUP BY 1, 2""",
+    // planted-NULL outer-join twin: the CTE replays plantNullCustKeys;
+    // NULL-FK orders must join no customer and drop from every count
+    "customer_order_counts_nulls" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderkey % 29 = 11 THEN NULL
+                       ELSE o_custkey END AS o_custkey,
+             o_orderkey, o_totalprice
+           FROM orders)
+         SELECT c.c_custkey, c.c_name,
+         count(o.o_orderkey) AS n_orders,
+         floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2
+           AS revenue
+         FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
          GROUP BY 1, 2""",
     "order_sequence" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, order_seq, price_delta FROM (

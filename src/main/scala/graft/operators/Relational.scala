@@ -1971,6 +1971,43 @@ object Relational {
         sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
   }
 
+  /** NULL-planting fixtures (round-13 verdict #6): the TPC-H-shaped
+    * queries' NULL contracts — CASE-over-NULL in conditional aggregates,
+    * NULL join keys through anti and outer paths — were mirrored by
+    * construction but never DATA-exercised: the generated corpus ships no
+    * NULL o_orderpriority / o_custkey / user_id, so a NULL-semantics
+    * divergence (e.g. `when(!high, 1)` sending NULL to the wrong branch —
+    * the exact round-12 advisor near-miss) would pass every gate. Each
+    * fixture NULLs a deterministic integer-arithmetic subset (pure
+    * function of the corpus, replayed verbatim by the DuckDB oracle — the
+    * plantNearDups/plantHeavyUsers discipline), so the `_nulls` twin
+    * queries provably push NULLs through the exact operator under test. */
+  def plantNullPriorities(orders: DataFrame, mod: Long = 23L,
+                          hit: Long = 7L): DataFrame =
+    orders.withColumn("o_orderpriority",
+      when(pmod(col("o_orderkey"), lit(mod)) === hit, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")))
+
+  /** NULL fact-side FK for the anti-join path ([[danglingStationFks]]):
+    * a NULL key matches nothing, so every planted row must surface in the
+    * dangling set (one NULL group) — an engine that null-matched or
+    * dropped them flips the counts. */
+  def plantNullUserIds(events: DataFrame, mod: Long = 31L,
+                       hit: Long = 5L): DataFrame =
+    events.withColumn("user_id",
+      when(pmod(col("event_id"), lit(mod)) === hit, lit(null).cast("long"))
+        .otherwise(col("user_id")))
+
+  /** NULL fact-side FK for the outer-join path ([[customerOrderCounts]]):
+    * planted orders must vanish from every customer's count/revenue (a
+    * NULL key joins no build-side row) while zero-order customers keep
+    * their n_orders = 0 / null-revenue rows. */
+  def plantNullCustKeys(orders: DataFrame, mod: Long = 29L,
+                        hit: Long = 11L): DataFrame =
+    orders.withColumn("o_custkey",
+      when(pmod(col("o_orderkey"), lit(mod)) === hit, lit(null).cast("long"))
+        .otherwise(col("o_custkey")))
+
   /** TPC-H Q7 shape — bilateral trade volume: the NATION dimension
     * playing TWO ROLES in one query (supplier's nation and customer's
     * nation) with the symmetric OR'd pair predicate
