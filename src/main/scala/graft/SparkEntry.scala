@@ -235,6 +235,11 @@ object SparkEntry {
     // proving the second built-in columnar format + partition layout
     "orc_roundtrip" -> ((s, dir) =>
       Tables.orcRoundTrip(s, Tables.documents(s, dir))),
+    // avro round-trip (round-14): the ROW-format interchange twin —
+    // Spark 4 bundles the avro connector in spark-sql, so the third
+    // format costs zero dependencies; same closed-form per-lang oracle
+    "avro_roundtrip" -> ((s, dir) =>
+      Tables.avroRoundTrip(s, Tables.documents(s, dir))),
     // jsonl.gz round-trip (the LLM-corpus interchange format): gzipped
     // lang-partitioned JSON lines written, re-ingested with an explicit
     // schema (no inference pass), same closed-form oracle as ORC
@@ -4037,6 +4042,13 @@ object SparkEntry {
     // replica of Tables.orcRoundTrip: the same per-lang aggregates
     // closed-form from documents (NULL text hashes as 0 in the XOR)
     "orc_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         bit_xor(COALESCE(${shaFoldSql("text")}, 0)) AS content_hash
+         FROM documents GROUP BY 1""",
+    // avro round-trip: identical closed form — losslessness of the
+    // write -> avro container -> partition layout -> read trip
+    "avro_roundtrip" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          bit_xor(COALESCE(${shaFoldSql("text")}, 0)) AS content_hash

@@ -307,6 +307,37 @@ object Tables {
           .as("content_hash"))
   }
 
+  /** Avro round-trip ([[orcRoundTrip]]'s ROW-format twin — the third
+    * interchange format, round-14): Spark 4 ships the avro connector
+    * classes INSIDE spark-sql (`org.apache.spark.sql.avro.AvroFileFormat`
+    * lives in spark-sql_2.13-4.1.2.jar — verified against this
+    * environment's jars), but NOT the `DataSourceRegister` service entry
+    * (no META-INF/services file in any jar names it — also verified), so
+    * the SHORT name `.format("avro")` still throws the historical
+    * "built-in but external module" error while the FULLY-QUALIFIED class
+    * name resolves fine with zero extra dependencies; earlier Spark lines
+    * needed the separate spark-avro artifact, which the offline cache
+    * here does not carry. Avro is the schema-evolving ROW format
+    * streaming platforms interchange (snappy-block container files); same
+    * lang-partitioned layout and closed-form per-lang oracle as ORC/jsonl
+    * — a hash match proves write → container encode → partition layout →
+    * read is lossless, NULL text riding as a null union branch hashing 0. */
+  def avroRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val dir = scratchDir("graft_avro", documents)
+    documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").option("compression", "snappy")
+      .partitionBy("lang")
+      .format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+    spark.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        bit_xor(coalesce(
+          graft.operators.TextOps.portableHash64(col("text")), lit(0L)))
+          .as("content_hash"))
+  }
+
   /** Gzipped JSON-LINES round-trip ([[orcRoundTrip]]'s text-format twin)
     * — jsonl.gz is THE interchange format LLM corpora actually ship as
     * (The Pile, RedPajama, Dolma all publish it), so the engine must
