@@ -133,6 +133,11 @@ object SparkEntry {
     // oracled by station_day_agg's SQL VERBATIM
     "station_day_agg_stream" -> ((s, dir) =>
       graft.streaming.StreamingSnapshots.stationDayAggStream(s, dir)),
+    // the reference PUNCTUATOR itself (transformWithState full-snapshot
+    // cadence — forward-only-at-boundaries, evict-on-day-close), gate-able
+    // verbatim since the typed buffer went decimal-exact (round 14)
+    "station_day_agg_stream_tws" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.stationDayAggStreamTws(s, dir)),
     // the reference's SECOND output topic as a live stream (round-13
     // verdict #3): the anomalies-topic topology — enrich + windowed
     // counts + threshold score — oracled by window_anomalies' SQL verbatim
@@ -3741,6 +3746,18 @@ object SparkEntry {
     // merge(history_state, batch_state) must finalize to the one-shot
     // aggregate — this shared replica is the equivalence proof
     "station_day_agg_incremental" ->
+      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
+         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
+         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
+         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
+         MAX(e.ts) AS update_time
+         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+         GROUP BY 1, 2""",
+    // identical to station_day_agg BY DESIGN: the TWS punctuator's
+    // boundary-sweep emissions must converge to the same batch aggregate
+    // (decimal-exact typed buffer, round 14) — punctuator ≡ update-mode
+    // agg ≡ batch, all pinned by one SQL string
+    "station_day_agg_stream_tws" ->
       """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
          COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
          COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,

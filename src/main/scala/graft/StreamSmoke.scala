@@ -78,9 +78,9 @@ object StreamSmoke {
 
     // exact-T2 full-snapshot punctuation (transformWithState/RocksDB) over
     // the same real staged stream: the boundary sweep's latest snapshot per
-    // (station, day) must match the batch aggregate's integer columns
-    // (avg stays out — the stream folds doubles in arrival order, the
-    // batch path is decimal-exact; the typed finish() is the raw mean)
+    // (station, day) must match the batch aggregate — ALL columns since
+    // round 14: the typed buffer is decimal-exact and finish() lands on
+    // the shared rounding grid, so arrival order cannot move the mean
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -102,9 +102,11 @@ object StreamSmoke {
       .agg(
         max(col("startedTrips")).as("started_trips"),
         max(col("endedTrips")).as("ended_trips"),
+        max_by(col("avgTemperature"),
+          col("startedTrips") + col("endedTrips")).as("avg_temperature"),
         max(col("updateTime")).as("update_time"))
     val batchInts = batch.select("station_name", "event_day",
-      "started_trips", "ended_trips", "update_time")
+      "started_trips", "ended_trips", "avg_temperature", "update_time")
     val snapDiff = snapLast.exceptAll(batchInts).count() +
       batchInts.exceptAll(snapLast).count()
     println(s"SNAP_GROUPS=${snapLast.count()} SNAP_OK=${snapDiff == 0}")

@@ -23,11 +23,23 @@ object TypedAgg {
     * precision). `Timestamp.getTime` alone is millis — folding through it
     * silently truncated update_time against the batch path on real data
     * (sub-millisecond event times; caught by StreamSmoke's snapshot
-    * equality check). */
+    * equality check).
+    *
+    * `tempSum` is a WIDE DECIMAL, not a double (round 14): the double fold
+    * summed in arrival order, so the typed mean was order-dependent and
+    * the punctuated streams could not be hash-gated against the
+    * decimal-exact batch/oracle grid — only their integer columns were.
+    * Per-value quantization and the finishing round are
+    * [[graft.functions.DeterministicAgg]]'s own local twins
+    * (`wideDecimalLocal` / `roundFixedLocal` — ONE definition of the
+    * portable arithmetic), so `finish` lands on the identical
+    * floor(x·1e4+0.5)/1e4 grid as `avgRounded` and the DuckDB oracle, and
+    * the TWS punctuator is gate-able verbatim
+    * (`station_day_agg_stream_tws`). */
   final case class Buf(
       started: Long,
       ended: Long,
-      tempSum: Double,
+      tempSum: java.math.BigDecimal,
       tempCount: Long,
       maxTime: Long)
 
@@ -46,12 +58,14 @@ object TypedAgg {
   final class StationDayAggregator
       extends Aggregator[TripStation, Buf, AggregatedInfo] {
 
-    override def zero: Buf = Buf(0L, 0L, 0.0, 0L, Long.MinValue)
+    override def zero: Buf =
+      Buf(0L, 0L, java.math.BigDecimal.ZERO, 0L, Long.MinValue)
 
     override def reduce(b: Buf, t: TripStation): Buf = Buf(
       b.started + (if (t.tripType == "purchase") 1L else 0L),
       b.ended + (if (t.tripType == "purchase") 0L else 1L),
-      b.tempSum + t.temperature,
+      b.tempSum.add(
+        graft.functions.DeterministicAgg.wideDecimalLocal(t.temperature)),
       b.tempCount + 1L,
       math.max(b.maxTime, toMicros(t.tripTime))
     )
@@ -59,7 +73,7 @@ object TypedAgg {
     override def merge(a: Buf, b: Buf): Buf = Buf(
       a.started + b.started,
       a.ended + b.ended,
-      a.tempSum + b.tempSum,
+      a.tempSum.add(b.tempSum),
       a.tempCount + b.tempCount,
       math.max(a.maxTime, b.maxTime)
     )
@@ -69,7 +83,11 @@ object TypedAgg {
       eventDay = null,
       startedTrips = b.started,
       endedTrips = b.ended,
-      avgTemperature = if (b.tempCount == 0) 0.0 else b.tempSum / b.tempCount,
+      // the exact column chain avgRounded plans: decimal sum -> double ->
+      // divide by count -> the shared portable rounding grid
+      avgTemperature = if (b.tempCount == 0) 0.0
+        else graft.functions.DeterministicAgg.roundFixedLocal(
+          b.tempSum.doubleValue() / b.tempCount, 4),
       updateTime = fromMicros(b.maxTime)
     )
 

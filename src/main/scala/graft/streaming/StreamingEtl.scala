@@ -248,9 +248,12 @@ object StreamingEtl {
       val zero = if (buf.exists()) buf.get() else agg.zero
       buf.update(rows.foldLeft(zero)(agg.reduce))
       // the SAME watermark-aligned boundary for every key — one crossing
-      // sweeps the whole store (re-registering an armed timestamp is a
-      // no-op, so each batch may arm it again safely)
-      getHandle.registerTimer(nextBoundary(timers.getCurrentWatermarkInMs()))
+      // sweeps the whole store. Re-registering an armed timestamp is a
+      // safe no-op but logs a WARN per key per batch (driver-log noise at
+      // corpus scale), so arm only when this key isn't armed for it yet —
+      // listTimers is per-key and boundary-sweep keys carry ≤1 timer.
+      val next = nextBoundary(timers.getCurrentWatermarkInMs())
+      if (!getHandle.listTimers().contains(next)) getHandle.registerTimer(next)
       Iterator.empty // reference cadence: forward only from the punctuator
     }
 
@@ -260,7 +263,12 @@ object StreamingEtl {
       val out = Iterator.single(result(key, buf.get()))
       val wm = timers.getCurrentWatermarkInMs()
       if ((key._2 + 1L) * 86400000L <= wm) buf.clear() // day closed: evict
-      else getHandle.registerTimer(nextBoundary(wm))
+      else {
+        // same duplicate-arm guard as the data path: the key may have
+        // received data in this batch and armed the boundary already
+        val next = nextBoundary(wm)
+        if (!getHandle.listTimers().contains(next)) getHandle.registerTimer(next)
+      }
       out
     }
   }

@@ -644,7 +644,8 @@ class PlanRegressionSpec extends AnyFunSuite {
       "doc_dedup_stream_docs", "event_heavy_stream_users",
       "wds_reshard_dedup",
       // round-14 promotions (reference etl/anomaly topics) — same rationale
-      "station_day_agg_stream", "window_anomalies_stream")
+      "station_day_agg_stream", "station_day_agg_stream_tws",
+      "window_anomalies_stream")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>

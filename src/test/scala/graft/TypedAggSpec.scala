@@ -34,7 +34,9 @@ class TypedAggSpec extends AnyFunSuite {
       assert(merged.ended == serial.ended)
       assert(merged.tempCount == serial.tempCount)
       assert(merged.maxTime == serial.maxTime)
-      assert(math.abs(merged.tempSum - serial.tempSum) < 1e-9)
+      // decimal buffer: ANY split merges to the bit-identical sum — the
+      // exactness that makes the typed mean hash-gateable (round 14)
+      assert(merged.tempSum.compareTo(serial.tempSum) == 0)
     }
   }
 
