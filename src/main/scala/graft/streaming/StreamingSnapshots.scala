@@ -656,7 +656,10 @@ object StreamingSnapshots {
   private def asOfStageBase(spark: SparkSession, sfDir: String,
                             toleranceMs: Long): (String, Int) = {
     val ev = Tables.events(spark, sfDir)
-    val base = Tables.scratchDir("graft_asofshared", ev)
+    // tolerance is part of the staging key: the sentinel schedule is a
+    // function of it, and a (name, corpus)-only key would silently serve
+    // one tolerance's sentinels to a caller using another
+    val base = Tables.scratchDir(s"graft_asofshared_t$toleranceMs", ev)
     val chunks = 4
     val mm = ev.filter(col("event_type").isin("purchase", "error"))
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
