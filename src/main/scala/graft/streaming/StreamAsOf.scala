@@ -148,7 +148,8 @@ object StreamAsOf {
       // boundary all stay — a same-millisecond left may still be pending
       val cut = allRights.lastIndexWhere(r => r.tsUs < wmUs)
       if (cut > 0) { // index 0 with cut==0 is already minimal
-        val keep = allRights.drop(cut) // keeps the latest <= wm + all > wm
+        // keeps the latest strictly-behind right + all at-or-beyond wm·1000
+        val keep = allRights.drop(cut)
         rights.clear()
         if (keep.nonEmpty) rights.put(keep)
       }
