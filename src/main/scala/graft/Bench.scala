@@ -57,8 +57,13 @@ object Bench {
         try src.getLines().next() finally src.close()
       }
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      // busy = everything but idle (3) and iowait (4)
-      Some(f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum)
+      // busy = everything but idle (3) and iowait (4) — and but guest (8)
+      // and guest_nice (9), which the kernel already folds into user/nice:
+      // summing them double-counts VM time and can false-trip the
+      // sustained load_suspect on a VM host (round-15 advisor)
+      Some(f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+      }.sum)
     } catch { case _: Throwable => None }
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -113,10 +118,14 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 else -1.0
       // external busy = machine busy minus this process's share, as a
-      // fraction of the machine's total capacity over the interval
-      val ext = (for (b0 <- busy0; b1 <- procStatBusy()) yield {
+      // fraction of the machine's total capacity over the interval. When
+      // this process's CPU is UNREADABLE (cpu<0: no com.sun.management
+      // bean) the subtraction cannot be done — record ext as unreadable
+      // (0, like the procStatBusy fallback) instead of attributing our own
+      // CPU to "external" and biasing load_suspect upward (round-15 advisor)
+      val ext = (for (b0 <- busy0; b1 <- procStatBusy() if cpu >= 0) yield {
         val busySec = (b1 - b0) / 100.0 // USER_HZ=100 jiffies
-        math.max(0.0, (busySec - math.max(cpu, 0.0)) / (wall * nCores))
+        math.max(0.0, (busySec - cpu) / (wall * nCores))
       }).getOrElse(0.0)
       Sample(wall, cpu, ext)
     }
@@ -190,7 +199,9 @@ object Bench {
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = timed.map(_._2.wall).sum
-    val cpuTotal = timed.map(_._2.cpu).sum
+    // -1.0 cpu sentinels (bean unavailable) must not sum into a
+    // negative-biased total (round-15 advisor)
+    val cpuTotal = timed.map(_._2.cpu).filter(_ >= 0).sum
     // machine-level utilization summary of the timed floor: this process's
     // parallelism (cpu/wall) and the external-busy median
     val cpuPerWall = if (total > 0) cpuTotal / total else 0.0

@@ -64,9 +64,13 @@ object TypedAgg {
     override def reduce(b: Buf, t: TripStation): Buf = Buf(
       b.started + (if (t.tripType == "purchase") 1L else 0L),
       b.ended + (if (t.tripType == "purchase") 0L else 1L),
-      b.tempSum.add(
-        graft.functions.DeterministicAgg.wideDecimalLocal(t.temperature)),
-      b.tempCount + 1L,
+      // a NULL temperature contributes to NEITHER sum NOR count — the
+      // oracle divides by COUNT(e.value), which counts non-null only, and
+      // the declarative avg skips nulls the same way (round-15 advisor:
+      // the row still counts toward started/ended, like COUNT(*))
+      t.temperature.fold(b.tempSum)(v => b.tempSum.add(
+        graft.functions.DeterministicAgg.wideDecimalLocal(v))),
+      b.tempCount + (if (t.temperature.isDefined) 1L else 0L),
       math.max(b.maxTime, toMicros(t.tripTime))
     )
 
@@ -84,10 +88,12 @@ object TypedAgg {
       startedTrips = b.started,
       endedTrips = b.ended,
       // the exact column chain avgRounded plans: decimal sum -> double ->
-      // divide by count -> the shared portable rounding grid
-      avgTemperature = if (b.tempCount == 0) 0.0
-        else graft.functions.DeterministicAgg.roundFixedLocal(
-          b.tempSum.doubleValue() / b.tempCount, 4),
+      // divide by count -> the shared portable rounding grid; an all-NULL
+      // group averages to None = SQL NULL, exactly like avg() and the
+      // oracle's SUM/COUNT division (round-15 advisor)
+      avgTemperature = if (b.tempCount == 0) None
+        else Some(graft.functions.DeterministicAgg.roundFixedLocal(
+          b.tempSum.doubleValue() / b.tempCount, 4)),
       updateTime = fromMicros(b.maxTime)
     )
 

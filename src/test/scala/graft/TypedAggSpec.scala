@@ -53,8 +53,33 @@ class TypedAggSpec extends AnyFunSuite {
       .toMap
     assert(out("A").startedTrips == 1L)
     assert(out("A").endedTrips == 1L)
-    assert(out("A").avgTemperature == 20.0)
+    assert(out("A").avgTemperature.contains(20.0))
     assert(out("A").updateTime == Timestamp.valueOf("2024-01-01 12:00:00"))
     assert(out("B").endedTrips == 1L)
+  }
+
+  test("NULL temperatures skip the mean like COUNT(value), not the row") {
+    import spark.implicits._
+    // the events table's `value` is nullable; a null decodes as None and
+    // must contribute to started/ended (COUNT(*)) but to NEITHER tempSum
+    // NOR tempCount (COUNT(e.value)) — round-15 advisor
+    val data = Seq(
+      TripStation("A", Timestamp.valueOf("2024-01-01 10:00:00"), "purchase", 10.0),
+      TripStation("A", Timestamp.valueOf("2024-01-01 11:00:00"), "view",
+        None: Option[Double]),
+      TripStation("A", Timestamp.valueOf("2024-01-01 12:00:00"), "view", 30.0),
+      // an ALL-NULL group: the mean is SQL NULL (None), never an invented 0
+      TripStation("B", Timestamp.valueOf("2024-01-01 09:00:00"), "view",
+        None: Option[Double]))
+    val out = data.toDS()
+      .groupByKey(_.stationName)
+      .agg(agg.toColumn)
+      .collect()
+      .toMap
+    assert(out("A").startedTrips == 1L)
+    assert(out("A").endedTrips == 2L)     // the null row still counted
+    assert(out("A").avgTemperature.contains(20.0)) // (10+30)/2, null skipped
+    assert(out("B").endedTrips == 1L)
+    assert(out("B").avgTemperature.isEmpty)
   }
 }
