@@ -324,7 +324,23 @@ object Tables {
     * read is lossless, NULL text riding as a null union branch hashing 0. */
   def avroRoundTrip(spark: SparkSession, documents: DataFrame): DataFrame = {
     val dir = scratchDir("graft_avro", documents)
-    documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    documents.select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        // LOGICAL-TYPE columns (round-15 verdict #7): the (long, string)
+        // surface only proved avro's primitive encodings — the part that
+        // actually breaks across engines is the LOGICAL types, so the
+        // written schema now carries a timestamp-micros and a decimal,
+        // both derived closed-form so the DuckDB oracle can replay them.
+        //   doc_ts: micros since epoch = doc_id·10⁶ + (doc_id mod 999983)
+        //   — sub-second micros exercised, not just whole seconds
+        timestamp_micros(col("doc_id") * 1000000L +
+          pmod(col("doc_id"), lit(999983L))).as("doc_ts"),
+        //   price: DECIMAL(18,4) = (n_chars·10⁴ + doc_id mod 10⁴)·0.0001 —
+        //   integer scaled value × an exact decimal(4,4) literal, so the
+        //   arithmetic is EXACT on both engines (no double rounding); a
+        //   NULL n_chars propagates to a NULL price on both sides
+        ((col("n_chars") * 10000L + pmod(col("doc_id"), lit(10000L)))
+          .cast("decimal(22,0)") * lit(new java.math.BigDecimal("0.0001")))
+          .cast("decimal(18,4)").as("price"))
       .write.mode("overwrite").option("compression", "snappy")
       .partitionBy("lang")
       .format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
@@ -335,7 +351,14 @@ object Tables {
         sum(col("n_chars")).as("total_chars"),
         bit_xor(coalesce(
           graft.operators.TextOps.portableHash64(col("text")), lit(0L)))
-          .as("content_hash"))
+          .as("content_hash"),
+        // the logical-type proofs: a micros-truncated or tz-shifted
+        // timestamp round-trip moves max_ts; a scale/precision mangle in
+        // the decimal round-trip moves total_price (the final cast to
+        // double is exact at any reachable magnitude — the scaled total
+        // stays far below 2⁵³ — so the presentation cannot mask a defect)
+        max(col("doc_ts")).as("max_ts"),
+        sum(col("price")).cast("double").as("total_price"))
   }
 
   /** Gzipped JSON-LINES round-trip ([[orcRoundTrip]]'s text-format twin)

@@ -400,18 +400,44 @@ object StreamingSnapshots {
     graft.operators.Relational.hllEstimateTail(regs, p)
   }
 
+  /** Number of ascending event-time DATA chunks the trip-stream staging
+    * lands (sentinel excluded). TWO is the round-15 chunk-lever trim
+    * (verdict #2, down from four): the multi-batch PROOF needs state to
+    * span at least two data micro-batches before the sentinel — two chunks
+    * give exactly that (and [[requireMultiBatch]] now asserts it on every
+    * run) — while each extra landing only re-paid the per-micro-batch
+    * scheduling fixed cost on the same total rows. A/B at sf0.1: identical
+    * oracle rows, family wall down (PLANS.md round-15 notes). */
+  private val tripChunks = 2
+
+  /** Asserts the finished stream actually executed at least `minDataBatches`
+    * micro-batches WITH input rows (the chunk-lever invariant, round-15
+    * verdict #2): cross-batch state is only proven if the run was genuinely
+    * multi-batch, so every snapshot checks its query's progress record
+    * before stopping instead of trusting the landing loop's shape. Call
+    * BEFORE q.stop() — recentProgress survives the stop but stays explicit. */
+  private def requireMultiBatch(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                minDataBatches: Int): Unit = {
+    val n = q.recentProgress.count(_.numInputRows > 0)
+    require(n >= minDataBatches,
+      s"streaming gate expected >= $minDataBatches data micro-batches " +
+        s"(cross-batch state proof), saw $n")
+  }
+
   /** Shared staging of the reference-topology trip feed (round-13 verdict
-    * #2/#3): the events table as FOUR ascending event-time range chunks —
-    * the arrival contract a log-shipping ingest satisfies by construction —
-    * plus TWO far-future sentinel chunks (user −1) that walk the watermark
-    * past every real day's end + the 1-day delay, flushing both the
-    * station-day aggregate and the anomaly windows. ONE staging serves BOTH
-    * driver-checked reference streams (`station_day_agg_stream`,
-    * `window_anomalies_stream`) — the staging is a pure function of the
-    * corpus, so sharing it is the round-14 fixed-cost trim, not a semantic
-    * coupling; each query still lands into its OWN dir through its own
-    * checkpoint. NULLs in `value` are staged as-is: the declarative avg
-    * skips them exactly like the batch aggregate and the DuckDB oracle.
+    * #2/#3): the events table as [[tripChunks]] ascending event-time range
+    * chunks — the arrival contract a log-shipping ingest satisfies by
+    * construction — plus ONE far-future sentinel chunk (user −1) that walks
+    * the watermark past every real day's end + the 1-day delay, flushing
+    * both the station-day aggregate and the anomaly windows. ONE staging
+    * serves ALL driver-checked reference streams (`station_day_agg_stream`,
+    * `window_anomalies_stream`, the TWS and restart twins) — the staging is
+    * a pure function of the corpus, so sharing it is the round-14 fixed-cost
+    * trim, not a semantic coupling; each query still lands into its OWN dir
+    * through its own checkpoint. NULLs in `value` are staged as-is: the
+    * declarative avg skips them exactly like the batch aggregate and the
+    * DuckDB oracle (and since round 15 the TYPED path's Option[Double]
+    * temperature skips them identically — TypedAgg.reduce).
     *
     * Returns (scratch base, last real day, last real event time) — the
     * day/ts bounds the snapshots use to drop the sentinel's own far-future
@@ -421,7 +447,7 @@ object StreamingSnapshots {
                             sfDir: String): (String, java.sql.Date, java.sql.Timestamp) = {
     val ev = Tables.events(spark, sfDir)
     val base = Tables.scratchDir("graft_tripstream", ev)
-    val chunks = 4
+    val chunks = tripChunks
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
@@ -491,10 +517,11 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/aggCkpt")
       .outputMode("update").start()
     try {
-      (0 until 5).foreach { c =>
+      (0 to tripChunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/aggTmp", s"$base/aggIn", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, tripChunks + 1) // data chunks + sentinel
     } finally q.stop()
     ss.table(name)
       .groupBy(col("station_name"), col("event_day"))
@@ -508,6 +535,76 @@ object StreamingSnapshots {
         col("last.ended_trips").as("ended_trips"),
         col("last.avg_temperature").as("avg_temperature"),
         col("last.update_time").as("update_time"))
+  }
+
+  /** CHECKPOINT-RECOVERY as a driver-checked query — the T6 gate (round-15
+    * verdict #1, the last SURVEY §2 semantic proven only by specs): the
+    * reference's `commit.interval.ms = 0` + `streams.cleanUp()` contract
+    * (reference KafkaConsumer.kt:69, :75) is "state survives a restart and
+    * no record is lost or double-counted", and this query executes exactly
+    * that against the hash gate. The flagship station-day topology runs over
+    * the SAME staged chunks as [[stationDayAggStream]], but the first query
+    * is STOPPED after landing chunk 0; a brand-new query then starts from
+    * the SAME checkpoint — Spark reloads the aggregation state store and the
+    * file-source/ sink commit logs — and lands the remaining chunk(s) plus
+    * the sentinel. Pre-restart partial counts MUST survive into the
+    * post-restart folds or the day totals (and the hash) come out short;
+    * a replayed batch would double-count and overshoot.
+    *
+    * Sink discipline differs from the uninterrupted twin BY NECESSITY:
+    * Spark refuses to recover an update-mode MEMORY sink from a checkpoint
+    * (it is not fault-tolerant — `DataStreamWriter` only allows memory-sink
+    * recovery in Complete mode), and that refusal is the point of T6: a
+    * restart gate needs a sink with a commit log. So this twin runs the
+    * aggregation in APPEND mode into a PARQUET file sink — the file-sink
+    * `_spark_metadata` manifest is the exactly-once commit the reference's
+    * `commit.interval.ms = 0` approximates — where each (station, day)
+    * emits exactly once after the watermark closes its day (the sentinel
+    * walks the watermark past every real day, the same flush the as-of
+    * family uses). No latest-emission selector is needed: the appended set
+    * IS the final aggregate, and `station_day_agg`'s oracle SQL applies
+    * VERBATIM — the third consumer of that one string, pinning
+    * restart ≡ update-mode stream ≡ punctuator ≡ batch. */
+  def stationDayAggStreamRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, maxDay, _) = tripStageBase(spark, sfDir)
+    Seq("rstCkpt", "rstIn", "rstTmp", "rstSink").foreach(d => wipe(s"$base/$d"))
+    val ss = streamSession(spark, shufflePartitions = 4)
+    // ONE definition of the query, started twice: the restart must rebuild
+    // the IDENTICAL plan against the same checkpoint, as a crashed driver's
+    // replacement would
+    def start() = StreamingEtl.stationDayAggStreaming(
+        graft.operators.TripEtl.enrichTrips(
+          ss.readStream.schema(tripStreamSchema).parquet(s"$base/rstIn"),
+          Tables.supplier(ss, sfDir)))
+      .writeStream.format("parquet").option("path", s"$base/rstSink")
+      .option("checkpointLocation", s"$base/rstCkpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      landChunk(s"$base/stage0", s"$base/rstTmp", s"$base/rstIn", "stage0")
+      q1.processAllAvailable()
+      requireMultiBatch(q1, 1)
+    } finally q1.stop() // the "crash": state + commit logs stay in rstCkpt
+    val q2 = start()    // recovery: offsets, state store, sink manifest
+    try {
+      (1 to tripChunks).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/rstTmp", s"$base/rstIn", s"stage$c")
+        q2.processAllAvailable()
+      }
+      requireMultiBatch(q2, tripChunks) // post-restart chunks + sentinel
+    } finally q2.stop()
+    val outSchema = StructType(Seq(
+      StructField("station_name", StringType),
+      StructField("event_day", DateType),
+      StructField("started_trips", LongType),
+      StructField("ended_trips", LongType),
+      StructField("avg_temperature", DoubleType),
+      StructField("update_time", TimestampType)))
+    // the file-sink manifest lists only COMMITTED files — reading through
+    // it is part of the exactly-once contract under test
+    spark.read.schema(outSchema).parquet(s"$base/rstSink")
+      .filter(col("event_day") <= lit(maxDay)) // the sentinel's day never
+                                               // emits, but stay uniform
   }
 
   /** The reference PUNCTUATOR itself as a driver-checked stream (round-14
@@ -544,10 +641,11 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/twsCkpt")
       .outputMode("update").start()
     try {
-      (0 until 5).foreach { c =>
+      (0 to tripChunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/twsTmp", s"$base/twsIn", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, tripChunks + 1) // data chunks + sentinel
     } finally q.stop()
     ss.table(name)
       .groupBy(col("stationName"), col("eventDay"))
@@ -591,10 +689,11 @@ object StreamingSnapshots {
       .option("checkpointLocation", s"$base/anomCkpt")
       .outputMode("update").start()
     try {
-      (0 until 5).foreach { c =>
+      (0 to tripChunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/anomTmp", s"$base/anomIn", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, tripChunks + 1) // data chunks + sentinel
     } finally q.stop()
     ss.table(name)
       .groupBy(col("window_start"), col("station_name"))
@@ -660,7 +759,12 @@ object StreamingSnapshots {
     // function of it, and a (name, corpus)-only key would silently serve
     // one tolerance's sentinels to a caller using another
     val base = Tables.scratchDir(s"graft_asofshared_t$toleranceMs", ev)
-    val chunks = 4
+    // TWO data chunks (round-15 chunk-lever trim, was four): lefts still
+    // buffer across micro-batches and rights still dominance-prune across
+    // the chunk boundary — requireMultiBatch asserts the multi-batch shape
+    // on every run — while each dropped landing stops re-paying the
+    // per-micro-batch scheduling fixed cost on the same rows
+    val chunks = 2
     val mm = ev.filter(col("event_type").isin("purchase", "error"))
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
@@ -735,12 +839,69 @@ object StreamingSnapshots {
         landChunk(s"$base/stageE$c", s"$base/bwdTmp", s"$base/bwdInE", s"E$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, rounds) // paired data landings + sentinel
     } finally q.stop()
     val outSchema = StructType(Seq(
       StructField("userId", LongType), StructField("eventId", LongType),
       StructField("ts", TimestampType), StructField("errorId", LongType),
       StructField("errorTs", TimestampType), StructField("errorValue", DoubleType)))
     spark.read.schema(outSchema).parquet(s"$base/bwdSink")
+      .filter(col("userId") >= 0L) // drop the flushed sentinel
+      .select(col("eventId").as("event_id"), col("userId").as("user_id"),
+        col("ts"), col("errorTs").as("last_error_ts"))
+  }
+
+  /** CHECKPOINT-RECOVERY for the stream–stream as-of join (round-15 stretch,
+    * verdict #8): of every stateful shape in the engine this is the hardest
+    * to recover — per-user ListState of buffered lefts, dominance-pruned
+    * rights, AND armed event-time timers must all come back from the RocksDB
+    * checkpoint for the released rows to be right. Harness =
+    * [[stationDayAggStreamRestart]]'s pattern over [[asOfStageBase]]'s
+    * shared staging: the first query ingests the first paired landing and
+    * is stopped; a brand-new query starts from the SAME checkpoint and
+    * lands the remaining pair(s) plus the sentinel round. A left buffered
+    * before the stop must be released by a right (or the watermark) that
+    * arrives only AFTER the restart; lost timer state would strand it
+    * (missing row → hash fail), a replayed release would duplicate it (the
+    * parquet sink's manifest must dedupe the uncommitted tail). Oracle =
+    * `asof_last_error`'s DuckDB ASOF JOIN verbatim, row count included. */
+  def asOfStreamLastErrorRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, rounds) = asOfStageBase(spark, sfDir, toleranceMs = 3600000L)
+    Seq("rbwdCkpt", "rbwdInP", "rbwdInE", "rbwdTmp", "rbwdSink")
+      .foreach(d => wipe(s"$base/$d"))
+    val ss = streamSession(spark, shufflePartitions = 4)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def start() = StreamAsOf.asOfEnrichStreams(
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/rbwdInP")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ss.readStream.schema(asOfFeedSchema).parquet(s"$base/rbwdInE")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"),
+            col("value")))
+      .toDF().writeStream.format("parquet").option("path", s"$base/rbwdSink")
+      .option("checkpointLocation", s"$base/rbwdCkpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      landChunk(s"$base/stageP0", s"$base/rbwdTmp", s"$base/rbwdInP", "P0")
+      landChunk(s"$base/stageE0", s"$base/rbwdTmp", s"$base/rbwdInE", "E0")
+      q1.processAllAvailable()
+      requireMultiBatch(q1, 1)
+    } finally q1.stop() // the "crash": ListState, timers, offsets stay put
+    val q2 = start()    // recovery from the same RocksDB checkpoint
+    try {
+      (1 until rounds).foreach { c =>
+        landChunk(s"$base/stageP$c", s"$base/rbwdTmp", s"$base/rbwdInP", s"P$c")
+        landChunk(s"$base/stageE$c", s"$base/rbwdTmp", s"$base/rbwdInE", s"E$c")
+        q2.processAllAvailable()
+      }
+      requireMultiBatch(q2, rounds - 1)
+    } finally q2.stop()
+    val outSchema = StructType(Seq(
+      StructField("userId", LongType), StructField("eventId", LongType),
+      StructField("ts", TimestampType), StructField("errorId", LongType),
+      StructField("errorTs", TimestampType), StructField("errorValue", DoubleType)))
+    spark.read.schema(outSchema).parquet(s"$base/rbwdSink")
       .filter(col("userId") >= 0L) // drop the flushed sentinel
       .select(col("eventId").as("event_id"), col("userId").as("user_id"),
         col("ts"), col("errorTs").as("last_error_ts"))
@@ -785,6 +946,7 @@ object StreamingSnapshots {
         landChunk(s"$base/stageP$c", s"$base/fwdTmp", s"$base/fwdInR", s"R$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, rounds) // paired data landings + sentinel
     } finally q.stop()
     val outSchema = StructType(Seq(
       StructField("userId", LongType), StructField("eventId", LongType),
@@ -826,7 +988,10 @@ object StreamingSnapshots {
     val ev = Tables.events(spark, sfDir)
     val base = Tables.scratchDir("graft_sessstream", ev)
     Seq("ckpt", "in", "tmp").foreach(d => wipe(s"$base/$d"))
-    val chunks = 4
+    // two data chunks (round-15 chunk-lever trim, was four): session MERGE
+    // still happens across the chunk boundary — requireMultiBatch asserts
+    // the multi-batch shape — at half the per-landing scheduling fixed cost
+    val chunks = 2
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
@@ -870,6 +1035,7 @@ object StreamingSnapshots {
         landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, chunks + 1) // data chunks + sentinel
     } finally q.stop()
     val outSchema = StructType(Seq(
       StructField("session_start", TimestampType),

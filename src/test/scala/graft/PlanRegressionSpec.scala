@@ -645,7 +645,10 @@ class PlanRegressionSpec extends AnyFunSuite {
       "wds_reshard_dedup",
       // round-14 promotions (reference etl/anomaly topics) — same rationale
       "station_day_agg_stream", "station_day_agg_stream_tws",
-      "window_anomalies_stream")
+      "window_anomalies_stream",
+      // round-15 restart gates (T6) — same rationale; each runs TWO real
+      // stream executions (stop + recover) just to hand back a plan
+      "station_day_agg_stream_restart", "asof_stream_last_error_restart")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skipStreaming)
       .filter { q =>
