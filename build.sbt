@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// machine-sourced spec count (round-15): every full `sbt test` run writes
+// test-summary.json via the custom reporter; update_docs.py reads it
+Test / testOptions +=
+  Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.TestCountReporter")
 // pass the forked JVM's stdout through UNWRAPPED instead of logging each
 // line as [info]: the driver scrapes Bench's one-line JSON from stdout and
 // its parser found nothing (parsed:null) while every line wore a prefix

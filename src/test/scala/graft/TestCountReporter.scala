@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.Reporter
+import org.scalatest.events._
+
+/** Scalatest reporter that writes the run's test totals to a tracked JSON
+  * artifact, `test-summary.json` in the project root (round-15 verdict #6):
+  * README's spec count was hand-fed (`update_docs.py --tests N`) because no
+  * tracked artifact carried the sbt total — a mechanically sourced count
+  * can't silently go stale the way the query count once did. Every full
+  * `sbt test` run rewrites the file; update_docs.py reads it.
+  *
+  * Counting is done from the per-test events (not just RunCompleted's
+  * optional Summary): under sbt's test framework the summary is populated
+  * at `done()`, but counting events ourselves keeps the artifact correct
+  * even where the aggregate summary is absent. Registered via
+  * `Test / testOptions += Tests.Argument(..., "-C", "graft.TestCountReporter")`
+  * — the forked test JVM's working directory is the project base, so the
+  * relative path lands next to bench.json. */
+class TestCountReporter extends Reporter {
+  private val succeeded = new AtomicInteger(0)
+  private val failed = new AtomicInteger(0)
+  private val ignored = new AtomicInteger(0)
+  private val canceled = new AtomicInteger(0)
+  private val pending = new AtomicInteger(0)
+  private val suites = new AtomicInteger(0)
+
+  override def apply(event: Event): Unit = event match {
+    case _: TestSucceeded => succeeded.incrementAndGet(): Unit
+    case _: TestFailed    => failed.incrementAndGet(): Unit
+    case _: TestIgnored   => ignored.incrementAndGet(): Unit
+    case _: TestCanceled  => canceled.incrementAndGet(): Unit
+    case _: TestPending   => pending.incrementAndGet(): Unit
+    case _: SuiteCompleted => suites.incrementAndGet(): Unit
+    case _: RunCompleted =>
+      // partial runs (testOnly) would clobber the full-suite artifact with
+      // a subset count — only a run that exercised every suite writes. The
+      // floor is deliberately conservative: a full run has >15 suites.
+      if (suites.get >= 15) {
+        val json =
+          s"""{"tests_succeeded":${succeeded.get},""" +
+            s""""tests_failed":${failed.get},""" +
+            s""""tests_ignored":${ignored.get},""" +
+            s""""tests_canceled":${canceled.get},""" +
+            s""""tests_pending":${pending.get},""" +
+            s""""suites_completed":${suites.get}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("test-summary.json"), json): Unit
+      }
+    case _ => ()
+  }
+}

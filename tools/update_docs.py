@@ -9,24 +9,27 @@ Sources of truth:
     run — its per-query map is exactly SparkEntry.queries' key set; the
     bench errors out if any query fails, so a committed bench.json is a
     complete enumeration);
-  - spec count: pass the total from the last `sbt test` run as --tests N
-    (there is no tracked artifact carrying it; omit to leave it unchanged).
+  - spec count: the tracked test-summary.json, written mechanically by
+    every full `sbt test` run (graft.TestCountReporter) — no hand-feed.
 
 Rewrites, in place:
   - "ALL <n> driver queries"   -> bench.json query count
   - "<n> scalatest specs"      -> --tests value
 
-Usage: python3 tools/update_docs.py [--tests N]
+Usage: python3 tools/update_docs.py
 """
 import json
+import os
 import re
 import sys
 
 
 def main() -> int:
     tests = None
-    if "--tests" in sys.argv:
-        tests = int(sys.argv[sys.argv.index("--tests") + 1])
+    if os.path.exists("test-summary.json"):
+        s = json.load(open("test-summary.json"))
+        if s.get("tests_failed", 0) == 0:
+            tests = s["tests_succeeded"]
     n = len(json.load(open("bench.json"))["queries"])
     text = open("README.md").read()
     text, k1 = re.subn(r"ALL \d+ driver queries", f"ALL {n} driver queries", text)
