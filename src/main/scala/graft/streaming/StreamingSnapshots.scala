@@ -120,7 +120,10 @@ object StreamingSnapshots {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      requireMultiBatch(q, 2) // maxFilesPerTrigger makes the run multi-batch
+    } finally q.stop()
     ss.table(name)
       .groupBy(col("i"), col("j"))
       .agg(max(struct(col("n_vectors"), col("cov"))).as("last"))
@@ -242,6 +245,7 @@ object StreamingSnapshots {
         landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, 2) // cross-batch state must be genuinely probed
     } finally q.stop()
     val candSchema = StructType(Seq(StructField("level", IntegerType),
       StructField("src", LongType), StructField("dst", LongType)))
@@ -307,6 +311,7 @@ object StreamingSnapshots {
         landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, 2) // cross-batch state must be genuinely probed
     } finally q.stop()
     val candSchema = StructType(Seq(StructField("doc_a", LongType),
       StructField("doc_b", LongType)))
@@ -346,7 +351,10 @@ object StreamingSnapshots {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      requireMultiBatch(q, 2) // maxFilesPerTrigger makes the run multi-batch
+    } finally q.stop()
     val grid = ss.table(name)
       .groupBy(col("r"), col("c")).agg(max(col("cnt")).as("cnt"))
     // the estimate tail runs entirely on the clone too — mixing
@@ -394,7 +402,10 @@ object StreamingSnapshots {
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      requireMultiBatch(q, 2) // maxFilesPerTrigger makes the run multi-batch
+    } finally q.stop()
     val regs = ss.table(name)
       .groupBy(col("event_type"), col("reg")).agg(max(col("r")).as("r"))
     graft.operators.Relational.hllEstimateTail(regs, p)
@@ -1120,6 +1131,7 @@ object StreamingSnapshots {
         landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
         q.processAllAvailable()
       }
+      requireMultiBatch(q, 2) // cross-batch state must be genuinely probed
     } finally q.stop()
     val outSchema = StructType(docSchema.fields.toIndexedSeq :+
       StructField("content_hash", StringType))
@@ -1167,7 +1179,10 @@ object StreamingSnapshots {
       .toDF().writeStream.format("memory").queryName(name)
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      requireMultiBatch(q, 2) // maxFilesPerTrigger makes the run multi-batch
+    } finally q.stop()
     val finals = ss.table(name)
       .groupBy(col("eventType"))
       .agg(max(struct(col("nTotal"), col("candidates"))).as("last"))
@@ -1245,6 +1260,7 @@ object StreamingSnapshots {
           fileFilter = _.endsWith(".tar"))
         q.processAllAvailable()
       }
+      requireMultiBatch(q, 2) // cross-batch dedup must be genuinely probed
     } finally q.stop()
     // read the OUTPUT shards back, one row per batch dir in landing
     // (= batch-id) order; empty batches wrote no dir, by the pipeline's
