@@ -173,10 +173,17 @@ object Bench {
     val extMedian = if (extAll.isEmpty) 0.0 else extAll(extAll.size / 2)
     val sustainedSuspect = extMedian > 0.20
     val loadSuspect = transientSuspect || sustainedSuspect
+    // when process CPU is unreadable (no com.sun.management bean) every
+    // ext sample is forced to 0 and the sustained channel is BLIND — say
+    // so in load_reason instead of reporting a confident "none" (the
+    // r13 silent-blindness failure mode, round-15 review)
+    val cpuUnreadable = samples.values.flatten.nonEmpty &&
+      samples.values.flatten.forall(_.cpu < 0)
     val loadReason =
       if (transientSuspect && sustainedSuspect) "transient+sustained"
       else if (transientSuspect) "transient_disagreement"
       else if (sustainedSuspect) "sustained_external_cpu"
+      else if (cpuUnreadable) "none_but_external_channel_unreadable"
       else "none"
 
     // headline per query: the min-wall sample (its cpu rides along, so a

@@ -3091,6 +3091,43 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_intervals
           FROM grp GROUP BY doc_id, g)"""
 
+  /** ONE definition of the station-day aggregate's oracle, shared by SIX
+    * gates (batch, salted two-phase, incremental merge, update-mode
+    * stream, TWS punctuator, checkpoint restart): the "identical BY
+    * DESIGN" equivalence contract is enforced STRUCTURALLY — a future
+    * edit cannot drift one copy — instead of by eyeball string equality
+    * (round-15 review; the asofBackwardOracleSql pattern). */
+  private val stationDayAggOracleSql: String =
+    """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
+         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
+         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
+         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
+         MAX(e.ts) AS update_time
+         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+         GROUP BY 1, 2"""
+
+  /** Parameterized window-anomaly oracle — `windowMinutes` and
+    * `threshold` are the reference CLI's D and P/100
+    * (scripts/processing.sh:12); three gates instantiate it, so the
+    * P=50/D=360 pair and the P=60/D=10 twin provably differ by exactly
+    * these two literals. */
+  private def windowAnomaliesOracleSql(windowMinutes: Int,
+                                       threshold: String): String =
+    s"""SELECT window_start, station_name,
+         GREATEST(0, ended - started) AS returned_over_rented,
+         GREATEST(0, started - ended) AS rented_over_returned,
+         total_docks,
+         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
+         (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > $threshold AS is_anomaly
+         FROM (
+           SELECT time_bucket(INTERVAL '$windowMinutes minutes', e.ts) AS window_start,
+             s.s_name AS station_name,
+             CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
+             COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
+             COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
+           FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
+           GROUP BY 1, 2, 3)"""
+
   /** Replica of heavyUsers over plantHeavyUsers, single-sourced by the
     * batch query and its streaming-MG twin: the MG sketch is only a
     * candidate pruner (exact verify pass), so the oracle is the plain
@@ -3760,68 +3797,26 @@ object SparkEntry {
          s.s_name AS station_name, s.s_nationkey AS station_nation,
          s.s_acctbal AS station_acctbal
          FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey""",
-    "station_day_agg" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
+    "station_day_agg" -> stationDayAggOracleSql,
     // identical to station_day_agg BY DESIGN: the incremental query's
     // merge(history_state, batch_state) must finalize to the one-shot
     // aggregate — this shared replica is the equivalence proof
-    "station_day_agg_incremental" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
+    "station_day_agg_incremental" -> stationDayAggOracleSql,
     // identical to station_day_agg BY DESIGN: the TWS punctuator's
     // boundary-sweep emissions must converge to the same batch aggregate
     // (decimal-exact typed buffer, round 14) — punctuator ≡ update-mode
     // agg ≡ batch, all pinned by one SQL string
-    "station_day_agg_stream_tws" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
+    "station_day_agg_stream_tws" -> stationDayAggOracleSql,
     // identical to station_day_agg BY DESIGN (round-15 verdict #1 — T6):
     // the topology stopped mid-ingest and resumed from its checkpoint must
     // finalize to the one-shot batch aggregate — the fourth consumer of
     // this string, pinning restart ≡ stream ≡ punctuator ≡ batch
-    "station_day_agg_stream_restart" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
+    "station_day_agg_stream_restart" -> stationDayAggOracleSql,
     // identical to station_day_agg BY DESIGN (round-13 verdict #2): the
     // live streamed topology's latest-emission snapshot must equal the
     // one-shot batch aggregate — the reference flagship's stream gate
-    "station_day_agg_stream" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
-    "station_day_agg_salted" ->
-      """SELECT s.s_name AS station_name, CAST(e.ts AS DATE) AS event_day,
-         COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started_trips,
-         COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended_trips,
-         floor((CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(e.value)) * 1e4 + 0.5) / 1e4 AS avg_temperature,
-         MAX(e.ts) AS update_time
-         FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-         GROUP BY 1, 2""",
+    "station_day_agg_stream" -> stationDayAggOracleSql,
+    "station_day_agg_salted" -> stationDayAggOracleSql,
     // replica of Skew.zipfSaltedAgg's PLAIN form: the same portable-hash
     // hot-key assignment (integer arithmetic only), one group-by — the
     // salted two-phase plan must hash-match this exactly, proving the
@@ -3886,55 +3881,13 @@ object SparkEntry {
     // identical to window_anomalies BY DESIGN (round-13 verdict #3): the
     // anomalies-topic topology streamed live must score every (window,
     // station) exactly like the batch plan — ratio rounding included
-    "window_anomalies_stream" ->
-      """SELECT window_start, station_name,
-         GREATEST(0, ended - started) AS returned_over_rented,
-         GREATEST(0, started - ended) AS rented_over_returned,
-         total_docks,
-         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
-         (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > 0.5 AS is_anomaly
-         FROM (
-           SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
-             s.s_name AS station_name,
-             CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
-             COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
-             COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
-           FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-           GROUP BY 1, 2, 3)""",
+    "window_anomalies_stream" -> windowAnomaliesOracleSql(360, "0.5"),
     // the ops-example parameterization (round-15 verdict #5): the SAME
     // query shape at the reference CLI's P=60, D=10 — only the interval
     // and the threshold literal differ from window_anomalies' P=50, D=360,
     // proving both are live parameters of the plan
-    "window_anomalies_p60d10" ->
-      """SELECT window_start, station_name,
-         GREATEST(0, ended - started) AS returned_over_rented,
-         GREATEST(0, started - ended) AS rented_over_returned,
-         total_docks,
-         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
-         (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > 0.6 AS is_anomaly
-         FROM (
-           SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS window_start,
-             s.s_name AS station_name,
-             CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
-             COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
-             COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
-           FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-           GROUP BY 1, 2, 3)""",
-    "window_anomalies" ->
-      """SELECT window_start, station_name,
-         GREATEST(0, ended - started) AS returned_over_rented,
-         GREATEST(0, started - ended) AS rented_over_returned,
-         total_docks,
-         floor((ABS(ended - started) / CAST(total_docks AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS n_to_docks_ratio,
-         (ABS(ended - started) / CAST(total_docks AS DOUBLE)) > 0.5 AS is_anomaly
-         FROM (
-           SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
-             s.s_name AS station_name,
-             CAST(s.s_nationkey AS BIGINT) + 1 AS total_docks,
-             COUNT(*) FILTER (WHERE e.event_type = 'purchase') AS started,
-             COUNT(*) FILTER (WHERE e.event_type <> 'purchase') AS ended
-           FROM events e JOIN supplier s ON e.user_id % 10 = s.s_suppkey
-           GROUP BY 1, 2, 3)""",
+    "window_anomalies_p60d10" -> windowAnomaliesOracleSql(10, "0.6"),
+    "window_anomalies" -> windowAnomaliesOracleSql(360, "0.5"),
     "window_counts_capped" ->
       """SELECT time_bucket(INTERVAL '360 minutes', e.ts) AS window_start,
          time_bucket(INTERVAL '360 minutes', e.ts) + INTERVAL '360 minutes' AS window_end,

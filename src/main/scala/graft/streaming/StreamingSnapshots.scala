@@ -462,6 +462,16 @@ object StreamingSnapshots {
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    // fail FAST on a corpus whose event-time span cannot fill every chunk
+    // (e.g. all rows in one µs): a range chunk would stage empty, its
+    // landing would carry no rows, and requireMultiBatch would later fail
+    // with a misleading "not multi-batch" — but the real condition is that
+    // a multi-batch ingest PROOF is meaningless on an unsplittable corpus,
+    // so say exactly that here (round-15 review)
+    require(tHi - tLo + 1 >= chunks,
+      s"trip-stream staging needs an event-time span of >= $chunks µs to " +
+        s"stage $chunks nonempty chunks (got [$tLo, $tHi]); a corpus that " +
+        "cannot split cannot support the multi-batch recovery/state proof")
     val bound = (c: Int) =>
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
     def inChunk(c: Int) =
@@ -780,6 +790,12 @@ object StreamingSnapshots {
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    // unsplittable-corpus fail-fast, as in tripStageBase: with two chunks,
+    // tLo lands in chunk 0 and tHi in chunk 1, so a 2-µs span guarantees
+    // every paired landing round carries rows (union across both sides)
+    require(tHi - tLo + 1 >= chunks,
+      s"as-of staging needs a purchase/error event-time span of >= $chunks " +
+        s"µs to stage $chunks nonempty chunk rounds (got [$tLo, $tHi])")
     // time-range quarters (BigInt: the span·c product must not wrap)
     val bound = (c: Int) =>
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
@@ -1006,6 +1022,10 @@ object StreamingSnapshots {
     val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (tLo, tHi) =
       if (mm.isNullAt(0)) (0L, -1L) else (mm.getLong(0), mm.getLong(1))
+    // unsplittable-corpus fail-fast, as in tripStageBase
+    require(tHi - tLo + 1 >= chunks,
+      s"session staging needs an event-time span of >= $chunks µs to " +
+        s"stage $chunks nonempty chunks (got [$tLo, $tHi])")
     val bound = (c: Int) =>
       (BigInt(tLo) + (BigInt(tHi) - tLo + 1) * c / chunks).toLong
     // ONE sentinel at +2h: it puts the watermark (delay 1h) past every

@@ -14,7 +14,7 @@ Sources of truth:
 
 Rewrites, in place:
   - "ALL <n> driver queries"   -> bench.json query count
-  - "<n> scalatest specs"      -> --tests value
+  - "<n> scalatest specs"      -> test-summary.json spec count
 
 Usage: python3 tools/update_docs.py
 """
@@ -29,7 +29,10 @@ def main() -> int:
     if os.path.exists("test-summary.json"):
         s = json.load(open("test-summary.json"))
         if s.get("tests_failed", 0) == 0:
-            tests = s["tests_succeeded"]
+            # a spec marked ignored/canceled/pending is still a spec in the
+            # source tree -- count everything the run discovered
+            tests = (s["tests_succeeded"] + s.get("tests_ignored", 0)
+                     + s.get("tests_canceled", 0) + s.get("tests_pending", 0))
     n = len(json.load(open("bench.json"))["queries"])
     text = open("README.md").read()
     text, k1 = re.subn(r"ALL \d+ driver queries", f"ALL {n} driver queries", text)
