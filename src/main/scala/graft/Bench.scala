@@ -72,10 +72,22 @@ object Bench {
     case _ => -1L
   }
 
-  /** One timed sample: wall seconds, this-process CPU seconds, and the
+  /** One timed sample: wall seconds, this-process CPU seconds, the
     * external-busy fraction of the whole machine over the interval
-    * (0 when unreadable — never poisons the load signal upward). */
-  final case class Sample(wall: Double, cpu: Double, ext: Double)
+    * (0 when unreadable — never poisons the load signal upward), and the
+    * JVM GC pause seconds accrued during the sample (round-16 variance
+    * work: a sample whose wall outlier coincides with a gc spike is a
+    * heap event, not a plan regression — the retained samples make that
+    * distinction mechanical instead of guessed). */
+  final case class Sample(wall: Double, cpu: Double, ext: Double,
+                          gc: Double = 0.0)
+
+  private def gcPauseMs(): Long = {
+    var t = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => if (b.getCollectionTime > 0) t += b.getCollectionTime)
+    t
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,10 +124,12 @@ object Bench {
       if (lcpConsumers(name)) SparkEntry.lcpRel(spark, sfDir).count(): Unit
       val busy0 = procStatBusy()
       val cpu0 = processCpuNs()
+      val gc0 = gcPauseMs()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcPauseMs() - gc0) / 1e3
       val cpu = if (cpu0 >= 0) (processCpuNs() - cpu0) / 1e9 else -1.0
       // external busy = machine busy minus this process's share, as a
       // fraction of the machine's total capacity over the interval. When
@@ -127,7 +141,7 @@ object Bench {
         val busySec = (b1 - b0) / 100.0 // USER_HZ=100 jiffies
         math.max(0.0, (busySec - cpu) / (wall * nCores))
       }).getOrElse(0.0)
-      Sample(wall, cpu, ext)
+      Sample(wall, cpu, ext, gcSec)
     }
 
     // dev-only subsetting (e.g. the scale-slope tool benches just the
@@ -200,7 +214,8 @@ object Bench {
     // ext high reads as starvation; cpu growing with wall reads as code
     val sampleRec = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
       val arr = ss.reverse.map(s =>
-        s"""[${f3(s.wall)},${f3(s.cpu)},${f3(s.ext)}]""").mkString(",")
+        s"""[${f3(s.wall)},${f3(s.cpu)},${f3(s.ext)},${f3(s.gc)}]""")
+        .mkString(",")
       s""""$k":[$arr]"""
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""$k":"$v"""" }

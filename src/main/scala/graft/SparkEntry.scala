@@ -984,6 +984,15 @@ object SparkEntry {
     // pins it; this row makes the DRIVER hash it every round)
     "emb_hnsw_stream_edges" -> ((s, dir) =>
       graft.streaming.StreamingSnapshots.hnswStreamEdges(s, dir)),
+    // CHECKPOINT-RECOVERY of the ingest's bucket-membership state (round-15
+    // verdict #3 — a third recovered state shape next to the windowed-agg
+    // and ListState+timer restart gates): chunk 0 lands, the query stops,
+    // the checkpoint is TORN (commit deleted, offsets kept) so the restart
+    // must REPLAY the uncommitted batch against recovered high-water-mark
+    // state — the ingest contract itself polices staleness — then the
+    // remaining chunks land; same closed-form graph oracle verbatim
+    "emb_hnsw_stream_restart" -> ((s, dir) =>
+      graft.streaming.StreamingSnapshots.hnswStreamEdgesRestart(s, dir)),
     // the FIXED-STEP serving walk (round-11 verdict #5 — the
     // powerIteration precedent applied to traversal): round-synchronous
     // greedy descent + round-synchronous ef-beam, every knob fixed, so
@@ -5895,6 +5904,11 @@ object SparkEntry {
     // edge under the (enforced) ascending-id ingest contract, so the
     // closed-form graph oracle applies to the streamed artifact
     "emb_hnsw_stream_edges" -> hnswOracle(m = 8, numTables = 16,
+      maxLevel = 3, dim = 64, bucketCap = 128),
+    // the restart twin recovers (and replays onto) the same bucket state
+    // mid-ingest — identical graph or the hash flips, so the one
+    // closed-form oracle pins clean runs, recovery, AND replay dedup
+    "emb_hnsw_stream_restart" -> hnswOracle(m = 8, numTables = 16,
       maxLevel = 3, dim = 64, bucketCap = 128),
     "emb_label_centroids" ->
       """SELECT label, dim,

@@ -147,6 +147,20 @@ object StreamingSnapshots {
                             shufflePartitions: Int): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // A gate runs for seconds; the background state-store maintenance
+    // thread (default interval 60s) only contends with it — a snapshot
+    // upload can hold a provider's lock mid-micro-batch, which showed up
+    // as rare multi-second stalls in the round-15 cold-run bench samples.
+    // Pushing the interval past any gate's lifetime removes that source;
+    // a long-running production stream keeps the default (this conf is on
+    // the gate's cloned session only, never the user's).
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    // requireMultiBatch counts data batches via q.recentProgress, which is
+    // capped by this conf (default 100) — a landing loop longer than the
+    // cap would undercount and spuriously fail (round-15 advisor). No
+    // current gate approaches 100 batches; the raised cap makes the
+    // assertion correct by construction rather than by coincidence.
+    ss.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     ss
   }
 
@@ -190,11 +204,44 @@ object StreamingSnapshots {
     * in StreamingEtlSpec), so `emb_hnsw_build`'s closed-form graph
     * oracle applies verbatim. */
   def hnswStreamEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, bits, base, chunks) = hnswStaged(spark, sfDir)
+    Seq("ckpt", "in", "cand", "tmp").foreach(d => wipe(s"$base/$d"))
+    // state-partition sizing as in covStreamSnapshot, on a cloned session:
+    // the fMGWS state is bucket-grid-bounded, and 32 partitions × 4
+    // batches would pay 128 state-delta commits plus 128 sink files for
+    // a few thousand bucket groups (4 vs 8 A/B'd at sf0.1: a wash —
+    // 3.58 vs 3.56 s; THIS stream's cost is the stateful banding compute,
+    // which does use the map parallelism, so 8 stays)
+    val ss = streamSession(spark, shufflePartitions = 8)
+    val q = StreamingHnsw.candidateEdges(
+        ss.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
+      .writeStream.format("parquet").option("path", s"$base/cand")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      (0 until chunks).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
+        q.processAllAvailable()
+      }
+      requireMultiBatch(q, 2) // cross-batch state must be genuinely probed
+    } finally q.stop()
+    val candSchema = StructType(Seq(StructField("level", IntegerType),
+      StructField("src", LongType), StructField("dst", LongType)))
+    StreamingHnsw.snapshotEdges(emb,
+      spark.read.schema(candSchema).parquet(s"$base/cand"))
+  }
+
+  /** Shared staging for the streamed-HNSW gates: the corpus as FOUR
+    * ascending-vec_id range chunks under one (corpus, run)-keyed base —
+    * the uninterrupted gate and the restart twin drain the same staged
+    * files through their own landing dirs/checkpoints. Returns
+    * (embeddings, autoBits, scratch base, chunk count). */
+  private def hnswStaged(spark: SparkSession,
+                         sfDir: String): (DataFrame, Int, String, Int) = {
     val emb = Tables.embeddings(spark, sfDir)
     val n = Tables.parquetRowCount(spark, sfDir, "embeddings")
     val bits = Similarity.autoBits(n)
     val base = Tables.scratchDir("graft_hnswstream", emb)
-    Seq("ckpt", "in", "cand", "tmp").foreach(d => wipe(s"$base/$d"))
     val chunks = 4
     // chunk bounds from the ACTUAL id range, not `n·c/chunks`: the
     // arithmetic form silently assumed dense ids [0, n) and DROPPED
@@ -228,29 +275,57 @@ object StreamingSnapshots {
           .write.mode("overwrite").parquet(s"$base/stage$c")
       }
     }
-    // state-partition sizing as in covStreamSnapshot, on a cloned session:
-    // the fMGWS state is bucket-grid-bounded, and 32 partitions × 4
-    // batches would pay 128 state-delta commits plus 128 sink files for
-    // a few thousand bucket groups (4 vs 8 A/B'd at sf0.1: a wash —
-    // 3.58 vs 3.56 s; THIS stream's cost is the stateful banding compute,
-    // which does use the map parallelism, so 8 stays)
+    (emb, bits, base, chunks)
+  }
+
+  /** CHECKPOINT-RECOVERY for the streamed HNSW ingest (round-15 verdict
+    * #3) — a third recovered state SHAPE: [[stationDayAggStreamRestart]]
+    * recovers a windowed aggregation, [[asOfStreamLastErrorRestart]]
+    * recovers ListState+timers under RocksDB; this gate recovers the
+    * flatMapGroupsWithState BUCKET-MEMBERSHIP grid (per-(level, table,
+    * bucket) admitted-member lists + high-water marks) that the
+    * incremental graph build's cap semantics depend on. The first query
+    * ingests chunk 0 and is stopped; the checkpoint is TORN (newest
+    * commit-log entry deleted, offsets kept) so the restarted query must
+    * RE-EXECUTE the uncommitted batch against the recovered state — and
+    * here the ingest contract itself polices the recovery: replay loads
+    * the state version from BEFORE the torn batch, so the high-water
+    * marks sit below the replayed ids; a state store that instead served
+    * the post-batch version would fail the gate loudly (replayed ids ≤
+    * recovered high-water mark trips [[StreamingHnsw.candidateEdges]]'s
+    * IllegalStateException), and lost bucket members would admit a
+    * different member set than the batch cap — wrong edges, hash fail.
+    * Remaining chunks land post-restart; oracle = `emb_hnsw_build`'s
+    * closed-form graph oracle VERBATIM, as the uninterrupted twin. */
+  def hnswStreamEdgesRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, bits, base, chunks) = hnswStaged(spark, sfDir)
+    Seq("rckpt", "rin", "rcand", "rtmp").foreach(d => wipe(s"$base/$d"))
     val ss = streamSession(spark, shufflePartitions = 8)
-    val q = StreamingHnsw.candidateEdges(
-        ss.readStream.schema(embSchema).parquet(s"$base/in"), bits = bits)
-      .writeStream.format("parquet").option("path", s"$base/cand")
-      .option("checkpointLocation", s"$base/ckpt")
+    def start() = StreamingHnsw.candidateEdges(
+        ss.readStream.schema(embSchema).parquet(s"$base/rin"), bits = bits)
+      .writeStream.format("parquet").option("path", s"$base/rcand")
+      .option("checkpointLocation", s"$base/rckpt")
       .outputMode("append").start()
+    val q1 = start()
     try {
-      (0 until chunks).foreach { c =>
-        landChunk(s"$base/stage$c", s"$base/tmp", s"$base/in", s"stage$c")
-        q.processAllAvailable()
+      landChunk(s"$base/stage0", s"$base/rtmp", s"$base/rin", "stage0")
+      q1.processAllAvailable()
+      requireMultiBatch(q1, 1)
+    } finally q1.stop() // bucket state + offsets stay in rckpt
+    val torn = tearNewestCommit(s"$base/rckpt")
+    val q2 = start()
+    try {
+      (1 until chunks).foreach { c =>
+        landChunk(s"$base/stage$c", s"$base/rtmp", s"$base/rin", s"stage$c")
+        q2.processAllAvailable()
       }
-      requireMultiBatch(q, 2) // cross-batch state must be genuinely probed
-    } finally q.stop()
+      requireReplayed(q2, torn)         // the torn batch really re-executed
+      requireMultiBatch(q2, chunks - 1) // post-restart chunks
+    } finally q2.stop()
     val candSchema = StructType(Seq(StructField("level", IntegerType),
       StructField("src", LongType), StructField("dst", LongType)))
     StreamingHnsw.snapshotEdges(emb,
-      spark.read.schema(candSchema).parquet(s"$base/cand"))
+      spark.read.schema(candSchema).parquet(s"$base/rcand"))
   }
 
   /** The band-bucket dedup state maintained by a stream — the TEXT-side
@@ -421,6 +496,54 @@ object StreamingSnapshots {
     * oracle rows, family wall down (PLANS.md round-15 notes). */
   private val tripChunks = 2
 
+  /** Makes a stopped stream's checkpoint TORN: deletes the newest
+    * commit-log entry while leaving its offsets entry (and the sink
+    * manifest, and any state-store versions) in place — the exact
+    * artifact set a crash between sink commit and commit-log write
+    * leaves. The next query on this checkpoint must re-execute that
+    * batch and rely on sink idempotency for exactly-once. Fails loudly
+    * if the checkpoint has no committed batch to tear (the gate's
+    * pre-restart leg must have processed data for the replay proof to
+    * mean anything). Returns the torn batch id so the caller can assert
+    * the restarted query really re-executed it — the newest batch may be
+    * a no-data watermark-advance batch, so a data-batch COUNT cannot
+    * prove the replay happened, but the batchId in the progress record
+    * can. */
+  private def tearNewestCommit(ckptDir: String): Long = {
+    val commits = new java.io.File(s"$ckptDir/commits")
+    val batches = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.forall(_.isDigit))
+    require(batches.nonEmpty,
+      s"restart gate: no committed batch in $ckptDir to tear — " +
+        "the pre-crash leg processed nothing")
+    val newest = batches.maxBy(_.getName.toLong)
+    require(newest.delete(),
+      s"restart gate: could not tear commit ${newest.getName}")
+    // Hadoop's checksummed local FS keeps a `.N.crc` sidecar per commit
+    // file; leaving it behind makes the replayed batch's commit REWRITE
+    // collide (FileAlreadyExistsException on the .crc rename, surfacing
+    // as a bogus "multiple queries on one checkpoint") — a real crash
+    // between sink commit and commit write never created the sidecar in
+    // the first place, so tearing must remove both
+    val crc = new java.io.File(commits, s".${newest.getName}.crc")
+    if (crc.exists) require(crc.delete(),
+      s"restart gate: could not tear commit sidecar ${crc.getName}")
+    newest.getName.toLong
+  }
+
+  /** Asserts the restarted query re-executed the torn batch: its FIRST
+    * executed batch id must be exactly the one whose commit was deleted
+    * (not the next one — that would mean the uncommitted batch was
+    * skipped, i.e. data loss under the exactly-once contract). */
+  private def requireReplayed(q: org.apache.spark.sql.streaming.StreamingQuery,
+                              tornBatchId: Long): Unit = {
+    val ids = q.recentProgress.map(_.batchId)
+    require(ids.nonEmpty && ids.min == tornBatchId,
+      s"restart gate: expected the restarted query to replay torn batch " +
+        s"$tornBatchId, but its executed batch ids start at " +
+        s"${if (ids.isEmpty) "<none>" else ids.min.toString}")
+  }
+
   /** Asserts the finished stream actually executed at least `minDataBatches`
     * micro-batches WITH input rows (the chunk-lever invariant, round-15
     * verdict #2): cross-batch state is only proven if the run was genuinely
@@ -432,7 +555,9 @@ object StreamingSnapshots {
     val n = q.recentProgress.count(_.numInputRows > 0)
     require(n >= minDataBatches,
       s"streaming gate expected >= $minDataBatches data micro-batches " +
-        s"(cross-batch state proof), saw $n")
+        s"(cross-batch state proof), saw $n among ${q.recentProgress.length} " +
+        "retained progress records (cap: spark.sql.streaming." +
+        "numRecentProgressUpdates, raised to 1000 on gate sessions)")
   }
 
   /** Shared staging of the reference-topology trip feed (round-13 verdict
@@ -565,12 +690,19 @@ object StreamingSnapshots {
     * no record is lost or double-counted", and this query executes exactly
     * that against the hash gate. The flagship station-day topology runs over
     * the SAME staged chunks as [[stationDayAggStream]], but the first query
-    * is STOPPED after landing chunk 0; a brand-new query then starts from
-    * the SAME checkpoint — Spark reloads the aggregation state store and the
-    * file-source/ sink commit logs — and lands the remaining chunk(s) plus
-    * the sentinel. Pre-restart partial counts MUST survive into the
-    * post-restart folds or the day totals (and the hash) come out short;
-    * a replayed batch would double-count and overshoot.
+    * is STOPPED after landing chunk 0 and its checkpoint is then TORN —
+    * the newest commit-log entry is deleted while its offsets entry and
+    * the sink manifest stay, the exact on-disk state a crash between
+    * sink commit and commit-log write leaves (round-15 advisor: a
+    * graceful stop alone only proved CLEAN restart, never replay). A
+    * brand-new query then starts from the SAME checkpoint — Spark
+    * reloads the aggregation state store and the file-source/sink commit
+    * logs, RE-EXECUTES the uncommitted batch (its presence is asserted
+    * from the progress record), and the manifest dedups the replayed
+    * emission — then lands the remaining chunk(s) plus the sentinel.
+    * Pre-restart partial counts MUST survive into the post-restart folds
+    * or the day totals (and the hash) come out short; a sink that
+    * re-appended the replayed batch would double-count and overshoot.
     *
     * Sink discipline differs from the uninterrupted twin BY NECESSITY:
     * Spark refuses to recover an update-mode MEMORY sink from a checkpoint
@@ -605,13 +737,28 @@ object StreamingSnapshots {
       landChunk(s"$base/stage0", s"$base/rstTmp", s"$base/rstIn", "stage0")
       q1.processAllAvailable()
       requireMultiBatch(q1, 1)
-    } finally q1.stop() // the "crash": state + commit logs stay in rstCkpt
-    val q2 = start()    // recovery: offsets, state store, sink manifest
+    } finally q1.stop()
+    // The crash is made TORN, not graceful (round-15 advisor: a plain
+    // stop() after processAllAvailable leaves a fully-committed
+    // checkpoint, so restart only proved clean recovery, never replay):
+    // deleting the newest commit-log entry while keeping its offsets
+    // entry reconstructs exactly the on-disk state a driver crash
+    // BETWEEN the sink's manifest write and the commit-log write leaves
+    // behind. On restart Spark sees offsets/N without commits/N and MUST
+    // re-execute batch N — same batch id, same input files, watermark
+    // replayed from the offsets metadata — and the file sink's
+    // `_spark_metadata` manifest, which already recorded batch N, must
+    // dedup the replayed emission. A sink that appended again would
+    // double-count into the oracle hash; a state store that couldn't
+    // rewind to version N would miscount the day totals.
+    val torn = tearNewestCommit(s"$base/rstCkpt")
+    val q2 = start()    // recovery: offsets, REPLAYED batch, state, manifest
     try {
       (1 to tripChunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/rstTmp", s"$base/rstIn", s"stage$c")
         q2.processAllAvailable()
       }
+      requireReplayed(q2, torn)         // the torn batch really re-executed
       requireMultiBatch(q2, tripChunks) // post-restart chunks + sentinel
     } finally q2.stop()
     val outSchema = StructType(Seq(
@@ -914,14 +1061,22 @@ object StreamingSnapshots {
       landChunk(s"$base/stageE0", s"$base/rbwdTmp", s"$base/rbwdInE", "E0")
       q1.processAllAvailable()
       requireMultiBatch(q1, 1)
-    } finally q1.stop() // the "crash": ListState, timers, offsets stay put
-    val q2 = start()    // recovery from the same RocksDB checkpoint
+    } finally q1.stop() // ListState, timers, offsets stay put
+    // Torn crash, as in [[stationDayAggStreamRestart]]: drop the newest
+    // commit-log entry so q2 must RE-EXECUTE the uncommitted batch on top
+    // of the recovered RocksDB state — replayed transformWithState
+    // processing must re-arm the same timers and re-emit the same rows,
+    // and the parquet sink's manifest must dedup them (round-15 advisor:
+    // the graceful stop alone never exercised the replay path)
+    val torn = tearNewestCommit(s"$base/rbwdCkpt")
+    val q2 = start()    // recovery + replay from the same RocksDB checkpoint
     try {
       (1 until rounds).foreach { c =>
         landChunk(s"$base/stageP$c", s"$base/rbwdTmp", s"$base/rbwdInP", s"P$c")
         landChunk(s"$base/stageE$c", s"$base/rbwdTmp", s"$base/rbwdInE", s"E$c")
         q2.processAllAvailable()
       }
+      requireReplayed(q2, torn)      // the torn batch really re-executed
       requireMultiBatch(q2, rounds - 1)
     } finally q2.stop()
     val outSchema = StructType(Seq(

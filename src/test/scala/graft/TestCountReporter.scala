@@ -26,6 +26,7 @@ class TestCountReporter extends Reporter {
   private val canceled = new AtomicInteger(0)
   private val pending = new AtomicInteger(0)
   private val suites = new AtomicInteger(0)
+  private val aborted = new AtomicInteger(0)
 
   override def apply(event: Event): Unit = event match {
     case _: TestSucceeded => succeeded.incrementAndGet(): Unit
@@ -34,6 +35,7 @@ class TestCountReporter extends Reporter {
     case _: TestCanceled  => canceled.incrementAndGet(): Unit
     case _: TestPending   => pending.incrementAndGet(): Unit
     case _: SuiteCompleted => suites.incrementAndGet(): Unit
+    case _: SuiteAborted   => aborted.incrementAndGet(): Unit
     case _: RunCompleted =>
       // partial runs (testOnly) would clobber the full-suite artifact with
       // a subset count — only a run that completed AT LEAST as many suites
@@ -48,7 +50,20 @@ class TestCountReporter extends Reporter {
         """"suites_completed":(\d+)""".r.findFirstMatchIn(txt)
           .map(_.group(1).toInt).getOrElse(0)
       } catch { case _: Throwable => 0 }
-      if (suites.get >= recorded) {
+      // staleness must be VISIBLE, never silent (round-15 advisor): an
+      // aborted suite means this run's counts are not a full-run total, and
+      // a suppressed write means README keeps showing the OLD artifact —
+      // both get a loud stderr line so a frozen count is diagnosable from
+      // the test log instead of discovered rounds later.
+      if (aborted.get > 0)
+        System.err.println(s"graft.TestCountReporter: ${aborted.get} suite(s) " +
+          "ABORTED — test-summary.json not updated; counts would be partial")
+      if (suites.get < recorded)
+        System.err.println("graft.TestCountReporter: run completed " +
+          s"${suites.get} < recorded ${recorded} suites (testOnly subset or " +
+          "suite consolidation) — test-summary.json left unchanged; if " +
+          "suites were consolidated, delete it once to re-baseline")
+      if (suites.get >= recorded && aborted.get == 0) {
         val json =
           s"""{"tests_succeeded":${succeeded.get},""" +
             s""""tests_failed":${failed.get},""" +
