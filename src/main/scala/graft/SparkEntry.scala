@@ -905,6 +905,14 @@ object SparkEntry {
       TextOps.phraseSearchTopGram(Tables.documents(s, dir))),
     "doc_pack" -> ((s, dir) =>
       TextOps.packDocuments(Tables.documents(s, dir), contextTokens = 512)),
+    // the COMPOSED curation chain (round-15 verdict #7 stretch): lang-id
+    // agreement → quality floor → exact dedup → minhash keep-first →
+    // decontaminate → pack → shard, each stage the already-oracled
+    // operator consuming the previous stage's survivor set — one gate
+    // proving the stage contracts COMPOSE (domains, determinism), which
+    // is what a real 100 TB curation run exercises end to end
+    "doc_curation_pipeline" -> ((s, dir) =>
+      TextOps.curationPipelineFull(Tables.documents(s, dir))),
     "doc_hybrid_near_dup" -> ((s, dir) =>
       TextOps.hybridNearDup(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "doc_vocab" -> ((s, dir) =>
@@ -3619,6 +3627,108 @@ object SparkEntry {
              FROM documents))
          WHERE sample_rank <= 25""",
     "doc_pack" -> packOracle(contextTokens = 512),
+    // the composed curation chain: each CTE is the corresponding stage
+    // oracle's expression form (doc_language_id / doc_quality /
+    // doc_exact_dedup / doc_minhash_pairs / doc_decontaminate / doc_pack /
+    // doc_shard_manifest) restricted to the previous stage's survivor
+    // set by a key join — the composition is the thing under test.
+    // qualityMin = 0.35 keeps every FILTER stage non-vacuous at the gate
+    // sf (sf0.01 funnel: 500 → lang 198 → quality 181 → near-dup −3 →
+    // bench-split −20 → 158 packed into 18 windows); the exact-dedup
+    // stage executes structurally but the generated corpus carries no
+    // byte-identical texts, so its drop count is 0 by corpus
+    // construction (doc_exact_dedup's own gate pins the semantics)
+    "doc_curation_pipeline" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang,
+              list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents),
+          lang_keep AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, lang,
+                CAST(len(list_filter(t, x -> x IN ('the','a','of'))) AS INT) AS s_en,
+                CAST(len(list_filter(t, x -> x IN ('der','die','und'))) AS INT) AS s_de,
+                CAST(len(list_filter(t, x -> x IN ('le','la','et'))) AS INT) AS s_fr,
+                CAST(len(list_filter(t, x -> x IN ('el','los','y'))) AS INT) AS s_es,
+                CAST(len(list_filter(t, x -> x IN ('de','shi','le'))) AS INT) AS s_zh
+              FROM toks)
+            WHERE (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_en > 0 THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_de > 0 THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_fr > 0 THEN 'fr'
+                   WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_es > 0 THEN 'es'
+                   WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND s_zh > 0 THEN 'zh'
+                   ELSE 'und' END) = lang),
+          qual_keep AS (
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                len(list_filter(t, x -> x IN ('the','a','of'))) AS stop_cnt
+              FROM toks JOIN lang_keep USING (doc_id))
+            WHERE floor((0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 128.0)
+                  + 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0))
+                  + 0.3 * least(1.0, 5.0 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)))) * 1e4 + 0.5) / 1e4
+                  >= 0.35),
+          exact_keep AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents JOIN qual_keep USING (doc_id)
+            GROUP BY sha256(text)),
+          sh3 AS (
+            SELECT doc_id,
+              CASE WHEN len(t) >= 5 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 4),
+                  i -> array_to_string(t[i:i+4], ' ')))
+              ELSE CAST([] AS VARCHAR[]) END AS s
+            FROM toks JOIN exact_keep USING (doc_id)),
+          nd_drop AS (
+            SELECT DISTINCT doc_b AS doc_id FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / nullif(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0)) * 1e4 + 0.5) / 1e4
+                  AS jaccard
+              FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.7),
+          nd_keep AS (
+            SELECT doc_id FROM exact_keep
+            WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+          m AS (
+            SELECT doc_id,
+              ${shaFoldSql("'bench:' || CAST(doc_id AS VARCHAR)")} % 10 AS bm
+            FROM nd_keep),
+          grams AS (
+            SELECT tk.doc_id, m.bm,
+              unnest(CASE WHEN len(tk.t) >= 5 THEN
+                list_distinct(list_transform(generate_series(1, len(tk.t) - 4),
+                  i -> tk.t[i] || ' ' || tk.t[i+1] || ' ' || tk.t[i+2] || ' ' ||
+                       tk.t[i+3] || ' ' || tk.t[i+4]))
+                ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM toks tk JOIN m USING (doc_id)),
+          bg AS (SELECT DISTINCT g FROM grams WHERE bm = 0),
+          hits AS (
+            SELECT doc_id, count(*) AS nh
+            FROM grams JOIN bg USING (g)
+            WHERE bm <> 0 GROUP BY doc_id),
+          final_keep AS (
+            SELECT m.doc_id FROM m LEFT JOIN hits h USING (doc_id)
+            WHERE m.bm <> 0 AND coalesce(h.nh, 0) = 0),
+          o AS (
+            SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+            FROM (
+              SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens
+              FROM toks JOIN final_keep USING (doc_id))),
+          packed AS (
+            SELECT lang,
+              CAST(start_offset // 512 AS BIGINT) AS pack_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              min(doc_id) AS first_doc_id,
+              max(doc_id) AS last_doc_id
+            FROM o GROUP BY 1, 2)
+          SELECT lang, pack_id,
+            ${shaFoldSql("CAST(first_doc_id AS VARCHAR)")} % 64 AS shard,
+            n_docs, total_tokens, first_doc_id, last_doc_id
+          FROM packed""",
     "doc_hybrid_near_dup" ->
       s"""WITH $shingleCtes,
          p AS (${jaccardPairsSql(0.2)}),

@@ -1567,4 +1567,58 @@ class TextOpsSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("posexplode"), s"expected positional postings:\n$plan")
   }
+
+  test("full curation pipeline: each stage drops its target and the " +
+    "composition equals the hand-chained stages") {
+    import spark.implicits._
+    // 30 filler tokens shared ONLY by the near-dup pair (6, 7): one
+    // trailing-token difference over 34 tokens → verified jaccard
+    // 25/35 ≈ 0.7143 ≥ 0.7, while docs 1/4 carry disjoint tails so no
+    // other pair collides
+    val tail30 = (1 to 30).map(k => s"s$k").mkString(" ")
+    val raw = Seq(
+      (1L, "the a of w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "en"),
+      (2L, "der die und der die und der die und", "en"), // text says de
+      (3L, "und und und und", "de"),                     // de, low quality
+      (4L, "the a of v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12", "en"),
+      (5L, "the a of v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12", "en"),
+      (6L, s"the a of $tail30 ten", "en"),
+      (7L, s"the a of $tail30 eleven", "en"))
+    val docs = raw.map { case (i, t, l) => (i, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.curationPipelineFull(docs, contextTokens = 16)
+
+    // the hand-chained composition of the PUBLIC stage operators — the
+    // pipeline's contract is that it equals exactly this
+    val d1 = docs.join(TextOps.languageId(docs)
+      .filter(col("lang_match")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val d2 = d1.join(TextOps.qualityScore(d1)
+      .filter(col("quality_score") >= 0.35).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val d3 = d2.join(TextOps.exactDedup(d2)
+      .select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val d4 = d3.join(TextOps.minhashPairs(d3, n = 5, threshold = 0.7)
+      .select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val d5 = d4.join(TextOps.decontaminate(d4)
+      .filter(!col("contaminated")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val manual = TextOps.packDocuments(d5, contextTokens = 16)
+      .withColumn("shard", pmod(
+        TextOps.portableHash64(col("first_doc_id").cast("string")), lit(64L)))
+      .select(out.columns.map(col).toSeq: _*)
+    assert(out.except(manual).count() == 0 && manual.except(out).count() == 0)
+
+    // the funnel, stage by stage: 2 lang-dropped (label/text disagree),
+    // 3 quality-dropped, 5 exact-dup loser (canonical 4), 7 near-dup
+    // loser (keep-first); none of the spec ids is in the bench split
+    // (sha-fold mod 10 of 'bench:<id>' is nonzero for ids 1-7), so the
+    // decontaminate stage passes 1, 4, 6 through
+    val kept = d5.select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L), s"survivors $kept")
+    // packing: en docs 1 (15 toks) + 4 (15 toks) fill pack 0 of the
+    // 16-token grid (doc 4 STARTS at offset 15 inside pack 0 — the
+    // streaming-fill discretization), doc 6 (34 toks) starts pack 1
+    val packs = out.collect().map(r =>
+      r.getAs[Long]("pack_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(packs == Map(0L -> 2L, 1L -> 1L), s"packs $packs")
+  }
 }
