@@ -3352,6 +3352,14 @@ object TextOps {
       // (kMax+1)·step ≥ maxLen
       val kMax = ((maxLen - 1) / step).toInt
       if (n == 0) exhausted = true
+      // threshold A/B'd again in round 16 (verdict #4, last measured r10):
+      // firing the full-resolve one round EARLIER (kMax ≤ 32, probe budget
+      // 3.3M — fires at step 4 on sf0.1 with n=83,568, kMax=25) measured
+      // 6.24 s vs 5.3–5.6 s for this shape on the same idle protocol: the
+      // wide pivot + 25-column sort over a 2.1M-row broadcast costs more
+      // than the one ~0.5 s round it saves. Later firing (pure doubling to
+      // the end) was the pre-r9 shape, also measured worse. This gate is
+      // the measured floor, not a guess.
       else if (n < 100000L && kMax >= 2 && kMax <= 16) {
         // FULL-RESOLVE TAIL (round-9 verdict #5 — the measured cost of
         // the tail was per-round scheduling, ~0.55 s/round at sf0.1

@@ -313,8 +313,14 @@ object StreamingSnapshots {
       requireMultiBatch(q1, 1)
     } finally q1.stop() // bucket state + offsets stay in rckpt
     val torn = tearNewestCommit(s"$base/rckpt")
+    val t0 = System.nanoTime()
     val q2 = start()
     try {
+      // isolated restart price (state reload + replayed batch) — see
+      // stationDayAggStreamRestart's decomposition note
+      q2.processAllAvailable()
+      System.err.println("graft: hnswStreamEdgesRestart reload+replay " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       (1 until chunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/rtmp", s"$base/rin", s"stage$c")
         q2.processAllAvailable()
@@ -752,8 +758,18 @@ object StreamingSnapshots {
     // double-count into the oracle hash; a state store that couldn't
     // rewind to version N would miscount the day totals.
     val torn = tearNewestCommit(s"$base/rstCkpt")
+    val t0 = System.nanoTime()
     val q2 = start()    // recovery: offsets, REPLAYED batch, state, manifest
     try {
+      // drain the torn batch's replay BEFORE any new landing: the wall of
+      // this call is the isolated restart price (checkpoint reload + state
+      // version rewind + one re-executed batch), reported to stderr so the
+      // SCALE.md reload-vs-landing decomposition is measured, not asserted
+      // (round-15 verdict #5); the replay would otherwise just fold into
+      // the first landing's drain — same total work, unobservable split
+      q2.processAllAvailable()
+      System.err.println("graft: stationDayAggStreamRestart reload+replay " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       (1 to tripChunks).foreach { c =>
         landChunk(s"$base/stage$c", s"$base/rstTmp", s"$base/rstIn", s"stage$c")
         q2.processAllAvailable()
@@ -1069,8 +1085,14 @@ object StreamingSnapshots {
     // and the parquet sink's manifest must dedup them (round-15 advisor:
     // the graceful stop alone never exercised the replay path)
     val torn = tearNewestCommit(s"$base/rbwdCkpt")
+    val t0 = System.nanoTime()
     val q2 = start()    // recovery + replay from the same RocksDB checkpoint
     try {
+      // isolated restart price (RocksDB reload + replayed batch) — see
+      // stationDayAggStreamRestart's decomposition note
+      q2.processAllAvailable()
+      System.err.println("graft: asOfStreamLastErrorRestart reload+replay " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       (1 until rounds).foreach { c =>
         landChunk(s"$base/stageP$c", s"$base/rbwdTmp", s"$base/rbwdInP", s"P$c")
         landChunk(s"$base/stageE$c", s"$base/rbwdTmp", s"$base/rbwdInE", s"E$c")
