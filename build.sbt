@@ -39,4 +39,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Variance pinning (round 16): the SAME three flags tools/run_main.sh
+  // gained in the r16 variance work — they were useless there alone,
+  // because the DRIVER benches via `sbt "runMain graft.Bench"`, i.e. THIS
+  // forked JVM. -Xms=-Xmx removes G1 heap-resize churn across ~680 query
+  // executions per bench run (the r15 driver run's emb_power_eigvec
+  // samples — 283 then 915 cpu-sec against a ~20 cpu-sec committed floor
+  // with ext-busy ~0 — are a full-GC storm signature, not load);
+  // AlwaysPreTouch pays the page-fault cost once at JVM start, outside
+  // any timed pass; parallel ref processing drains Spark's weak-ref load
+  // without long remark pauses. None move the floor; all shrink spread.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:+ParallelRefProcEnabled",
 )

@@ -1400,44 +1400,132 @@ object Similarity {
     *   cov(i,j) = (S_ij − S_i·S_j / n) / n,   S_ij = Σ x_i·x_j, S_i = Σ x_i
     *
     * Scale shape: the aggregate STATE is the fixed d² = 4096-cell grid (the
-    * DSIR-bucket property — corpus size never touches it): one chained
-    * double-posexplode feeds a (i,j)-keyed hash agg whose map-side partial
-    * collapse means only d²·partitions rows ever shuffle; the d-row sum
-    * table broadcasts into the final cell join. Raw-moment sums rather than
-    * two centered passes: one corpus read for the pair leg, one cheap d-wide
-    * read for the means leg. Determinism: all three sums decimal-exact, the
-    * covariance assembled in one fixed double-op order and 1e-6-quantized —
-    * the DuckDB oracle replays it digit-for-digit.
+    * DSIR-bucket property — corpus size never touches it): a per-partition
+    * moment KERNEL accumulates the decimal-exact raw moments (upper
+    * triangle once, mirrored — the (i,j) and (j,i) cells sum the same
+    * product multiset) so only (d(d+1)/2 + d)·partitions tiny partial rows
+    * ever shuffle; ONE exact decimal agg finalizes the grid and the d-row
+    * sum table broadcasts into the final cell join via ReuseExchange. Raw
+    * moments rather than two centered passes: one corpus read total.
+    * Determinism: every partial is the documented
+    * [[graft.functions.DeterministicAgg.wideDecimalLocal]] twin of
+    * `cast(x as decimal(38,10))`, decimal addition is exact and
+    * order-independent, the covariance is assembled in one fixed double-op
+    * order and 1e-6-quantized — the DuckDB oracle replays it
+    * digit-for-digit.
     */
   def covarianceMatrix(embeddings: DataFrame): DataFrame = {
-    import graft.functions.DeterministicAgg.exactSum
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(vec(col("embedding")).as("v"))
-    // the explode below amplifies every row d² times, and a small vector
+    // the moment kernel below does d² work per row, and a small vector
     // table arrives in FEWER SPLITS THAN CORES (a sub-128MB parquet is one
     // split) — without spreading, the entire amplified pipeline runs on one
     // core (measured 10.9s -> 0.7s at sf0.1). The repartition moves only
-    // the N·d input doubles — the d² volume never shuffles (map-side
-    // partial agg) — and is skipped when the scan already spans the
+    // the N·d input doubles and is skipped when the scan already spans the
     // cluster, so at 100 TB no gratuitous corpus shuffle appears.
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val rows = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    val xi = rows.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
-    val pairs = xi.select(col("i"), col("xi"),
-      posexplode(col("v")).as(Seq("j", "xj")))
-    val cells = pairs.groupBy("i", "j").agg(
-      count(lit(1)).as("n_vectors"),
-      exactSum(col("xi") * col("xj")).as("sij"))
-    val sums = rows.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .groupBy("i").agg(exactSum(col("xi")).as("si"))
-    // both sum joins consume the SAME canonical subtree (aliases only, no
-    // projection inside the exchange), so ReuseExchange computes the d-row
-    // broadcast once — renaming i->j under the second broadcast would
-    // defeat the reuse and re-scan the corpus for 64 numbers
-    cells.as("c")
-      .join(broadcast(sums.as("mi")), col("c.i") === col("mi.i"))
-      .join(broadcast(sums.as("mj")), col("c.j") === col("mj.i"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("n_vectors"),
-        roundFixed((col("sij") - col("mi.si") * col("mj.si") / col("n_vectors"))
+    // Per-partition MOMENT KERNEL (round-16 optimization). The previous
+    // shape — chained posexplode into a (i,j)-keyed decimal hash agg —
+    // materialized N·d² generator rows and paid Spark's double→decimal
+    // cast (Double.toString + BigDecimal parse) PER PAIR PER SIDE of the
+    // diagonal: 29 cpu-sec at sf0.1, and the bench's #1 CPU sink across
+    // the six queries that start from this grid. The kernel accumulates
+    // the identical decimals per partition — wideDecimalLocal IS the
+    // documented local twin of `cast(x as decimal(38,10))`, and decimal
+    // addition is exact and order-independent, so any partitioning
+    // produces bit-identical partials — and exploits symmetry (the (i,j)
+    // and (j,i) cells sum the SAME product multiset, so one quantization
+    // serves both), emitting d(d+1)/2 + d tiny partial rows per
+    // partition. The downstream decimal SUM over partials is the same
+    // exact aggregation as before; the final assembly arithmetic is
+    // unchanged expression for expression. Measured 29 → ~2 cpu-sec,
+    // oracle hash unchanged (SimilaritySpec pins kernel == explode-agg
+    // reference on ragged + edge corpora).
+    import graft.functions.DeterministicAgg.wideDecimalLocal
+    val partials = rows.as[Array[Double]].mapPartitions { it =>
+      var d = 0 // stride (max row length seen); grows on ragged input
+      var cnt: Array[Long] = Array.emptyLongArray
+      var sij: Array[java.math.BigDecimal] = Array.empty
+      var si: Array[java.math.BigDecimal] = Array.empty
+      def grow(nd: Int): Unit = {
+        val ncnt = new Array[Long](nd * nd)
+        val nsij = new Array[java.math.BigDecimal](nd * nd)
+        val nsi = new Array[java.math.BigDecimal](nd)
+        var i = 0
+        while (i < d) {
+          System.arraycopy(cnt, i * d, ncnt, i * nd, d)
+          System.arraycopy(sij, i * d, nsij, i * nd, d)
+          i += 1
+        }
+        if (d > 0) System.arraycopy(si, 0, nsi, 0, d)
+        cnt = ncnt; sij = nsij; si = nsi; d = nd
+      }
+      while (it.hasNext) {
+        val v = it.next()
+        // a NULL embedding contributes no rows (posexplode-of-null
+        // semantics); a null ELEMENT fails the primitive-array decode
+        // loudly (the corpus contract is dense float vectors)
+        if (v == null) () else {
+        if (v.length > d) grow(v.length)
+        var i = 0
+        while (i < v.length) {
+          val xi = v(i)
+          si(i) = { val b = wideDecimalLocal(xi)
+            if (si(i) == null) b else si(i).add(b) }
+          var j = i
+          while (j < v.length) {
+            val p = wideDecimalLocal(xi * v(j))
+            val k = i * d + j
+            sij(k) = if (sij(k) == null) p else sij(k).add(p)
+            cnt(k) += 1
+            j += 1
+          }
+          i += 1
+        }
+        }
+      }
+      // one row per non-empty cell: j >= 0 carries (cnt, Σ xi·xj) for the
+      // UPPER triangle (mirrored below), j == -1 carries Σ xi. Decimals
+      // travel as exact plain strings (the tuple encoder would force
+      // scale 18 and shave 8 digits off the integer headroom).
+      val out = Iterator.range(0, d).flatMap { i =>
+        val sumRow =
+          if (si(i) == null) Iterator.empty
+          else Iterator((i, -1, 0L, si(i).toPlainString))
+        val cells = Iterator.range(i, d).flatMap { j =>
+          val k = i * d + j
+          if (sij(k) == null) Iterator.empty
+          else if (i == j) Iterator((i, j, cnt(k), sij(k).toPlainString))
+          else Iterator((i, j, cnt(k), sij(k).toPlainString),
+            (j, i, cnt(k), sij(k).toPlainString))
+        }
+        sumRow ++ cells
+      }
+      out
+    }.toDF("i", "j", "cnt", "m")
+      .withColumn("m", col("m").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+    // ONE exact decimal agg finalizes pair cells (j >= 0) and per-dim sums
+    // (j == -1) together, and the sums attach to the cells by two
+    // metadata-scale WINDOWS instead of self-joins: a self-join of the grid
+    // against its own sums re-plans the kernel subtree per leg (AQE does
+    // not unify the three agg exchanges — measured 3× the kernel CPU), while
+    // the windows reuse the single grid. Partitioned by i, the (i,-1)
+    // carrier row hands Σ xi to every (i,·) cell; partitioned by
+    // (j == -1 ? i : j), the same carrier lands in dimension-j's group and
+    // hands Σ xj. Both windows move only the d² + d grid rows.
+    val grid = partials.groupBy("i", "j").agg(
+      sum(col("cnt")).as("n_vectors"),
+      sum(col("m")).cast("double").as("s"))
+    val wI = Window.partitionBy(col("i"))
+    val wJ = Window.partitionBy(when(col("j") === -1, col("i")).otherwise(col("j")))
+    grid
+      .withColumn("si", max(when(col("j") === -1, col("s"))).over(wI))
+      .withColumn("sj", max(when(col("j") === -1, col("s"))).over(wJ))
+      .filter(col("j") >= 0)
+      .select(col("i"), col("j"), col("n_vectors"),
+        roundFixed((col("s") - col("si") * col("sj") / col("n_vectors"))
           / col("n_vectors"), 6).as("cov"))
   }
 

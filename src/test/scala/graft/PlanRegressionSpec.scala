@@ -58,24 +58,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(count(p, "ReadSchema: struct<vec_id:bigint,embedding:array<float>>") == 2, p)
   }
 
-  test("emb_covariance: fixed d2-cell agg state, sum table broadcasts, no cartesian") {
-    // asserted on the FINALIZED adaptive plan: exchange reuse is an AQE
-    // runtime decision, invisible in the static toString
-    val df = SparkEntry.queries("emb_covariance")(spark, dir)
-    df.collect()
-    // the finalized toString appends the pre-AQE "Initial Plan" — count
-    // operators in the Final Plan section only
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // TWO reuses: the d-row sum broadcast is computed once and reused on
-    // the j side, and the spread (round-robin) corpus exchange is shared
-    // by the pairs and sums legs — the corpus scans ONCE in total
-    assert(count(p, "ReusedExchange") == 2, p)
+  test("emb_covariance: one kernel pass, fixed d2-cell agg, window-attached sums, no join") {
+    val p = plan("emb_covariance")
+    // the corpus scans ONCE into ONE moment kernel — the r16 rewrite's
+    // whole point (the old self-join assembly re-planned the kernel
+    // subtree per sums leg: 3x the CPU, measured)
     assert(count(p, "FileScan parquet") == 1, p)
-    // map-side partial agg on the fixed (i,j) grid + the d-row sums agg:
-    // nothing else shuffles, nothing cartesian
-    assert(count(p, "Exchange hashpartitioning") == 2, p)
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
-    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(count(p, "MapPartitions") == 1, p)
+    // grid agg exchange + the two window exchanges that attach the
+    // per-dim sums; all three move only the d² + d grid rows
+    assert(count(p, "Exchange hashpartitioning") == 3, p)
+    assert(count(p, "Window") == 2, p)
+    // no join operator at all, and never a cartesian
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
   test("station_day_agg: one broadcast join, one partial+final agg exchange, no sort-merge") {

@@ -154,6 +154,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p((0L, 0)).getAs[Double]("white_score") == q4(6.0 * s / 3.0))
   }
 
+  test("covariance moment kernel: bit-identical to the explode-agg reference on ragged/edge corpora") {
+    // The r16 per-partition kernel replaced a chained posexplode + decimal
+    // hash agg; this pins the two shapes to the SAME decimals on exactly
+    // the inputs where they could drift: ragged vector lengths (per-cell
+    // counts differ by cell), negative and sub-1e-10 values (decimal
+    // quantization edges), a null embedding row (contributes nothing), an
+    // empty array, and a multi-partition layout (partial-merge order).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.DeterministicAgg.exactSum
+    def reference(embeddings: org.apache.spark.sql.DataFrame) = {
+      // the pre-r16 shape, verbatim (minus the spread, irrelevant to values)
+      val base = embeddings.select(
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val xi = base.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      val pairs = xi.select(col("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      val cells = pairs.groupBy("i", "j").agg(
+        count(lit(1)).as("n_vectors"),
+        exactSum(col("xi") * col("xj")).as("sij"))
+      val sums = base.select(posexplode(col("v")).as(Seq("i", "xi")))
+        .groupBy("i").agg(exactSum(col("xi")).as("si"))
+      cells.as("c")
+        .join(broadcast(sums.as("mi")), col("c.i") === col("mi.i"))
+        .join(broadcast(sums.as("mj")), col("c.j") === col("mj.i"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("n_vectors"),
+          graft.functions.DeterministicAgg.roundFixed(
+            (col("sij") - col("mi.si") * col("mj.si") / col("n_vectors"))
+              / col("n_vectors"), 6).as("cov"))
+    }
+    val rng = new scala.util.Random(421)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0L until 37L).map { id =>
+        val len = Seq(1, 2, 3, 5)(rng.nextInt(4))
+        val v = Array.fill(len)(
+          (rng.nextGaussian() * math.pow(10, rng.nextInt(7) - 5)).toFloat)
+        (id, v, 0)
+      } ++ Seq((90L, null.asInstanceOf[Array[Float]], 0),
+               (91L, Array.empty[Float], 0))
+    val emb = rows.toDF("vec_id", "embedding", "label").repartition(7)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("cov"))).toMap
+    val got = keyed(Similarity.covarianceMatrix(emb))
+    val want = keyed(reference(emb))
+    assert(got == want,
+      s"kernel/reference drift: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("pca on real data: orthonormal components, small residual, unit whitened variance") {
     val d = 64
     val cov = Array.ofDim[Double](d, d)
