@@ -39,17 +39,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Variance pinning (round 16): the SAME three flags tools/run_main.sh
-  // gained in the r16 variance work — they were useless there alone,
-  // because the DRIVER benches via `sbt "runMain graft.Bench"`, i.e. THIS
-  // forked JVM. -Xms=-Xmx removes G1 heap-resize churn across ~680 query
-  // executions per bench run (the r15 driver run's emb_power_eigvec
-  // samples — 283 then 915 cpu-sec against a ~20 cpu-sec committed floor
-  // with ext-busy ~0 — are a full-GC storm signature, not load);
-  // AlwaysPreTouch pays the page-fault cost once at JVM start, outside
-  // any timed pass; parallel ref processing drains Spark's weak-ref load
-  // without long remark pauses. None move the floor; all shrink spread.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-  "-XX:+ParallelRefProcEnabled",
+  // NO GC-pinning flags (round-16 A/B, measured and REJECTED): the
+  // -Xms=-Xmx + AlwaysPreTouch + ParallelRefProcEnabled trio (added to
+  // tools/run_main.sh mid-r16 against the r15 driver run's
+  // emb_power_eigvec full-GC storm — 283/915 cpu-sec vs a ~20 cpu-sec
+  // floor) was ported here so it would reach the DRIVER's sbt-forked
+  // JVM, then A/B'd over full 228-query runs: flags-on 243.3 s vs
+  // flags-off 235.5 s, with the untouched-query cohort ~8 s slower under
+  // the flags (a fixed 8 GB young gen spreads allocation over more cache
+  // lines). The storm's actual source — the d²-explode decimal
+  // allocation churn — is fixed in code (covariance moment kernels), so
+  // the flags buy nothing and cost throughput; both run paths now agree
+  // on the plain -Xmx-only JVM.
 )

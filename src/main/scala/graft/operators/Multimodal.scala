@@ -59,6 +59,24 @@ object Multimodal {
     * (doc_id, payload binary, meta struct). Pure column ops; at 100 TB this
     * is a narrow map over the scan.
     */
+  /** SPREAD a sub-parallel documents scan before an EXPENSIVE synth/decode
+    * kernel (round-16 optimization; the covarianceMatrix discipline). The
+    * driver's documents table is one single-row-group parquet file = ONE
+    * input split, so a full JPEG/AVI/MC-video encode+decode chain ran on
+    * one core of 32 (mm_mjpeg_decode measured cpu/wall ≈ 1.07; after the
+    * spread 3.15 s → 0.38 s at sf0.1). Skipped whenever the scan already
+    * spans the cluster — at 100 TB the plan is unchanged. Hash on doc_id
+    * (unique): even spread, no round-robin pre-sort, retry-deterministic.
+    * Only the HEAVY codec chains opt in — for the sub-0.3 s byte-level
+    * codecs (PPM/WAV/G.711/QOI/BMP) the extra exchange measured as pure
+    * overhead. */
+  private def spreadScan(documents: DataFrame): DataFrame = {
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    if (documents.rdd.getNumPartitions < par)
+      documents.repartition(par, col("doc_id"))
+    else documents
+  }
+
   def mediaFromDocuments(documents: DataFrame): DataFrame = {
     val width = (col("n_chars") % 64 + 16).cast("int")
     val height = (col("doc_id") % 48 + 16).cast("int")
@@ -1389,7 +1407,7 @@ object Multimodal {
   def pngFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = documents.select(
+    val base = spreadScan(documents).select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
         .otherwise(col("text")).as("t"),
@@ -2113,7 +2131,7 @@ object Multimodal {
   def gifAnimFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = documents.select(
+    val base = spreadScan(documents).select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
         .otherwise(col("text")).as("t"),
@@ -2755,7 +2773,7 @@ object Multimodal {
   def jpegFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = documents.select(
+    val base = spreadScan(documents).select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
         .otherwise(col("text")).as("t"),
@@ -2980,7 +2998,7 @@ object Multimodal {
   def aviFromDocuments(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = documents.select(
+    val base = spreadScan(documents).select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
         .otherwise(col("text")).as("t"),
@@ -3551,7 +3569,7 @@ object Multimodal {
   def mcVideoFromDocuments(documents: DataFrame, gop: Int = 0): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val base = documents.select(
+    val base = spreadScan(documents).select(
       col("doc_id"),
       when(col("text").isNull || col("text") === "", lit(" "))
         .otherwise(col("text")).as("t"),

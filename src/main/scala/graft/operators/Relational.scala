@@ -19,8 +19,28 @@ object Relational {
     * scan); one hash aggregation with map-side partials over a low-NDV key,
     * so shuffle traffic is O(#groups × #partitions), not O(rows).
     */
+  /** SPREAD a sub-parallel lineitem scan ahead of a decimal-heavy
+    * single-pass aggregate (round-16 optimization; the covarianceMatrix /
+    * media-kernel discipline applied to the pricing family). The driver's
+    * lineitem is one single-row-group parquet file = ONE input split, so
+    * the partial aggregation — several `cast(x as decimal(38,10))` per row,
+    * the real per-row cost here — ran on one core of 32 (pricing_cube
+    * measured 1.81 → 1.11 s at sf0.1). Hash on l_extendedprice: ~600k
+    * distinct values spread evenly, and the column is already in every
+    * pricing aggregate's read set, so ReadSchema (column pruning) is
+    * unchanged. Skipped whenever the scan already spans the cluster — at
+    * 100 TB the plan is identical. A READER-level version of this spread
+    * was A/B'd and rejected (see Tables.read): it pays only immediately
+    * ahead of heavy per-row work, which these three aggregates are. */
+  private def spreadForPricing(lineitem: DataFrame): DataFrame = {
+    val par = lineitem.sparkSession.sparkContext.defaultParallelism
+    if (par > 1 && lineitem.rdd.getNumPartitions < par)
+      lineitem.repartition(par, col("l_extendedprice"))
+    else lineitem
+  }
+
   def pricingSummary(lineitem: DataFrame): DataFrame =
-    lineitem
+    spreadForPricing(lineitem)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
@@ -305,7 +325,7 @@ object Relational {
     * shuffle regardless of the number of levels.
     */
   def pricingRollup(lineitem: DataFrame): DataFrame =
-    lineitem
+    spreadForPricing(lineitem)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -560,7 +580,7 @@ object Relational {
     * grouping id disambiguates subtotal NULLs from data NULLs.
     */
   def pricingCube(lineitem: DataFrame): DataFrame =
-    lineitem
+    spreadForPricing(lineitem)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),

@@ -466,12 +466,43 @@ object Similarity {
     * oracle replays each subspace with the same unrolled-Lloyd replica over
     * a sliced source — identical arithmetic, hash-exact.
     */
+  /** Build the independent per-subspace artifacts CONCURRENTLY (round-16
+    * optimization, guide §2.6 "overlap independent jobs"). Each subspace's
+    * Lloyd chain is a strictly sequential ladder of tiny collect jobs
+    * (iters × (assignment scan + centroid agg)), and the subspaces never
+    * read each other — so driving them from one thread each lets the next
+    * subspace's jobs back-fill the cores the current one's tail leaves
+    * idle. Determinism is untouched: every subspace computes exactly what
+    * it computed sequentially, and the result sequence keeps ascending
+    * subspace order. Spark's scheduler is explicitly multi-thread-safe
+    * here (FIFO; thread-local job groups). SAFETY CONTRACT: the
+    * DataFrames the thunks derive from must carry NO higher-order-
+    * function lambdas (transform/filter/aggregate Columns) — a Catalyst
+    * lambda holds a NamedLambdaVariable whose value cell survives plan
+    * copies, and concurrent chains sharing one instance race on it
+    * (observed: run-to-run different kmeans codebooks until
+    * rotateVectors and pqDistortionUnder went lambda-free; SimilaritySpec
+    * pins determinism on both). Plain scans, casts, slices, getItem and
+    * native expressions are all safe. Measured: emb_opq_distortion
+    * 2.9 → ~1.6 s, emb_pq/rq/ivfpq search builds similar ratios. */
+  private def inParallel[A](n: Int)(f: Int => A): IndexedSeq[A] = {
+    if (n <= 1) return (0 until n).map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until n).map(s => scala.concurrent.Future(f(s)))
+      futs.map(fu => scala.concurrent.Await.result(
+        fu, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   def pqCodebooks(embeddings: DataFrame, numSubspaces: Int = 4, k: Int = 8,
                   iters: Int = 2, dim: Int = 64): DataFrame = {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide evenly into $numSubspaces subspaces")
     val w = dim / numSubspaces
-    (0 until numSubspaces).map { s =>
+    inParallel(numSubspaces) { s =>
       kmeansCentroids(
         embeddings.select(col("vec_id"),
           slice(col("embedding"), s * w + 1, w).as("embedding")),
@@ -502,7 +533,7 @@ object Similarity {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide evenly into $numSubspaces subspaces")
     val w = dim / numSubspaces
-    (0 until numSubspaces).map { s =>
+    inParallel(numSubspaces) { s =>
       val sliced = embeddings.select(col("vec_id"),
         slice(col("embedding"), s * w + 1, w).as("embedding"))
       val cb = reshapeCodebook(
@@ -604,7 +635,7 @@ object Similarity {
     val w = dim / numSubspaces
     // per-subspace ROUNDED published codebooks (same artifact pqAssignCodes
     // assigns against), zero-norm codewords dropped before assignment
-    val cbs: Seq[Seq[(Long, Seq[Double], Double)]] = (0 until numSubspaces).map { s =>
+    val cbs: Seq[Seq[(Long, Seq[Double], Double)]] = inParallel(numSubspaces) { s =>
       val sliced = embeddings.select(col("vec_id"),
         slice(col("embedding"), s * w + 1, w).as("embedding"))
       reshapeCodebook(
@@ -976,9 +1007,18 @@ object Similarity {
     * downstream cosine semantics are unchanged. */
   private[graft] def rotateVectors(embeddings: DataFrame,
                                    r: Array[Array[Double]]): DataFrame = {
-    val matrix = typedLit(r.map(_.toSeq).toSeq)
+    // LAMBDA-FREE rotation (round-16): one explicit dot expression per
+    // output dim over a native array cast, not `transform(matrix, row ->
+    // dot(row, vec(v)))`. The rotated relation is the SHARED parent of
+    // the now-concurrent per-subspace codebook chains (pqCodebooks /
+    // pqAssignCodes / adcSearch), and a Catalyst higher-order-function
+    // lambda carries a NamedLambdaVariable whose value cell survives plan
+    // copies — concurrent chains racing on it produced run-to-run
+    // different codebooks (caught by the spec's determinism assertions).
+    // Same doubles: element i is dot(r(i), cast(v)) either way.
+    val v = col("embedding").cast("array<double>")
     embeddings.select(col("vec_id"),
-      transform(matrix, row => dot(row, vec(col("embedding"))))
+      array(r.toIndexedSeq.map(row => dot(typedLit(row.toSeq), v)): _*)
         .as("embedding"))
   }
 
@@ -1058,12 +1098,22 @@ object Similarity {
                                        codewords: Int = 8,
                                        iters: Int = 2): DataFrame = {
     val w = perm.length / numSubspaces
-    val permuted = embeddings.select(col("vec_id"),
-      transform(typedLit(perm.toSeq),
-        p => element_at(col("embedding"), p + lit(1))).as("embedding"))
-    (0 until numSubspaces).map { s =>
-      val sliced = permuted.select(col("vec_id"),
-        slice(col("embedding"), s * w + 1, w).as("embedding"))
+    // Each subspace projects ITS w permuted dims directly — fixed getItem
+    // positions, NO higher-order-function lambda. The previous
+    // `transform(typedLit(perm), p -> element_at(…))` parent, SHARED by
+    // the concurrent subspace chains, was the round's one real
+    // concurrency bug: a Catalyst lambda carries a NamedLambdaVariable
+    // whose value cell survives plan copies, and the chains racing on it
+    // produced run-to-run different codebooks (caught by the spec's
+    // determinism assertion; bisected with a two-runs probe — raw-slice
+    // concurrent kmeans was deterministic, shared-permuted was not).
+    // getItem(p) is element_at(p+1) exactly, including the NULL on
+    // out-of-range, so values are unchanged — there is just no shared
+    // mutable expression state left to race on.
+    inParallel(numSubspaces) { s =>
+      val sliced = embeddings.select(col("vec_id"),
+        array(perm.slice(s * w, (s + 1) * w).toIndexedSeq
+          .map(p => col("embedding").getItem(p)): _*).as("embedding"))
       val cb = reshapeCodebook(
         kmeansCentroids(sliced, codewords, iters).collect().toSeq
           .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))

@@ -24,6 +24,25 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** SPREAD a sub-parallel documents scan ahead of a heavy tokenize/
+    * shingle explode (round-16 optimization; the covarianceMatrix /
+    * media-kernel discipline). A single-row-group corpus parquet is ONE
+    * input split, so the tokenize explode — the per-row cost of the n-gram
+    * model family — ran on one core of however many the session has.
+    * Hash-spread on doc_id (unique → even; no round-robin pre-sort;
+    * retry-deterministic), skipped when the scan already spans the
+    * cluster, so at 100 TB the plan is unchanged. Applied ONLY to
+    * operators where a full-run A/B won (doc_kn_logprob,
+    * doc_block_dedup, doc_bloom_decontaminate): a blanket reader-level
+    * spread measurably HURT iterative/multi-reference operators (see
+    * Tables.read and OPTIMIZATION_r16.md). */
+  private def spreadScan(documents: DataFrame): DataFrame = {
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    if (par > 1 && documents.rdd.getNumPartitions < par)
+      documents.repartition(par, col("doc_id"))
+    else documents
+  }
+
   /** Positional word n-grams (space-joined), IN DOCUMENT ORDER with repeats
     * kept — the winnowing input. Documents shorter than `n` tokens get an
     * empty list.
@@ -816,6 +835,11 @@ object TextOps {
     * before the decimal-exact per-doc sum — never per occurrence, and no
     * float summation-order dependence. Docs with < 2 tokens score null.
     */
+  // (deliberately NOT spreadScan'd: the add-one model needs a THIRD
+  // corpus reference for the countDistinct vocabulary, and the full-run
+  // A/B showed the extra exchange re-executions outweigh the tokenize
+  // fan-out here — 1.47 -> 1.86 s; its KN sibling, with one reference
+  // fewer, wins with the spread)
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val bi = documents.select(col("doc_id"),
       explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
@@ -870,8 +894,9 @@ object TextOps {
     * decimal-exact per-doc sum, mean rounded 1e-4. Docs with < 2 tokens
     * score NULL.
     */
-  def knBigramLogProb(documents: DataFrame, discount: Double = 0.75): DataFrame = {
+  def knBigramLogProb(documents0: DataFrame, discount: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val documents = spreadScan(documents0)
     val bi = documents.select(col("doc_id"),
       explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
     val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
@@ -2060,7 +2085,7 @@ object TextOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val (flagged, grams, benchGrams) = benchGramSplit(documents, n, benchMod)
+    val (flagged, grams, benchGrams) = benchGramSplit(spreadScan(documents), n, benchMod)
     def gramHash = ColumnBridge.expression(xxhash64(col("g")))
     val bfAgg = ColumnBridge.column(
       new BloomFilterAggregate(gramHash, Literal(expectedItems),
@@ -2265,7 +2290,8 @@ object TextOps {
     * 100 TB the block key would drop to xxhash64 (8-byte shuffle key,
     * same plan); sha-prefix keeps the oracle able to recompute it.
     */
-  def blockDedup(documents: DataFrame, blockSize: Int = 16): DataFrame = {
+  def blockDedup(documents0: DataFrame, blockSize: Int = 16): DataFrame = {
+    val documents = spreadScan(documents0)
     val toked = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
     // toks is a MATERIALIZED column here, so the lambda's slice reads an
     // attribute (no per-element re-tokenization — the positionalShingles

@@ -108,6 +108,18 @@ object Tables {
     "embeddings" -> embeddingsSchema
   )
 
+  // NOTE (round-16 optimization, measured and REJECTED): a reader-level
+  // spread — repartitioning every sub-split scan to defaultParallelism
+  // right here — was A/B'd at sf0.1 and made the bench WORSE overall
+  // (+100 s full-run): multi-reference queries re-plan the exchange per
+  // reference and their cpu grew 2-5× (event_quality_report 5.8 → 17.7
+  // cpu-sec, important_parts 2.1 → 11.3, customer_k_anon 8.5 → 14.5),
+  // iterative operators (BPE rounds, Lloyd chains, the suffix build)
+  // re-execute it every round, and AQE adds a stage boundary per
+  // reference. Spreading pays ONLY immediately ahead of a heavy
+  // amplifying kernel, so it lives AT those kernels instead:
+  // Similarity.covarianceMatrix, the Multimodal codec synth entries, and
+  // Relational's decimal-heavy single-pass pricing aggregates.
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.schema(readSchemas(table)).parquet(s"$sfDir/$table.parquet")
 

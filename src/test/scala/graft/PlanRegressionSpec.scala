@@ -234,12 +234,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_mjpeg_decode: the video pipeline is a shuffle-free narrow plan") {
+  test("mm_mjpeg_decode: narrow video pipeline behind one doc_id spread exchange") {
     // generate -> AVI encode -> container walk -> per-frame JPEG decode:
-    // all per-row byte work, so the ENTIRE video path must stay narrow
+    // all per-row byte work, narrow EXCEPT the r16 kernel spread — a
+    // single-split scan must fan out before a frames× JPEG chain (3.15 s
+    // -> 0.38 s at sf0.1), and that spread must stay the ONLY exchange
     Seq("mm_mjpeg_decode", "mm_mjpeg_sample").foreach { q =>
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(count(p, "Exchange") == 1 && p.contains("REPARTITION_BY_NUM"),
+        s"$q must have exactly the spread exchange:\n$p")
       assert(!p.contains("Join"), q)
     }
   }
@@ -355,12 +358,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("mm_png_decode and mm_gif_decode are shuffle-free narrow codec plans") {
-    Seq("mm_png_decode", "mm_gif_decode").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
-      assert(!p.contains("Join"), s"$q joins:\n$p")
-    }
+  test("mm_png_decode (spread) and mm_gif_decode (bare) narrow codec plans") {
+    // png carries the r16 kernel spread (zlib deflate/inflate per row is
+    // heavy enough to fan out); plain gif stays bare — its LZW kernel
+    // measured cheaper than the exchange it would buy
+    val png = plan("mm_png_decode")
+    assert(count(png, "Exchange") == 1 && png.contains("REPARTITION_BY_NUM"), png)
+    assert(!png.contains("Join"), png)
+    val gif = plan("mm_gif_decode")
+    assert(!gif.contains("Exchange"), s"mm_gif_decode shuffles:\n$gif")
+    assert(!gif.contains("Join"), gif)
   }
 
   test("doc_datasheet: scalar metrics come from ONE corpus pass, no per-metric rescans") {
@@ -555,11 +562,19 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!ps.contains("Join"), ps)
   }
 
-  test("mm_resize_stats, mm_audio_features, mm_mc queries are shuffle-free narrow codec plans") {
-    Seq("mm_resize_stats", "mm_audio_features", "mm_mc_video_decode",
-      "mm_mc_gop_sample").foreach { q =>
+  test("mm_resize_stats, mm_audio_features narrow; mm_mc spread + narrow") {
+    Seq("mm_resize_stats", "mm_audio_features").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), q)
+    }
+    // the motion-compensated codec chain carries the r16 kernel spread
+    // (full-search motion estimation per row); still join-free, and the
+    // spread must stay the only exchange
+    Seq("mm_mc_video_decode", "mm_mc_gop_sample").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange") == 1 && p.contains("REPARTITION_BY_NUM"),
+        s"$q must have exactly the spread exchange:\n$p")
       assert(!p.contains("Join"), q)
     }
   }

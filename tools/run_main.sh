@@ -2,12 +2,11 @@
 # Run a graft main via plain java against an explicit classes dir — no sbt,
 # no project lock, so dev compiles and long benchmark sweeps can overlap.
 # Mirrors build.sbt's forked-JVM options (JDK17 add-opens, UTC, no UI).
-# Heap is fixed-size and pre-touched (round-16 variance work): -Xms=-Xmx
-# removes G1 heap-resize churn across ~680 query executions per bench run,
-# AlwaysPreTouch pays the page-fault cost once at JVM start (outside any
-# timed pass) instead of smearing it over the first queries, and parallel
-# reference processing drains Spark's weak-ref load without long remark
-# pauses. All three shrink run-to-run spread, none move the floor.
+# The r16 GC-pinning trio (-Xms=-Xmx, AlwaysPreTouch, ParallelRefProc)
+# was A/B'd on full bench runs and REMOVED again — see build.sbt: the
+# GC-storm it targeted is fixed at its source (covariance moment
+# kernels), and the fixed 8 GB young gen measurably costs throughput.
+# Both run paths deliberately agree on the plain -Xmx-only JVM.
 # Usage: GRAFT_CLASSES=/path/to/classes tools/run_main.sh graft.Bench [args...]
 set -euo pipefail
 CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
@@ -29,7 +28,4 @@ exec java \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   "-Xmx${SPARK_DRIVER_MEM:-8g}" \
-  "-Xms${SPARK_DRIVER_MEM:-8g}" \
-  -XX:+AlwaysPreTouch \
-  -XX:+ParallelRefProcEnabled \
   -cp "$CLASSES:/opt/spark/jars/*" "$MAIN" "$@"
