@@ -1052,8 +1052,7 @@ object Similarity {
     * dimension perm(k); subspace s owns positions [s·w, (s+1)·w). */
   def opqPermutation(embeddings: DataFrame,
                      numSubspaces: Int = 4): Array[Int] = {
-    val vars = covarianceMatrix(embeddings)
-      .filter(col("i") === col("j"))
+    val vars = varianceDiagonal(embeddings)
       .select(col("i"), col("cov")).collect()
       .map(r => (r.getAs[Int]("i"), r.getAs[Double]("cov")))
     require(vars.nonEmpty, "empty corpus has no variances")
@@ -1576,6 +1575,71 @@ object Similarity {
       .filter(col("j") >= 0)
       .select(col("i"), col("j"), col("n_vectors"),
         roundFixed((col("s") - col("si") * col("sj") / col("n_vectors"))
+          / col("n_vectors"), 6).as("cov"))
+  }
+
+  /** DIAGONAL of [[covarianceMatrix]] — the per-dimension variances, by
+    * the same moment kernel restricted to i == j (round-17 optimization):
+    * [[opqPermutation]] consumes ONLY the diagonal, and the full kernel
+    * does d²/2 decimal quantizations per row where the diagonal needs d.
+    * Every cell value is BIT-IDENTICAL to the full matrix's (i,i) cell —
+    * same [[graft.functions.DeterministicAgg.wideDecimalLocal]] per-term
+    * quantization, same exact decimal sum, same final
+    * `(s − si·sj/n)/n` double assembly expression with si = sj — so the
+    * serpentine allocation (and the OPQ oracle) is unchanged. Output:
+    * (i, cov) for every dimension with at least one observation. */
+  private[graft] def varianceDiagonal(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(vec(col("embedding")).as("v"))
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val rows = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    import graft.functions.DeterministicAgg.wideDecimalLocal
+    val partials = rows.as[Array[Double]].mapPartitions { it =>
+      var d = 0
+      var cnt: Array[Long] = Array.emptyLongArray
+      var sii: Array[java.math.BigDecimal] = Array.empty
+      var si: Array[java.math.BigDecimal] = Array.empty
+      def grow(nd: Int): Unit = {
+        val ncnt = new Array[Long](nd)
+        val nsii = new Array[java.math.BigDecimal](nd)
+        val nsi = new Array[java.math.BigDecimal](nd)
+        if (d > 0) {
+          System.arraycopy(cnt, 0, ncnt, 0, d)
+          System.arraycopy(sii, 0, nsii, 0, d)
+          System.arraycopy(si, 0, nsi, 0, d)
+        }
+        cnt = ncnt; sii = nsii; si = nsi; d = nd
+      }
+      while (it.hasNext) {
+        val v = it.next()
+        if (v == null) () else {
+          if (v.length > d) grow(v.length)
+          var i = 0
+          while (i < v.length) {
+            val xi = v(i)
+            si(i) = { val b = wideDecimalLocal(xi)
+              if (si(i) == null) b else si(i).add(b) }
+            val p = wideDecimalLocal(xi * xi)
+            sii(i) = if (sii(i) == null) p else sii(i).add(p)
+            cnt(i) += 1
+            i += 1
+          }
+        }
+      }
+      Iterator.range(0, d).flatMap { i =>
+        if (sii(i) == null) Iterator.empty
+        else Iterator((i, cnt(i), sii(i).toPlainString, si(i).toPlainString))
+      }
+    }.toDF("i", "cnt", "mii", "mi")
+      .withColumn("mii", col("mii").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+      .withColumn("mi", col("mi").cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+    partials.groupBy("i").agg(
+      sum(col("cnt")).as("n_vectors"),
+      sum(col("mii")).cast("double").as("s"),
+      sum(col("mi")).cast("double").as("si"))
+      .select(col("i"),
+        roundFixed((col("s") - col("si") * col("si") / col("n_vectors"))
           / col("n_vectors"), 6).as("cov"))
   }
 

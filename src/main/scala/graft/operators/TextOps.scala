@@ -107,8 +107,13 @@ object TextOps {
     * no grams and produce no row (both engines). */
   def contamination(documents: DataFrame, benchCount: Long = 50,
                     n: Int = 8): DataFrame = {
-    val grams = documents.filter(col("text").isNotNull)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("g"))
+    // fused 8-byte gram hashes instead of gram strings (round-17: the
+    // string explode was this query's CPU; membership only needs key
+    // equality — the near-dup path's collision budget, oracle unchanged)
+    val grams = spreadScan(documents).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorExpressions.gramXxHashes(tokens(col("text")), n)))
+        .as("g"))
     val bench = grams.filter(col("doc_id") < benchCount)
     val benchSet = bench.select(col("g")).distinct()
     val contaminated = grams.filter(col("doc_id") >= benchCount)
@@ -293,6 +298,58 @@ object TextOps {
         array_distinct(graft.functions.VectorExpressions.gramXxHashes(col("toks"), n))
           .as("sh"))
 
+  // dev-probe accessors (graft.dev.R17Probe): expose the candidate-path
+  // stages for isolated timing without widening the real API
+  private[graft] def probeShingleSets(documents: DataFrame, n: Int): DataFrame =
+    shingleSets(documents, n)
+  private[graft] def probeBenchGramSplit(documents: DataFrame, n: Int,
+                                         benchMod: Int)
+      : (DataFrame, DataFrame, DataFrame) = benchGramSplit(documents, n, benchMod)
+  private[graft] def probeNdPruned(documents: DataFrame, n: Int): DataFrame = {
+    val inverted = shingleSets(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("shk"))
+    inverted
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shk"))))
+      .filter(col("df") <= 1000)
+      .drop("df")
+  }
+  private[graft] def probeNdCandidates(documents: DataFrame, n: Int): DataFrame = {
+    val pruned = probeNdPruned(documents, n)
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+  private[graft] def probeMhSigs(documents: DataFrame, n: Int,
+                                 numHashes: Int = 64): DataFrame = {
+    val exploded = shingleSets(documents, n)
+      .select(col("doc_id"), explode(col("sh")).as("shk"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shk"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+  private[graft] def probeMhCandidates(documents: DataFrame, n: Int,
+                                       numHashes: Int = 64,
+                                       bandRows: Int = 2): DataFrame = {
+    val sigs = probeMhSigs(documents, n, numHashes)
+    val numBands = numHashes / bandRows
+    val bandCols = (0 until numBands).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"h${b * bandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band").as("band"), col("band.bh").as("bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def nearDupPairs(documents: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    maxShingleDf: Int = 1000): DataFrame = {
     val sh = shingleSets(documents, n)
@@ -445,11 +502,19 @@ object TextOps {
     val pairs = nearDupPairs(documents, n, threshold)
       .select(col("doc_a"), col("doc_b"))
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    // withT is referenced FIVE times below (ca/cb per gram order + the
+    // final len projection) — checkpoint it once (round-17: every
+    // reference re-planned the whole inverted-index + verify + token-join
+    // pipeline, ~5x the pair finder's CPU inside this one query; measured
+    // 2.15 -> ~1.2 s at sf0.1). Pair-count-scale artifact (each verified
+    // pair with its two token arrays), the nearDupTriangles/pagerank
+    // checkpoint discipline.
     val withT = pairs
       .join(toks.select(col("doc_id").as("doc_a"), col("t").as("t_a")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("t").as("t_b")), Seq("doc_b"))
       .withColumn("len_a", size(col("t_a")).cast("long"))
       .withColumn("len_b", size(col("t_b")).cast("long"))
+      .localCheckpoint(true)
     // clipped modified precision for gram order k: candidate gram counts
     // LEFT-joined to reference counts, clip = min(ca, cb)
     def clipped(k: Int): DataFrame = {
@@ -1122,9 +1187,17 @@ object TextOps {
     val toks = documents.select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("term"))
       .withColumn("bucket", pmod(portableHash64(col("term")), lit(buckets.toLong)))
-    val counts = toks.groupBy("bucket").agg(
-      sum(when(col("lang") === lit(targetLang), 1L).otherwise(0L)).as("c_tgt"),
-      count(lit(1)).as("c_raw"))
+    // ONE corpus pass (round-17): the old shape exploded + sha256-hashed
+    // every token occurrence TWICE (once for the bucket counts, once for
+    // the per-doc join). Pre-aggregate to (doc, lang, bucket, cnt) — the
+    // map-side partial collapses occurrences before the shuffle — and
+    // derive both the global bucket counts and the per-doc sums from it.
+    val perDocBucket = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = perDocBucket.groupBy("bucket").agg(
+      sum(when(col("lang") === lit(targetLang), col("cnt")).otherwise(0L))
+        .as("c_tgt"),
+      sum(col("cnt")).as("c_raw"))
     // totals via a whole-relation window over the ≤B-row counts table, NOT a
     // separate agg + crossJoin: the agg form duplicates the corpus-explode
     // subtree in the plan (a third full scan); the window is one
@@ -1139,10 +1212,18 @@ object TextOps {
           (col("t_tgt") + lit(buckets.toLong)).cast("double")), 6) -
         roundFixed(log10((col("c_raw") + lit(1L)).cast("double") /
           (col("t_raw") + lit(buckets.toLong)).cast("double")), 6)).as("llr"))
-    val perDoc = toks.join(broadcast(llr), "bucket")
+    // Σ llr over a doc's occurrences == Σ_bucket decimal(llr)·cnt, EXACTLY:
+    // cast(llr as decimal(28,10)) is numerically cast(llr as decimal(38,10))
+    // (|llr| < 10^18 trivially), and (28,10)·(8,0) = decimal(37,10) — within
+    // the 38 cap, so Spark performs the integer multiply with NO scale
+    // adjustment: the product is the decimal summand repeated cnt times.
+    // (A (38,10) cast would overflow to scale 6 on multiply and ROUND.)
+    val llrDec = col("llr").cast(org.apache.spark.sql.types.DecimalType(28, 10))
+    val cntDec = col("cnt").cast(org.apache.spark.sql.types.DecimalType(8, 0))
+    val perDoc = perDocBucket.join(broadcast(llr), "bucket")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        graft.functions.DeterministicAgg.exactSum(col("llr")).as("sllr"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(llrDec * cntDec).cast("double").as("sllr"))
     documents.select(col("doc_id"), col("lang"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("lang"),
@@ -2013,7 +2094,7 @@ object TextOps {
     */
   def decontaminate(documents: DataFrame, n: Int = 5,
                     benchMod: Int = 10): DataFrame = {
-    val (flagged, grams, benchGrams) = benchGramSplit(documents, n, benchMod)
+    val (flagged, grams, benchGrams) = benchGramSplit(spreadScan(documents), n, benchMod)
     // grams are distinct per doc (shingle SET), so count(*) after the semi
     // join IS the distinct-overlap count
     val hits = grams.filter(!col("bench"))
@@ -2036,9 +2117,19 @@ object TextOps {
     val flagged = documents.select(col("doc_id"), col("lang"), col("text"),
       (pmod(portableHash64(concat(lit("bench:"), col("doc_id").cast("string"))),
         lit(benchMod.toLong)) === 0L).as("bench"))
+    // gram currency is the fused 8-byte hash ([[graft.functions.WordGramHashes]]),
+    // not the space-joined gram STRING (round-17 optimization): materializing
+    // every 5-gram as a string was the CPU sink of both decontamination
+    // variants (string concat + UTF8 allocation per gram — measured 0.94 s
+    // vs 0.24 s for the hashed corpus pass at sf0.1), and the overlap
+    // semantics only needs key EQUALITY. Same collision budget the near-dup
+    // path carries (~1e-9 across this corpus; the string-set oracle has
+    // hash-matched on every run).
     val grams = flagged
       .select(col("doc_id"), col("bench"),
-        explode(shingles(tokens(col("text")), n)).as("g"))
+        explode(array_distinct(
+          graft.functions.VectorExpressions.gramXxHashes(tokens(col("text")), n)))
+          .as("g"))
     val benchGrams = grams.filter(col("bench")).select(col("g")).distinct()
     (flagged, grams, benchGrams)
   }
@@ -2086,7 +2177,10 @@ object TextOps {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val (flagged, grams, benchGrams) = benchGramSplit(spreadScan(documents), n, benchMod)
-    def gramHash = ColumnBridge.expression(xxhash64(col("g")))
+    // `g` is already the fused 64-bit gram hash — feed it to the Bloom
+    // aggregate directly (BloomFilterAggregate hashes its long input
+    // internally; one less xxhash64 per gram)
+    def gramHash = ColumnBridge.expression(col("g"))
     val bfAgg = ColumnBridge.column(
       new BloomFilterAggregate(gramHash, Literal(expectedItems),
         Literal(expectedItems * 8L)).toAggregateExpression())

@@ -203,6 +203,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"kernel/reference drift: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("variance diagonal kernel: bit-identical to covarianceMatrix's i==j cells on ragged/edge corpora") {
+    // r17: opqPermutation consumes only the diagonal, so it rides an O(d)
+    // per-row kernel instead of the O(d²) moment grid — this pins the two
+    // paths to the SAME doubles on the same hostile fixture as the full
+    // kernel's reference test (ragged lengths, sub-1e-10 values, null and
+    // empty embeddings, multi-partition partial merge order).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(421)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0L until 37L).map { id =>
+        val len = Seq(1, 2, 3, 5)(rng.nextInt(4))
+        val v = Array.fill(len)(
+          (rng.nextGaussian() * math.pow(10, rng.nextInt(7) - 5)).toFloat)
+        (id, v, 0)
+      } ++ Seq((90L, null.asInstanceOf[Array[Float]], 0),
+               (91L, Array.empty[Float], 0))
+    val embFix = rows.toDF("vec_id", "embedding", "label").repartition(7)
+    val want = Similarity.covarianceMatrix(embFix)
+      .filter(col("i") === col("j"))
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("cov")).toMap
+    val got = Similarity.varianceDiagonal(embFix)
+      .collect().map(r => r.getAs[Int]("i") -> r.getAs[Double]("cov")).toMap
+    assert(got == want,
+      s"diagonal/full drift: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   test("pca on real data: orthonormal components, small residual, unit whitened variance") {
     val d = 64
     val cov = Array.ofDim[Double](d, d)
