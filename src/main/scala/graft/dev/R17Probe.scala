@@ -150,6 +150,52 @@ object R17Probe {
         }
         time("bloom:full") { TextOps.decontaminateBloom(docs) }
         time("bloom:plain-decontaminate") { TextOps.decontaminate(docs) }
+      case "kn" =>
+        import graft.operators.TextOps
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.DeterministicAgg.roundFixed
+        // OLD shape (pre-r17): two corpus explodes, per-occurrence lp sum
+        def knOld(documents0: DataFrame, discount: Double = 0.75): DataFrame = {
+          val documents = documents0
+          val bi = documents.select(col("doc_id"),
+            explode(graft.operators.TextOps.positionalShingles(
+              graft.operators.TextOps.tokens(col("text")), 2)).as("bg"))
+          val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+            .withColumn("w1", substring_index(col("bg"), " ", 1))
+            .withColumn("w2", substring_index(col("bg"), " ", -1))
+          val wW1 = Window.partitionBy(col("w1"))
+          val wW2 = Window.partitionBy(col("w2"))
+          val wAll = Window.partitionBy()
+          val lp = c12
+            .withColumn("c1", sum(col("c12")).over(wW1))
+            .withColumn("n1p_l", count(lit(1)).over(wW1))
+            .withColumn("n1p_r", count(lit(1)).over(wW2))
+            .withColumn("nbd", count(lit(1)).over(wAll))
+            .select(col("bg"), roundFixed(log10(
+              (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
+                ((lit(discount) * col("n1p_l").cast("double")) /
+                  col("c1").cast("double")) *
+                  (col("n1p_r").cast("double") / col("nbd").cast("double"))), 6)
+              .as("lp"))
+          val perDoc = bi.join(lp, "bg")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              graft.functions.DeterministicAgg.exactSum(col("lp")).as("slp"))
+          documents.select(col("doc_id"))
+            .join(perDoc, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+              when(col("n_bigrams").isNull, lit(null).cast("double"))
+                .otherwise(roundFixed(col("slp") / col("n_bigrams"), 4))
+                .as("kn_logprob"))
+        }
+        time("kn:OLD(no spread)") { knOld(docs) }
+        time("kn:NEW") { TextOps.knBigramLogProb(docs) }
+        val o = knOld(docs).collect().map(r => (r.getLong(0),
+          r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+        val nn = TextOps.knBigramLogProb(docs).collect().map(r => (r.getLong(0),
+          r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+        println(s"KN old==new: ${o == nn} (${o.size} vs ${nn.size})")
       case "cur" =>
         import graft.operators.TextOps
         time("languageId") { TextOps.languageId(docs) }

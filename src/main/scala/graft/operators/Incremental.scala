@@ -155,6 +155,13 @@ object Incremental {
           min(col("ts")).as("valid_from"),
           sum(col("wt")).as("n_events"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+        // checkpoint each slice's runs (round-17): `runs` is referenced by
+        // BOTH the slice's closed output and the next slice's carry, and the
+        // carry chains — without the barrier slice 1's window machinery
+        // appears ~2^slices times in the final plan. Materializing here is
+        // exactly what the streaming original does with its per-batch state
+        // store; the rows are run-segment scale (≤ users × segments).
+        .localCheckpoint(true)
       closed += runs.filter(col("valid_to").isNotNull)
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("n_events"), lit(false).as("is_current"))

@@ -70,12 +70,8 @@ object Multimodal {
     * Only the HEAVY codec chains opt in — for the sub-0.3 s byte-level
     * codecs (PPM/WAV/G.711/QOI/BMP) the extra exchange measured as pure
     * overhead. */
-  private def spreadScan(documents: DataFrame): DataFrame = {
-    val par = documents.sparkSession.sparkContext.defaultParallelism
-    if (documents.rdd.getNumPartitions < par)
-      documents.repartition(par, col("doc_id"))
-    else documents
-  }
+  private def spreadScan(documents: DataFrame): DataFrame =
+    Spread.byKey(documents, col("doc_id"))
 
   def mediaFromDocuments(documents: DataFrame): DataFrame = {
     val width = (col("n_chars") % 64 + 16).cast("int")

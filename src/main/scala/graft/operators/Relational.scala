@@ -32,18 +32,19 @@ object Relational {
     * 100 TB the plan is identical. A READER-level version of this spread
     * was A/B'd and rejected (see Tables.read): it pays only immediately
     * ahead of heavy per-row work, which these three aggregates are. */
-  private def spreadForPricing(lineitem: DataFrame): DataFrame = {
-    val par = lineitem.sparkSession.sparkContext.defaultParallelism
-    if (par > 1 && lineitem.rdd.getNumPartitions < par)
-      lineitem.repartition(par, col("l_extendedprice"))
-    else lineitem
-  }
+  private def spreadForPricing(lineitem: DataFrame): DataFrame =
+    Spread.byKey(lineitem, col("l_extendedprice"))
 
   def pricingSummary(lineitem: DataFrame): DataFrame =
     spreadForPricing(lineitem)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        // exactSum, not a plain double sum (round-16 advisor): the spread
+        // makes partial-merge order partitioning-dependent, and the
+        // order-independence of a double sum must not rest on the DATA
+        // happening to be integral. Values are unchanged on integral
+        // quantities (sums ≪ 2^53), so the oracle hash is untouched.
+        graft.functions.DeterministicAgg.exactSum(col("l_quantity")).as("sum_qty"),
         sumRounded(col("l_extendedprice"), 2).as("sum_base_price"),
         sumRounded(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
           .as("sum_disc_price"),
@@ -51,6 +52,26 @@ object Relational {
         avgRounded(col("l_extendedprice"), 4).as("avg_price"),
         count(lit(1)).as("count_order")
       )
+
+  /** Shared exact-decimal base aggregation of the ROLLUP/CUBE pair
+    * (round-17 optimization): grouping-set expansion multiplies every
+    * input row by the number of grouping sets BEFORE the partial
+    * aggregation, so the per-row decimal casts — the real cost of the
+    * pricing aggregates — ran 3x (rollup) / 4x (cube). Decimal addition
+    * is exact and associative, so aggregating to the (returnflag,
+    * linestatus) base ONCE and expanding the ≤|flag|·|status|-row base
+    * relation instead produces bit-identical sums at every level; counts
+    * re-add exactly. The expensive pass now happens once, and the Expand
+    * touches metadata-scale rows. */
+  private def pricingBase(lineitem: DataFrame): DataFrame = {
+    val wide = org.apache.spark.sql.types.DecimalType(38, 10)
+    spreadForPricing(lineitem)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("b_n"),
+        sum(col("l_quantity").cast(wide)).as("b_q"),
+        sum(col("l_extendedprice").cast(wide)).as("b_p"))
+  }
 
   /** Three-deep dimension join: orders ⋈ customer ⋈ nation ⋈ region →
     * revenue per (region, nation). nation/region are FIXED-cardinality
@@ -325,12 +346,16 @@ object Relational {
     * shuffle regardless of the number of levels.
     */
   def pricingRollup(lineitem: DataFrame): DataFrame =
-    spreadForPricing(lineitem)
+    // rollup over the exact-decimal BASE (see [[pricingBase]]): one corpus
+    // pass, Expand on ≤6 rows; level sums are decimal re-adds (exact), the
+    // final round/cast is [[sumRounded]]'s own tail — values and schema
+    // identical, sum_qty now order-independent per the round-16 advisor.
+    pricingBase(lineitem)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        count(lit(1)).as("n_items"),
-        sum(col("l_quantity")).as("sum_qty"),
-        sumRounded(col("l_extendedprice"), 2).as("sum_price")
+        sum(col("b_n")).as("n_items"),
+        sum(col("b_q")).cast("double").as("sum_qty"),
+        roundFixed(sum(col("b_p")).cast("double"), 2).as("sum_price")
       )
 
   /** OUTER join coverage (the one join class the query set lacked):
@@ -580,13 +605,16 @@ object Relational {
     * grouping id disambiguates subtotal NULLs from data NULLs.
     */
   def pricingCube(lineitem: DataFrame): DataFrame =
-    spreadForPricing(lineitem)
+    // cube over the exact-decimal BASE — the [[pricingRollup]] reshape;
+    // the Expand multiplies ≤6 base rows by 4 grouping sets instead of
+    // the whole fact table (see [[pricingBase]]).
+    pricingBase(lineitem)
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n_items"),
-        sum(col("l_quantity")).as("sum_qty"),
-        sumRounded(col("l_extendedprice"), 2).as("sum_price")
+        sum(col("b_n")).as("n_items"),
+        sum(col("b_q")).cast("double").as("sum_qty"),
+        roundFixed(sum(col("b_p")).cast("double"), 2).as("sum_price")
       )
 
   /** Sketch-based distinct counting (approx_count_distinct = HyperLogLog++):

@@ -485,15 +485,36 @@ object Similarity {
     * pins determinism on both). Plain scans, casts, slices, getItem and
     * native expressions are all safe. Measured: emb_opq_distortion
     * 2.9 → ~1.6 s, emb_pq/rq/ivfpq search builds similar ratios. */
-  private def inParallel[A](n: Int)(f: Int => A): IndexedSeq[A] = {
-    if (n <= 1) return (0 until n).map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+  /** True when the analyzed plan carries any higher-order-function lambda
+    * — the one expression class the SAFETY CONTRACT above excludes. */
+  private def hasLambda(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    df.queryExecution.analyzed.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[LambdaFunction])))
+  }
+
+  /** `shared` is the DataFrame every thunk derives from: the SAFETY
+    * CONTRACT is now ENFORCED (round-16 advisor), not comment-trusted — a
+    * caller handing a transform()-built input falls back to the safe
+    * sequential path instead of silently reintroducing the
+    * NamedLambdaVariable race. Threads are daemons (a wedged Spark job
+    * must not pin a non-daemon pool forever) and the await is bounded:
+    * generous enough for any real build, finite so a hung subspace
+    * surfaces as a loud failure instead of an indefinite hang. */
+  private def inParallel[A](n: Int, shared: DataFrame)(f: Int => A): IndexedSeq[A] = {
+    if (n <= 1 || hasLambda(shared)) return (0 until n).map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-subspace")
+        t.setDaemon(true)
+        t
+      })
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val futs = (0 until n).map(s => scala.concurrent.Future(f(s)))
       futs.map(fu => scala.concurrent.Await.result(
-        fu, scala.concurrent.duration.Duration.Inf))
+        fu, scala.concurrent.duration.Duration(30, "min")))
     } finally pool.shutdown()
   }
 
@@ -502,7 +523,7 @@ object Similarity {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide evenly into $numSubspaces subspaces")
     val w = dim / numSubspaces
-    inParallel(numSubspaces) { s =>
+    inParallel(numSubspaces, embeddings) { s =>
       kmeansCentroids(
         embeddings.select(col("vec_id"),
           slice(col("embedding"), s * w + 1, w).as("embedding")),
@@ -533,7 +554,7 @@ object Similarity {
     require(dim % numSubspaces == 0,
       s"dim $dim must divide evenly into $numSubspaces subspaces")
     val w = dim / numSubspaces
-    inParallel(numSubspaces) { s =>
+    inParallel(numSubspaces, embeddings) { s =>
       val sliced = embeddings.select(col("vec_id"),
         slice(col("embedding"), s * w + 1, w).as("embedding"))
       val cb = reshapeCodebook(
@@ -635,7 +656,7 @@ object Similarity {
     val w = dim / numSubspaces
     // per-subspace ROUNDED published codebooks (same artifact pqAssignCodes
     // assigns against), zero-norm codewords dropped before assignment
-    val cbs: Seq[Seq[(Long, Seq[Double], Double)]] = inParallel(numSubspaces) { s =>
+    val cbs: Seq[Seq[(Long, Seq[Double], Double)]] = inParallel(numSubspaces, embeddings) { s =>
       val sliced = embeddings.select(col("vec_id"),
         slice(col("embedding"), s * w + 1, w).as("embedding"))
       reshapeCodebook(
@@ -1109,7 +1130,7 @@ object Similarity {
     // getItem(p) is element_at(p+1) exactly, including the NULL on
     // out-of-range, so values are unchanged — there is just no shared
     // mutable expression state left to race on.
-    inParallel(numSubspaces) { s =>
+    inParallel(numSubspaces, embeddings) { s =>
       val sliced = embeddings.select(col("vec_id"),
         array(perm.slice(s * w, (s + 1) * w).toIndexedSeq
           .map(p => col("embedding").getItem(p)): _*).as("embedding"))

@@ -36,12 +36,8 @@ object TextOps {
     * doc_block_dedup, doc_bloom_decontaminate): a blanket reader-level
     * spread measurably HURT iterative/multi-reference operators (see
     * Tables.read and OPTIMIZATION_r16.md). */
-  private def spreadScan(documents: DataFrame): DataFrame = {
-    val par = documents.sparkSession.sparkContext.defaultParallelism
-    if (par > 1 && documents.rdd.getNumPartitions < par)
-      documents.repartition(par, col("doc_id"))
-    else documents
-  }
+  private def spreadScan(documents: DataFrame): DataFrame =
+    Spread.byKey(documents, col("doc_id"))
 
   /** Positional word n-grams (space-joined), IN DOCUMENT ORDER with repeats
     * kept — the winnowing input. Documents shorter than `n` tokens get an
@@ -166,8 +162,9 @@ object TextOps {
     * Shape: positional gram HASHES (the [[graft.functions.WordGramHashes]]
     * fused kernel — 8-byte keys through every shuffle, same collision
     * budget as the near-dup path) → one hash agg to (doc, gram, positions)
-    * → one hash agg to the shared-gram set (df ≥ 2) → equi-join back →
-    * per-doc agg. Aggregation only — candidate volume is linear in corpus
+    * → doc-frequency as a window over the gram key (df ≥ 2 decided
+    * in-pass — no join-back, no second gram explode) → per-doc agg.
+    * Aggregation only — candidate volume is linear in corpus
     * grams, never pairwise, so no df-cap is needed; the map-side partial
     * collapse absorbs within-doc repetition before each shuffle. Documents
     * shorter than `n` tokens have zero spans and report ratio 0.0.
@@ -180,14 +177,19 @@ object TextOps {
           .as("gk"))
     val perDocGram = pos.groupBy(col("doc_id"), col("gk"))
       .agg(count(lit(1)).as("cnt"))
-    val shared = perDocGram.groupBy(col("gk"))
-      .agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("gk"), lit(true).as("is_shared"))
-    val agg = perDocGram.join(shared, Seq("gk"), "left_outer")
+    // doc-frequency as a WINDOW over gk (round-17, the blockDedup
+    // reshape): perDocGram rows are unique per (doc, gk), so
+    // count(1) OVER (PARTITION BY gk) IS the gram's doc-frequency — one
+    // pass over one gk-keyed exchange instead of agg + outer-join-back,
+    // which recomputed the gram explode once per reference. The outer
+    // join's NULL is_shared mapped to the otherwise(0) branch, exactly
+    // where n_docs < 2 lands now.
+    val agg = perDocGram
+      .withColumn("n_docs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_spans"),
-        sum(when(col("is_shared"), col("cnt")).otherwise(lit(0L)))
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(lit(0L)))
           .as("n_dup_spans"))
     documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -908,6 +910,13 @@ object TextOps {
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val bi = documents.select(col("doc_id"),
       explode(positionalShingles(tokens(col("text")), 2)).as("bg"))
+    // (a (doc, bigram, cnt) pre-aggregation between the explode and the
+    // scoring join was A/B'd on full 228-query runs this round and
+    // REJECTED: bigrams rarely repeat within one document, so the map-side
+    // partial collapses nothing and the extra string-keyed exchange is pure
+    // overhead — measured +1.2 s wall / +5.6 cpu-sec here and +0.7 s on the
+    // KN sibling. The dsirWeights pre-agg survives because its 4096-bucket
+    // key space DOES collapse thousands of tokens per document.)
     val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -1861,13 +1870,20 @@ object TextOps {
                            qualityMin: Double = 0.35,
                            nearDupThreshold: Double = 0.7,
                            numShards: Int = 64): DataFrame = {
-    val langKeep = languageId(documents)
-      .filter(col("lang_match")).select(col("doc_id")).localCheckpoint()
-    val d1 = documents.join(langKeep, Seq("doc_id"), "left_semi")
-    val qualKeep = qualityScore(d1)
-      .filter(col("quality_score") >= qualityMin).select(col("doc_id"))
+    // The two per-row gates (lang-id agreement, quality floor) FUSE into
+    // one keep-set (round-17): both scores are pure per-document
+    // expressions, so quality_score(documents) ≡ quality_score(lang
+    // survivors) row for row and the composed survivor set is identical —
+    // one checkpoint and one corpus semi-join instead of two of each
+    // (measured ~0.7 s of the chain's wall). Stage operators still used
+    // verbatim; only the glue got narrower.
+    val gateKeep = languageId(documents)
+      .filter(col("lang_match")).select(col("doc_id"))
+      .join(qualityScore(documents)
+        .filter(col("quality_score") >= qualityMin).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    val d2 = d1.join(qualKeep, Seq("doc_id"), "left_semi")
+    val d2 = documents.join(gateKeep, Seq("doc_id"), "left_semi")
     val canon = exactDedup(d2).select(col("canonical_id").as("doc_id"))
       .localCheckpoint()
     val d3 = d2.join(canon, Seq("doc_id"), "left_semi")
@@ -2338,17 +2354,22 @@ object TextOps {
     * that floods in later scores near 0, the first copy keeps scoring 1.
     *
     * Shape: the same hashed-shingle explode as every gram operator (8-byte
-    * keys in all shuffles), one gram-keyed min-agg for first occurrence,
-    * one equi-join back, one doc-keyed agg — candidates linear in corpus
+    * keys in all shuffles), first occurrence as a gram-keyed window min
+    * (one pass, no join-back), one doc-keyed agg — candidates linear in corpus
     * grams, no pairs anywhere. Gram-free documents (shorter than n tokens)
     * define novelty 1.0 — nothing they say is redundant.
     */
   def ngramNovelty(documents: DataFrame, n: Int = 5): DataFrame = {
     val perDoc = shingleSets(documents, n)
       .select(col("doc_id"), explode(col("sh")).as("gk"))
-    val first = perDoc.groupBy(col("gk"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    val agg = perDoc.join(first, Seq("gk"))
+    // first-occurrence as a WINDOW over gk (round-17, the blockDedup
+    // reshape): min(doc_id) per gram in one pass over one gk-keyed
+    // exchange instead of agg + join-back, which recomputed the shingle
+    // explode once per reference. Inner join matched every row (each gram
+    // has a min), so row coverage is identical.
+    val agg = perDoc
+      .withColumn("first_doc", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gk"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -2376,10 +2397,11 @@ object TextOps {
     * (signal only, no rewrite) — this is the operator that actually
     * removes boilerplate from otherwise-unique pages.
     *
-    * Shape: one posexplode (N·tokens/blockSize rows), one hash agg taking
-    * the lexicographic min-(doc_id, idx) struct per block key, one
-    * equi-join back, one doc-keyed agg to reassemble — candidates linear
-    * in corpus blocks, no pairs, no window. Per-doc collect_list is
+    * Shape: one posexplode (N·tokens/blockSize rows), the lexicographic
+    * min-(doc_id, idx) struct per block key as a key-partitioned window
+    * (one pass over the block relation — agg+join-back recomputed the
+    * block build per reference), one doc-keyed agg to reassemble —
+    * candidates linear in corpus blocks, no pairs. Per-doc collect_list is
     * bounded by document length (the [[packGreedy]] discipline). At
     * 100 TB the block key would drop to xxhash64 (8-byte shuffle key,
     * same plan); sha-prefix keeps the oracle able to recompute it.
@@ -2400,9 +2422,16 @@ object TextOps {
     val b = blocks
       .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
       .withColumn("k", portableHash64(col("block")))
-    val first = b.groupBy(col("k"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-    val kept = b.join(first, Seq("k"))
+    // first-occurrence as a WINDOW over the block key, not agg+join-back
+    // (round-17): `b` — tokenize + block-string assembly + sha256 per
+    // block — was referenced by BOTH the min-agg and the join, so the
+    // whole block-building pass ran twice. The window computes the same
+    // lexicographic min(struct(doc_id, idx)) per `k` in ONE pass over one
+    // k-keyed exchange (the inner join matched every row by construction,
+    // so row coverage is identical).
+    val kept = b
+      .withColumn("f", min(struct(col("doc_id"), col("idx")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
     val agg = kept.groupBy(col("doc_id"))
