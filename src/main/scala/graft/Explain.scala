@@ -16,7 +16,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets = name.map(n => Seq(n -> SparkEntry.queries(n)))
+    val targets = name
+      .map(_.split(',').toSeq.map(n => n -> SparkEntry.queries(n)))
       .getOrElse(SparkEntry.queries.toSeq.sortBy(_._1))
     targets.foreach { case (n, fn) =>
       println(s"===== $n =====")

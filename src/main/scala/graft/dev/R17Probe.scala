@@ -196,6 +196,146 @@ object R17Probe {
         val nn = TextOps.knBigramLogProb(docs).collect().map(r => (r.getLong(0),
           r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2))).toSet
         println(s"KN old==new: ${o == nn} (${o.size} vs ${nn.size})")
+      case "b4" =>
+        // batch-4 targets, timed through their declared query entries
+        Seq("doc_dsir_weights", "emb_semantic_dedup", "doc_bm25_search",
+          "doc_lrs", "doc_bpe_encode", "emb_hnsw_build", "emb_hnsw_walk",
+          "part_dominant_suppliers")
+          .foreach { n => time(n) { graft.SparkEntry.queries(n)(spark, dir) } }
+        // dsir runtime exchange-reuse proof (the PlanRegressionSpec claim):
+        // after execution the adaptive plan should carry a ReusedExchange/
+        // ReusedQueryStage for the duplicated (doc,lang,bucket) pre-agg
+        val d = graft.SparkEntry.queries("doc_dsir_weights")(spark, dir)
+        d.collect()
+        val reuseLines = d.queryExecution.executedPlan.toString
+          .linesIterator.filter(_.contains("Reused")).toSeq
+        println(s"DSIR reuse lines (${reuseLines.size}):")
+        reuseLines.foreach(l => println("  " + l.trim.take(120)))
+      case "b5" =>
+        import graft.operators.TextOps
+        import graft.functions.DeterministicAgg.{roundFixed, sumRounded}
+        import org.apache.spark.sql.expressions.Window
+        // dsir with the (doc,lang,bucket) pre-agg MATERIALIZED (runtime
+        // exchange reuse measured absent in b4) vs the current dup-subtree
+        def dsirCkpt(documents: DataFrame, targetLang: String = "en",
+                     buckets: Int = 4096): DataFrame = {
+          val toks = documents.select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+            .withColumn("bucket",
+              pmod(TextOps.portableHash64(col("term")), lit(buckets.toLong)))
+          val perDocBucket = toks
+            .groupBy(col("doc_id"), col("lang"), col("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint(true)
+          val counts = perDocBucket.groupBy("bucket").agg(
+            sum(when(col("lang") === lit(targetLang), col("cnt")).otherwise(0L))
+              .as("c_tgt"),
+            sum(col("cnt")).as("c_raw"))
+          val wAll = Window.partitionBy()
+          val llr = counts
+            .withColumn("t_tgt", sum(col("c_tgt")).over(wAll))
+            .withColumn("t_raw", sum(col("c_raw")).over(wAll))
+            .select(col("bucket"),
+              (roundFixed(log10((col("c_tgt") + lit(1L)).cast("double") /
+                (col("t_tgt") + lit(buckets.toLong)).cast("double")), 6) -
+                roundFixed(log10((col("c_raw") + lit(1L)).cast("double") /
+                  (col("t_raw") + lit(buckets.toLong)).cast("double")), 6)).as("llr"))
+          val llrDec = col("llr").cast(org.apache.spark.sql.types.DecimalType(28, 10))
+          val cntDec = col("cnt").cast(org.apache.spark.sql.types.DecimalType(8, 0))
+          val perDoc = perDocBucket.join(broadcast(llr), "bucket")
+            .groupBy("doc_id")
+            .agg(sum(col("cnt")).as("n_tokens"),
+              sum(llrDec * cntDec).cast("double").as("sllr"))
+          documents.select(col("doc_id"), col("lang"))
+            .join(perDoc, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"), col("lang"),
+              coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+              when(col("n_tokens").isNull, lit(null).cast("double"))
+                .otherwise(roundFixed(col("sllr") / col("n_tokens"), 4))
+                .as("dsir_weight"),
+              when(col("n_tokens").isNull, lit(false))
+                .otherwise(roundFixed(col("sllr") / col("n_tokens"), 4) > lit(0.0))
+                .as("selected"))
+        }
+        time("dsir:current(dup-subtree)") { TextOps.dsirWeights(docs) }
+        time("dsir:ckpt-preagg") { dsirCkpt(docs) }
+        val oD = TextOps.dsirWeights(docs).collect().map(_.toString).sorted
+        val nD = dsirCkpt(docs).collect().map(_.toString).sorted
+        println(s"DSIR ckpt==current: ${oD.sameElements(nD)} (${oD.length})")
+        // dominant suppliers: spread ahead of the one-scan window agg
+        val li = graft.sources.Tables.lineitem(spark, dir)
+        val supp = graft.sources.Tables.supplier(spark, dir)
+        def dominantSpread(): DataFrame = {
+          val perSupp = graft.operators.Spread.byKey(li, col("l_partkey"))
+            .groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(sumRounded(col("l_quantity"), 4).as("supp_qty"))
+          val w = Window.partitionBy(col("l_partkey"))
+          val withTotal = perSupp.withColumn("part_qty",
+            roundFixed(sum(col("supp_qty")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 10))).over(w)
+              .cast("double"), 4))
+          withTotal
+            .filter(lit(20.0) * col("supp_qty") > lit(3.0) * col("part_qty"))
+            .join(supp, col("l_suppkey") === col("s_suppkey"))
+            .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+              col("supp_qty"), col("part_qty"))
+        }
+        time("dominant:current") {
+          graft.operators.Relational.dominantSuppliers(supp, li) }
+        time("dominant:spread") { dominantSpread() }
+        val oS = graft.operators.Relational.dominantSuppliers(supp, li)
+          .collect().map(_.toString).sorted
+        val nS = dominantSpread().collect().map(_.toString).sorted
+        println(s"DOMINANT spread==current: ${oS.sameElements(nS)} (${oS.length})")
+      case "bd" =>
+        import graft.operators.TextOps
+        // OLD blockDedup shape: gram-keyed min AGG + equi-join-back
+        def blockDedupOld(documents0: DataFrame, blockSize: Int = 16): DataFrame = {
+          val documents = documents0 // spread applied below to match current
+          val spread = {
+            val par = documents.sparkSession.sparkContext.defaultParallelism
+            if (par > 1 && documents.rdd.getNumPartitions < par)
+              documents.repartition(par, col("doc_id")) else documents
+          }
+          val toked = spread.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          val blocks = toked.select(col("doc_id"),
+            when(size(col("toks")) > 0,
+              transform(
+                sequence(lit(0), floor((size(col("toks")) - 1) / lit(blockSize)).cast("int")),
+                i => concat_ws(" ",
+                  slice(col("toks"), i * blockSize + lit(1), lit(blockSize)))))
+              .otherwise(array().cast("array<string>")).as("blocks"))
+          val b = blocks
+            .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
+            .withColumn("k", TextOps.portableHash64(col("block")))
+          val first = b.groupBy(col("k"))
+            .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+          val kept = b.join(first, Seq("k"))
+            .withColumn("keep",
+              col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+          val agg = kept.groupBy(col("doc_id"))
+            .agg(
+              count(lit(1)).as("n_blocks"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+              concat_ws(" ", transform(
+                array_sort(collect_list(when(col("keep"),
+                  struct(col("idx"), col("block"))))),
+                s => s.getField("block"))).as("dedup_text"))
+          spread.select(col("doc_id")).join(agg, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        }
+        time("blockDedup:OLD(agg+join-back)") { blockDedupOld(docs) }
+        time("blockDedup:NEW(window)") { TextOps.blockDedup(docs) }
+        val oB = blockDedupOld(docs).collect().map(_.toString).sorted
+        val nB = TextOps.blockDedup(docs).collect().map(_.toString).sorted
+        println(s"BLOCKDEDUP old==new: ${oB.sameElements(nB)} (${oB.length})")
+      case "cp" =>
+        Seq("doc_curation", "doc_dedup_clusters", "doc_dedup_keep_best",
+          "doc_pagerank")
+          .foreach { n => time(n) { graft.SparkEntry.queries(n)(spark, dir) } }
       case "cur" =>
         import graft.operators.TextOps
         time("languageId") { TextOps.languageId(docs) }

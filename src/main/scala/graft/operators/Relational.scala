@@ -1588,7 +1588,13 @@ object Relational {
     * The window sum runs decimal-backed, so the totals are
     * partition-order-proof like every other rounded sum here. */
   def dominantSuppliers(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
-    val perSupp = lineitem
+    // spread the single-split scan ahead of the decimal-heavy partial agg
+    // (round-17, the pricing-family discipline): without it the per-row
+    // decimal casts run on one core. Keyed on l_partkey — already in the
+    // read set, and the agg reshuffles on it anyway. Measured
+    // 1.21 → 0.50 s at sf0.1, rows identical; no-op on any scan that
+    // already spans the cluster.
+    val perSupp = Spread.byKey(lineitem, col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sumRounded(col("l_quantity"), 4).as("supp_qty"))
     val w = Window.partitionBy(col("l_partkey"))

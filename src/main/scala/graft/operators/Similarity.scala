@@ -1431,10 +1431,18 @@ object Similarity {
       kmeansCentroids(embeddings, k, iters).collect().toSeq
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))))
       .filter(_._3 > 0)
+    // materialize the assignment ONCE (round-17): `e` is referenced three
+    // times (both self-join sides and the verdict spine), so the per-row
+    // k·d argmin — the operator's dominant per-row cost once k tracks the
+    // corpus via [[semanticK]] — ran 3x. The checkpoint is exactly the
+    // "assignment written once, bucketed by cluster_id" step the at-scale
+    // design above already promises; rows are (id, vec, cluster), corpus
+    // scale but vector-width bounded.
     val e = embeddings
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"),
         nearestCodewordL2(col("v"), cb).as("cluster_id"))
+      .localCheckpoint(true)
     val a = e.select(col("cluster_id"), col("vec_id").as("a_id"),
       col("v").as("va"))
     val b = e.select(col("cluster_id"), col("vec_id").as("b_id"),
@@ -2216,12 +2224,18 @@ object Similarity {
                 knownCount: Long = -1L): DataFrame = {
     val n = if (knownCount >= 0L) knownCount else embeddings.count()
     val bits = autoBits(n)
+    // materialize the capped band rows ONCE (round-17): `lb` is BOTH
+    // sides of the candidate self-join, so the banding pass — the
+    // numTables·bits hyperplane dot products per vector plus the cap
+    // window — ran twice. Rows are 4 small ints each, N·tables·(level+1)
+    // of them: the band relation a real build would persist anyway.
     val lb = hnswBandRows(embeddings, numTables, maxLevel, dim, bits)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("level"), col("t"), col("bl"))
           .orderBy(col("vec_id"))))
       .filter(col("rnk") <= bucketCap)
       .select(col("vec_id"), col("level"), col("t"), col("bl"))
+      .localCheckpoint(true)
     val cand = lb.as("x")
       .join(lb.as("y"),
         col("x.level") === col("y.level") && col("x.t") === col("y.t") &&

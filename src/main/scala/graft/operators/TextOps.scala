@@ -1201,8 +1201,16 @@ object TextOps {
     // the per-doc join). Pre-aggregate to (doc, lang, bucket, cnt) — the
     // map-side partial collapses occurrences before the shuffle — and
     // derive both the global bucket counts and the per-doc sums from it.
+    // MATERIALIZED: the two consumers' subtrees differ only above the
+    // exchange, but runtime exchange reuse measurably does NOT fire for
+    // them (probed: zero ReusedExchange in the adaptive final plan), so
+    // without the checkpoint the corpus explode still ran twice. Rows are
+    // the collapsed (doc, lang, bucket, cnt) relation — ≤ docs·buckets,
+    // the per-doc token histogram a real DSIR run persists anyway.
+    // Measured 1.72 → 1.44 s at sf0.1, outputs identical.
     val perDocBucket = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val counts = perDocBucket.groupBy("bucket").agg(
       sum(when(col("lang") === lit(targetLang), col("cnt")).otherwise(0L))
         .as("c_tgt"),
@@ -1512,6 +1520,11 @@ object TextOps {
       .distinct()
       .localCheckpoint(true)
 
+    // (LAZY loop checkpoints — the bpeTrain discipline — were A/B'd here
+    // in round 17 and REJECTED: +0.2 s on both cluster queries at sf0.1.
+    // Unlike the vocab-scale BPE loop, each round's relation is consumed
+    // by a count AND the next round's three references, and the
+    // cache-on-first-use path measured slower than one eager job.)
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -1590,6 +1603,12 @@ object TextOps {
     */
   def curationPipeline(documents: DataFrame, minQuality: Double = 0.4,
                        nearDupThreshold: Double = 0.4): DataFrame = {
+    // (a localCheckpoint of this keep-set — `qualified` is referenced by
+    // all three downstream stages — was A/B'd in round 17 and measured a
+    // WASH at sf0.1 (1.67 vs 1.71 s): the per-row quality pass is cheap
+    // enough that the extra materialization job cancels the saved passes.
+    // Left un-checkpointed; the heavier composed chain in
+    // [[curationPipelineFull]] keeps its measured-win gate checkpoint.)
     val quality = qualityScore(documents)
       .filter(col("quality_score") >= minQuality)
       .select(col("doc_id"))
@@ -2022,12 +2041,24 @@ object TextOps {
     * training loop itself is distributed (per-iteration pair agg + 1-row
     * argmax collect, see [[bpeMerges]]'s scaladoc). */
   def bpeMergeRules(documents: DataFrame,
-                    numMerges: Int = 8): Seq[(Int, String, String, Long)] = {
+                    numMerges: Int = 8): Seq[(Int, String, String, Long)] =
+    bpeTrain(documents, numMerges)._1
+
+  /** The full training loop: returns the rules AND the final vocab
+    * segmentation (word, freq, seg) so [[bpeEncode]] can reuse it instead
+    * of re-deriving the vocabulary (a second corpus explode + distinct)
+    * and re-folding all the rules (round-17). Loop checkpoints are LAZY
+    * (eager=false): each round's seg materializes inside the NEXT round's
+    * argmax job instead of as its own job, halving the loop's job count;
+    * lineage still truncates at every round, so the plan stays linear in
+    * numMerges. */
+  private def bpeTrain(documents: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var seg = documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("word"), "").as("seg"))
-      .localCheckpoint()
+      .select(col("word"), col("freq"), split(col("word"), "").as("seg"))
+      .localCheckpoint(false)
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to numMerges) {
       val n = size(col("seg"))
@@ -2043,10 +2074,11 @@ object TextOps {
       val (a, b, cnt) = (winner(0).getAs[String]("a"),
         winner(0).getAs[String]("b"), winner(0).getAs[Long]("cnt"))
       rules += ((i, a, b, cnt))
-      seg = seg.select(col("freq"), applyMerge(col("seg"), a, b).as("seg"))
-        .localCheckpoint()
+      seg = seg.select(col("word"), col("freq"),
+        applyMerge(col("seg"), a, b).as("seg"))
+        .localCheckpoint(false)
     }
-    rules.result()
+    (rules.result(), seg)
   }
 
   /** BPE ENCODING with the trained ruleset — the apply half of the
@@ -2064,13 +2096,14 @@ object TextOps {
     * Zero-token documents survive the left join with 0s.
     */
   def bpeEncode(documents: DataFrame, numMerges: Int = 8): DataFrame = {
-    val rules = bpeMergeRules(documents, numMerges)
-    val vocab = documents
-      .select(explode(tokens(col("text"))).as("word")).distinct()
-      .select(col("word"), split(col("word"), "").as("seg"))
-    val encoded = rules.foldLeft(vocab) { case (df, (_, a, b, _)) =>
-      df.select(col("word"), applyMerge(col("seg"), a, b).as("seg"))
-    }.select(col("word"), size(col("seg")).cast("long").as("n_sym"))
+    // the trained loop's FINAL seg relation IS the fully-encoded distinct
+    // vocabulary (same distinct-word set — training aggregates by word —
+    // same rules folded in the same order), so reuse it instead of
+    // re-exploding the corpus for a distinct() and re-folding all the
+    // rules (round-17: one corpus pass and numMerges projections saved).
+    val (_, trained) = bpeTrain(documents, numMerges)
+    val encoded = trained
+      .select(col("word"), size(col("seg")).cast("long").as("n_sym"))
     val perDoc = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .join(broadcast(encoded), "word")
@@ -2397,11 +2430,12 @@ object TextOps {
     * (signal only, no rewrite) — this is the operator that actually
     * removes boilerplate from otherwise-unique pages.
     *
-    * Shape: one posexplode (N·tokens/blockSize rows), the lexicographic
-    * min-(doc_id, idx) struct per block key as a key-partitioned window
-    * (one pass over the block relation — agg+join-back recomputed the
-    * block build per reference), one doc-keyed agg to reassemble —
-    * candidates linear in corpus blocks, no pairs. Per-doc collect_list is
+    * Shape: one posexplode (N·tokens/blockSize rows), one hash agg taking
+    * the lexicographic min-(doc_id, idx) struct per block key, one
+    * equi-join back (see the in-code A/B note: the window reshape loses
+    * here because the rows carry block strings), one doc-keyed agg to
+    * reassemble — candidates linear in corpus blocks, no pairs. Per-doc
+    * collect_list is
     * bounded by document length (the [[packGreedy]] discipline). At
     * 100 TB the block key would drop to xxhash64 (8-byte shuffle key,
     * same plan); sha-prefix keeps the oracle able to recompute it.
@@ -2422,16 +2456,18 @@ object TextOps {
     val b = blocks
       .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "block")))
       .withColumn("k", portableHash64(col("block")))
-    // first-occurrence as a WINDOW over the block key, not agg+join-back
-    // (round-17): `b` — tokenize + block-string assembly + sha256 per
-    // block — was referenced by BOTH the min-agg and the join, so the
-    // whole block-building pass ran twice. The window computes the same
-    // lexicographic min(struct(doc_id, idx)) per `k` in ONE pass over one
-    // k-keyed exchange (the inner join matched every row by construction,
-    // so row coverage is identical).
-    val kept = b
-      .withColumn("f", min(struct(col("doc_id"), col("idx")))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+    // agg + join-back, NOT the window reshape its gram siblings got in
+    // round 17 (ngramNovelty/dupSpanRatio: key-partitioned window, one
+    // pass). A/B'd both ways in one JVM at sf0.1: window 2.38 s vs
+    // join-back 1.99 s, outputs identical. The asymmetry is row WIDTH:
+    // the siblings' window rows are 8-byte gram keys, while every
+    // blockDedup row carries the block STRING (the output needs it), so
+    // the WindowExec sort drags the payload through while the min-agg
+    // collapses map-side to one slim (k, f) row per key before its
+    // exchange. Double block-build CPU is the cheaper side here.
+    val first = b.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = b.join(first, Seq("k"))
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
     val agg = kept.groupBy(col("doc_id"))
@@ -3140,12 +3176,28 @@ object TextOps {
                      qLen: Int = 4, k: Int = 5, k1: Double = 1.2,
                      b: Double = 0.75, maxDfFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val qt = documents.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(tokens(col("text")), 1, qLen))).as("term"))
+    // The query-term set prunes the posting build ITSELF (round-17): both
+    // consumers of the tf relation — the per-term df and the score join —
+    // only ever read QUERY-term postings (df(t) counts all docs containing
+    // t, which term-pruning other terms cannot change), so the corpus
+    // explode keeps ≤ numQueries·qLen terms and the pruned posting list
+    // materializes ONCE instead of the full tf relation being recomputed
+    // for each consumer. The term list is a ≤ numQueries·qLen-string
+    // driver fixture (the collected-codebook discipline). `dl` is computed
+    // before the prune, so length normalization sees every token.
+    val qTerms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
     val base = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
     val tf = base.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // corpus stats: docs with at least one token (a token-free doc has no
     // postings, so it can neither match nor be a query term source)
     val stats = documents
@@ -3153,9 +3205,6 @@ object TextOps {
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qt = documents.filter(col("doc_id") < numQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(tokens(col("text")), 1, qLen))).as("term"))
     val qidf = dfT.join(broadcast(qt), Seq("term"))
       .crossJoin(broadcast(stats))
       .filter(col("df").cast("double") <=
@@ -3818,6 +3867,12 @@ object TextOps {
       .select(explode(positionalShingles(col("toks"), l)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
+    // (A gallop-then-binary-search bracket — probe 1,2,4,… before the
+    // binary phase so early probes avoid maxLen/2-token gram strings —
+    // was A/B'd this round and REJECTED: this corpus's planted near-dups
+    // make the true answer hundreds of tokens, so doubling just DOUBLES
+    // the probe count at comparable per-probe cost; measured 2.5 → 7.2 s
+    // at sf0.1. Plain binary search over [0, maxLen] stands.)
     var lo = 0
     var hi = maxLen
     while (lo < hi) {

@@ -28,19 +28,25 @@ class PlanRegressionSpec extends AnyFunSuite {
         s"oracles without query: ${(o diff q).toSeq.sorted}")
   }
 
-  test("doc_dsir_weights: bounded llr table broadcasts, no cartesian, corpus shuffled only on its keys") {
+  test("doc_dsir_weights: bounded llr table broadcasts, no cartesian, one materialized corpus pre-agg") {
     val p = plan("doc_dsir_weights")
-    // the ≤4096-row llr table broadcasts into the token join, and the final
-    // doc join broadcasts at this SF (stats-gated, no hint)
+    // the ≤4096-row llr table broadcasts into the pre-agg join, and the
+    // final doc join broadcasts at this SF (stats-gated, no hint)
     assert(count(p, "BroadcastHashJoin") == 2, p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // corpus shuffles only on its keys: bucket agg + doc_id agg; the totals
-    // window moves only the bounded counts relation
+    // round-17 one-pass shape: the corpus explodes into ONE materialized
+    // (doc, lang, bucket, cnt) pre-aggregation (runtime exchange reuse
+    // measurably did not fire for the duplicated-subtree form, so the
+    // checkpoint is what makes one-pass REAL); both consumers scan the
+    // checkpoint, leaving only the bucket agg and the per-doc agg over
+    // already-collapsed rows
+    assert(count(p, "Scan ExistingRDD") == 2, p)
     assert(count(p, "Exchange hashpartitioning") == 2, p)
+    // the totals window moves only the ≤4096-row counts relation
     assert(count(p, "Exchange SinglePartition") == 1, p)
-    // totals derive from the counts relation, not a duplicated third
-    // corpus-explode subtree: exactly 3 scans (final left side + 2 token sides)
-    assert(count(p, "FileScan parquet") == 3, p)
+    // exactly one parquet scan in the final plan (the doc spine); the
+    // corpus-explode subtree lives once, inside the checkpoint job
+    assert(count(p, "FileScan parquet") == 1, p)
   }
 
   test("emb_mmr_select: broadcast query stage, bounded typed groups, single corpus pass") {
